@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -14,23 +15,28 @@ import graft.Tables._
   *
   * Numeric stabilization pattern for the DuckDB oracle: floating-point SUM is
   * order-dependent, and a 32-way shuffle sums in a different order than
-  * DuckDB's single-threaded scan. Per-row values are cast to DECIMAL(18,4)
-  * (exact, associative addition), summed exactly, and the final scalar cast
-  * back to DOUBLE — bit-identical on both engines regardless of partitioning,
-  * at any scale factor.
+  * DuckDB's single-threaded scan. Raw double columns (clean 2-decimal values,
+  * ~1e-13 from their decimal representation, never near a rounding midpoint)
+  * are cast to DECIMAL, all arithmetic stays decimal (exact, associative),
+  * and only the final scalar is cast back to DOUBLE — bit-identical on both
+  * engines regardless of partitioning, at any scale factor. Never cast a
+  * *computed* double to decimal: the engines disagree near midpoints.
+  *
+  * Scale notes are per-query; the common rules: dimensions are broadcast
+  * (no shuffle of the fact table for dim joins), aggregations rely on
+  * partial/map-side combine, top-k uses TakeOrderedAndProject (no global
+  * sort), and window functions shuffle once on their partition key.
   */
 object Relational {
 
-  /** Exact-decimal views of the clean-2-decimal double source columns.
-    * Casting the RAW column (not a computed product) to decimal is safe:
-    * stored values sit ~1e-13 from their decimal representation, far from any
-    * rounding midpoint, so Spark and DuckDB agree bit-for-bit. All downstream
-    * arithmetic stays in decimal (exact, associative) until a final cast. */
   private[operators] def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private[operators] def frac2(c: Column): Column = c.cast("decimal(3,2)")
   private[operators] def one: Column = lit(1).cast("decimal(3,2)")
   /** Exact decimal SUM surfaced as double (same bits on both engines). */
   private[operators] def dsum(e: Column): Column = sum(e).cast("double")
+
+  private val SqlDec =
+    "CAST(SUM(CAST(%s AS DECIMAL(12,2))) AS DOUBLE)" // raw-column decimal sum
 
   // ---------------------------------------------------------------- q1_agg
   /** TPC-H Q1 shape: scan-side partial aggregation (map-side combine) means
@@ -48,8 +54,297 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // ------------------------------------------------------ q2_filter_project
+  /** Narrow projection + selective filter: both reach the parquet scan
+    * (PushedFilters + 5-column ReadSchema), so IO scales with selectivity,
+    * not table width. */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") >= 48.0 &&
+        col("l_shipdate") >= lit("1999-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ---------------------------------------------------------- q3_join_agg
+  /** TPC-H Q3 shape: customer (dim) is broadcast; orders⋈lineitem shuffles
+    * on orderkey once; top-10 via TakeOrderedAndProject. */
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(dec2(col("l_extendedprice")) * (one - frac2(col("l_discount")))).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // --------------------------------------------------------- q4_semi_join
+  /** EXISTS via left-semi join — no row multiplication, shuffle carries only
+    * the distinct probe keys after Catalyst pushes aggregation. */
+  def q4SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigQty = lineitem(s, d).filter(col("l_quantity") >= 49.0)
+      .select(col("l_orderkey"))
+    orders(s, d)
+      .join(bigQty, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // -------------------------------------------------------- q5_multi_join
+  /** 5-way join: supplier/nation/region dims broadcast (zero fact shuffles
+    * for them); only lineitem⋈orders shuffles on orderkey. */
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"))
+    lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(dec2(col("l_extendedprice")) * (one - frac2(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --------------------------------------------------------- q6_cond_agg
+  /** TPC-H Q6 shape: fully pushed-down filters + single global aggregate —
+    * the classic scan-dominated query. */
+  def q6CondAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24.0)
+      .agg(dsum(dec2(col("l_extendedprice")) * frac2(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // ------------------------------------------------------ q7_window_rank
+  /** Ranking window: one shuffle on the partition key, in-partition sort;
+    * rank predicate prunes before any further operator. */
+  def q7WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // --------------------------------------------------- q8_window_running
+  /** Running total per customer — decimal accumulator so the frame sum is
+    * exact under any evaluation strategy (Spark running-frame vs DuckDB
+    * segment tree). */
+  def q8WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_spend", sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("orderdate"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------------- q9_topk
+  /** Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+    * heaps + driver merge of k rows, never a global sort. */
+  def q9TopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  // ----------------------------------------------------------- q10_setops
+  /** Set operators: EXCEPT/INTERSECT are distinct-set semantics in both
+    * engines; Spark's union is bag semantics, so distinct() restores SQL
+    * UNION. */
+  def q10SetOps(s: SparkSession, d: String): DataFrame = {
+    def custsIn(year: Int): DataFrame =
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit(f"$year-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit(f"${year + 1}-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey"))
+    custsIn(1995).except(custsIn(1996))
+      .union(custsIn(1997).intersect(custsIn(1998)))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  // ----------------------------------------------------------- q11_rollup
+  /** ROLLUP grouping sets — Catalyst expands to a single Expand + one
+    * aggregation pass (not one scan per grouping set). */
+  def q11Rollup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(dec2(col("c_acctbal"))).as("total_bal"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+
+  // --------------------------------------------------------- q12_distinct
+  /** Exact distinct aggregation: Catalyst rewrites to a two-phase expand +
+    * partial distinct, keeping the shuffle keyed on (group, value). */
+  def q12Distinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  // ------------------------------------------------------------- q13_anti
+  /** NOT EXISTS via left-anti join; build side (order keys) aggregates to
+    * distinct keys before the join. */
+  def q13Anti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs_no_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  // ----------------------------------------------------------- q14_scalar
+  /** Scalar function battery (string/math/modulo) — all codegen'd builtins,
+    * no UDFs, so the whole projection stays in one WholeStageCodegen span. */
+  def q14Scalar(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 6).as("type_pfx"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        abs(col("p_size") - lit(25)).as("size_dist"),
+        (col("p_partkey") % 7).as("key_mod"),
+        (dec2(col("p_retailprice")) * lit(10)).cast("double").as("price_x10"))
+      .orderBy(col("p_partkey"))
+
+  // ----------------------------------------------------------- q15_having
+  /** GROUP BY + HAVING: the having predicate is applied post-aggregation by
+    * Catalyst as a plain filter — no second pass. */
+  def q15Having(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("p_size")).as("total_size"))
+      .filter(col("n_parts") >= 5)
+      .orderBy(col("p_brand"))
+
+  // --------------------------------------------------------- q16_subquery
+  /** Scalar subquery: the 1-row aggregate is broadcast (literal-like) and the
+    * comparison is evaluated scan-side — no shuffle of customer at all. */
+  def q16Subquery(s: SparkSession, d: String): DataFrame = {
+    val avgBal = customer(s, d)
+      .agg((dsum(dec2(col("c_acctbal"))) / count(lit(1))).as("avg_bal"))
+    customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ------------------------------------------------------------ q17_asof
+  /** As-of join (reference lacks it; DuckDB has ASOF JOIN natively): for
+    * each 'error' event, the latest 'signup' of the same user at-or-before
+    * its timestamp.
+    *
+    * Scalable realization: instead of the quadratic join+filter, the two
+    * event streams are unioned, shuffled ONCE on user_id, sorted within the
+    * partition, and matched with a running `last(_, ignoreNulls)` window —
+    * O(n log n) per partition, no row multiplication, no skew from users
+    * with many signups. Nanosecond longs (`ts_ns`) keep the comparison
+    * exact; at equal timestamps the signup sorts first (ASOF `>=` match).
+    */
+  def q17AsOf(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("error", "signup"))
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), when(col("event_type") === "signup", 0).otherwise(1))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val signupId = when(col("event_type") === "signup", col("event_id"))
+    val signupTs = when(col("event_type") === "signup", col("ts_ns"))
+    ev
+      .withColumn("signup_event_id", last(signupId, ignoreNulls = true).over(w))
+      .withColumn("signup_ts_ns", last(signupTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("signup_event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("signup_event_id"),
+        // per-timestamp µs truncation (not gap-level) to mirror how DuckDB
+        // reads parquet TIMESTAMP(NANOS): floor to micros, then subtract
+        (expr("ts_ns div 1000") - expr("signup_ts_ns div 1000")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  // ------------------------------------------------------ q18_in_subquery
+  /** IN <subquery> as a left-semi join against a computed top-3 list (3 rows
+    * → broadcast). */
+  def q18InSubquery(s: SparkSession, d: String): DataFrame = {
+    val topBrands = part(s, d)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_brand"))
+      .limit(3)
+      .select(col("p_brand").as("tb"))
+    part(s, d)
+      .join(broadcast(topBrands), col("p_brand") === col("tb"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // ----------------------------------------------------------- q19_pivot
+  /** Conditional aggregation (manual pivot): single scan, single shuffle on
+    * the group key; CASE WHEN keeps it codegen-friendly. */
+  def q19Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", dec2(col("value")))).cast("double").as("purchase_value"),
+        sum(when(col("event_type") === "click", dec2(col("value")))).cast("double").as("click_value"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  // ------------------------------------------------- q20_window_tumbling
+  /** Tumbling-window aggregation (batch twin of the streaming op): bucket =
+    * hour truncation, emitted as epoch micros so both engines agree on the
+    * representation regardless of timestamp physical unit. */
+  def q20WindowTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(dec2(col("value"))).as("total_value"))
+      .orderBy(col("bucket_us"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q2_filter_project" -> q2FilterProject,
+    "q3_join_agg" -> q3JoinAgg,
+    "q4_semi_join" -> q4SemiJoin,
+    "q5_multi_join" -> q5MultiJoin,
+    "q6_cond_agg" -> q6CondAgg,
+    "q7_window_rank" -> q7WindowRank,
+    "q8_window_running" -> q8WindowRunning,
+    "q9_topk" -> q9TopK,
+    "q10_setops" -> q10SetOps,
+    "q11_rollup" -> q11Rollup,
+    "q12_distinct" -> q12Distinct,
+    "q13_anti" -> q13Anti,
+    "q14_scalar" -> q14Scalar,
+    "q15_having" -> q15Having,
+    "q16_subquery" -> q16Subquery,
+    "q17_asof" -> q17AsOf,
+    "q18_in_subquery" -> q18InSubquery,
+    "q19_pivot" -> q19Pivot,
+    "q20_window_tumbling" -> q20WindowTumbling
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -64,6 +359,159 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 48.0
+        |  AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY r_name, n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_cond_agg" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q8_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, orderdate, o_orderkey""".stripMargin,
+    "q9_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 15""".stripMargin,
+    "q10_setops" ->
+      """SELECT o_custkey FROM (
+        |  (SELECT DISTINCT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |   EXCEPT
+        |   SELECT DISTINCT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |  UNION
+        |  (SELECT DISTINCT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |   INTERSECT
+        |   SELECT DISTINCT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+        |) ORDER BY o_custkey""".stripMargin,
+    "q11_rollup" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q12_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q13_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_custs_no_orders
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q14_scalar" ->
+      """SELECT p_partkey,
+        |  UPPER(p_brand) AS brand_u,
+        |  SUBSTRING(p_type, 1, 6) AS type_pfx,
+        |  LENGTH(p_name) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  ABS(p_size - 25) AS size_dist,
+        |  p_partkey % 7 AS key_mod,
+        |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 10 AS DOUBLE) AS price_x10
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q15_having" ->
+      """SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS total_size
+        |FROM part
+        |GROUP BY p_brand
+        |HAVING COUNT(*) >= 5
+        |ORDER BY p_brand""".stripMargin,
+    "q16_subquery" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_asof" ->
+      """SELECT e.event_id, e.user_id, s.event_id AS signup_event_id,
+        |  epoch_us(e.ts) - epoch_us(s.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q18_in_subquery" ->
+      """SELECT p_partkey, p_brand
+        |FROM part
+        |WHERE p_brand IN (SELECT p_brand FROM part GROUP BY p_brand
+        |                  ORDER BY COUNT(*) DESC, p_brand LIMIT 3)
+        |ORDER BY p_partkey""".stripMargin,
+    "q19_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click_value,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q20_window_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_us, event_type""".stripMargin
   )
 }
