@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.types._
+
+/** Result-set schema derivation: source column metadata → Spark StructType.
+  *
+  * Re-expresses the reference's per-column strategy selection
+  * (`src/query/column_strategy.rs:73-222`, decimal tree
+  * `src/query/decimal.rs:23-135`, schema derivation
+  * `src/query/conversion_strategy.rs:30-88`) as a pure decision tree over a
+  * JDBC-ish column description. Spark's Parquet writer then realizes the
+  * physical mapping (INT32/INT64/BYTE_ARRAY/…) from the logical StructType.
+  *
+  * Where Spark's type system lacks a direct analog, the choice + rationale:
+  *  - unsigned TINYINT → ShortType (widen; Spark has no unsigned integers)
+  *  - TIME(p) → IntegerType millis (p≤3) / LongType micros-or-nanos, tagged
+  *    with `graft.time.unit` metadata (Spark has no TIME type)
+  *  - TIMESTAMP(p≥7) → LongType epoch-nanos + metadata (TimestampType tops
+  *    out at micros; truncation would break reference parity)
+  *  - DECIMAL(p>38) → StringType (reference stores text; Spark max p=38)
+  */
+object TypeMapping {
+
+  sealed trait SqlType
+  case object SqlBit extends SqlType
+  case object SqlTinyInt extends SqlType
+  case object SqlSmallInt extends SqlType
+  case object SqlInteger extends SqlType
+  case object SqlBigInt extends SqlType
+  case object SqlReal extends SqlType
+  /** FLOAT(p): p≤24 single, p>24 double (reference column_strategy.rs:110-115). */
+  final case class SqlFloat(precision: Int) extends SqlType
+  case object SqlDouble extends SqlType
+  case object SqlDate extends SqlType
+  final case class SqlDecimal(precision: Int, scale: Int) extends SqlType
+  final case class SqlTimestamp(precision: Int) extends SqlType
+  /** MSSQL DATETIMEOFFSET — instant semantics (UTC-adjusted). */
+  final case class SqlTimestampTz(precision: Int) extends SqlType
+  /** MSSQL TIME(p) — time of day since midnight. */
+  final case class SqlTime(precision: Int) extends SqlType
+  final case class SqlChar(length: Int) extends SqlType
+  final case class SqlVarchar(length: Int) extends SqlType
+  final case class SqlWChar(length: Int) extends SqlType
+  final case class SqlWVarchar(length: Int) extends SqlType
+  final case class SqlBinary(length: Int) extends SqlType
+  final case class SqlVarbinary(length: Int) extends SqlType
+  /** Unknown type — falls back to display-size text (column_strategy.rs:224-239). */
+  final case class SqlOther(displaySize: Int) extends SqlType
+
+  final case class SourceColumn(
+      name: String,
+      sqlType: SqlType,
+      nullable: Boolean = true,
+      unsigned: Boolean = false)
+
+  final case class MappingOptions(
+      avoidDecimal: Boolean = false,
+      preferVarbinary: Boolean = false,
+      columnLengthLimit: Int = 4096,
+      driverSupports64Bit: Boolean = true)
+
+  /** Metadata keys carried on StructField (logical annotations Spark lacks). */
+  val TimeUnitKey = "graft.time.unit"          // "millis" | "micros" | "nanos"
+  val TimestampNanosKey = "graft.timestamp.nanos" // epoch-nanos long
+  val FixedLenKey = "graft.binary.fixedLength" // BINARY(n) declared width
+  val TextLimitKey = "graft.text.limit"        // clamped variadic byte length
+
+  def fields(cols: Seq[SourceColumn], opts: MappingOptions = MappingOptions()): StructType = {
+    require(cols.nonEmpty,
+      "query came back with zero columns — nothing to write (reference conversion_strategy.rs:69-71)")
+    StructType(cols.zipWithIndex.map { case (c, i) =>
+      val named = if (c.name == null || c.name.isEmpty) c.copy(name = s"Column${i + 1}") else c
+      field(named, opts)
+    })
+  }
+
+  def field(c: SourceColumn, opts: MappingOptions): StructField = {
+    val mb = new MetadataBuilder()
+    val dt: DataType = c.sqlType match {
+      case SqlBit => BooleanType
+      case SqlTinyInt => if (c.unsigned) ShortType else ByteType
+      case SqlSmallInt => ShortType
+      case SqlInteger => if (c.unsigned) LongType else IntegerType
+      case SqlBigInt => LongType
+      case SqlReal => FloatType
+      case SqlFloat(p) => if (p <= 24) FloatType else DoubleType
+      case SqlDouble => DoubleType
+      case SqlDate => DateType
+      case SqlDecimal(p, s) => decimalType(p, s, opts)
+      case SqlTimestamp(p) =>
+        if (p <= 6) TimestampNTZType
+        else { mb.putBoolean(TimestampNanosKey, value = true); LongType }
+      case SqlTimestampTz(_) => TimestampType
+      case SqlTime(p) =>
+        if (p <= 3) { mb.putString(TimeUnitKey, "millis"); IntegerType }
+        else if (p <= 6) { mb.putString(TimeUnitKey, "micros"); LongType }
+        else { mb.putString(TimeUnitKey, "nanos"); LongType }
+      case SqlChar(len) => textType(len, opts, mb)
+      case SqlVarchar(len) => textType(len, opts, mb)
+      case SqlWChar(len) => textType(len, opts, mb)
+      case SqlWVarchar(len) => textType(len, opts, mb)
+      case SqlBinary(len) =>
+        if (!opts.preferVarbinary) mb.putLong(FixedLenKey, len.toLong)
+        BinaryType
+      case SqlVarbinary(_) => BinaryType
+      case SqlOther(_) => StringType
+    }
+    StructField(c.name, dt, c.nullable, mb.build())
+  }
+
+  /** Decimal decision tree (reference decimal.rs:23-135):
+    * p≤9 → INT32-backed, p≤18 → INT64-backed, p≤38 → FLBA i128 — all
+    * DecimalType in Spark (the writer picks the physical encoding);
+    * p>38 → text. avoid-decimal: scale 0 becomes plain integers, scale≠0
+    * becomes text. The Oracle workaround (no 64-bit fetch) changes only the
+    * fetch path, not the logical type. */
+  private def decimalType(p: Int, s: Int, opts: MappingOptions): DataType =
+    if (opts.avoidDecimal) {
+      if (s == 0 && p <= 9) IntegerType
+      else if (s == 0 && p <= 18) LongType
+      else StringType
+    } else if (p > 38) StringType
+    else DecimalType(p, s)
+
+  /** Variadic length clamp (reference column_strategy.rs:100-107): declared
+    * length 0 (VARCHAR(MAX)) or above the limit is capped at
+    * `columnLengthLimit`; the cap is recorded in field metadata. Overflow at
+    * read time is a hard error, not silent truncation — see
+    * [[TypeKernels.enforceLengthLimit]]. */
+  private def textType(len: Int, opts: MappingOptions, mb: MetadataBuilder): DataType = {
+    val effective = if (len <= 0 || len > opts.columnLengthLimit) opts.columnLengthLimit else len
+    mb.putLong(TextLimitKey, effective.toLong)
+    StringType
+  }
+}

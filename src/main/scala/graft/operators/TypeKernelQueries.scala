@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.{QueryParams, TimeKernels, TypeKernels}
+
+/** Oracle-checked queries exercising the reference's type-conversion
+  * operator inventory (SURVEY §2.2 A-series) on the driver testdata. Each
+  * query builds the textual/binary source representation from a parquet
+  * column, applies the kernel, and exposes values DuckDB can recompute
+  * independently. */
+object TypeKernelQueries {
+
+  // ------------------------------------------------------ k1_decimal_cast
+  /** A9/A10: INT32-, INT64-, and i128/FLBA-backed decimals from one source.
+    * Spark's parquet writer picks the physical encoding per precision, same
+    * split as the reference (decimal.rs:42-124). */
+  def k1DecimalCast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(9,2)").as("price_i32"),
+        col("l_extendedprice").cast("decimal(18,4)").as("price_i64"),
+        col("l_extendedprice").cast("decimal(38,6)").as("price_i128"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ------------------------------------------------------ k2_decimal_text
+  /** A11: decimal rendered as text (p>38 / avoid-decimal fallback), incl.
+    * negative account balances. */
+  def k2DecimalText(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_custkey"),
+        TypeKernels.decimalText(col("c_acctbal"), 12, 2).as("bal_txt"))
+      .orderBy(col("c_custkey"))
+
+  // ----------------------------------------------------- k3_avoid_decimal
+  /** --avoid-decimal: scale-0 → plain integer, scale≠0 → text
+    * (decimal.rs:36-57,76-100; golden test integration.rs:522-568). */
+  def k3AvoidDecimal(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        TypeKernels.avoidDecimalInt(col("o_totalprice"), 18).as("total_int"),
+        TypeKernels.decimalText(col("o_totalprice"), 12, 2).as("total_txt"))
+      .orderBy(col("o_orderkey"))
+
+  // --------------------------------------------------------- k4_time_text
+  /** A8 TIME kernel: text "HH:MM:SS.ffffff" → micros/millis since midnight
+    * via the custom Catalyst expressions, plus the D6 reverse formatter
+    * round-trip. */
+  def k4TimeText(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("time_txt", date_format(col("ts"), "HH:mm:ss.SSSSSS"))
+      .select(col("event_id"), col("time_txt"),
+        TimeKernels.time_text_to_micros(col("time_txt")).as("us_of_day"),
+        TimeKernels.time_text_to_millis(col("time_txt")).as("ms_of_day"),
+        TimeKernels.micros_of_day_to_text(
+          TimeKernels.time_text_to_micros(col("time_txt"))).as("roundtrip_txt"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------------ k5_timestamp_tz
+  /** A7 DATETIMEOFFSET kernel: "y-M-d H:M:S.f +02:00" text → UTC epoch
+    * micros (instant semantics). The text is constructed at a +02:00 wall
+    * clock so the parse must actually apply the offset to recover the
+    * instant. */
+  def k5TimestampTz(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("tz_txt", concat(
+        date_format(col("ts") + expr("INTERVAL 2 HOURS"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        lit(" +02:00")))
+      .select(col("event_id"), col("tz_txt"),
+        TimeKernels.timestamp_tz_to_micros(col("tz_txt")).as("epoch_us"))
+      .orderBy(col("event_id"))
+
+  // ---------------------------------------------------- k6_unsigned_widen
+  /** Unsigned TINYINT widening: reinterpret the low byte of a key as a
+    * signed byte, widen back to its 0..255 value
+    * (column_strategy.rs:145-154). */
+  def k6UnsignedWiden(s: SparkSession, d: String): DataFrame = {
+    val u = col("p_partkey").bitwiseAND(255)
+    val signedByte = when(u > 127, u - 256).otherwise(u)
+    part(s, d)
+      .select(col("p_partkey"),
+        signedByte.cast("int").as("signed_byte"),
+        TypeKernels.unsignedTinyint(signedByte).as("unsigned_widened"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // ---------------------------------------------------------- k7_binary
+  /** A14 binary kernels: text→bytes, octet length, hex — BYTE_ARRAY output
+    * (the --prefer-varbinary native path) plus a FIXED-LEN(5)-shaped
+    * variant via pad-to-width. */
+  def k7Binary(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        octet_length(encode(col("p_name"), "UTF-8")).as("blen"),
+        hex(encode(col("p_name"), "UTF-8")).as("bhex"),
+        hex(encode(rpad(substring(col("p_name"), 1, 5), 5, " "), "UTF-8")).as("fixed5_hex"))
+      .orderBy(col("p_partkey"))
+
+  // ------------------------------------------------------------ k8_utf16
+  /** A13 UTF-16 text path: encode→decode round-trip must be the identity
+    * (JVM strings are UTF-16 native; reference converts via simd). */
+  def k8Utf16(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        TypeKernels.utf16Roundtrip(col("p_name")).as("rt"))
+      .orderBy(col("p_partkey"))
+
+  // ----------------------------------------------------------- k9_params
+  /** Positional `?` parameter binding with all-parameters-are-varchar
+    * semantics (src/query.rs:62-66): the bound text is coerced in context
+    * by the engine, here through real SQL over a registered view. */
+  def k9Params(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("graft_lineitem_params")
+    val sql = QueryParams.substitute(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM graft_lineitem_params
+        |WHERE l_quantity >= ? AND l_returnflag = ?
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      Seq("48", "R"))
+    s.sql(sql)
+  }
+
+  // ------------------------------------------------------ k10_nano_range
+  /** A6 nanosecond bounds: checked micros→nanos conversion (errors outside
+    * 1677–2262 with the reference's remediation bounds) over real data. */
+  def k10NanoRange(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        TypeKernels.microsToNanosChecked(unix_micros(col("ts"))).as("epoch_ns"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k1_decimal_cast" -> k1DecimalCast,
+    "k2_decimal_text" -> k2DecimalText,
+    "k3_avoid_decimal" -> k3AvoidDecimal,
+    "k4_time_text" -> k4TimeText,
+    "k5_timestamp_tz" -> k5TimestampTz,
+    "k6_unsigned_widen" -> k6UnsignedWiden,
+    "k7_binary" -> k7Binary,
+    "k8_utf16" -> k8Utf16,
+    "k9_params" -> k9Params,
+    "k10_nano_range" -> k10NanoRange
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "k1_decimal_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(9,2)) AS price_i32,
+        |  CAST(l_extendedprice AS DECIMAL(18,4)) AS price_i64,
+        |  CAST(l_extendedprice AS DECIMAL(38,6)) AS price_i128
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "k2_decimal_text" ->
+      """SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal_txt
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "k3_avoid_decimal" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,0)) AS BIGINT) AS total_int,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS total_txt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "k4_time_text" ->
+      """SELECT event_id,
+        |  strftime(ts, '%H:%M:%S.%f') AS time_txt,
+        |  epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS us_of_day,
+        |  CAST((epoch_us(ts) - epoch_us(date_trunc('day', ts))) // 1000 AS INTEGER) AS ms_of_day,
+        |  strftime(ts, '%H:%M:%S.%f') AS roundtrip_txt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "k5_timestamp_tz" ->
+      """SELECT event_id,
+        |  strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S.%f') || ' +02:00' AS tz_txt,
+        |  epoch_us(ts) AS epoch_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "k6_unsigned_widen" ->
+      """SELECT p_partkey,
+        |  CAST(CASE WHEN (p_partkey & 255) > 127 THEN (p_partkey & 255) - 256
+        |            ELSE (p_partkey & 255) END AS INTEGER) AS signed_byte,
+        |  CAST(p_partkey & 255 AS INTEGER) AS unsigned_widened
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "k7_binary" ->
+      """SELECT p_partkey,
+        |  octet_length(encode(p_name)) AS blen,
+        |  hex(encode(p_name)) AS bhex,
+        |  hex(encode(rpad(substring(p_name, 1, 5), 5, ' '))) AS fixed5_hex
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "k8_utf16" ->
+      """SELECT p_partkey, p_name AS rt FROM part ORDER BY p_partkey""".stripMargin,
+    "k9_params" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity >= '48' AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "k10_nano_range" ->
+      """SELECT event_id, epoch_us(ts) * 1000 AS epoch_ns
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

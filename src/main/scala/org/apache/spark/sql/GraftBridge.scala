@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Narrow bridge to `private[sql]` surface needed for custom Catalyst
+  * expressions in Spark 4 (Column↔Expression conversion moved behind
+  * `classic.ExpressionUtils`, and function registration behind the classic
+  * session). Keeping it one tiny file makes the dependency explicit. */
+object GraftBridge {
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "builtin")
+}
