@@ -1,0 +1,206 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.functions.QueryParams
+import graft.sources.{BatchSizeLimit, JdbcSink, ParquetSink}
+
+/** CLI mirroring the reference's subcommand surface (`src/main.rs:51-77`):
+  *
+  *   query  [opts] <out.par|-> <sql|-> [param …]
+  *   insert [opts] <in.parquet> <table>
+  *   exec   [opts] <statement> <in.parquet>
+  *   list-drivers
+  *   list-data-sources
+  *   completions
+  *
+  * Sources: `--connection-string <jdbc-url>` reads through Spark's JDBC
+  * connector (the ODBC replacement); `--tables-dir <dir>` registers every
+  * `<name>.parquet` in the directory as a SQL view and computes the query
+  * natively — the "relational operators realized by Catalyst" mode.
+  */
+object Cli {
+
+  final case class Conf(
+      connectionString: Option[String] = None,
+      tablesDir: Option[String] = None,
+      batchSizeRow: Int = BatchSizeLimit.DefaultRows,
+      batchSizeMemory: Long = BatchSizeLimit.DefaultMemoryBytes,
+      rowGroupsPerFile: Int = 0,
+      fileSizeThreshold: Long = 0,
+      columnCompressionDefault: String = "zstd",
+      columnLengthLimit: Int = 4096,
+      suffixLength: Int = 2,
+      noEmptyFile: Boolean = false,
+      avoidDecimal: Boolean = false,
+      preferVarbinary: Boolean = false,
+      sequentialFetching: Boolean = false,
+      positional: Vector[String] = Vector.empty)
+
+  def parse(args: Seq[String]): (String, Conf) = {
+    require(args.nonEmpty, usage)
+    val cmd = args.head
+    var c = Conf()
+    var rest = args.tail.toList
+    while (rest.nonEmpty) {
+      rest = rest match {
+        case ("--connection-string" | "-c") :: v :: t => c = c.copy(connectionString = Some(v)); t
+        case "--tables-dir" :: v :: t => c = c.copy(tablesDir = Some(v)); t
+        case "--batch-size-row" :: v :: t => c = c.copy(batchSizeRow = v.toInt); t
+        case "--batch-size-memory" :: v :: t => c = c.copy(batchSizeMemory = parseBytes(v)); t
+        case "--row-groups-per-file" :: v :: t => c = c.copy(rowGroupsPerFile = v.toInt); t
+        case "--file-size-threshold" :: v :: t => c = c.copy(fileSizeThreshold = parseBytes(v)); t
+        case "--column-compression-default" :: v :: t => c = c.copy(columnCompressionDefault = v); t
+        case "--column-length-limit" :: v :: t => c = c.copy(columnLengthLimit = v.toInt); t
+        case "--suffix-length" :: v :: t => c = c.copy(suffixLength = v.toInt); t
+        case "--no-empty-file" :: t => c = c.copy(noEmptyFile = true); t
+        case "--avoid-decimal" :: t => c = c.copy(avoidDecimal = true); t
+        case "--prefer-varbinary" :: t => c = c.copy(preferVarbinary = true); t
+        case "--sequential-fetching" :: t => c = c.copy(sequentialFetching = true); t
+        case flag :: _ if flag.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown option $flag\n$usage")
+        case v :: t => c = c.copy(positional = c.positional :+ v); t
+        case Nil => Nil
+      }
+    }
+    // stdout output conflicts with file splitting (reference main.rs:295-311)
+    if (cmd == "query" && c.positional.headOption.contains("-") &&
+      (c.rowGroupsPerFile > 0 || c.fileSizeThreshold > 0))
+      throw new IllegalArgumentException(
+        "splitting the output into multiple files is incompatible with writing to stdout")
+    (cmd, c)
+  }
+
+  private def parseBytes(v: String): Long = {
+    val s = v.trim.toLowerCase
+    val (num, mult) =
+      if (s.endsWith("gib")) (s.dropRight(3), 1L << 30)
+      else if (s.endsWith("mib")) (s.dropRight(3), 1L << 20)
+      else if (s.endsWith("kib")) (s.dropRight(3), 1L << 10)
+      else (s, 1L)
+    (num.trim.toDouble * mult).toLong
+  }
+
+  val usage: String =
+    """usage: graft <query|insert|exec|list-drivers|list-data-sources|completions> [options]
+      |  query  [opts] <out.par|-> <sql|-> [param …]
+      |  insert [opts] <in.parquet> <table>        (-c <jdbc-url> required)
+      |  exec   [opts] <statement> <in.parquet>    (-c <jdbc-url> required)
+      |options: --connection-string/-c URL, --tables-dir DIR, --batch-size-row N,
+      |  --batch-size-memory BYTES, --row-groups-per-file N, --file-size-threshold BYTES,
+      |  --column-compression-default CODEC, --column-length-limit N, --suffix-length N,
+      |  --no-empty-file, --avoid-decimal, --prefer-varbinary, --sequential-fetching""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val (cmd, conf) = parse(args.toIndexedSeq)
+    cmd match {
+      case "query" => runQuery(conf)
+      case "insert" => runInsert(conf)
+      case "exec" => runExec(conf)
+      case "list-drivers" => listDrivers().foreach(println)
+      case "list-data-sources" => listDataSources().foreach(println)
+      case "completions" => println(completions)
+      case other => throw new IllegalArgumentException(s"unknown subcommand $other\n$usage")
+    }
+  }
+
+  def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def readQueryText(q: String): String =
+    if (q == "-") scala.io.Source.stdin.mkString else q
+
+  def runQuery(conf: Conf, sparkOpt: Option[SparkSession] = None): Seq[java.nio.file.Path] = {
+    val Vector(out, sqlArg, params @ _*) = conf.positional: @unchecked
+    val spark = sparkOpt.getOrElse(session())
+    graft.functions.TimeKernels.registerAll(spark)
+    val sql = QueryParams.substitute(readQueryText(sqlArg), params.toSeq)
+    val df = (conf.connectionString, conf.tablesDir) match {
+      case (Some(url), _) =>
+        spark.read.format("jdbc")
+          .option("url", url)
+          .option("query", sql)
+          .option("fetchsize", conf.batchSizeRow.toString)
+          .load()
+      case (None, Some(dir)) =>
+        // parquet TIMESTAMP(NANOS) columns surface as epoch-nanos longs —
+        // same policy as TypeMapping (Spark tops out at micros)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        Files.list(Paths.get(dir)).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { p =>
+            val name = p.getFileName.toString.stripSuffix(".parquet")
+            spark.read.parquet(p.toString).createOrReplaceTempView(name)
+          }
+        spark.sql(sql)
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          "either --connection-string or --tables-dir is required")
+    }
+    val rows = BatchSizeLimit.effectiveRows(df.schema, conf.batchSizeRow, conf.batchSizeMemory)
+    ParquetSink.write(df, out, ParquetSink.Options(
+      compression = conf.columnCompressionDefault,
+      batchRows = rows,
+      rowGroupsPerFile = conf.rowGroupsPerFile,
+      fileSizeThresholdBytes = conf.fileSizeThreshold,
+      suffixLength = conf.suffixLength,
+      noEmptyFile = conf.noEmptyFile))
+  }
+
+  def runInsert(conf: Conf, sparkOpt: Option[SparkSession] = None): Unit = {
+    val Vector(file, table) = conf.positional: @unchecked
+    val url = conf.connectionString.getOrElse(
+      throw new IllegalArgumentException("--connection-string is required for insert"))
+    val spark = sparkOpt.getOrElse(session())
+    JdbcSink.insert(spark.read.parquet(file), url, table, conf.batchSizeRow)
+  }
+
+  def runExec(conf: Conf, sparkOpt: Option[SparkSession] = None): Unit = {
+    val Vector(statement, file) = conf.positional: @unchecked
+    val url = conf.connectionString.getOrElse(
+      throw new IllegalArgumentException("--connection-string is required for exec"))
+    val spark = sparkOpt.getOrElse(session())
+    JdbcSink.exec(spark.read.parquet(file), statement, url, conf.batchSizeRow)
+  }
+
+  /** JDBC driver enumeration (reference list-drivers, main.rs:341-349). */
+  def listDrivers(): Seq[String] = {
+    val it = java.sql.DriverManager.getDrivers
+    val out = Seq.newBuilder[String]
+    while (it.hasMoreElements) {
+      val d = it.nextElement()
+      out += s"${d.getClass.getName} ${d.getMajorVersion}.${d.getMinorVersion}"
+    }
+    out.result()
+  }
+
+  /** No JDBC analog of ODBC DSNs; configured sources come from the
+    * GRAFT_JDBC_URLS env var (comma-separated). */
+  def listDataSources(): Seq[String] =
+    sys.env.get("GRAFT_JDBC_URLS").map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)
+
+  val completions: String =
+    """_graft() {
+      |  local cur=${COMP_WORDS[COMP_CWORD]}
+      |  COMPREPLY=( $(compgen -W "query insert exec list-drivers list-data-sources completions" -- "$cur") )
+      |}
+      |complete -F _graft graft""".stripMargin
+
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+/** Parquet sink with the reference CLI's output contract.
+  *
+  * Reference semantics reproduced (`src/query/parquet_writer.rs`,
+  * `src/query/current_file.rs`, `src/query/batch_size_limit.rs:45-55`):
+  *  - exact output naming: a requested `out.par` is a FILE, not a Spark
+  *    directory; split outputs are `out_01.par`, `out_02.par`, … with a
+  *    zero-padded, extension-preserving `--suffix-length` suffix
+  *    (parquet_writer.rs:232-250)
+  *  - splitting by row groups per file (`--row-groups-per-file`) and/or a
+  *    compressed byte threshold (`--file-size-threshold`)
+  *  - `--no-empty-file`: an empty result yields no file at all; otherwise a
+  *    schema-only file (parquet_writer.rs:117-121,156-158)
+  *  - default compression zstd (main.rs:159-161); row group ≈ one batch
+  *  - `-` streams a single parquet to stdout (parquet_writer.rs:192-230)
+  *
+  * Scale posture: Spark tasks write part files in parallel into a staging
+  * directory (atomic-commit protocol replaces the reference's
+  * tempfile+persist crash safety); the post-pass only RENAMES files — it
+  * never moves bytes — except for the optional single-file mode, which is
+  * inherently a one-writer operation (`coalesce(1)`), exactly like the
+  * reference's single-process writer. On a cluster you'd leave splitting on
+  * and skip single-file mode; the semantics knobs are what parity requires.
+  */
+object ParquetSink {
+
+  final case class Options(
+      compression: String = "zstd",
+      batchRows: Int = BatchSizeLimit.DefaultRows,
+      rowGroupsPerFile: Int = 0,        // 0 = no row-count splitting
+      fileSizeThresholdBytes: Long = 0, // 0 = no size splitting
+      suffixLength: Int = 2,
+      noEmptyFile: Boolean = false)
+
+  /** Write `df` to `outPath` (a file path like `out.par`, or `-` for
+    * stdout). Returns the list of files written, in order. */
+  def write(df: DataFrame, outPath: String, opts: Options = Options()): Seq[Path] = {
+    val split = opts.rowGroupsPerFile > 0 || opts.fileSizeThresholdBytes > 0
+    require(outPath != "-" || !split,
+      "splitting into multiple files is not possible with stdout output" +
+        " (reference main.rs:295-311)")
+
+    val staging = Files.createTempDirectory("graft-sink-")
+    val stagingDir = staging.resolve("out").toString
+    if (split) {
+      // one fetch batch == one row group: cap records per file at the batch
+      // size × row groups so each emitted file holds whole "batches"
+      df.write.mode("overwrite")
+        .option("compression", opts.compression)
+        .option("maxRecordsPerFile",
+          (if (opts.rowGroupsPerFile > 0) opts.rowGroupsPerFile.toLong else 1L)
+            * opts.batchRows)
+        .parquet(stagingDir)
+    } else {
+      df.coalesce(1).write.mode("overwrite")
+        .option("compression", opts.compression).parquet(stagingDir)
+    }
+
+    val parts = Files.list(Paths.get(stagingDir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+
+    // cheap emptiness probe against the WRITTEN files (footer-only read),
+    // not a re-execution of the source plan
+    val nonEmpty = parts.nonEmpty &&
+      df.sparkSession.read.parquet(stagingDir).head(1).nonEmpty
+    if (!nonEmpty && opts.noEmptyFile) {
+      deleteRecursively(staging)
+      return Seq.empty
+    }
+
+    val binned: Seq[Seq[Path]] =
+      if (opts.fileSizeThresholdBytes > 0) binBySize(parts, opts.fileSizeThresholdBytes)
+      else if (opts.rowGroupsPerFile > 0) parts.map(Seq(_))
+      else Seq(parts)
+
+    val outputs: Seq[Path] =
+      if (outPath == "-") {
+        val merged = mergeBin(df, binned.head, staging, opts)
+        Files.copy(merged, System.out)
+        System.out.flush()
+        Seq.empty
+      } else if (binned.size <= 1) {
+        val merged = mergeBin(df, binned.headOption.getOrElse(Seq.empty), staging, opts)
+        val dest = Paths.get(outPath)
+        if (dest.getParent != null) Files.createDirectories(dest.getParent)
+        Seq(move(merged, dest))
+      } else {
+        binned.zipWithIndex.map { case (bin, i) =>
+          val merged = mergeBin(df, bin, staging, opts)
+          val dest = Paths.get(suffixedPath(outPath, i + 1, opts.suffixLength))
+          if (dest.getParent != null) Files.createDirectories(dest.getParent)
+          move(merged, dest)
+        }
+      }
+    deleteRecursively(staging)
+    outputs
+  }
+
+  /** `out.par` + n=3, len=2 → `out_03.par`; extension preserved; files
+    * without extension get a bare suffix (parquet_writer.rs:232-250). */
+  def suffixedPath(path: String, n: Int, suffixLength: Int): String = {
+    val p = Paths.get(path)
+    val name = p.getFileName.toString
+    val dot = name.lastIndexOf('.')
+    val (stem, ext) = if (dot > 0) (name.substring(0, dot), name.substring(dot)) else (name, "")
+    val num = s"%0${suffixLength}d".format(n)
+    val newName = s"${stem}_$num$ext"
+    Option(p.getParent).map(_.resolve(newName).toString).getOrElse(newName)
+  }
+
+  /** Consecutive bin-packing by compressed size: a new output file starts
+    * when the current one has reached the threshold — same greedy rule as
+    * the reference's `should_start_new_file` (batch_size_limit.rs:45-55). */
+  private def binBySize(parts: Seq[Path], threshold: Long): Seq[Seq[Path]] = {
+    val bins = Seq.newBuilder[Seq[Path]]
+    var current = Vector.empty[Path]
+    var size = 0L
+    parts.foreach { p =>
+      if (current.nonEmpty && size >= threshold) {
+        bins += current; current = Vector.empty; size = 0L
+      }
+      current :+= p; size += Files.size(p)
+    }
+    if (current.nonEmpty) bins += current
+    bins.result()
+  }
+
+  /** A bin of 1 part is renamed as-is (no byte movement); >1 parts are
+    * rewritten into one file via a single-partition Spark job. An empty bin
+    * (zero-row result) writes a schema-only file. */
+  private def mergeBin(df: DataFrame, bin: Seq[Path], staging: Path, opts: Options): Path =
+    bin match {
+      case Seq(single) => single
+      case Seq() =>
+        val dir = staging.resolve("empty").toString
+        df.limit(0).coalesce(1).write.mode("overwrite")
+          .option("compression", opts.compression).parquet(dir)
+        firstPart(dir)
+      case many =>
+        val dir = staging.resolve(s"merge-${many.head.getFileName}").toString
+        df.sparkSession.read.parquet(many.map(_.toString): _*)
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", opts.compression).parquet(dir)
+        firstPart(dir)
+    }
+
+  private def firstPart(dir: String): Path =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString).head
+
+  private def move(src: Path, dest: Path): Path =
+    Files.move(src, dest, StandardCopyOption.REPLACE_EXISTING)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

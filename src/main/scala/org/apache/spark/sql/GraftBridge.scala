@@ -17,5 +17,5 @@ object GraftBridge {
       name: String,
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "builtin")
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Cli
+import graft.sources.{BatchSizeLimit, JdbcSink, ParquetSink}
+
+/** ETL-surface tests mirroring the reference's integration taxonomy:
+  * splitting/naming (integration.rs:1513-1698), empty results
+  * (:1352-1466), exec placeholder matrix (:3802-3920), insert round trip,
+  * CLI validation (:3969-3987). */
+class EtlSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def tmp() = Files.createTempDirectory("graft-etl")
+
+  test("single-file output is a file at exactly the requested path") {
+    val out = tmp().resolve("result.par")
+    val files = ParquetSink.write(
+      Tables.region(spark, sf), out.toString, ParquetSink.Options())
+    assert(files == Seq(out))
+    assert(Files.isRegularFile(out))
+    assert(spark.read.parquet(out.toString).count() == 5)
+  }
+
+  test("row-group splitting produces zero-padded, extension-preserving suffixes") {
+    val out = tmp().resolve("out.par")
+    val files = ParquetSink.write(
+      Tables.lineitem(spark, sf), out.toString,
+      ParquetSink.Options(rowGroupsPerFile = 1, batchRows = 2000))
+    assert(files.size == 3) // 6000 rows / 2000
+    assert(files.map(_.getFileName.toString) == Seq("out_01.par", "out_02.par", "out_03.par"))
+    val total = spark.read.parquet(files.map(_.toString): _*).count()
+    assert(total == 6000)
+  }
+
+  test("suffix length is configurable (suffix parity parquet_writer.rs:252-278)") {
+    assert(ParquetSink.suffixedPath("dir/out.par", 7, 3) == "dir/out_007.par")
+    assert(ParquetSink.suffixedPath("noext", 1, 2) == "noext_01")
+    assert(ParquetSink.suffixedPath("a.b.par", 12, 2) == "a.b_12.par")
+  }
+
+  test("file-size-threshold splits by compressed bytes") {
+    val out = tmp().resolve("sized.par")
+    val files = ParquetSink.write(
+      Tables.lineitem(spark, sf), out.toString,
+      ParquetSink.Options(rowGroupsPerFile = 1, batchRows = 500,
+        fileSizeThresholdBytes = 64 * 1024))
+    assert(files.size > 1)
+    files.dropRight(1).foreach(f => assert(Files.size(f) >= 64 * 1024 / 4))
+    assert(spark.read.parquet(files.map(_.toString): _*).count() == 6000)
+  }
+
+  test("empty result: schema-only file by default, nothing with no-empty-file") {
+    val empty = Tables.region(spark, sf).filter(lit(false))
+    val out1 = tmp().resolve("empty.par")
+    val files1 = ParquetSink.write(empty, out1.toString, ParquetSink.Options())
+    assert(files1 == Seq(out1))
+    val back = spark.read.parquet(out1.toString)
+    assert(back.count() == 0 && back.schema.fieldNames.contains("r_name"))
+
+    val out2 = tmp().resolve("none.par")
+    val files2 = ParquetSink.write(empty, out2.toString,
+      ParquetSink.Options(noEmptyFile = true))
+    assert(files2.isEmpty && !Files.exists(out2))
+  }
+
+  test("stdout + splitting is rejected (validation parity main.rs:295-311)") {
+    intercept[IllegalArgumentException] {
+      Cli.parse(Seq("query", "--row-groups-per-file", "2", "-", "SELECT 1"))
+    }
+    intercept[IllegalArgumentException] {
+      ParquetSink.write(Tables.region(spark, sf), "-",
+        ParquetSink.Options(rowGroupsPerFile = 2))
+    }
+  }
+
+  test("named placeholders rewrite: switched order, repeats, escapes (execute.rs:111-144)") {
+    assert(JdbcSink.toPositionalArguments("INSERT INTO t (a,b) VALUES (?a?,?b?)") ==
+      ("INSERT INTO t (a,b) VALUES (?,?)", Seq("a", "b")))
+    assert(JdbcSink.toPositionalArguments("VALUES (?b?,?a?)") ==
+      ("VALUES (?,?)", Seq("b", "a")))
+    assert(JdbcSink.toPositionalArguments("VALUES (?a?,?a?,?b?)") ==
+      ("VALUES (?,?,?)", Seq("a", "a", "b")))
+    assert(JdbcSink.toPositionalArguments("""SELECT '\?' , ?x?""") ==
+      ("SELECT '?' , ?", Seq("x")))
+    intercept[IllegalArgumentException](JdbcSink.toPositionalArguments("VALUES (?a"))
+    intercept[IllegalArgumentException](JdbcSink.toPositionalArguments("VALUES (??)"))
+  }
+
+  test("insert statement generation matches reference shape (insert.rs:55-66)") {
+    assert(JdbcSink.insertStatement("t", Seq("a", "b", "c")) ==
+      "INSERT INTO t (a, b, c) VALUES (?, ?, ?)")
+  }
+
+  test("derby round trip: insert appends, exec binds by name, repeated + switched") {
+    val url = s"jdbc:derby:memory:etlspec${System.nanoTime()};create=true"
+    val df = Tables.nation(spark, sf)
+    JdbcSink.insert(df, url, "nations", batchRows = 7)
+    // switched order + repeated name through the exec path
+    JdbcSink.exec(df,
+      """INSERT INTO nations ("n_name", "n_nationkey", "n_regionkey") VALUES (?n_name?, ?n_nationkey?, ?n_regionkey?)""",
+      url, batchRows = 3)
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "nations").load()
+    assert(back.count() == 50)
+    assert(back.groupBy("n_nationkey").count().filter(col("count") =!= 2).count() == 0)
+  }
+
+  test("nested types are rejected for the reverse path (input.rs:188-193)") {
+    import spark.implicits._
+    val nested = Seq((1, Seq(1, 2))).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      JdbcSink.insert(nested, "jdbc:derby:memory:x", "t")
+    }
+  }
+
+  test("batch sizing: min of row and memory limits; giant row errors") {
+    val schema = Tables.lineitem(spark, sf).schema
+    val w = BatchSizeLimit.bytesPerRow(schema)
+    assert(w > 0)
+    assert(BatchSizeLimit.effectiveRows(schema) == BatchSizeLimit.DefaultRows)
+    assert(BatchSizeLimit.effectiveRows(schema, memoryLimitBytes = w * 10) == 10)
+    intercept[IllegalArgumentException] {
+      BatchSizeLimit.effectiveRows(schema, memoryLimitBytes = 1)
+    }
+  }
+
+  test("cli: tables-dir query end-to-end with params and sink options") {
+    val outDir = tmp()
+    val out = outDir.resolve("cli.par")
+    val (cmd, conf) = Cli.parse(Seq("query",
+      "--tables-dir", sf,
+      "--row-groups-per-file", "1",
+      "--batch-size-row", "3000",
+      "--suffix-length", "3",
+      out.toString,
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity >= ? ORDER BY l_orderkey, l_linenumber",
+      "1"))
+    assert(cmd == "query")
+    val files = Cli.runQuery(conf, Some(spark))
+    assert(files.size == 2) // 6000 rows / 3000 per file
+    assert(files.head.getFileName.toString == "cli_001.par")
+    assert(spark.read.parquet(files.map(_.toString): _*).count() == 6000)
+  }
+
+  test("cli: unknown flags and subcommands fail with usage") {
+    intercept[IllegalArgumentException](Cli.parse(Seq("query", "--bogus")))
+    intercept[IllegalArgumentException](Cli.main(Array("frobnicate")))
+  }
+
+  test("cli: list-drivers sees the embedded derby driver") {
+    // force driver registration the same way a connection would
+    java.sql.DriverManager.getConnection(
+      s"jdbc:derby:memory:drv${System.nanoTime()};create=true").close()
+    assert(Cli.listDrivers().exists(_.toLowerCase.contains("derby")))
+  }
+}
