@@ -18,12 +18,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.TypeKernelQueries.queries ++
-      operators.EtlQueries.queries
+      operators.EtlQueries.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
       operators.TypeKernelQueries.oracleSql ++
-      operators.EtlQueries.oracleSql
+      operators.EtlQueries.oracleSql ++
+      operators.TextAnalysis.oracleSql ++
+      operators.Dedup.oracleSql ++
+      operators.Similarity.oracleSql ++
+      operators.Multimodal.oracleSql
 }

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.{TextHashFunctions, VectorOps}
+
+/** Deduplication operators — exact, content-normalized, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is quadratic in the corpus. Pairwise
+  * comparison is always preceded by a blocking stage (source key, LSH band
+  * bucket, SimHash band) so the join keys bound candidate sets; shuffles are
+  * keyed on those buckets and stay linear in corpus size. That is exactly
+  * the structure that survives a 1000-executor, 100 TB corpus.
+  */
+object Dedup {
+
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  // ------------------------------------------------------ d1_dedup_exact
+  /** Exact dedup: hash-groupBy on content, keep the smallest id. Spark
+    * aggregates partially map-side, so the shuffle carries one row per
+    * distinct document. */
+  def d1DedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  // ------------------------------------------------- d2_dedup_normalized
+  /** Content-normalized exact dedup: key = sorted distinct word set. Finds
+    * reorder-only duplicates (jaccard 1.0 pairs) that byte-exact dedup
+    * misses; same single-shuffle group-by shape. */
+  def d2DedupNormalized(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("key", array_join(array_sort(array_distinct(toks)), " "))
+      .groupBy(col("key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("keep_id"), col("n_docs"))
+      .orderBy(col("keep_id"))
+
+  // ------------------------------------------------- d3_ngram_jaccard
+  /** Word-set Jaccard near-dup within a blocking key (source): the
+    * block-local self-join bounds candidates; intersect/union sizes are
+    * integers so the similarity is bit-identical on both engines. */
+  def d3NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        array_distinct(toks).as("w"))
+    val a = docs.select(col("doc_id").as("a_id"), col("source"), col("w").as("wa"))
+    val b = docs.select(col("doc_id").as("b_id"), col("source").as("src_b"), col("w").as("wb"))
+    val jac = size(array_intersect(col("wa"), col("wb"))).cast("double") /
+      size(array_union(col("wa"), col("wb")))
+    a.join(b, col("source") === col("src_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ------------------------------------------------------ d4_minhash_lsh
+  /** MinHash + LSH banding over word 2-gram shingles.
+    *
+    * Pipeline: shingle → per-shingle 64-bit hash (xxhash64) → 32 minhash
+    * signatures hᵢ(x) = (aᵢ·x + bᵢ) wrapped — 8 bands × 4 rows → band
+    * buckets → self-join on (band, bucket) for candidates → verify true
+    * shingle Jaccard ≥ 0.7. Banding makes the candidate join linear; the
+    * verify step removes LSH false positives, so output precision is exact
+    * while recall is governed by the band shape (8×4 catches j≥0.7 with
+    * ~1-(1-0.7⁴)⁸ ≈ 93% per-pair probability).
+    */
+  def d4MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val nSig = 32
+    val bandRows = 4
+
+    val shingled = documents(s, d)
+      .withColumn("t", toks)
+      .withColumn("shingles", array_distinct(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => concat(x, lit(" "), y))))
+      .select(col("doc_id"), col("shingles"))
+
+    // the i-th minhash function is xxhash64 seeded by i (hashing the pair
+    // (i, shingle)) — independent hash families without the linear-transform
+    // arithmetic that overflows under ANSI mode
+    val sigs = (0 until nSig).foldLeft(shingled) { case (df, i) =>
+      df.withColumn(s"sig_$i",
+        array_min(transform(col("shingles"), x => xxhash64(lit(i), x))))
+    }
+    val bands = (0 until nSig / bandRows).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64((bi * bandRows until (bi + 1) * bandRows).map(i => col(s"sig_$i")): _*).as("bucket"))
+    }
+    val exploded = sigs
+      .withColumn("band", explode(array(bands: _*)))
+      .select(col("doc_id"), col("shingles"), col("band.band"), col("band.bucket"))
+
+    val l = exploded.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
+      col("band"), col("bucket"))
+    val r = exploded.select(col("doc_id").as("b_id"), col("shingles").as("sb"),
+      col("band").as("band_r"), col("bucket").as("bucket_r"))
+    val cand = l.join(r,
+        col("band") === col("band_r") && col("bucket") === col("bucket_r") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
+      .dropDuplicates("a_id", "b_id")
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    cand
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------------- d5_simhash_dup
+  /** SimHash near-dup: 64-bit signature, 4×16-bit bands for candidates,
+    * hamming ≤ 6 verification via bit_count(xor). */
+  def d5SimhashDup(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), TextHashFunctions.simhash64(toks).as("sh"))
+    val banded = sh.withColumn("band", explode(array(
+      (0 until 4).map(b => struct(lit(b).as("i"),
+        col("sh").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))
+      .select(col("doc_id"), col("sh"), col("band.i"), col("band.v"))
+    val l = banded.select(col("doc_id").as("a_id"), col("sh").as("sha"), col("i"), col("v"))
+    val r = banded.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+      col("i").as("i_r"), col("v").as("v_r"))
+    l.join(r, col("i") === col("i_r") && col("v") === col("v_r") && col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ----------------------------------------------- d6_embedding_neardup
+  /** Embedding-cosine near-dup, blocked on the label column (the ANN-bucket
+    * stand-in): exact in-order double accumulation so DuckDB reproduces the
+    * cosine bit-for-bit. */
+  def d6EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"), col("embedding").as("vb"))
+    a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        VectorOps.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> d1DedupExact,
+    "d2_dedup_normalized" -> d2DedupNormalized,
+    "d3_ngram_jaccard" -> d3NgramJaccard,
+    "d4_minhash_lsh" -> d4MinhashLsh,
+    "d5_simhash_dup" -> d5SimhashDup,
+    "d6_embedding_neardup" -> d6EmbeddingNearDup
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d2_dedup_normalized" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM (SELECT doc_id,
+        |        array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ') AS key
+        |      FROM documents)
+        |GROUP BY key HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "d3_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |    / len(list_distinct(list_cat(a.w, b.w))) AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |    / len(list_distinct(list_cat(a.w, b.w))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "d6_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_dot_product(a.v, b.v)
+        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

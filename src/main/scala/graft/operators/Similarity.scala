@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * s1 is the exact baseline: broadcast the (small) query set against the
+  * corpus scan — one pass, no corpus shuffle, per-query top-k via window.
+  * s2 is the scale path: random-hyperplane LSH buckets both sides; the
+  * candidate join is keyed on (band, bucket) so work stays proportional to
+  * bucket collision counts, not |queries|×|corpus|. Recall vs s1 is asserted
+  * in the spec; precision is exact because candidates are re-scored with the
+  * true cosine.
+  */
+object Similarity {
+
+  private val TopK = 5
+  /** every 50th vector is a query point */
+  private def isQuery = col("vec_id") % 50 === 0
+
+  // -------------------------------------------------------- s1_ann_brute
+  def s1AnnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------- s2_ann_lsh
+  /** LSH-bucketed ANN: 16-bit signatures split into 4 bands of 4 bits; a
+    * corpus vector is a candidate for a query iff it shares any band value.
+    * Candidates are exact-rescored; top-k per query. Band shape tradeoff:
+    * smaller bands → more candidates → higher recall; 4×4 keeps candidate
+    * volume ≈ 23% of brute force on isotropic data while recovering ~half
+    * of weak (cos≈0.45) neighbors — tune per corpus geometry. */
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val planes = VectorOps.hyperplanes(nPlanes = 16, dim = 64)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.lshSignature(col("embedding"), planes).as("sig"))
+    val banded = e.withColumn("band", explode(array(
+      (0 until 4).map(b => struct(lit(b).as("i"),
+        shiftright(col("sig"), 4 * b).bitwiseAND(0xf).as("v"))): _*)))
+      .select(col("vec_id"), col("embedding"), col("band.i"), col("band.v"))
+    val q = banded.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("i").as("qi"), col("v").as("qvalue"))
+    val cand = banded.join(q,
+        col("i") === col("qi") && col("v") === col("qvalue") &&
+          col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_brute" -> s1AnnBrute,
+    "s2_ann_lsh" -> s2AnnLsh
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_dot_product(q.qv, e.v)
+        |      / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextHashFunctions
+
+/** Text-analysis operators for a training-data pipeline: token statistics,
+  * quality scoring, language identification, content fingerprinting. All are
+  * single-pass column expressions over the scan — no shuffle, no UDFs except
+  * the native fingerprint expressions — so throughput is IO-bound at any
+  * scale factor. */
+object TextAnalysis {
+
+  private[operators] def tokens: Column = split(trim(col("text")), "\\s+")
+
+  // ----------------------------------------------------------- t1_tokens
+  /** Token counting: whitespace tokenization, total + distinct counts. */
+  def t1Tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_distinct"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------- t2_quality
+  /** Quality scoring: length/word statistics + stopword ratio + a binary
+    * keep/drop flag — the classic pre-training corpus filter shape. */
+  def t2Quality(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of")
+    val toks = tokens
+    val nTokens = size(toks)
+    val nNoSpace = length(regexp_replace(col("text"), "\\s+", ""))
+    val nStop = size(filter(toks, t => t.isin(stop: _*)))
+    documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nNoSpace.as("n_alpha"),
+        nTokens.as("n_tokens"),
+        (nNoSpace.cast("double") / nTokens).as("avg_token_len"),
+        (nStop.cast("double") / nTokens).as("stopword_ratio"),
+        (nTokens.between(5, 1000) &&
+          (nNoSpace.cast("double") / nTokens).between(2.0, 12.0) &&
+          (nStop.cast("double") / nTokens) < 0.5).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------- t3_langid
+  /** Language ID by stopword-hit voting with a fixed priority tiebreak —
+    * the n-gram-free heuristic; deterministic and SQL-expressible so the
+    * oracle can replicate it exactly. */
+  def t3LangId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens
+    def hits(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*)))
+    val en = hits(Seq("the", "and", "of", "is"))
+    val es = hits(Seq("el", "los", "que", "como"))
+    val de = hits(Seq("der", "die", "und", "ist"))
+    val fr = hits(Seq("le", "et", "les", "dans"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("hits_en"), es.as("hits_es"), de.as("hits_de"), fr.as("hits_fr"),
+        when(en >= es && en >= de && en >= fr && en > 0, "en")
+          .when(es >= de && es >= fr && es > 0, "es")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("und").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------ t4_fingerprint
+  /** Content fingerprints via the native hash expressions: 64-bit FNV-1a,
+    * winnowing-style min-k-gram rolling hash, and SimHash over tokens.
+    * Not DuckDB-expressible → rows-only gate + golden-value spec. */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TextHashFunctions.fnv64(col("text")).as("fnv64"),
+        TextHashFunctions.min_kgram_hash(col("text")).as("min_kgram"),
+        TextHashFunctions.simhash64(tokens).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_tokens" -> t1Tokens,
+    "t2_quality" -> t2Quality,
+    "t3_langid" -> t3LangId,
+    "t4_fingerprint" -> t4Fingerprint
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_alpha
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS n_chars, n_alpha,
+        |  len(toks) AS n_tokens,
+        |  CAST(n_alpha AS DOUBLE) / len(toks) AS avg_token_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  CAST(len(toks) BETWEEN 5 AND 1000
+        |    AND (CAST(n_alpha AS DOUBLE) / len(toks)) BETWEEN 2.0 AND 12.0
+        |    AND (CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(toks)) < 0.5
+        |    AS INTEGER) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t3_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('el','los','que','como'))) AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('le','et','les','dans'))) AS hits_fr
+        |  FROM t)
+        |SELECT doc_id, lang AS labeled_lang, hits_en, hits_es, hits_de, hits_fr,
+        |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+        |       WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+        |       WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+        |       WHEN hits_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextHash
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-pipeline operator specs: LSH recall against brute force,
+  * fingerprint golden values, multimodal stub-decode parity. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("fnv64 golden values are stable (fingerprint determinism)") {
+    assert(TextHash.fnv64(UTF8String.fromString("")) == 0xcbf29ce484222325L)
+    assert(TextHash.fnv64(UTF8String.fromString("a")) == 0xaf63dc4c8601ec8cL)
+    // min-kgram of short strings degrades to whole-string hash
+    assert(TextHash.minKgramHash(UTF8String.fromString("abc")) ==
+      TextHash.fnv64(UTF8String.fromString("abc")))
+  }
+
+  test("simhash of identical token sets is identical; near sets are near") {
+    def sh(tokens: Seq[String]) = {
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        tokens.map(UTF8String.fromString).toArray)
+      TextHash.simhash64(arr)
+    }
+    val a = sh(Seq("spark", "query", "engine", "fast", "columnar"))
+    val b = sh(Seq("spark", "query", "engine", "fast", "columnar"))
+    val c = sh(Seq("spark", "query", "engine", "fast", "vectorized"))
+    val far = sh(Seq("completely", "different", "words", "here", "now"))
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ far))
+  }
+
+  test("minhash-LSH near-dup recall >= 80% of brute-force jaccard>=0.7 pairs") {
+    // brute force truth on 2-gram shingles, all pairs (small sf only)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", array_distinct(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => concat(x, lit(" "), y))))
+      .select(col("doc_id"), col("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb")))
+    val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jac.as("j"))
+      .filter(col("j") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val found = Dedup.d4MinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(found.subsetOf(truth), "verify step must remove all false positives")
+    if (truth.nonEmpty) {
+      val recall = found.intersect(truth).size.toDouble / truth.size
+      assert(recall >= 0.8, s"recall $recall below 0.8 (truth=${truth.size}, found=${found.size})")
+    }
+  }
+
+  test("ann-LSH results are a subset of brute-force candidates with decent recall") {
+    val brute = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.s2AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ANN recall $recall unexpectedly low (|brute|=${brute.size}, |lsh|=${lsh.size})")
+  }
+
+  test("multimodal stub decode via mapPartitions agrees with the column-expr path") {
+    val viaPartitions = Multimodal.decodeAll(spark, sf)
+      .collect().map(m => (m.doc_id, (m.n_bytes, m.width, m.height, m.n_frames))).toMap
+    val viaColumns = Multimodal.m1MultimodalMeta(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(viaPartitions == viaColumns)
+    assert(viaPartitions.size == 500)
+  }
+
+  test("simhash banding finds all hamming<=6 pairs it claims (no false positives)") {
+    val rows = Dedup.d5SimhashDup(spark, sf).collect()
+    rows.foreach(r => assert(r.getInt(2) <= 6))
+  }
+}
