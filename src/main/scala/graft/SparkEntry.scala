@@ -22,7 +22,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
-      operators.Multimodal.oracleSql
+      operators.Multimodal.oracleSql ++
+      streaming.StreamingOps.oracleSql
 }

@@ -29,11 +29,11 @@ import graft.Tables._
   */
 object Relational {
 
-  private[operators] def dec2(c: Column): Column = c.cast("decimal(12,2)")
-  private[operators] def frac2(c: Column): Column = c.cast("decimal(3,2)")
-  private[operators] def one: Column = lit(1).cast("decimal(3,2)")
+  private[graft] def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private[graft] def frac2(c: Column): Column = c.cast("decimal(3,2)")
+  private[graft] def one: Column = lit(1).cast("decimal(3,2)")
   /** Exact decimal SUM surfaced as double (same bits on both engines). */
-  private[operators] def dsum(e: Column): Column = sum(e).cast("double")
+  private[graft] def dsum(e: Column): Column = sum(e).cast("double")
 
   private val SqlDec =
     "CAST(SUM(CAST(%s AS DECIMAL(12,2))) AS DOUBLE)" // raw-column decimal sum

@@ -24,15 +24,17 @@ object Similarity {
 
   // -------------------------------------------------------- s1_ann_brute
   def s1AnnBrute(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // per-vector norms computed on the scan, not per (query, vector) pair
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
     val q = e.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        VectorOps.cosine(col("qv"), col("embedding")).as("cos"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
@@ -50,23 +52,24 @@ object Similarity {
     val planes = VectorOps.hyperplanes(nPlanes = 16, dim = 64)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
+        VectorOps.norm2(col("embedding")).as("n2"),
         VectorOps.lshSignature(col("embedding"), planes).as("sig"))
     val banded = e.withColumn("band", explode(array(
       (0 until 4).map(b => struct(lit(b).as("i"),
         shiftright(col("sig"), 4 * b).bitwiseAND(0xf).as("v"))): _*)))
-      .select(col("vec_id"), col("embedding"), col("band.i"), col("band.v"))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("band.i"), col("band.v"))
     val q = banded.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("i").as("qi"), col("v").as("qvalue"))
+        col("n2").as("qn2"), col("i").as("qi"), col("v").as("qvalue"))
     val cand = banded.join(q,
         col("i") === col("qi") && col("v") === col("qvalue") &&
           col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
     cand
-      .select(col("q_id"), col("vec_id"),
-        VectorOps.cosine(col("qv"), col("embedding")).as("cos"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Relational
+
+/** Structured Streaming realizations of the engine's aggregation surface.
+  *
+  * The reference is strictly batch (SURVEY §2.1 — streaming marked absent),
+  * so these are beyond-parity operators: the tumbling-window aggregate is
+  * the streaming twin of the batch `q20_window_tumbling` query (same
+  * grouping, same decimal-exact sums), and sessionization shows custom
+  * state via `flatMapGroupsWithState` — the pattern a training-data
+  * ingestion pipeline uses for late-arriving event streams.
+  *
+  * Scale posture: state is keyed (window×type, or user), watermarks bound
+  * state size, and nothing accumulates on the driver.
+  */
+object StreamingOps {
+
+  /** Events schema as the stream source sees it (ts arrives as epoch-nanos
+    * long, the TypeMapping nano policy). */
+  val eventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  /** File-source stream over a directory of event parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event type with a 10-minute watermark —
+    * streaming twin of the batch q20 aggregation (append-mode safe). */
+  def hourlyByType(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Relational.dec2(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization: a session closes after `gapMinutes` of
+    * per-user inactivity (processing-time timeout drives emission for
+    * simplicity; event ordering within a micro-batch is handled by
+    * min/max accumulation so the result is order-insensitive). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val evs = batch.toSeq.sortBy(_.ts_us)
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          evs.foreach { e =>
+            cur match {
+              case Some(st) if e.ts_us - st.last_us <= gapUs =>
+                cur = Some(st.copy(last_us = math.max(st.last_us, e.ts_us), n = st.n + 1))
+              case Some(st) =>
+                out += Session(user, st.start_us, st.last_us, st.n)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st); state.setTimeoutDuration(s"$gapMinutes minutes")
+            case None => ()
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Batch reference implementation of the same sessionization (window +
+    * cumulative gap flags) used by the spec to validate the streaming
+    * results — and a useful batch operator in its own right. */
+  def sessionizeBatch(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev").isNull || col("ts_us") - col("prev") > gapUs).cast("long"))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** Gate entry: batch sessionization (the streaming op's semantics twin,
+    * DuckDB-verifiable). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin
+  )
+}

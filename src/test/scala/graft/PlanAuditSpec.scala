@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Relational}
+
+/** Physical-plan audits: these lock in the properties that make the
+  * operators scale — pushdown reaching the parquet scan, dimension joins
+  * broadcasting, top-k avoiding global sorts, aggregates combining map-side.
+  * A regression here won't flip correctness but would be a 10-100× cliff at
+  * 100 TB, so it fails the build. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: filter and projection are pushed to the parquet scan") {
+    val p = plan(Relational.q2FilterProject(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), "quantity filter must reach the scan")
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(!p.contains("l_returnflag"), "unreferenced columns must be pruned")
+  }
+
+  test("q3/q5: dimension joins broadcast (no fact-table shuffle for dims)") {
+    assert(plan(Relational.q3JoinAgg(spark, sf)).contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q5MultiJoin(spark, sf))
+    assert(p5.split("BroadcastHashJoin").length >= 4,
+      "supplier/nation/region should all broadcast")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert(p.split("HashAggregate").length >= 3,
+      "expect partial + final HashAggregate")
+  }
+
+  test("q9: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q9TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q4: EXISTS stays a semi join (no row multiplication)") {
+    assert(plan(Relational.q4SemiJoin(spark, sf)).contains("LeftSemi"))
+  }
+
+  test("custom expressions run inside WholeStageCodegen") {
+    // AQE defers physical planning, so codegen subtrees only materialize with
+    // it off — the audit needs the concrete plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val codegen = try {
+      operators.TypeKernelQueries.k4TimeText(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val df = operators.TypeKernelQueries.k4TimeText(spark, sf)
+    assert(codegen.contains("WholeStageCodegen subtree"))
+    // the kernel calls appear in generated code, not as interpreted fallbacks
+    assert(codegen.contains("parseTimeMicros"), "kernel must be compiled into codegen")
+    assert(!plan(df).toLowerCase.contains("codegenfallback"))
+  }
+
+  test("d4 minhash: candidate join is keyed on band buckets (hash join, not nested loop)") {
+    val p = plan(Dedup.d4MinhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"), "LSH join must never be a cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("d3 jaccard: blocked self-join is an equi-join on the blocking key") {
+    val p = plan(Dedup.d3NgramJaccard(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
