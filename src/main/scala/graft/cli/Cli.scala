@@ -23,6 +23,11 @@ object Cli {
 
   final case class Conf(
       connectionString: Option[String] = None,
+      user: Option[String] = None,
+      password: Option[String] = None,
+      encoding: String = "Auto", // System|Utf16|Auto — JVM text is always
+                                 // UTF-16 internally, so accepted for CLI
+                                 // parity and recorded, never needed
       tablesDir: Option[String] = None,
       batchSizeRow: Int = BatchSizeLimit.DefaultRows,
       batchSizeMemory: Long = BatchSizeLimit.DefaultMemoryBytes,
@@ -45,6 +50,9 @@ object Cli {
     while (rest.nonEmpty) {
       rest = rest match {
         case ("--connection-string" | "-c") :: v :: t => c = c.copy(connectionString = Some(v)); t
+        case ("--user" | "-u") :: v :: t => c = c.copy(user = Some(v)); t
+        case ("--password" | "-p") :: v :: t => c = c.copy(password = Some(v)); t
+        case "--encoding" :: v :: t => c = c.copy(encoding = v); t
         case "--tables-dir" :: v :: t => c = c.copy(tablesDir = Some(v)); t
         case "--batch-size-row" :: v :: t => c = c.copy(batchSizeRow = v.toInt); t
         case "--batch-size-memory" :: v :: t => c = c.copy(batchSizeMemory = parseBytes(v)); t
@@ -63,6 +71,12 @@ object Cli {
         case Nil => Nil
       }
     }
+    // env-var fallbacks mirror ODBC_CONNECTION_STRING/ODBC_USER/ODBC_PASSWORD
+    // (reference connection.rs:10-33)
+    if (c.connectionString.isEmpty)
+      c = c.copy(connectionString = sys.env.get("GRAFT_CONNECTION_STRING"))
+    if (c.user.isEmpty) c = c.copy(user = sys.env.get("GRAFT_USER"))
+    if (c.password.isEmpty) c = c.copy(password = sys.env.get("GRAFT_PASSWORD"))
     // stdout output conflicts with file splitting (reference main.rs:295-311)
     if (cmd == "query" && c.positional.headOption.contains("-") &&
       (c.rowGroupsPerFile > 0 || c.fileSizeThreshold > 0))
@@ -128,11 +142,13 @@ object Cli {
     val sql = QueryParams.substitute(readQueryText(sqlArg), params.toSeq)
     val df = (conf.connectionString, conf.tablesDir) match {
       case (Some(url), _) =>
-        spark.read.format("jdbc")
+        var r = spark.read.format("jdbc")
           .option("url", url)
           .option("query", sql)
           .option("fetchsize", conf.batchSizeRow.toString)
-          .load()
+        conf.user.foreach(u => r = r.option("user", u))
+        conf.password.foreach(p => r = r.option("password", p))
+        r.load()
       case (None, Some(dir)) =>
         // parquet TIMESTAMP(NANOS) columns surface as epoch-nanos longs —
         // same policy as TypeMapping (Spark tops out at micros)
@@ -172,6 +188,21 @@ object Cli {
       throw new IllegalArgumentException("--connection-string is required for exec"))
     val spark = sparkOpt.getOrElse(session())
     JdbcSink.exec(spark.read.parquet(file), statement, url, conf.batchSizeRow)
+  }
+
+  /** ODBC connection-string attribute escaping (connection.rs:55-61):
+    * values containing special characters are brace-wrapped with `}`
+    * doubled. Used when appending UID/PWD to an ODBC-style connection
+    * string (the DSN-style JDBC urls take credentials as options instead). */
+  def escapeAttr(v: String): String =
+    if (v.exists("[]{}(),;?*=!@".contains(_))) "{" + v.replace("}", "}}") + "}"
+    else v
+
+  def appendCredentials(cs: String, user: Option[String], password: Option[String]): String = {
+    val sep = if (cs.isEmpty || cs.endsWith(";")) "" else ";"
+    val uid = user.map(u => s"UID=${escapeAttr(u)};").getOrElse("")
+    val pwd = password.map(p => s"PWD=${escapeAttr(p)};").getOrElse("")
+    s"$cs$sep$uid$pwd"
   }
 
   /** JDBC driver enumeration (reference list-drivers, main.rs:341-349). */

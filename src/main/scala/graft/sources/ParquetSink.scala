@@ -31,11 +31,21 @@ object ParquetSink {
 
   final case class Options(
       compression: String = "zstd",
+      compressionLevel: Option[Int] = None, // zstd level, default 3 like the reference
       batchRows: Int = BatchSizeLimit.DefaultRows,
       rowGroupsPerFile: Int = 0,        // 0 = no row-count splitting
       fileSizeThresholdBytes: Long = 0, // 0 = no size splitting
       suffixLength: Int = 2,
-      noEmptyFile: Boolean = false)
+      noEmptyFile: Boolean = false,
+      /** parquet writer version: "v2" (PARQUET_2_0, reference parity) emits
+        * delta encodings; "v1" enables per-column dictionary control */
+      writerVersion: String = "v2",
+      /** per-column dictionary-encoding toggle — the Spark-reachable subset
+        * of the reference's `--parquet-column-encoding COL:ENC`
+        * (main.rs:188-196); parquet-mr exposes encoding choice per column
+        * only through the dictionary switch, and only the v1 writer honors
+        * it (v2 always picks delta encodings) */
+      columnDictionary: Map[String, Boolean] = Map.empty)
 
   /** Write `df` to `outPath` (a file path like `out.par`, or `-` for
     * stdout). Returns the list of files written, in order. */
@@ -47,18 +57,28 @@ object ParquetSink {
 
     val staging = Files.createTempDirectory("graft-sink-")
     val stagingDir = staging.resolve("out").toString
+    def configured(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+      var out = w.mode("overwrite")
+        .option("compression", opts.compression)
+        // PARQUET_2_0 writer parity by default (reference parquet_writer.rs:45-47)
+        .option("parquet.writer.version", opts.writerVersion)
+      opts.compressionLevel.foreach(l =>
+        out = out.option("parquet.compression.codec.zstd.level", l.toString))
+      opts.columnDictionary.foreach { case (c, on) =>
+        out = out.option(s"parquet.enable.dictionary#$c", on.toString)
+      }
+      out
+    }
     if (split) {
       // one fetch batch == one row group: cap records per file at the batch
       // size × row groups so each emitted file holds whole "batches"
-      df.write.mode("overwrite")
-        .option("compression", opts.compression)
+      configured(df.write)
         .option("maxRecordsPerFile",
           (if (opts.rowGroupsPerFile > 0) opts.rowGroupsPerFile.toLong else 1L)
             * opts.batchRows)
         .parquet(stagingDir)
     } else {
-      df.coalesce(1).write.mode("overwrite")
-        .option("compression", opts.compression).parquet(stagingDir)
+      configured(df.coalesce(1).write).parquet(stagingDir)
     }
 
     val parts = Files.list(Paths.get(stagingDir)).iterator().asScala

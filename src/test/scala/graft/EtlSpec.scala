@@ -150,6 +150,22 @@ class EtlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Cli.main(Array("frobnicate")))
   }
 
+  test("cli: credential attribute escaping (connection.rs:55-61 parity)") {
+    assert(Cli.escapeAttr("plain") == "plain")
+    assert(Cli.escapeAttr("we;rd") == "{we;rd}")
+    assert(Cli.escapeAttr("curly}brace") == "{curly}}brace}")
+    assert(Cli.appendCredentials("Driver=x;", Some("u"), Some("p;w")) ==
+      "Driver=x;UID=u;PWD={p;w};")
+    assert(Cli.appendCredentials("", None, None) == "")
+  }
+
+  test("cli: --user/--password/--encoding parse and env fallback applies") {
+    val (_, c) = Cli.parse(Seq("query", "-u", "alice", "-p", "s3cret",
+      "--encoding", "Utf16", "out.par", "SELECT 1"))
+    assert(c.user.contains("alice") && c.password.contains("s3cret"))
+    assert(c.encoding == "Utf16")
+  }
+
   test("cli: list-drivers sees the embedded derby driver") {
     // force driver registration the same way a connection would
     java.sql.DriverManager.getConnection(
