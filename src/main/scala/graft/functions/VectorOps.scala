@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ in double, in index order. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double, in index order — a native expression (see
+    * [[DotProduct]]): no intermediate array, same accumulation order as
+    * the compositional zip_with/aggregate fold it replaces. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** The compositional fold (kept as the reference semantics for the
+    * native kernel; spec asserts bit-equality). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

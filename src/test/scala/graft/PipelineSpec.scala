@@ -71,6 +71,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ANN recall $recall unexpectedly low (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("native dot product is bit-identical to the compositional fold") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id")).limit(5000)
+    val diffs = pairs.select(
+      graft.functions.VectorOps.dot(col("va"), col("vb")).as("native"),
+      graft.functions.VectorOps.dotFold(col("va"), col("vb")).as("fold"))
+      .filter(col("native") =!= col("fold"))
+      .count()
+    assert(diffs == 0, "native kernel must reproduce the fold bit-for-bit")
+  }
+
   test("multimodal stub decode via mapPartitions agrees with the column-expr path") {
     val viaPartitions = Multimodal.decodeAll(spark, sf)
       .collect().map(m => (m.doc_id, (m.n_bytes, m.width, m.height, m.n_frames))).toMap
