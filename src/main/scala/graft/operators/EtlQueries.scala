@@ -13,19 +13,25 @@ object EtlQueries {
 
   // -------------------------------------------------- e1_sink_roundtrip
   /** lineitem → ParquetSink with row-count splitting (`out_01.par`…) →
-    * read the split files back → aggregate. n_files checks the split
-    * arithmetic (ceil(rows / 20000)); the sums check byte fidelity. */
+    * read the split files back → aggregate. The sums check byte fidelity;
+    * `split_ok` checks the split invariant (every file ≤ the 20k-row cap,
+    * and at least ⌈rows/20k⌉ files — the exact count depends on source
+    * task partitioning, which an engine-independent oracle can't model). */
   def e1SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = Files.createTempDirectory("graft-e1")
     val out = dir.resolve("out.par")
     val files = ParquetSink.write(
       lineitem(s, d), out.toString,
       ParquetSink.Options(rowGroupsPerFile = 1, batchRows = 20000))
-    val readBack = s.read.parquet(files.map(_.toString): _*)
-    readBack.agg(
-      count(lit(1)).as("n_rows"),
-      sum(Relational.dec2(col("l_extendedprice"))).cast("double").as("total_price"),
-      lit(files.size).cast("long").as("n_files"))
+    val perFile = s.read.parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("c"),
+        sum(Relational.dec2(col("l_extendedprice"))).as("p"))
+    perFile.agg(
+      sum(col("c")).as("n_rows"),
+      sum(col("p")).cast("double").as("total_price"),
+      (max(col("c")) <= 20000 &&
+        count(lit(1)) >= expr("(sum(c) + 19999) div 20000")).as("split_ok"))
   }
 
   // -------------------------------------------------- e2_jdbc_roundtrip
@@ -62,7 +68,7 @@ object EtlQueries {
     "e1_sink_roundtrip" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
-        |  CAST(CEIL(COUNT(*) / 20000.0) AS BIGINT) AS n_files
+        |  TRUE AS split_ok
         |FROM lineitem""".stripMargin,
     "e2_jdbc_roundtrip" ->
       """SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS n

@@ -208,7 +208,9 @@ object Relational {
     * distinct keys before the join. */
   def q13Anti(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d).select(col("o_custkey")),
+      .join(orders(s, d)
+          .filter(col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_custs_no_orders"))
@@ -458,7 +460,8 @@ object Relational {
     "q13_anti" ->
       """SELECT c_mktsegment, COUNT(*) AS n_custs_no_orders
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     "q14_scalar" ->

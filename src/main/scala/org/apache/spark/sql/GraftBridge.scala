@@ -18,4 +18,17 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply an extensions installer's function registrations to a LIVE
+    * session (normally they only take effect at session build time via
+    * `spark.sql.extensions`). Used by tests and by hosts that receive an
+    * already-built session. */
+  def applyFunctionExtensions(
+      spark: SparkSession,
+      installer: SparkSessionExtensions => Unit): Unit = {
+    val ext = new SparkSessionExtensions
+    installer(ext)
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
+  }
 }

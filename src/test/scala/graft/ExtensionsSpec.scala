@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must expose every kernel to plain SQL in a session
+  * built only from conf — the cluster-deployment path. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions exposes every kernel to plain SQL") {
+    // the shared test session already exists, so apply the extension
+    // installer to it directly (same registrations spark.sql.extensions
+    // would perform at build time)
+    val spark = TestSession.spark
+    org.apache.spark.sql.GraftBridge.applyFunctionExtensions(spark, new GraftExtensions)
+    locally {
+      val row = spark.sql(
+        """SELECT time_text_to_micros('01:02:03.000004') AS us,
+          |  timestamp_tz_to_micros('2022-09-07 16:04:12 +02:00') AS tz,
+          |  micros_of_day_to_text(3723000004) AS txt,
+          |  fnv64('') AS h,
+          |  dot_product(array(CAST(1.5 AS DOUBLE), 2.0), array(CAST(2.0 AS DOUBLE), 3.0)) AS dp,
+          |  simhash64(array('a','b')) AS sh
+          |""".stripMargin).collect().head
+      assert(row.getLong(0) == 3723000004L)
+      assert(row.getLong(1) ==
+        java.time.Instant.parse("2022-09-07T14:04:12Z").getEpochSecond * 1000000L)
+      assert(row.getString(2) == "01:02:03.000004")
+      assert(row.getLong(3) == 0xcbf29ce484222325L)
+      assert(row.getDouble(4) == 9.0)
+      row.getLong(5) // simhash evaluates
+    }
+  }
+}
