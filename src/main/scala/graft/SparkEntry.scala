@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Skew.queries ++
       streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.Multimodal.oracleSql ++
+      operators.Skew.oracleSql ++
       streaming.StreamingOps.oracleSql
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Skew-mitigation operators.
+  *
+  * A hot grouping key turns one reducer into the job's critical path. For
+  * algebraic aggregates the fix is salting: aggregate on (key, salt) first —
+  * spreading a hot key over N reducers — then combine the partials on the
+  * key alone. Exact-decimal partials make the two-phase result identical to
+  * the one-phase aggregate, which is what lets the DuckDB oracle verify the
+  * operator with a plain GROUP BY.
+  *
+  * (Joins get skew handling from AQE's skew-join splitting — enabled via
+  * `spark.sql.adaptive.*` — so no hand-rolled join salting is needed.)
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: count + exact-decimal sums per key. */
+  def saltedAgg(
+      df: DataFrame,
+      key: Column,
+      saltBuckets: Int,
+      sums: Map[String, Column]): DataFrame = {
+    val salted = df.groupBy(key.as("k"), pmod(crc32(key.cast("string")), lit(saltBuckets)).as("salt"))
+      .agg(count(lit(1)).as("partial_n"),
+        sums.map { case (n, c) => sum(c).as(s"partial_$n") }.toSeq: _*)
+    salted.groupBy(col("k"))
+      .agg(sum(col("partial_n")).as("n"),
+        sums.keys.map(n => sum(col(s"partial_$n")).as(n)).toSeq: _*)
+  }
+
+  // ------------------------------------------------------ q22_salted_agg
+  /** Revenue per return flag via the salted two-phase plan. l_returnflag has
+    * only 3 values — exactly the pathological low-cardinality/hot-key shape
+    * salting exists for. Result is bit-identical to the plain aggregate. */
+  def q22SaltedAgg(s: SparkSession, d: String): DataFrame =
+    saltedAgg(
+      lineitem(s, d), col("l_returnflag"), saltBuckets = 16,
+      Map("qty" -> Relational.dec2(col("l_quantity")),
+        "revenue" -> (Relational.dec2(col("l_extendedprice")) *
+          (Relational.one - Relational.frac2(col("l_discount"))))))
+      .select(col("k").as("l_returnflag"), col("n"),
+        col("qty").cast("double").as("sum_qty"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+
+  // --------------------------------------------------------- q23_approx
+  /** Sketch aggregates: HyperLogLog distinct + approximate quantiles. Sketch
+    * outputs are engine-specific (no DuckDB oracle); the spec bounds their
+    * error against exact values instead. */
+  def q23Approx(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_salted_agg" -> q22SaltedAgg,
+    "q23_approx" -> q23Approx
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+/** Scale-technique specs: salted aggregation equivalence, bucketed
+  * co-located joins (shuffle elimination), sketch error bounds. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("salted two-phase aggregation is bit-identical to the plain aggregate") {
+    val salted = Skew.q22SaltedAgg(spark, sf).collect()
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(operators.Relational.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(operators.Relational.dec2(col("l_extendedprice")) *
+          (operators.Relational.one - operators.Relational.frac2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    // managed tables land in ./spark-warehouse (static conf); dropped below.
+    // the in-memory catalog forgets tables across JVMs but files persist —
+    // clear any leftover locations too
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    Seq("li_b", "o_b").foreach { t =>
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.lineitem(spark, sf).write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables.orders(spark, sf).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b").join(spark.table("o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      // execute first: with AQE the concrete join plan only exists after run
+      assert(joined.collect().map(_.getLong(1)).sum == 6000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not shuffle either side: the only Exchange
+      // allowed is the one introduced by the final groupBy
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join over buckets:\n$plan")
+      val joinPart = plan.substring(joinIdx)
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"),
+        "bucketed side must not re-shuffle")
+      assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        "bucketed side must not re-shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+  }
+
+  test("sketch aggregates stay within error bounds of exact values") {
+    val approx = Skew.q23Approx(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (d, m)) =>
+      val (ad, am) = approx(k)
+      assert(math.abs(ad - d).toDouble / d < 0.1, s"$k: HLL $ad vs exact $d")
+      assert(math.abs(am - m) / m < 0.2, s"$k: median $am vs exact $m")
+    }
+  }
+}
