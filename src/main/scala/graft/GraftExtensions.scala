@@ -39,5 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "min_kgram_hash", a => MinKgramHash(a.head))
     fn(e, "simhash64", a => SimHash64(a.head))
     fn(e, "dot_product", a => DotProduct(a.head, a(1)))
+    fn(e, "jaccard_sorted", a => JaccardSorted(a.head, a(1)))
   }
 }

@@ -47,20 +47,23 @@ object Dedup {
     * block-local self-join bounds candidates; intersect/union sizes are
     * integers so the similarity is bit-identical on both engines. */
   def d3NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // tokens are interned to 64-bit hashes ON THE SCAN (once per doc), so
-    // the per-pair set operations hash fixed-width longs instead of strings
-    // — same Jaccard counts (collisions are 2^-64-improbable), ~3× cheaper
-    // pairwise stage
+    // tokens are interned to 64-bit hashes and SORTED on the scan (once per
+    // doc), so the per-pair similarity is a single O(n+m) merge walk
+    // ([[graft.functions.JaccardSorted]]) — no per-pair hash-set builds,
+    // same Jaccard counts (collisions are 2^-64-improbable)
     val docs = documents(s, d)
       .select(col("doc_id"), col("source"),
-        transform(array_distinct(toks), t => xxhash64(t)).as("w"))
+        array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
       .withColumn("nw", size(col("w")))
     val a = docs.select(col("doc_id").as("a_id"), col("source"),
       col("w").as("wa"), col("nw").as("na"))
     val b = docs.select(col("doc_id").as("b_id"), col("source").as("src_b"),
       col("w").as("wb"), col("nw").as("nb"))
-    val jac = size(array_intersect(col("wa"), col("wb"))).cast("double") /
-      size(array_union(col("wa"), col("wb")))
+    val jac = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.JaccardSorted(
+        GraftBridge.expression(col("wa")), GraftBridge.expression(col("wb"))))
+    }
     // length-ratio prefilter (PPJoin-style): jaccard ≥ 0.8 ⇒ |A|/|B| ∈
     // [0.8, 1.25] since j ≤ min/max — prunes most pairs with integer
     // comparisons before any per-pair set operation; result-neutral
@@ -106,20 +109,26 @@ object Dedup {
         xxhash64((bi * bandRows until (bi + 1) * bandRows).map(i => col(s"sig_$i")): _*).as("bucket"))
     }
     val exploded = sigs
+      // candidates carry sorted hashed shingles (8 bytes/shingle through the
+      // shuffle instead of the shingle text) for the merge-walk verify
+      .withColumn("shs", array_sort(transform(col("shingles"), x => xxhash64(x))))
       .withColumn("band", explode(array(bands: _*)))
-      .select(col("doc_id"), col("shingles"), col("band.band"), col("band.bucket"))
+      .select(col("doc_id"), col("shs"), col("band.band"), col("band.bucket"))
 
-    val l = exploded.select(col("doc_id").as("a_id"), col("shingles").as("sa"),
+    val l = exploded.select(col("doc_id").as("a_id"), col("shs").as("sa"),
       col("band"), col("bucket"))
-    val r = exploded.select(col("doc_id").as("b_id"), col("shingles").as("sb"),
+    val r = exploded.select(col("doc_id").as("b_id"), col("shs").as("sb"),
       col("band").as("band_r"), col("bucket").as("bucket_r"))
     val cand = l.join(r,
         col("band") === col("band_r") && col("bucket") === col("bucket_r") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
       .dropDuplicates("a_id", "b_id")
-    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-      size(array_union(col("sa"), col("sb")))
+    val jac = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.JaccardSorted(
+        GraftBridge.expression(col("sa")), GraftBridge.expression(col("sb"))))
+    }
     cand
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.7)
