@@ -40,6 +40,8 @@ object Cli {
       avoidDecimal: Boolean = false,
       preferVarbinary: Boolean = false,
       sequentialFetching: Boolean = false,
+      /** -1 = quiet, 0 = default, N = -v count (logging.rs:4-25 parity) */
+      verbosity: Int = 0,
       positional: Vector[String] = Vector.empty)
 
   def parse(args: Seq[String]): (String, Conf) = {
@@ -65,6 +67,8 @@ object Cli {
         case "--avoid-decimal" :: t => c = c.copy(avoidDecimal = true); t
         case "--prefer-varbinary" :: t => c = c.copy(preferVarbinary = true); t
         case "--sequential-fetching" :: t => c = c.copy(sequentialFetching = true); t
+        case ("-v" | "--verbose") :: t => c = c.copy(verbosity = c.verbosity.max(0) + 1); t
+        case ("-q" | "--quiet") :: t => c = c.copy(verbosity = -1); t
         case flag :: _ if flag.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown option $flag\n$usage")
         case v :: t => c = c.copy(positional = c.positional :+ v); t
@@ -118,7 +122,14 @@ object Cli {
     }
   }
 
-  def session(): SparkSession = {
+  def logLevel(verbosity: Int): String = verbosity match {
+    case v if v < 0 => "ERROR"
+    case 0 => "WARN"
+    case 1 => "INFO"
+    case _ => "DEBUG"
+  }
+
+  def session(verbosity: Int = 0): SparkSession = {
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft")
@@ -127,8 +138,10 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // applied at context start so -q silences startup logging too
+      .config("spark.log.level", logLevel(verbosity))
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel(logLevel(verbosity))
     s
   }
 
@@ -137,7 +150,8 @@ object Cli {
 
   def runQuery(conf: Conf, sparkOpt: Option[SparkSession] = None): Seq[java.nio.file.Path] = {
     val Vector(out, sqlArg, params @ _*) = conf.positional: @unchecked
-    val spark = sparkOpt.getOrElse(session())
+    val spark = sparkOpt.getOrElse(session(conf.verbosity))
+    spark.sparkContext.setLogLevel(logLevel(conf.verbosity))
     graft.functions.TimeKernels.registerAll(spark)
     val sql = QueryParams.substitute(readQueryText(sqlArg), params.toSeq)
     val df = (conf.connectionString, conf.tablesDir) match {

@@ -166,6 +166,35 @@ class EtlSpec extends AnyFunSuite {
     assert(c.encoding == "Utf16")
   }
 
+  test("stdout output streams a whole readable parquet (C4 parity)") {
+    val sink = tmp().resolve("captured.par")
+    val prev = System.out
+    val fos = new java.io.FileOutputStream(sink.toFile)
+    System.setOut(new java.io.PrintStream(fos))
+    try ParquetSink.write(Tables.region(spark, sf), "-", ParquetSink.Options())
+    finally { System.out.flush(); System.setOut(prev); fos.close() }
+    assert(spark.read.parquet(sink.toString).count() == 5)
+  }
+
+  test("cli: query text '-' reads from stdin") {
+    val out = tmp().resolve("stdin.par")
+    val prev = System.in
+    System.setIn(new java.io.ByteArrayInputStream(
+      "SELECT r_regionkey FROM region ORDER BY r_regionkey".getBytes))
+    try {
+      val (_, conf) = Cli.parse(Seq("query", "--tables-dir", sf, out.toString, "-"))
+      Cli.runQuery(conf, Some(spark))
+    } finally System.setIn(prev)
+    assert(spark.read.parquet(out.toString).count() == 5)
+  }
+
+  test("cli: verbosity flags map to log levels (logging parity)") {
+    assert(Cli.parse(Seq("query", "-q", "o", "s"))._2.verbosity == -1)
+    assert(Cli.parse(Seq("query", "-v", "-v", "o", "s"))._2.verbosity == 2)
+    assert(Cli.logLevel(-1) == "ERROR" && Cli.logLevel(0) == "WARN" &&
+      Cli.logLevel(1) == "INFO" && Cli.logLevel(2) == "DEBUG")
+  }
+
   test("cli: list-drivers sees the embedded derby driver") {
     // force driver registration the same way a connection would
     java.sql.DriverManager.getConnection(
