@@ -60,9 +60,23 @@ object Skew {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  // --------------------------------------------------- q24_topk_per_key
+  /** Top-3 orders per customer through the custom [[graft.plans.TopKPerGroup]]
+    * physical operator (bounded heaps, partial+final stages) instead of a
+    * window sort — same semantics as q7 minus the rank column, so the same
+    * windowed SQL oracles it. */
+  def q24TopKPerKey(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      groupCols = Seq(col("o_custkey")),
+      orderCols = Seq(col("o_totalprice") -> false, col("o_orderkey") -> true),
+      k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_salted_agg" -> q22SaltedAgg,
-    "q23_approx" -> q23Approx
+    "q23_approx" -> q23Approx,
+    "q24_topk_per_key" -> q24TopKPerKey
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -70,6 +84,14 @@ object Skew {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
   )
 }

@@ -62,6 +62,18 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("custom TopKPerGroup operator equals the window-rank plan, with partial+final stages") {
+    val custom = Skew.q24TopKPerKey(spark, sf)
+    val rows = custom.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val window = operators.Relational.q7WindowRank(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == window, "custom operator must reproduce the window-rank result")
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.split("TopKPerGroup").length >= 3,
+      s"expected partial + final TopKPerGroupExec stages:\n$plan")
+  }
+
   test("sketch aggregates stay within error bounds of exact values") {
     val approx = Skew.q23Approx(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
