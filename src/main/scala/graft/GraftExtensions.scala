@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "simhash64", a => SimHash64(a.head))
     fn(e, "dot_product", a => DotProduct(a.head, a(1)))
     fn(e, "jaccard_sorted", a => JaccardSorted(a.head, a(1)))
+    fn(e, "minhash_buckets", a => MinHashBuckets(a.head, 32, 4))
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

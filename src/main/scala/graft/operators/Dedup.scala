@@ -89,31 +89,28 @@ object Dedup {
     val nSig = 32
     val bandRows = 4
 
+    // shingle → one xxhash64 per shingle (single traversal); the hashed
+    // array feeds BOTH the one-pass minhash-banding kernel and (sorted) the
+    // merge-walk jaccard verify — candidates carry 8 bytes per shingle
+    // through the shuffle instead of the shingle text
     val shingled = documents(s, d)
       .withColumn("t", toks)
       .withColumn("shingles", array_distinct(
         zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
           slice(col("t"), lit(2), size(col("t")) - 1),
           (x, y) => concat(x, lit(" "), y))))
-      .select(col("doc_id"), col("shingles"))
+      .withColumn("sh_hashes", transform(col("shingles"), x => xxhash64(x)))
+      .select(col("doc_id"),
+        array_sort(col("sh_hashes")).as("shs"),
+        {
+          import org.apache.spark.sql.GraftBridge
+          GraftBridge.column(graft.functions.MinHashBuckets(
+            GraftBridge.expression(col("sh_hashes")), nSig, bandRows)).as("buckets")
+        })
 
-    // the i-th minhash function is xxhash64 seeded by i (hashing the pair
-    // (i, shingle)) — independent hash families without the linear-transform
-    // arithmetic that overflows under ANSI mode
-    val sigs = (0 until nSig).foldLeft(shingled) { case (df, i) =>
-      df.withColumn(s"sig_$i",
-        array_min(transform(col("shingles"), x => xxhash64(lit(i), x))))
-    }
-    val bands = (0 until nSig / bandRows).map { bi =>
-      struct(lit(bi).as("band"),
-        xxhash64((bi * bandRows until (bi + 1) * bandRows).map(i => col(s"sig_$i")): _*).as("bucket"))
-    }
-    val exploded = sigs
-      // candidates carry sorted hashed shingles (8 bytes/shingle through the
-      // shuffle instead of the shingle text) for the merge-walk verify
-      .withColumn("shs", array_sort(transform(col("shingles"), x => xxhash64(x))))
-      .withColumn("band", explode(array(bands: _*)))
-      .select(col("doc_id"), col("shs"), col("band.band"), col("band.bucket"))
+    val exploded = shingled
+      .select(col("doc_id"), col("shs"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
 
     val l = exploded.select(col("doc_id").as("a_id"), col("shs").as("sa"),
       col("band"), col("bucket"))
