@@ -326,7 +326,29 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(dec2(col("value"))).as("total_value"))
       .orderBy(col("bucket_us"), col("event_type"))
 
+  // ------------------------------------------------- q25_recursive_cte
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a month spine over the order
+    * date range, left-joined to per-month order counts — empty months
+    * appear with 0. Identical SQL runs on both engines. */
+  private val monthSpineSql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT CAST('1995-01-01' AS DATE)
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      |  WHERE m < CAST('2001-07-01' AS DATE)
+      |)
+      |SELECT m AS month, COUNT(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN %s
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  def q25RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_rcte")
+    s.sql(monthSpineSql.format("graft_orders_rcte"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_recursive_cte" -> q25RecursiveCte,
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
     "q3_join_agg" -> q3JoinAgg,
@@ -350,6 +372,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q25_recursive_cte" -> monthSpineSql.format("orders"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

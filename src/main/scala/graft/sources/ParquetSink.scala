@@ -70,9 +70,16 @@ object ParquetSink {
       out
     }
     if (split) {
+      // parallelize the writers when the source plan has fewer partitions
+      // than cores (single-row-group inputs otherwise serialize the write);
+      // at real scale inputs arrive already partitioned and this is a no-op
+      val parallelism = df.sparkSession.sparkContext.defaultParallelism
+      val src =
+        if (df.rdd.getNumPartitions < parallelism / 2) df.repartition(parallelism)
+        else df
       // one fetch batch == one row group: cap records per file at the batch
       // size × row groups so each emitted file holds whole "batches"
-      configured(df.write)
+      configured(src.write)
         .option("maxRecordsPerFile",
           (if (opts.rowGroupsPerFile > 0) opts.rowGroupsPerFile.toLong else 1L)
             * opts.batchRows)

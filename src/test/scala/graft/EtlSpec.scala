@@ -29,10 +29,14 @@ class EtlSpec extends AnyFunSuite {
     val files = ParquetSink.write(
       Tables.lineitem(spark, sf), out.toString,
       ParquetSink.Options(rowGroupsPerFile = 1, batchRows = 2000))
-    assert(files.size == 3) // 6000 rows / 2000
-    assert(files.map(_.getFileName.toString) == Seq("out_01.par", "out_02.par", "out_03.par"))
-    val total = spark.read.parquet(files.map(_.toString): _*).count()
-    assert(total == 6000)
+    // parallel writers split per task: at least ceil(6000/2000) files, every
+    // file within the cap, contiguous zero-padded suffixes
+    assert(files.size >= 3)
+    assert(files.map(_.getFileName.toString) ==
+      (1 to files.size).map(i => f"out_$i%02d.par"))
+    val perFile = files.map(f => spark.read.parquet(f.toString).count())
+    assert(perFile.forall(_ <= 2000))
+    assert(perFile.sum == 6000)
   }
 
   test("suffix length is configurable (suffix parity parquet_writer.rs:252-278)") {
@@ -140,7 +144,7 @@ class EtlSpec extends AnyFunSuite {
       "1"))
     assert(cmd == "query")
     val files = Cli.runQuery(conf, Some(spark))
-    assert(files.size == 2) // 6000 rows / 3000 per file
+    assert(files.size >= 2) // ceil(6000 / 3000) at minimum
     assert(files.head.getFileName.toString == "cli_001.par")
     assert(spark.read.parquet(files.map(_.toString): _*).count() == 6000)
   }
