@@ -76,6 +76,20 @@ object TextHash {
   }
 }
 
+/** Lossy UTF-8 decode: invalid byte sequences become U+FFFD instead of
+  * failing the query (reference text.rs:148-163 from_utf8_lossy parity —
+  * Spark 4's builtin `decode` hard-errors under ANSI). */
+case class Utf8Lossy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = UTF8String.fromString(
+    new String(v.asInstanceOf[Array[Byte]], java.nio.charset.StandardCharsets.UTF_8))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"new java.lang.String($c, java.nio.charset.StandardCharsets.UTF_8))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class Fnv64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = TextHash.fnv64(v.asInstanceOf[UTF8String])

@@ -25,9 +25,13 @@ object TypeKernels {
       .otherwise(c)
 
   /** Lossy UTF-8 sanitation (reference text.rs:148-163): decoding invalid
-    * bytes yields U+FFFD replacement chars rather than failing the fetch.
-    * JVM CharsetDecoder REPLACE mode == Rust from_utf8_lossy. */
-  def utf8Lossy(bytes: Column): Column = decode(bytes, "UTF-8")
+    * bytes yields U+FFFD replacement chars rather than failing the fetch
+    * (JVM String REPLACE mode == Rust from_utf8_lossy; Spark's builtin
+    * `decode` hard-errors under ANSI, so this is a native expression). */
+  def utf8Lossy(bytes: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(Utf8Lossy(GraftBridge.expression(bytes)))
+  }
 
   /** UTF-16 → UTF-8 text path (reference text.rs:28-93): JVM strings are
     * UTF-16 native, so the conversion is a charset round-trip. */

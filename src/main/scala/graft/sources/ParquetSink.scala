@@ -45,7 +45,12 @@ object ParquetSink {
         * (main.rs:188-196); parquet-mr exposes encoding choice per column
         * only through the dictionary switch, and only the v1 writer honors
         * it (v2 always picks delta encodings) */
-      columnDictionary: Map[String, Boolean] = Map.empty)
+      columnDictionary: Map[String, Boolean] = Map.empty,
+      /** hive-style partition columns (beyond-reference, the 100 TB layout
+        * knob): output becomes a directory tree `col=value/…` and scans
+        * with a predicate on these columns prune whole partitions. Mutually
+        * exclusive with exact-file naming/splitting. */
+      partitionByCols: Seq[String] = Seq.empty)
 
   /** Write `df` to `outPath` (a file path like `out.par`, or `-` for
     * stdout). Returns the list of files written, in order. */
@@ -54,6 +59,15 @@ object ParquetSink {
     require(outPath != "-" || !split,
       "splitting into multiple files is not possible with stdout output" +
         " (reference main.rs:295-311)")
+    if (opts.partitionByCols.nonEmpty) {
+      require(!split && outPath != "-",
+        "partitioned output is a directory tree; splitting/stdout do not apply")
+      df.write.mode("overwrite")
+        .option("compression", opts.compression)
+        .partitionBy(opts.partitionByCols: _*)
+        .parquet(outPath)
+      return Seq(Paths.get(outPath))
+    }
 
     val staging = Files.createTempDirectory("graft-sink-")
     val stagingDir = staging.resolve("out").toString

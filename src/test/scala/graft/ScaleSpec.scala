@@ -74,6 +74,52 @@ class ScaleSpec extends AnyFunSuite {
       s"expected partial + final TopKPerGroupExec stages:\n$plan")
   }
 
+  test("partitioned writes prune at scan time (PartitionFilters)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").resolve("orders_by_year")
+    val withYear = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.ParquetSink.write(withYear, out.toString,
+      graft.sources.ParquetSink.Options(partitionByCols = Seq("o_year")))
+    val scan = spark.read.parquet(out.toString).filter(col("o_year") === 1997)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"expected partition pruning in:\n$plan")
+    val n = scan.count()
+    assert(n > 0 && n < Tables.orders(spark, sf).count())
+  }
+
+  test("derby reverse path round-trips dates, timestamps, and decimals (D5 matrix)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:typed${System.nanoTime()};create=true"
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_orderdate").as("ts"),
+        col("o_totalprice").cast("decimal(12,2)").as("dec"),
+        col("o_orderstatus").as("s"))
+      .limit(50)
+    graft.sources.JdbcSink.insert(df, url, "typed_t", batchRows = 16)
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "typed_t").load()
+    assert(back.count() == 50)
+    // normalize ts to text: source is TIMESTAMP_NTZ (LocalDateTime), JDBC
+    // returns TIMESTAMP (java.sql.Timestamp) — same instant, different box
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("o_orderkey"), col("d").cast("string"),
+        col("ts").cast("string"), col("dec"), col("s"))
+        .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(norm(df) == norm(back), "typed values must survive the JDBC round trip")
+  }
+
+  test("utf8 lossy decode replaces invalid bytes instead of failing (A12)") {
+    import spark.implicits._
+    val bad = Array[Byte]('a', 0xff.toByte, 'b')
+    val df = Seq(Tuple1(bad)).toDF("b")
+    val out = df.select(graft.functions.TypeKernels.utf8Lossy(col("b")).as("s"))
+      .collect().head.getString(0)
+    assert(out == "a�b")
+  }
+
   test("sketch aggregates stay within error bounds of exact values") {
     val approx = Skew.q23Approx(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
