@@ -347,8 +347,42 @@ object Relational {
     s.sql(monthSpineSql.format("graft_orders_rcte"))
   }
 
+  // ------------------------------------------------------ q26_string_agg
+  /** Ordered string aggregation: sorted-distinct collect (deterministic on
+    * both engines, unlike raw collect order). */
+  def q26StringAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("n_name"))
+
+  // ------------------------------------------------------------ q27_json
+  /** JSON extraction over the events props column. */
+  def q27Json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy(col("k_mod"))
+
+  // ----------------------------------------------------------- q28_regex
+  /** Regex extraction/replacement (Java regex vs DuckDB RE2 agree on these
+    * anchored/char-class basics). */
+  def q28Regex(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("type_consonants"))
+      .orderBy(col("p_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_recursive_cte" -> q25RecursiveCte,
+    "q26_string_agg" -> q26StringAgg,
+    "q27_json" -> q27Json,
+    "q28_regex" -> q28Regex,
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
     "q3_join_agg" -> q3JoinAgg,
@@ -373,6 +407,21 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q25_recursive_cte" -> monthSpineSql.format("orders"),
+    "q26_string_agg" ->
+      """SELECT n_name,
+        |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+        |  COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q27_json" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS n, SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q28_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_consonants
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
