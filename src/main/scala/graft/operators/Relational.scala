@@ -378,9 +378,26 @@ object Relational {
         regexp_replace(col("p_type"), "[aeiou]", "_").as("type_consonants"))
       .orderBy(col("p_partkey"))
 
+  // --------------------------------------------------------- q29_lateral
+  /** Correlated LATERAL subquery — per-customer order stats computed by a
+    * dependent subquery, decorrelated by Catalyst into a join. */
+  def q29Lateral(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_cust_lat")
+    orders(s, d).createOrReplaceTempView("graft_ord_lat")
+    s.sql(
+      """SELECT c_custkey, c_name, t.max_price, t.n
+        |FROM graft_cust_lat,
+        |LATERAL (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+        |                COUNT(*) AS n
+        |         FROM graft_ord_lat WHERE o_custkey = c_custkey) t
+        |WHERE t.n > 0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_recursive_cte" -> q25RecursiveCte,
     "q26_string_agg" -> q26StringAgg,
+    "q29_lateral" -> q29Lateral,
     "q27_json" -> q27Json,
     "q28_regex" -> q28Regex,
     "q1_agg" -> q1Agg,
@@ -407,6 +424,14 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q25_recursive_cte" -> monthSpineSql.format("orders"),
+    "q29_lateral" ->
+      """SELECT c_custkey, c_name, t.max_price, t.n
+        |FROM customer,
+        |LATERAL (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+        |                COUNT(*) AS n
+        |         FROM orders WHERE o_custkey = c_custkey) t
+        |WHERE t.n > 0
+        |ORDER BY c_custkey""".stripMargin,
     "q26_string_agg" ->
       """SELECT n_name,
         |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,

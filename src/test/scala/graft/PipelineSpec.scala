@@ -98,4 +98,22 @@ class PipelineSpec extends AnyFunSuite {
     val rows = Dedup.d5SimhashDup(spark, sf).collect()
     rows.foreach(r => assert(r.getInt(2) <= 6))
   }
+
+  test("simhash banding is COMPLETE for hamming<=3 (pigeonhole over 4 bands)") {
+    // ≤3 differing bits cannot touch all four 16-bit bands, so any pair at
+    // hamming ≤3 shares at least one band — banding must find every one
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        graft.functions.TextHashFunctions.simhash64(col("t")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.d5SimhashDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(found),
+      s"missing guaranteed pairs: ${truth.diff(found).take(5)}")
+  }
 }
