@@ -178,8 +178,13 @@ object Cli {
         throw new IllegalArgumentException(
           "either --connection-string or --tables-dir is required")
     }
-    val rows = BatchSizeLimit.effectiveRows(df.schema, conf.batchSizeRow, conf.batchSizeMemory)
-    ParquetSink.write(df, out, ParquetSink.Options(
+    val mapped = graft.functions.TypeMapping.applyOptions(df,
+      graft.functions.TypeMapping.MappingOptions(
+        avoidDecimal = conf.avoidDecimal,
+        preferVarbinary = conf.preferVarbinary,
+        columnLengthLimit = conf.columnLengthLimit))
+    val rows = BatchSizeLimit.effectiveRows(mapped.schema, conf.batchSizeRow, conf.batchSizeMemory)
+    ParquetSink.write(mapped, out, ParquetSink.Options(
       compression = conf.columnCompressionDefault,
       batchRows = rows,
       rowGroupsPerFile = conf.rowGroupsPerFile,

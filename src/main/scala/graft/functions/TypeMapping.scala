@@ -122,6 +122,30 @@ object TypeMapping {
     } else if (p > 38) StringType
     else DecimalType(p, s)
 
+  /** Apply the mapping options to an already-loaded DataFrame — the
+    * query-path realization of the CLI knobs for sources whose schema Spark
+    * derived itself (parquet tables, JDBC):
+    *  - avoid-decimal: scale-0 decimals → int/long, others → text
+    *    (decimal.rs:36-57)
+    *  - DECIMAL(p>38) can't occur in Spark schemas (cap is 38)
+    *  - column-length-limit: string columns are length-CHECKED, erroring on
+    *    overflow like the reference's fetch-time truncation error. */
+  def applyOptions(df: org.apache.spark.sql.DataFrame, opts: MappingOptions): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case dt: DecimalType if opts.avoidDecimal =>
+          if (dt.scale == 0 && dt.precision <= 9) col(f.name).cast(IntegerType).as(f.name)
+          else if (dt.scale == 0 && dt.precision <= 18) col(f.name).cast(LongType).as(f.name)
+          else col(f.name).cast(StringType).as(f.name)
+        case StringType if opts.columnLengthLimit > 0 =>
+          TypeKernels.enforceLengthLimit(col(f.name), opts.columnLengthLimit).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Variadic length clamp (reference column_strategy.rs:100-107): declared
     * length 0 (VARCHAR(MAX)) or above the limit is capped at
     * `columnLengthLimit`; the cap is recorded in field metadata. Overflow at

@@ -154,6 +154,21 @@ class EtlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Cli.main(Array("frobnicate")))
   }
 
+  test("cli: --avoid-decimal rewrites decimal outputs (golden integration.rs:522-568)") {
+    val out = tmp().resolve("avoid.par")
+    val (_, conf) = Cli.parse(Seq("query",
+      "--tables-dir", sf, "--avoid-decimal", out.toString,
+      """SELECT CAST(o_totalprice AS DECIMAL(12,0)) AS i64,
+        |       CAST(o_totalprice AS DECIMAL(9,0))  AS i32,
+        |       CAST(o_totalprice AS DECIMAL(12,2)) AS txt
+        |FROM orders LIMIT 10""".stripMargin))
+    Cli.runQuery(conf, Some(spark))
+    val schema = spark.read.parquet(out.toString).schema
+    assert(schema("i64").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema("i32").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(schema("txt").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("cli: credential attribute escaping (connection.rs:55-61 parity)") {
     assert(Cli.escapeAttr("plain") == "plain")
     assert(Cli.escapeAttr("we;rd") == "{we;rd}")
