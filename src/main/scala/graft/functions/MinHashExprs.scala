@@ -58,6 +58,66 @@ object MinHashKernels {
   }
 }
 
+/** One-pass shingling: text → sorted distinct 64-bit hashes of its word
+  * n-grams. Folds tokenize → shingle → hash → distinct → sort (five array
+  * operators in the compositional form) into a single scan of the UTF-8
+  * bytes with no intermediate string allocation: each token contributes its
+  * FNV state, and an n-gram's hash mixes the n token hashes in order. */
+object ShingleKernels {
+  def shingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val tokenHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0xcbf29ce484222325L
+    var inToken = false
+    var i = 0
+    while (i <= bytes.length) {
+      val ws = i == bytes.length || bytes(i) == ' ' || bytes(i) == '\t' ||
+        bytes(i) == '\n' || bytes(i) == '\r'
+      if (!ws) {
+        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+        inToken = true
+      } else if (inToken) {
+        tokenHashes += h
+        h = 0xcbf29ce484222325L
+        inToken = false
+      }
+      i += 1
+    }
+    val m = tokenHashes.length
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    var j = 0
+    while (j <= m - n) {
+      var acc = 0xcbf29ce484222325L
+      var t = j
+      while (t < j + n) { acc = (acc ^ tokenHashes(t)) * 0x100000001b3L; t += 1 }
+      out(j) = MinHashKernels.mix(acc)
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted hashes
+    var w = 0
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(w)) { w += 1; out(w) = out(r) }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w + 1))
+  }
+}
+
+/** shingle_hashes(text) → sorted distinct hashes of word n-grams. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.shingleHashes(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels$$.MODULE$$.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** minhash_buckets(array<long>) → array<long> of band bucket ids. */
 case class MinHashBuckets(child: Expression, nSig: Int, bandRows: Int)
     extends UnaryExpression {

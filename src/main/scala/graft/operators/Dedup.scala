@@ -89,24 +89,20 @@ object Dedup {
     val nSig = 32
     val bandRows = 4
 
-    // shingle → one xxhash64 per shingle (single traversal); the hashed
-    // array feeds BOTH the one-pass minhash-banding kernel and (sorted) the
-    // merge-walk jaccard verify — candidates carry 8 bytes per shingle
-    // through the shuffle instead of the shingle text
-    val shingled = documents(s, d)
-      .withColumn("t", toks)
-      .withColumn("shingles", array_distinct(
-        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (x, y) => concat(x, lit(" "), y))))
-      .withColumn("sh_hashes", transform(col("shingles"), x => xxhash64(x)))
-      .select(col("doc_id"),
-        array_sort(col("sh_hashes")).as("shs"),
-        {
-          import org.apache.spark.sql.GraftBridge
+    // tokenize → shingle → hash → distinct → sort in ONE pass over the text
+    // bytes ([[graft.functions.ShingleHashes]]); the sorted hash array feeds
+    // both the one-pass minhash-banding kernel and the merge-walk jaccard
+    // verify — candidates carry 8 bytes per shingle through the shuffle
+    val shingled = {
+      import org.apache.spark.sql.GraftBridge
+      val shs = GraftBridge.column(graft.functions.ShingleHashes(
+        GraftBridge.expression(trim(col("text"))), 2))
+      documents(s, d)
+        .withColumn("shs", shs)
+        .select(col("doc_id"), col("shs"),
           GraftBridge.column(graft.functions.MinHashBuckets(
-            GraftBridge.expression(col("sh_hashes")), nSig, bandRows)).as("buckets")
-        })
+            GraftBridge.expression(col("shs")), nSig, bandRows)).as("buckets"))
+    }
 
     val exploded = shingled
       .select(col("doc_id"), col("shs"),
