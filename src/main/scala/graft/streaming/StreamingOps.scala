@@ -54,36 +54,45 @@ object StreamingOps {
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
   /** Gap-based sessionization: a session closes after `gapMinutes` of
-    * per-user inactivity (processing-time timeout drives emission for
-    * simplicity; event ordering within a micro-batch is handled by
-    * min/max accumulation so the result is order-insensitive). */
+    * per-user EVENT-TIME inactivity. Event-time timeouts (not processing
+    * time) are essential: the watermark both bounds state and lets
+    * `processAllAvailable` quiesce — a processing-time timeout would
+    * re-trigger batches forever. Callers must apply `withWatermark` on a
+    * TimestampType `ts` column before `.as[Event]`. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val evs = batch.toSeq.sortBy(_.ts_us)
-          var cur = state.getOption
-          val out = Seq.newBuilder[Session]
-          evs.foreach { e =>
-            cur match {
-              case Some(st) if e.ts_us - st.last_us <= gapUs =>
-                cur = Some(st.copy(last_us = math.max(st.last_us, e.ts_us), n = st.n + 1))
-              case Some(st) =>
-                out += Session(user, st.start_us, st.last_us, st.n)
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-              case None =>
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          if (state.hasTimedOut) {
+            // watermark passed the gap after the last event: session closed
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, st.start_us, st.last_us, st.n))
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            evs.foreach { e =>
+              cur match {
+                case Some(st) if e.ts_us - st.last_us <= gapUs =>
+                  cur = Some(st.copy(last_us = math.max(st.last_us, e.ts_us), n = st.n + 1))
+                case Some(st) =>
+                  out += Session(user, st.start_us, st.last_us, st.n)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp((st.last_us + gapUs) / 1000) // epoch ms
+            }
+            out.result().iterator
           }
-          cur match {
-            case Some(st) => state.update(st); state.setTimeoutDuration(s"$gapMinutes minutes")
-            case None => ()
-          }
-          out.result().iterator
       }
   }
 

@@ -42,6 +42,50 @@ class StreamingSpec extends AnyFunSuite {
       s"only ${streamed.size} of ${batch.size} windows emitted")
   }
 
+  test("multi-batch streaming sessionization emits every closed session (MemoryStream)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // checkpoint checksums add nothing here and slow the many tiny
+    // state-store commits this test performs
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[StreamingOps.Event]
+      .collect().sortBy(_.ts_us)
+    val mid = all(all.length / 2).ts_us
+    val (batch1, batch2) = all.partition(_.ts_us <= mid)
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingOps.Event]
+    // event-time watermark drives both state timeouts and quiescence
+    val withWm = source.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 minute")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.sessionize(withWm)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      source.addData(batch1.toSeq); q.processAllAvailable()
+      source.addData(batch2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchAll = StreamingOps.sessionizeBatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every emitted session must be a true session, and every session closed
+    // by a later event must have emitted (the user's final session emits
+    // only if the watermark passed its gap — don't require it)
+    val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    val mustEmit = batchAll.toSet -- lastPerUser
+    assert(streamed.subsetOf(batchAll.toSet),
+      s"phantom sessions: ${(streamed -- batchAll.toSet).take(3)}")
+    assert(mustEmit.subsetOf(streamed),
+      s"missing closed sessions: ${(mustEmit -- streamed).take(3)}")
+  }
+
   test("streaming sessionization emits closed sessions matching the batch twin") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
