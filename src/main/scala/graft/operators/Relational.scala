@@ -394,10 +394,20 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  // -------------------------------------------------------------- q30_cube
+  /** CUBE grouping sets — all 4 combinations in one Expand+aggregate pass
+    * (completes the grouping-sets family next to q11's ROLLUP). */
+  def q30Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(dec2(col("l_quantity"))).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_recursive_cte" -> q25RecursiveCte,
     "q26_string_agg" -> q26StringAgg,
     "q29_lateral" -> q29Lateral,
+    "q30_cube" -> q30Cube,
     "q27_json" -> q27Json,
     "q28_regex" -> q28Regex,
     "q1_agg" -> q1Agg,
@@ -432,6 +442,12 @@ object Relational {
         |         FROM orders WHERE o_custkey = c_custkey) t
         |WHERE t.n > 0
         |ORDER BY c_custkey""".stripMargin,
+    "q30_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q26_string_agg" ->
       """SELECT n_name,
         |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
