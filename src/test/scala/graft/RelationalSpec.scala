@@ -23,6 +23,10 @@ object TestSession {
 class RelationalSpec extends AnyFunSuite {
   import TestSession._
 
+  test("driver entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every declared query with an oracle also parses and runs at sf0.001") {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
