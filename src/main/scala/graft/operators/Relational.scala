@@ -456,7 +456,7 @@ object Relational {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q27_json" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
-        |  COUNT(*) AS n, SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum
+        |  COUNT(*) AS n, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
     "q28_regex" ->
       """SELECT p_partkey,
@@ -589,7 +589,7 @@ object Relational {
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
     "q15_having" ->
-      """SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS total_size
+      """SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS total_size
         |FROM part
         |GROUP BY p_brand
         |HAVING COUNT(*) >= 5
