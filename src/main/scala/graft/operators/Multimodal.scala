@@ -12,8 +12,9 @@ import graft.Tables._
   * but everything Spark-side is real: the binary column schema, the
   * partition-batched `mapPartitions` decode (the Scala analog of a
   * `mapInPandas` batch UDF: one decoder init per partition, streaming rows),
-  * size-bucketed repartitioning so skewed payload sizes don't skew tasks,
-  * and the typed metadata struct the downstream pipeline consumes.
+  * cluster-proportional repartitioning so decode parallelism tracks the
+  * cluster and payload-size skew stays bounded, and the typed metadata
+  * struct the downstream pipeline consumes.
   */
 object Multimodal {
 
@@ -36,12 +37,21 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"))
 
   /** The mapPartitions decode path: one decoder per partition, rows
-    * streamed — never a per-row UDF init, never a driver collect. */
+    * streamed — never a per-row UDF init, never a driver collect.
+    *
+    * Partitioning contract: decode cost is proportional to payload bytes,
+    * so the repartition must (a) scale with the cluster and (b) not let
+    * size skew concentrate bytes in one task. Round-robin over
+    * 4×defaultParallelism does both: parallelism tracks the cluster (not a
+    * hardcoded constant), rows spread evenly so expected bytes/partition
+    * are equal under any size distribution, and 4× overpartitioning bounds
+    * the straggler cost of an unlucky large-payload draw. (Range-partitioning
+    * on size would instead co-locate ALL the largest payloads in one
+    * partition — equal row counts, maximally skewed bytes.) */
   def decodeAll(s: SparkSession, d: String): Dataset[MediaMeta] = {
     import s.implicits._
     payloads(s, d)
-      // size-bucketed repartition: balances partitions under payload skew
-      .repartition(col("doc_id") % 8)
+      .repartition(s.sparkContext.defaultParallelism * 4)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // decoder init would happen here, once per partition

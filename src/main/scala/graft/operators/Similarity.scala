@@ -8,8 +8,12 @@ import graft.functions.VectorOps
 
 /** Approximate-nearest-neighbor search over the embedding column.
   *
-  * s1 is the exact baseline: broadcast the (small) query set against the
+  * s1 is the exact baseline: broadcast a BOUNDED query set against the
   * corpus scan — one pass, no corpus shuffle, per-query top-k via window.
+  * The broadcast side carries an explicit contract: at most [[MaxQueries]]
+  * vectors (the lowest matching vec_ids, so the bound is deterministic on
+  * both the Spark and oracle sides), independent of corpus size — the
+  * broadcast never grows with the data. Unbounded query sets go through s2.
   * s2 is the scale path: random-hyperplane LSH buckets both sides; the
   * candidate join is keyed on (band, bucket) so work stays proportional to
   * bucket collision counts, not |queries|×|corpus|. Recall vs s1 is asserted
@@ -19,6 +23,9 @@ import graft.functions.VectorOps
 object Similarity {
 
   private val TopK = 5
+  /** s1's broadcast bound: the query side is at most this many vectors
+    * regardless of corpus scale (64-dim doubles → ~35 KB broadcast). */
+  val MaxQueries = 64
   /** every 50th vector is a query point */
   private def isQuery = col("vec_id") % 50 === 0
 
@@ -28,6 +35,7 @@ object Similarity {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
       VectorOps.norm2(col("embedding")).as("n2"))
     val q = e.filter(isQuery)
+      .orderBy(col("vec_id")).limit(MaxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -84,7 +92,8 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "s1_ann_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
+        |      ORDER BY vec_id LIMIT 64),
         |scored AS (
         |  SELECT q.q_id, e.vec_id,
         |    list_dot_product(q.qv, e.v)

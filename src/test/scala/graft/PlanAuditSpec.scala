@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Relational}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
 /** Physical-plan audits: these lock in the properties that make the
   * operators scale — pushdown reaching the parquet scan, dimension joins
@@ -68,5 +68,20 @@ class PlanAuditSpec extends AnyFunSuite {
   test("d3 jaccard: blocked self-join is an equi-join on the blocking key") {
     val p = plan(Dedup.d3NgramJaccard(spark, sf))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multimodal decode parallelism scales with the cluster, not a constant") {
+    val n = Multimodal.decodeAll(spark, sf).rdd.getNumPartitions
+    val expected = spark.sparkContext.defaultParallelism * 4
+    assert(n == expected, s"decode partitions $n != 4×defaultParallelism $expected")
+  }
+
+  test("s1 brute-force ANN broadcasts a bounded query set") {
+    val p = plan(Similarity.s1AnnBrute(spark, sf))
+    // the query side must carry its limit below the broadcast exchange, so
+    // the broadcast is ≤ MaxQueries vectors no matter the corpus size
+    assert(p.contains(s"limit=${Similarity.MaxQueries}"),
+      s"query-side limit must bound the broadcast:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
   }
 }
