@@ -34,6 +34,14 @@ object Cli {
       rowGroupsPerFile: Int = 0,
       fileSizeThreshold: Long = 0,
       columnCompressionDefault: String = "zstd",
+      /** explicit zstd/gzip level (reference main.rs:162-168); None = codec
+        * default (zstd 3) */
+      columnCompressionLevel: Option[Int] = None,
+      /** per-column fallback encodings, `COL:ENC` (reference main.rs:188-196) */
+      columnEncodings: Vector[(String, String)] = Vector.empty,
+      /** --driver-does-not-support-64bit-integers (reference main.rs:197-203):
+        * large integers fetched as text and parsed tool-side */
+      driverSupports64Bit: Boolean = true,
       columnLengthLimit: Int = 4096,
       suffixLength: Int = 2,
       noEmptyFile: Boolean = false,
@@ -61,6 +69,12 @@ object Cli {
         case "--row-groups-per-file" :: v :: t => c = c.copy(rowGroupsPerFile = v.toInt); t
         case "--file-size-threshold" :: v :: t => c = c.copy(fileSizeThreshold = parseBytes(v)); t
         case "--column-compression-default" :: v :: t => c = c.copy(columnCompressionDefault = v); t
+        case "--column-compression-level-default" :: v :: t =>
+          c = c.copy(columnCompressionLevel = Some(v.toInt)); t
+        case "--parquet-column-encoding" :: v :: t =>
+          c = c.copy(columnEncodings = c.columnEncodings :+ parseColumnEncoding(v)); t
+        case "--driver-does-not-support-64bit-integers" :: t =>
+          c = c.copy(driverSupports64Bit = false); t
         case "--column-length-limit" :: v :: t => c = c.copy(columnLengthLimit = v.toInt); t
         case "--suffix-length" :: v :: t => c = c.copy(suffixLength = v.toInt); t
         case "--no-empty-file" :: t => c = c.copy(noEmptyFile = true); t
@@ -89,6 +103,40 @@ object Cli {
     (cmd, c)
   }
 
+  /** `COL:ENC` with the reference's enum (main.rs:188-196 /
+    * column_encoding_from_str): plain, delta-binary-packed, delta-byte-array,
+    * delta-length-byte-array, rle. */
+  private val ValidEncodings = Set("plain", "delta-binary-packed",
+    "delta-byte-array", "delta-length-byte-array", "rle")
+  private def parseColumnEncoding(v: String): (String, String) = v.split(":", 2) match {
+    case Array(col, enc) if col.nonEmpty && ValidEncodings(enc.toLowerCase) =>
+      (col, enc.toLowerCase)
+    case _ => throw new IllegalArgumentException(
+      s"invalid --parquet-column-encoding '$v'; expected COLUMN:ENCODING with " +
+        s"ENCODING one of ${ValidEncodings.toSeq.sorted.mkString(", ")}")
+  }
+
+  /** Realize `COL:ENC` requests through the Spark-reachable parquet-mr
+    * controls: disabling the column's dictionary makes the writer use its
+    * fallback encoding, and the writer VERSION selects which fallback that
+    * is — v1 falls back to plain, v2 to the delta family. `rle` is only
+    * ever applied by parquet-mr to booleans/levels automatically and plain
+    * and delta fallbacks cannot coexist in one file, so those requests are
+    * rejected rather than silently ignored. Returns (writerVersion,
+    * per-column dictionary toggles). */
+  def realizeEncodings(encodings: Seq[(String, String)], defaultVersion: String = "v2"): (String, Map[String, Boolean]) = {
+    require(!encodings.exists(_._2 == "rle"),
+      "rle is not reachable through Spark's parquet writer: parquet-mr applies " +
+        "RLE only to boolean columns and rep/def levels automatically")
+    val wantPlain = encodings.exists(_._2 == "plain")
+    val wantDelta = encodings.exists(_._2.startsWith("delta"))
+    require(!(wantPlain && wantDelta),
+      "plain and delta-* column encodings cannot be mixed in one output: the " +
+        "parquet writer version (v1=plain fallback, v2=delta fallback) is per-file")
+    val version = if (wantPlain) "v1" else if (wantDelta) "v2" else defaultVersion
+    (version, encodings.map { case (col, _) => col -> false }.toMap)
+  }
+
   private def parseBytes(v: String): Long = {
     val s = v.trim.toLowerCase
     val (num, mult) =
@@ -106,8 +154,10 @@ object Cli {
       |  exec   [opts] <statement> <in.parquet>    (-c <jdbc-url> required)
       |options: --connection-string/-c URL, --tables-dir DIR, --batch-size-row N,
       |  --batch-size-memory BYTES, --row-groups-per-file N, --file-size-threshold BYTES,
-      |  --column-compression-default CODEC, --column-length-limit N, --suffix-length N,
-      |  --no-empty-file, --avoid-decimal, --prefer-varbinary, --sequential-fetching""".stripMargin
+      |  --column-compression-default CODEC, --column-compression-level-default N,
+      |  --parquet-column-encoding COL:ENC, --column-length-limit N, --suffix-length N,
+      |  --no-empty-file, --avoid-decimal, --prefer-varbinary, --sequential-fetching,
+      |  --driver-does-not-support-64bit-integers""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val (cmd, conf) = parse(args.toIndexedSeq)
@@ -182,15 +232,20 @@ object Cli {
       graft.functions.TypeMapping.MappingOptions(
         avoidDecimal = conf.avoidDecimal,
         preferVarbinary = conf.preferVarbinary,
-        columnLengthLimit = conf.columnLengthLimit))
+        columnLengthLimit = conf.columnLengthLimit,
+        driverSupports64Bit = conf.driverSupports64Bit))
     val rows = BatchSizeLimit.effectiveRows(mapped.schema, conf.batchSizeRow, conf.batchSizeMemory)
+    val (writerVersion, columnDictionary) = realizeEncodings(conf.columnEncodings)
     ParquetSink.write(mapped, out, ParquetSink.Options(
       compression = conf.columnCompressionDefault,
+      compressionLevel = conf.columnCompressionLevel,
       batchRows = rows,
       rowGroupsPerFile = conf.rowGroupsPerFile,
       fileSizeThresholdBytes = conf.fileSizeThreshold,
       suffixLength = conf.suffixLength,
-      noEmptyFile = conf.noEmptyFile))
+      noEmptyFile = conf.noEmptyFile,
+      writerVersion = writerVersion,
+      columnDictionary = columnDictionary))
   }
 
   def runInsert(conf: Conf, sparkOpt: Option[SparkSession] = None): Unit = {

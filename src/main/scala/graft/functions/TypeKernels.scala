@@ -48,6 +48,17 @@ object TypeKernels {
     if (p <= 9) c.cast("decimal(9,0)").cast("int")
     else c.cast("decimal(18,0)").cast("long")
 
+  /** --driver-does-not-support-64bit-integers fetch path (reference
+    * decimal.rs:87-109, `DecimalTextToInteger<Int64Type>`): large integers
+    * are fetched as TEXT and parsed back to i64 by the tool, because some
+    * drivers (Oracle) cannot bind 64-bit integer buffers. The text
+    * round-trip is real — render, then parse through Spark's decimal text
+    * parser — so the output is identical and only the fetch strategy
+    * differs, exactly the reference contract ("will not affect the
+    * output, but may incur a performance penalty"). */
+  def decimalTextToI64(c: Column, p: Int): Column =
+    c.cast(s"decimal($p,0)").cast("string").cast(s"decimal($p,0)")
+
   /** Nanosecond-timestamp range guard (reference timestamp_precision.rs:48-81
     * errors outside the INT64-nanos representable years 1677–2262). Input is
     * epoch micros (Spark's native unit); the checked conversion errors with

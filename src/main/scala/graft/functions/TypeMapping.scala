@@ -138,6 +138,15 @@ object TypeMapping {
           if (dt.scale == 0 && dt.precision <= 9) col(f.name).cast(IntegerType).as(f.name)
           else if (dt.scale == 0 && dt.precision <= 18) col(f.name).cast(LongType).as(f.name)
           else col(f.name).cast(StringType).as(f.name)
+        // --driver-does-not-support-64bit-integers: i64-backed decimals go
+        // through the text fetch + tool-side parse (decimal.rs:87-109);
+        // logical output type is unchanged by contract
+        case dt: DecimalType
+            if !opts.driverSupports64Bit && dt.scale == 0 &&
+              dt.precision >= 10 && dt.precision <= 18 =>
+          TypeKernels.decimalTextToI64(col(f.name), dt.precision).as(f.name)
+        case LongType if !opts.driverSupports64Bit =>
+          TypeKernels.decimalTextToI64(col(f.name), 18).cast(LongType).as(f.name)
         case StringType if opts.columnLengthLimit > 0 =>
           TypeKernels.enforceLengthLimit(col(f.name), opts.columnLengthLimit).as(f.name)
         case _ => col(f.name)

@@ -214,6 +214,75 @@ class EtlSpec extends AnyFunSuite {
       Cli.logLevel(1) == "INFO" && Cli.logLevel(2) == "DEBUG")
   }
 
+  private def columnEncodings(p: java.nio.file.Path, col: String): Set[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString),
+        new org.apache.hadoop.conf.Configuration()))
+      .getFooter.getBlocks.asScala.head.getColumns.asScala
+      .find(_.getPath.toDotString == col).get
+      .getEncodings.asScala.map(_.toString).toSet
+  }
+
+  test("cli: --column-compression-level-default is observable in output size") {
+    def sizeAt(level: Int): Long = {
+      val out = tmp().resolve(s"lvl$level.par")
+      val (_, conf) = Cli.parse(Seq("query", "--tables-dir", sf,
+        "--column-compression-level-default", level.toString, out.toString,
+        "SELECT text FROM documents ORDER BY doc_id"))
+      Cli.runQuery(conf, Some(spark))
+      Files.size(out)
+    }
+    assert(sizeAt(19) < sizeAt(1),
+      "higher zstd level must compress the same text smaller")
+  }
+
+  test("cli: --parquet-column-encoding reaches the footer (main.rs:188-196)") {
+    val out = tmp().resolve("enc.par")
+    val (_, conf) = Cli.parse(Seq("query", "--tables-dir", sf,
+      "--parquet-column-encoding", "p_type:plain", out.toString,
+      "SELECT p_type, p_brand FROM part ORDER BY p_partkey"))
+    Cli.runQuery(conf, Some(spark))
+    assert(!columnEncodings(out, "p_type").exists(_.contains("DICTIONARY")))
+    assert(columnEncodings(out, "p_type").contains("PLAIN"))
+    // untouched column keeps its dictionary
+    assert(columnEncodings(out, "p_brand").exists(_.contains("DICTIONARY")))
+  }
+
+  test("cli: column-encoding validation (enum, rle, plain/delta mix)") {
+    intercept[IllegalArgumentException](
+      Cli.parse(Seq("query", "--parquet-column-encoding", "a:bogus", "o", "s")))
+    intercept[IllegalArgumentException](
+      Cli.parse(Seq("query", "--parquet-column-encoding", "noseparator", "o", "s")))
+    intercept[IllegalArgumentException](Cli.realizeEncodings(Seq("a" -> "rle")))
+    intercept[IllegalArgumentException](
+      Cli.realizeEncodings(Seq("a" -> "plain", "b" -> "delta-byte-array")))
+    assert(Cli.realizeEncodings(Seq("a" -> "plain")) == ("v1", Map("a" -> false)))
+    assert(Cli.realizeEncodings(Seq("a" -> "delta-binary-packed")) ==
+      ("v2", Map("a" -> false)))
+    assert(Cli.realizeEncodings(Nil) == ("v2", Map.empty))
+  }
+
+  test("cli: --driver-does-not-support-64bit-integers leaves output unchanged") {
+    // the reference contract (main.rs:197-203): only the fetch strategy
+    // changes (text + tool-side parse); values and schema are identical
+    val sql = """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,0)) AS big
+                |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin
+    def run(flags: Seq[String], name: String) = {
+      val out = tmp().resolve(name)
+      val (_, conf) = Cli.parse(Seq("query", "--tables-dir", sf) ++ flags ++
+        Seq(out.toString, sql))
+      Cli.runQuery(conf, Some(spark))
+      spark.read.parquet(out.toString)
+    }
+    val plain = run(Seq.empty, "with64.par")
+    val viaText = run(Seq("--driver-does-not-support-64bit-integers"), "no64.par")
+    assert(viaText.schema == plain.schema)
+    assert(viaText.exceptAll(plain).isEmpty && plain.exceptAll(viaText).isEmpty)
+  }
+
   test("cli: list-drivers sees the embedded derby driver") {
     // force driver registration the same way a connection would
     java.sql.DriverManager.getConnection(
