@@ -59,9 +59,47 @@ object EtlQueries {
       .orderBy(col("r_regionkey"))
   }
 
+  // ------------------------------------------------------ e3_jdbc_types
+  /** Reverse-path type matrix (reference integration.rs:2208-3800): derive
+    * boolean / smallint / float / double / binary / text columns — with
+    * NULLs in every one of them (o_orderkey % 7 rows) — insert them into
+    * Derby, append the same rows again through the exec `?name?` path (so
+    * both binding paths cover every type and NULL), read back over JDBC,
+    * and aggregate to values DuckDB recomputes from the source table. The
+    * float/double columns carry integer values so sums are exact. */
+  def e3JdbcTypes(s: SparkSession, d: String): DataFrame = {
+    val db = s"grafttypes${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val nullRow = col("o_orderkey") % 7 === 0
+    def masked(c: org.apache.spark.sql.Column) = when(!nullRow, c)
+    val typed = orders(s, d).orderBy(col("o_orderkey")).limit(200)
+      .select(col("o_orderkey").as("id"),
+        masked(col("o_orderkey") % 2 === 0).as("b"),
+        masked((col("o_orderkey") % 100).cast("smallint")).as("si"),
+        masked((col("o_orderkey") % 1000).cast("float")).as("f"),
+        masked((col("o_orderkey") * 3).cast("double")).as("dd"),
+        masked(encode(col("o_orderstatus"), "UTF-8")).as("bin"),
+        masked(col("o_orderpriority")).as("t"))
+    JdbcSink.insert(typed, url, "typed", batchRows = 32)
+    JdbcSink.exec(typed,
+      """INSERT INTO typed ("id", "b", "si", "f", "dd", "bin", "t")
+        |VALUES (?id?, ?b?, ?si?, ?f?, ?dd?, ?bin?, ?t?)""".stripMargin,
+      url, batchRows = 32)
+    s.read.format("jdbc").option("url", url).option("dbtable", "typed").load()
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("b"), 1)).as("n_b_true"),
+        (count(lit(1)) - count(col("b"))).as("n_b_null"),
+        sum(col("si")).cast("long").as("sum_si"),
+        sum(col("f")).cast("double").as("sum_f"),
+        sum(col("dd")).cast("double").as("sum_dd"),
+        sum(octet_length(col("bin"))).cast("long").as("bin_bytes"),
+        count(col("t")).as("n_t"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_sink_roundtrip" -> e1SinkRoundtrip,
-    "e2_jdbc_roundtrip" -> e2JdbcRoundtrip
+    "e2_jdbc_roundtrip" -> e2JdbcRoundtrip,
+    "e3_jdbc_types" -> e3JdbcTypes
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -72,6 +110,25 @@ object EtlQueries {
         |FROM lineitem""".stripMargin,
     "e2_jdbc_roundtrip" ->
       """SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS n
-        |FROM region ORDER BY r_regionkey""".stripMargin
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "e3_jdbc_types" ->
+      """WITH src AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200),
+        |typed AS (SELECT
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 2 = 0 END AS b,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 100 END AS si,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 1000 END AS f,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey * 3 END AS dd,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE octet_length(encode(o_orderstatus)) END AS binlen,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS t
+        |FROM src)
+        |SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(2 * COUNT(CASE WHEN b THEN 1 END) AS BIGINT) AS n_b_true,
+        |  CAST(2 * (COUNT(*) - COUNT(b)) AS BIGINT) AS n_b_null,
+        |  CAST(2 * SUM(si) AS BIGINT) AS sum_si,
+        |  CAST(2 * SUM(f) AS DOUBLE) AS sum_f,
+        |  CAST(2 * SUM(dd) AS DOUBLE) AS sum_dd,
+        |  CAST(2 * SUM(binlen) AS BIGINT) AS bin_bytes,
+        |  CAST(2 * COUNT(t) AS BIGINT) AS n_t
+        |FROM typed""".stripMargin
   )
 }

@@ -111,6 +111,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(norm(df) == norm(back), "typed values must survive the JDBC round trip")
   }
 
+  test("derby reverse path: boolean/smallint/float/double/binary with NULLs in every type") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val url = s"jdbc:derby:memory:matrix${System.nanoTime()};create=true"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("b", BooleanType), StructField("si", ShortType),
+      StructField("f", FloatType), StructField("dd", DoubleType),
+      StructField("bin", BinaryType), StructField("t", StringType)))
+    val rows = Seq(
+      Row(1L, true, 7.toShort, 1.5f, 2.25, "abc".getBytes("UTF-8"), "plain"),
+      Row(2L, false, (-3).toShort, -0.5f, -1.75, Array[Byte](0, 127, -128), "x"),
+      Row(3L, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    graft.sources.JdbcSink.insert(df, url, "matrix_t", batchRows = 2)
+    // the exec path must bind the same types + NULLs (input.rs type matrix)
+    graft.sources.JdbcSink.exec(df,
+      """INSERT INTO matrix_t ("id", "b", "si", "f", "dd", "bin", "t")
+        |VALUES (?id?, ?b?, ?si?, ?f?, ?dd?, ?bin?, ?t?)""".stripMargin,
+      url, batchRows = 2)
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "matrix_t").load()
+    assert(back.count() == 6)
+    // golden values: both copies identical, bytes exact, NULLs stay NULL
+    def canon(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("id"), col("b"), col("si").cast("short"), col("f"), col("dd"),
+        hex(col("bin")).as("bin"), col("t"))
+      .collect().map(_.toSeq).toSeq
+    val expected = canon(df)
+    val got = canon(back)
+    assert(got.sortBy(_.head.asInstanceOf[Long]) ==
+      (expected ++ expected).sortBy(_.head.asInstanceOf[Long]))
+    assert(got.count(r => r(5) == "007F80") == 2, "binary bytes must be exact")
+    assert(got.count(_.drop(1).forall(_ == null)) == 2, "NULLs must survive in every type")
+  }
+
   test("utf8 lossy decode replaces invalid bytes instead of failing (A12)") {
     import spark.implicits._
     val bad = Array[Byte]('a', 0xff.toByte, 'b')
