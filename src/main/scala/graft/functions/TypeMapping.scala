@@ -62,6 +62,10 @@ object TypeMapping {
   /** Metadata keys carried on StructField (logical annotations Spark lacks). */
   val TimeUnitKey = "graft.time.unit"          // "millis" | "micros" | "nanos"
   val TimestampNanosKey = "graft.timestamp.nanos" // epoch-nanos long
+  /** declared-precision physical unit (timestamp_precision.rs:17-31):
+    * "millis" for p≤3, "micros" for p≤6 — ParquetSink picks the parquet
+    * physical unit from it (per-file, see ParquetSink.Options.timestampUnit) */
+  val TimestampUnitKey = "graft.timestamp.unit"
   val FixedLenKey = "graft.binary.fixedLength" // BINARY(n) declared width
   val TextLimitKey = "graft.text.limit"        // clamped variadic byte length
 
@@ -88,7 +92,8 @@ object TypeMapping {
       case SqlDate => DateType
       case SqlDecimal(p, s) => decimalType(p, s, opts)
       case SqlTimestamp(p) =>
-        if (p <= 6) TimestampNTZType
+        if (p <= 3) { mb.putString(TimestampUnitKey, "millis"); TimestampNTZType }
+        else if (p <= 6) { mb.putString(TimestampUnitKey, "micros"); TimestampNTZType }
         else { mb.putBoolean(TimestampNanosKey, value = true); LongType }
       case SqlTimestampTz(_) => TimestampType
       case SqlTime(p) =>

@@ -51,6 +51,73 @@ class FooterSpec extends AnyFunSuite {
     assert(encodings(out, "p_type").contains("RLE_DICTIONARY"))
   }
 
+  private def primitive(p: java.nio.file.Path, col: String) =
+    footer(p).getFileMetaData.getSchema.getType(Seq(col): _*).asPrimitiveType()
+
+  test("timestamp physical unit: declared p<=3 writes MILLIS, default stays MICROS") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.functions.TypeMapping
+    val withMeta = new MetadataBuilder()
+      .putString(TypeMapping.TimestampUnitKey, "millis").build()
+    // instant-semantics timestamps (TIMESTAMPTZ mapping): Spark's writer
+    // honors outputTimestampType for TimestampType; NTZ is hardcoded to
+    // MICROS by the writer — documented deviation, see README
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = true, withMeta)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678")))),
+      schema)
+    val outMs = Files.createTempDirectory("graft-footer").resolve("ms.par")
+    ParquetSink.write(df, outMs.toString, ParquetSink.Options()) // auto → millis
+    assert(primitive(outMs, "ts").getLogicalTypeAnnotation.toString
+      .contains("MILLIS"), "p<=3 timestamp must write TIMESTAMP(MILLIS)")
+
+    val outUs = Files.createTempDirectory("graft-footer").resolve("us.par")
+    ParquetSink.write(
+      df.select(col("ts").as("ts", Metadata.empty)), // strip the millis tag
+      outUs.toString, ParquetSink.Options())
+    assert(primitive(outUs, "ts").getLogicalTypeAnnotation.toString
+      .contains("MICROS"), "untagged timestamp keeps the MICROS default")
+    // the writer conf must be restored after the millis write
+    assert(spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      .forall(_ != "TIMESTAMP_MILLIS"))
+  }
+
+  test("decimal physical encodings: INT32 (p<=9), INT64 (p<=18), FLBA i128 (p<=38)") {
+    // backs k1_decimal_cast's kernel claim (reference decimal.rs:42-124 split)
+    val out = Files.createTempDirectory("graft-footer").resolve("dec.par")
+    ParquetSink.write(Tables.lineitem(spark, sf).limit(100)
+      .select(col("l_extendedprice").cast("decimal(9,2)").as("d32"),
+        col("l_extendedprice").cast("decimal(18,4)").as("d64"),
+        col("l_extendedprice").cast("decimal(38,6)").as("d128")),
+      out.toString, ParquetSink.Options())
+    assert(primitive(out, "d32").getPrimitiveTypeName.toString == "INT32")
+    assert(primitive(out, "d64").getPrimitiveTypeName.toString == "INT64")
+    assert(primitive(out, "d128").getPrimitiveTypeName.toString == "FIXED_LEN_BYTE_ARRAY")
+  }
+
+  test("BINARY(n) writes BYTE_ARRAY with declared width in metadata (documented non-goal)") {
+    // Spark's parquet writer has no FLBA path for BinaryType; the output
+    // matches the reference's --prefer-varbinary mode (binary.rs:32-89),
+    // which the reference itself added for Spark compatibility. The declared
+    // fixed width survives in field metadata (TypeMapping.FixedLenKey) for
+    // consumers that need it. See README "Known deviations".
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.functions.TypeMapping
+    val f = TypeMapping.field(
+      TypeMapping.SourceColumn("b", TypeMapping.SqlBinary(5)),
+      TypeMapping.MappingOptions())
+    assert(f.metadata.getLong(TypeMapping.FixedLenKey) == 5L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("hello".getBytes: Any))),
+      StructType(Seq(f)))
+    val out = Files.createTempDirectory("graft-footer").resolve("bin.par")
+    ParquetSink.write(df, out.toString, ParquetSink.Options())
+    assert(primitive(out, "b").getPrimitiveTypeName.toString == "BINARY")
+  }
+
   test("per-column dictionary encoding can be disabled (column-encoding parity)") {
     val out1 = Files.createTempDirectory("graft-footer").resolve("dict.par")
     ParquetSink.write(Tables.part(spark, sf), out1.toString, ParquetSink.Options())
