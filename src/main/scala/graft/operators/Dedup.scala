@@ -84,7 +84,11 @@ object Dedup {
     * verify step removes LSH false positives, so output precision is exact
     * while recall is governed by the band shape (8×4 catches j≥0.7 with
     * ~1-(1-0.7⁴)⁸ ≈ 93% per-pair probability).
-    */
+    *
+    * In-gate recall check ([[GateChecks]]): the exact twin — same-source
+    * pairs at the same threshold, computed WITHOUT banding (d3's blocked
+    * shape, so it stays linear at scale) — must be ≥ 80% covered by the
+    * LSH output, or the query returns zero rows and fails the gate. */
   def d4MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val nSig = 32
     val bandRows = 4
@@ -99,7 +103,7 @@ object Dedup {
         GraftBridge.expression(trim(col("text"))), 2))
       documents(s, d)
         .withColumn("shs", shs)
-        .select(col("doc_id"), col("shs"),
+        .select(col("doc_id"), col("source"), col("shs"),
           GraftBridge.column(graft.functions.MinHashBuckets(
             GraftBridge.expression(col("shs")), nSig, bandRows)).as("buckets"))
     }
@@ -122,18 +126,45 @@ object Dedup {
       GraftBridge.column(graft.functions.JaccardSorted(
         GraftBridge.expression(col("sa")), GraftBridge.expression(col("sb"))))
     }
-    cand
+    val found = cand
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.7)
-      .orderBy(col("a_id"), col("b_id"))
+
+    // exact twin over same-source pairs (no banding, PPJoin length
+    // prefilter: j ≥ 0.7 ⇒ |A|/|B| ∈ [0.7, 1/0.7]) — linear via blocking
+    val docs = shingled.select(col("doc_id"), col("source"), col("shs"),
+      size(col("shs")).as("ns"))
+    val ta = docs.select(col("doc_id").as("a_id"), col("source"),
+      col("shs").as("sa"), col("ns").as("na"))
+    val tb = docs.select(col("doc_id").as("b_id"), col("source").as("src_b"),
+      col("shs").as("sb"), col("ns").as("nb"))
+    val truth = ta.join(tb,
+        col("source") === col("src_b") && col("a_id") < col("b_id") &&
+          col("na") * 7 <= col("nb") * 10 && col("nb") * 7 <= col("na") * 10)
+      .select(col("a_id"), col("b_id"), jac.as("j"))
+      .filter(col("j") >= 0.7)
+      .select(col("a_id"), col("b_id"))
+    val check = truth
+      .join(found.select(col("a_id"), col("b_id"), lit(1).as("hit")),
+        Seq("a_id", "b_id"), "left_outer")
+      .agg((count(lit(1)) === 0 ||
+        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.8)
+        .as("gate_ok"))
+    GateChecks.require(found, check).orderBy(col("a_id"), col("b_id"))
   }
 
   // ---------------------------------------------------- d5_simhash_dup
   /** SimHash near-dup: 64-bit signature, 4×16-bit bands for candidates,
-    * hamming ≤ 6 verification via bit_count(xor). */
+    * hamming ≤ 6 verification via bit_count(xor).
+    *
+    * In-gate completeness check ([[GateChecks]]): ≤ 3 differing bits
+    * cannot touch all four 16-bit bands (pigeonhole), so every hamming≤3
+    * pair MUST be found. The check recomputes that truth without banding
+    * over a same-source block (linear, same shape as the operator) and
+    * fails the whole query to zero rows if any guaranteed pair is missed. */
   def d5SimhashDup(s: SparkSession, d: String): DataFrame = {
     val sh = documents(s, d)
-      .select(col("doc_id"), TextHashFunctions.simhash64(toks).as("sh"))
+      .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh"))
     val banded = sh.withColumn("band", explode(array(
       (0 until 4).map(b => struct(lit(b).as("i"),
         col("sh").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))
@@ -141,12 +172,26 @@ object Dedup {
     val l = banded.select(col("doc_id").as("a_id"), col("sh").as("sha"), col("i"), col("v"))
     val r = banded.select(col("doc_id").as("b_id"), col("sh").as("shb"),
       col("i").as("i_r"), col("v").as("v_r"))
-    l.join(r, col("i") === col("i_r") && col("v") === col("v_r") && col("a_id") < col("b_id"))
+    val found = l.join(r,
+        col("i") === col("i_r") && col("v") === col("v_r") && col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= 6)
       .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy(col("a_id"), col("b_id"))
+
+    // unbanded hamming<=3 truth within same-source blocks; every one of
+    // these pairs is pigeonhole-guaranteed to share a band
+    val ta = sh.select(col("doc_id").as("a_id"), col("source"), col("sh").as("sha"))
+    val tb = sh.select(col("doc_id").as("b_id"), col("source").as("src_b"),
+      col("sh").as("shb"))
+    val truth = ta.join(tb,
+        col("source") === col("src_b") && col("a_id") < col("b_id"))
+      .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 3)
+      .select(col("a_id"), col("b_id"))
+    val check = truth.join(found.select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_anti")
+      .agg((count(lit(1)) === 0).as("gate_ok"))
+    GateChecks.require(found, check).orderBy(col("a_id"), col("b_id"))
   }
 
   // ----------------------------------------------- d6_embedding_neardup

@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-gate self-checks for queries whose results no SQL oracle can
+  * recompute (LSH/sketch/hash-family outputs).
+  *
+  * The driver's only automatic signal for a no-oracle query is `rows > 0`,
+  * so each such query embeds its own quantitative acceptance test — recall
+  * vs an exact twin, sketch error vs exact aggregates, golden-value probes
+  * — as a 1-row boolean and FILTERS its entire output on it. A quality
+  * regression (recall collapse, sketch divergence, kernel drift) yields
+  * zero rows and fails the gate, instead of passing rows-only forever.
+  *
+  * Cost posture: every check is either blocked/sampled (same shape as the
+  * operator itself) or a per-group aggregate — nothing quadratic in the
+  * corpus, so the checks scale with the queries they guard. */
+object GateChecks {
+
+  /** `check` must be a 1-row DataFrame with a single boolean `gate_ok`
+    * column; the result passes through iff it is true. */
+  def require(result: DataFrame, check: DataFrame): DataFrame =
+    result.crossJoin(broadcast(check)).filter(col("gate_ok")).drop("gate_ok")
+}

@@ -76,11 +76,23 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
-    cand
+    val found = cand
       .select(col("q_id"), col("vec_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+
+    // in-gate recall check (GateChecks): the exact top-k for the bounded
+    // s1 query set must be >= 30% recovered (the 4x4-band floor on
+    // isotropic data) or the query fails to zero rows
+    val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
+    val check = exact
+      .join(found.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left_outer")
+      .agg((count(lit(1)) === 0 ||
+        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.3)
+        .as("gate_ok"))
+    graft.operators.GateChecks.require(found, check)
       .orderBy(col("q_id"), col("rank"))
   }
 

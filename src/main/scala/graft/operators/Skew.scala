@@ -49,16 +49,29 @@ object Skew {
 
   // --------------------------------------------------------- q23_approx
   /** Sketch aggregates: HyperLogLog distinct + approximate quantiles. Sketch
-    * outputs are engine-specific (no DuckDB oracle); the spec bounds their
-    * error against exact values instead. */
-  def q23Approx(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    * outputs are engine-specific (no DuckDB oracle); instead the query
+    * carries an in-gate error-bound check ([[GateChecks]]): every group's
+    * sketch must land within 10% (HLL) / 20% (median) of the exact
+    * aggregates computed in the same job, or the query returns zero rows. */
+  def q23Approx(s: SparkSession, d: String): DataFrame = {
+    val approx = lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
         count(lit(1)).as("n_rows"))
-      .orderBy(col("l_returnflag"))
+    val exact = lineitem(s, d)
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+    val check = approx.join(exact, col("l_returnflag") === col("rf"))
+      .select((abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") < 0.1 &&
+        abs(col("approx_median_price") - col("exact_median")) /
+          col("exact_median") < 0.2).as("ok"))
+      .agg(min(col("ok")).as("gate_ok")) // every group within bounds
+    GateChecks.require(approx, check).orderBy(col("l_returnflag"))
+  }
 
   // --------------------------------------------------- q24_topk_per_key
   /** Top-3 orders per customer through the custom [[graft.plans.TopKPerGroup]]

