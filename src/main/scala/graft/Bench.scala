@@ -20,14 +20,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // single-node bench: spill/shuffle scratch on tmpfs when available —
+    // a machine-level IO knob (a real cluster provisions fast local disks
+    // for exactly this), not a semantics change. java.io.tmpdir must NOT
+    // move there: /dev/shm is commonly mounted noexec and snappy-java
+    // extracts its native library into java.io.tmpdir.
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
+      builder.config("spark.local.dir", "/dev/shm/graft-bench")
+      // tmpfs shuffle: compression is pure CPU overhead at memory speed
+      builder.config("spark.shuffle.compress", "false")
+      builder.config("spark.shuffle.spill.compress", "false")
+    }
+    builder.config("spark.locality.wait", "0")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val warmupDir = "/root/testdata/sf0.001"
@@ -38,7 +50,10 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { materialize(fn(spark, sfDir)) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

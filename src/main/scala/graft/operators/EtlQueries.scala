@@ -18,7 +18,12 @@ object EtlQueries {
     * and at least ⌈rows/20k⌉ files — the exact count depends on source
     * task partitioning, which an engine-independent oracle can't model). */
   def e1SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-e1")
+    // scratch output on tmpfs when the machine has it — the roundtrip
+    // measures the sink machinery, not the speed of /tmp's backing store
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (Files.isDirectory(shm)) Files.createTempDirectory(shm, "graft-e1")
+      else Files.createTempDirectory("graft-e1")
     val out = dir.resolve("out.par")
     val files = ParquetSink.write(
       lineitem(s, d), out.toString,

@@ -24,7 +24,9 @@ object Skew {
       key: Column,
       saltBuckets: Int,
       sums: Map[String, Column]): DataFrame = {
-    val salted = df.groupBy(key.as("k"), pmod(crc32(key.cast("string")), lit(saltBuckets)).as("salt"))
+    // murmur hash on the native value — no per-row string render like a
+    // crc32-over-cast would cost; the salt value itself is result-neutral
+    val salted = df.groupBy(key.as("k"), pmod(hash(key), lit(saltBuckets)).as("salt"))
       .agg(count(lit(1)).as("partial_n"),
         sums.map { case (n, c) => sum(c).as(s"partial_$n") }.toSeq: _*)
     salted.groupBy(col("k"))
@@ -54,23 +56,34 @@ object Skew {
     * sketch must land within 10% (HLL) / 20% (median) of the exact
     * aggregates computed in the same job, or the query returns zero rows. */
   def q23Approx(s: SparkSession, d: String): DataFrame = {
-    val approx = lineitem(s, d)
+    // sketches and the exact-median twin share ONE scan (countDistinct in
+    // the same agg would force an Expand that doubles the rows through the
+    // aggregate — measured 2x slower); the exact distinct count runs as a
+    // two-level aggregation, map-side combined on (flag, partkey), and
+    // joins back at 3-row size. The per-group error verdict folds to an
+    // all-groups verdict with a 3-row window, not a re-execution.
+    val scan = lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-        count(lit(1)).as("n_rows"))
-    val exact = lineitem(s, d)
-      .groupBy(col("l_returnflag").as("rf"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
-    val check = approx.join(exact, col("l_returnflag") === col("rf"))
-      .select((abs(col("approx_parts") - col("exact_parts")).cast("double") /
-          col("exact_parts") < 0.1 &&
-        abs(col("approx_median_price") - col("exact_median")) /
-          col("exact_median") < 0.2).as("ok"))
-      .agg(min(col("ok")).as("gate_ok")) // every group within bounds
-    GateChecks.require(approx, check).orderBy(col("l_returnflag"))
+    val distincts = lineitem(s, d)
+      .select(col("l_returnflag").as("rf"), col("l_partkey")).distinct()
+      .groupBy(col("rf")).agg(count(lit(1)).as("exact_parts"))
+    val both = scan.join(broadcast(distincts), col("l_returnflag") === col("rf"))
+    val ok = abs(col("approx_parts") - col("exact_parts")).cast("double") /
+        col("exact_parts") < 0.1 &&
+      abs(col("approx_median_price") - col("exact_median")) /
+        col("exact_median") < 0.2
+    both
+      .withColumn("gate_ok", min(ok).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("gate_ok"))
+      .select(col("l_returnflag"), col("approx_parts"),
+        col("approx_median_price"), col("n_rows"))
+      .orderBy(col("l_returnflag"))
   }
 
   // --------------------------------------------------- q24_topk_per_key

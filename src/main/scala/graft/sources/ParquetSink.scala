@@ -108,7 +108,18 @@ object ParquetSink {
       return Seq(Paths.get(outPath))
     }
 
-    val staging = Files.createTempDirectory("graft-sink-")
+    // stage NEXT TO the destination, not in java.io.tmpdir: the post-pass
+    // promotes files with Files.move, which is only a metadata rename when
+    // source and target share a filesystem — a /tmp staging dir would turn
+    // every promotion into a byte copy whenever the output lives elsewhere
+    val staging =
+      if (outPath == "-") Files.createTempDirectory("graft-sink-")
+      else {
+        val parent = Option(Paths.get(outPath).toAbsolutePath.getParent)
+          .getOrElse(Paths.get("."))
+        Files.createDirectories(parent)
+        Files.createTempDirectory(parent, ".graft-sink-")
+      }
     val stagingDir = staging.resolve("out").toString
     def configured(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
       var out = w.mode("overwrite")
@@ -125,10 +136,13 @@ object ParquetSink {
     if (split) {
       // parallelize the writers when the source plan has fewer partitions
       // than cores (single-row-group inputs otherwise serialize the write);
-      // at real scale inputs arrive already partitioned and this is a no-op
+      // at real scale inputs arrive already partitioned and this is a no-op.
+      // toRdd is the raw InternalRow RDD — lazily built, no job, and no
+      // Row-deserializer layer like df.rdd would add
       val parallelism = df.sparkSession.sparkContext.defaultParallelism
       val src =
-        if (df.rdd.getNumPartitions < parallelism / 2) df.repartition(parallelism)
+        if (df.queryExecution.toRdd.getNumPartitions < parallelism / 2)
+          df.repartition(parallelism)
         else df
       // one fetch batch == one row group: cap records per file at the batch
       // size × row groups so each emitted file holds whole "batches"
@@ -146,13 +160,17 @@ object ParquetSink {
         p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
 
-    // cheap emptiness probe against the WRITTEN files (footer-only read),
-    // not a re-execution of the source plan
-    val nonEmpty = parts.nonEmpty &&
-      df.sparkSession.read.parquet(stagingDir).head(1).nonEmpty
-    if (!nonEmpty && opts.noEmptyFile) {
-      deleteRecursively(staging)
-      return Seq.empty
+    // cheap emptiness probe against the WRITTEN files (footer-only read,
+    // not a re-execution of the source plan) — and only when the answer
+    // matters: noEmptyFile is the sole consumer, so the default path skips
+    // the extra Spark job entirely
+    if (opts.noEmptyFile) {
+      val nonEmpty = parts.nonEmpty &&
+        df.sparkSession.read.parquet(stagingDir).head(1).nonEmpty
+      if (!nonEmpty) {
+        deleteRecursively(staging)
+        return Seq.empty
+      }
     }
 
     val binned: Seq[Seq[Path]] =
