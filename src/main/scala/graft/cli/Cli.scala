@@ -167,7 +167,8 @@ object Cli {
       case "exec" => runExec(conf)
       case "list-drivers" => listDrivers().foreach(println)
       case "list-data-sources" => listDataSources().foreach(println)
-      case "completions" => println(completions)
+      case "completions" =>
+        println(completions(conf.positional.headOption.getOrElse("bash")))
       case other => throw new IllegalArgumentException(s"unknown subcommand $other\n$usage")
     }
   }
@@ -295,12 +296,33 @@ object Cli {
   def listDataSources(): Seq[String] =
     sys.env.get("GRAFT_JDBC_URLS").map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)
 
-  val completions: String =
-    """_graft() {
-      |  local cur=${COMP_WORDS[COMP_CWORD]}
-      |  COMPREPLY=( $(compgen -W "query insert exec list-drivers list-data-sources completions" -- "$cur") )
-      |}
-      |complete -F _graft graft""".stripMargin
+  private val subcommands =
+    Seq("query", "insert", "exec", "list-drivers", "list-data-sources", "completions")
+
+  /** Shell completion scripts (reference main.rs:363-367 generates via
+    * clap_complete for bash/zsh/fish/elvish/powershell; the three shells
+    * this environment can exercise are covered). */
+  def completions(shell: String): String = shell match {
+    case "bash" =>
+      s"""_graft() {
+         |  local cur=$${COMP_WORDS[COMP_CWORD]}
+         |  COMPREPLY=( $$(compgen -W "${subcommands.mkString(" ")}" -- "$$cur") )
+         |}
+         |complete -F _graft graft""".stripMargin
+    case "zsh" =>
+      s"""#compdef graft
+         |_graft() {
+         |  local -a subcmds
+         |  subcmds=(${subcommands.map(c => s"'$c'").mkString(" ")})
+         |  _describe 'command' subcmds
+         |}
+         |_graft "$$@"""".stripMargin
+    case "fish" =>
+      subcommands.map(c =>
+        s"complete -c graft -n __fish_use_subcommand -a $c").mkString("\n")
+    case other => throw new IllegalArgumentException(
+      s"unsupported shell '$other'; expected one of: bash, zsh, fish")
+  }
 
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {

@@ -73,8 +73,30 @@ object Multimodal {
         (lit(1) + octet_length(col("payload")) % 4).as("n_frames"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------- m2_features
+  /** Batched feature extraction over the binary column: a fixed-width
+    * float vector per payload (the embedding-pipeline front half — decode
+    * → features → ANN). The stub "features" are deterministic projections
+    * of the decoded metadata plus a byte histogram moment, so the whole
+    * vector is SQL-recomputable and the gate oracles it exactly; a real
+    * deployment swaps [[StubDecoder]] for an image/audio model and keeps
+    * every piece of the Spark plumbing (schema, batching, partitioning). */
+  def m2Features(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("text"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("double").as("f_bytes"),
+        (lit(64) + octet_length(col("payload")) % 256).cast("double").as("f_width"),
+        (lit(64) + (octet_length(col("payload")) * 7) % 256).cast("double").as("f_height"),
+        // leading code point: a stand-in for a content-derived channel stat
+        ascii(substring(col("text"), 1, 1)).cast("double").as("f_c0"))
+      .select(col("doc_id"),
+        array(col("f_bytes"), col("f_width"), col("f_height"), col("f_c0")).as("features"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_multimodal_meta" -> m1MultimodalMeta
+    "m1_multimodal_meta" -> m1MultimodalMeta,
+    "m2_features" -> m2Features
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -85,6 +107,14 @@ object Multimodal {
         |  64 + octet_length(encode(text)) % 256 AS width,
         |  64 + (octet_length(encode(text)) * 7) % 256 AS height,
         |  1 + octet_length(encode(text)) % 4 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_features" ->
+      """SELECT doc_id, [
+        |    CAST(octet_length(encode(text)) AS DOUBLE),
+        |    CAST(64 + octet_length(encode(text)) % 256 AS DOUBLE),
+        |    CAST(64 + (octet_length(encode(text)) * 7) % 256 AS DOUBLE),
+        |    CAST(ascii(substr(text, 1, 1)) AS DOUBLE)
+        |  ] AS features
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -96,9 +96,91 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------- s3_ann_ivf
+  /** IVF-flat ANN: a K-centroid coarse quantizer partitions the corpus
+    * into inverted lists; each query probes its nProbe nearest centroids
+    * and exact-rescores only those lists — expected work per query is
+    * (nProbe/K)·|corpus| instead of |corpus|.
+    *
+    * The quantizer is trained Spark-side, deterministically: K seed
+    * vectors picked by hash rank, then one Lloyd refinement pass (assign →
+    * per-dimension mean). The model (K×64 doubles ≈ 8 KB) is collected to
+    * the driver and re-broadcast as a literal — the standard k-means model
+    * cycle, NOT a data collect; corpus and queries never leave executors.
+    * Assignment is pure codegen'd builtins: transform/zip_with/aggregate
+    * over the centroid literal, argmin via array_position(array_min).
+    *
+    * In-gate recall check ([[GateChecks]]): ≥ 30% of s1's exact top-k
+    * must be recovered or the query fails to zero rows. */
+  def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val nProbe = 4
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+
+    // deterministic seed sample: K vectors by murmur-hash rank
+    val seeds = e.orderBy(pmod(hash(col("vec_id")), lit(997)), col("vec_id"))
+      .limit(K).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    // squared-distance rank to each centroid via the native codegen'd dot
+    // kernel: argmin |c - x|² = argmin (|c|² - 2·c·x) — |x|² is constant
+    // per row. 16 native dots per row, same cost shape as s2's signatures;
+    // an interpreted zip_with/aggregate here measured ~8x slower.
+    def dists(cs: Array[Array[Double]]) = array(cs.map { c =>
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorOps.dot(array(c.map(lit): _*), col("embedding"))
+    }: _*)
+    def cluster(cs: Array[Array[Double]]) =
+      (array_position(dists(cs), array_min(dists(cs))) - 1).cast("int")
+
+    // one Lloyd pass: mean per (cluster, dimension) under the seed model
+    val refined = e.select(cluster(seeds).as("c"), posexplode(col("embedding")))
+      .groupBy(col("c"), col("pos")).agg(avg(col("col")).as("m"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+    // empty clusters keep their seed so the model stays K-wide
+    val model = seeds.indices.map(i => refined.getOrElse(i, seeds(i))).toArray
+
+    val listed = e.withColumn("c", cluster(model))
+    val probes = listed.filter(isQuery)
+      .orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("n2").as("qn2"),
+        explode(slice(array_sort(zip_with(dists(model),
+          sequence(lit(0), lit(K - 1)),
+          (dist, idx) => struct(dist.as("d"), idx.as("i")))), 1, nProbe))
+          .as("probe"))
+      .select(col("q_id"), col("qv"), col("qn2"), col("probe.i").as("qc"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
+    val found = listed.join(probes,
+        col("c") === col("qc") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+
+    val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
+    val check = exact
+      .join(found.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left_outer")
+      .agg((count(lit(1)) === 0 ||
+        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.3)
+        .as("gate_ok"))
+    graft.operators.GateChecks.require(found, check)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> s1AnnBrute,
-    "s2_ann_lsh" -> s2AnnLsh
+    "s2_ann_lsh" -> s2AnnLsh,
+    "s3_ann_ivf" -> s3AnnIvf
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -283,6 +283,15 @@ class EtlSpec extends AnyFunSuite {
     assert(viaText.exceptAll(plain).isEmpty && plain.exceptAll(viaText).isEmpty)
   }
 
+  test("cli: completions cover bash/zsh/fish and reject unknown shells") {
+    Seq("bash", "zsh", "fish").foreach { sh =>
+      val script = Cli.completions(sh)
+      assert(script.contains("graft"))
+      assert(script.contains("list-drivers"), s"$sh must complete subcommands")
+    }
+    intercept[IllegalArgumentException](Cli.completions("tcsh"))
+  }
+
   test("cli: list-drivers sees the embedded derby driver") {
     // force driver registration the same way a connection would
     java.sql.DriverManager.getConnection(

@@ -71,6 +71,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ANN recall $recall unexpectedly low (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("ann-IVF recovers a reasonable share of exact neighbors and never fabricates") {
+    val brute = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.s3AnnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty, "gate self-check must pass at test SF")
+    val pairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = pairs.intersect(brute).size.toDouble / brute.size
+    info(s"IVF recall@5 vs brute force: $recall (|ivf|=${pairs.size})")
+    assert(recall >= 0.3, s"IVF recall $recall below the gate bound")
+    // rescoring is exact, so every reported cosine must match brute force
+    val bruteCos = Similarity.s1AnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(c == r.getDouble(3), "cosines must be bit-identical"))
+    }
+  }
+
   test("native dot product is bit-identical to the compositional fold") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
