@@ -49,6 +49,18 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("bucket_us"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: keep the first arrival per content key, with
+    * the watermark bounding how long a key's fingerprint is retained —
+    * the streaming twin of d1's hash-groupBy (state = one row per distinct
+    * key inside the watermark horizon, exactly how a 100 TB ingest dedups
+    * in-flight): `dropDuplicatesWithinWatermark` both dedups on the key
+    * alone and EVICTS a key's state once the watermark passes it, so
+    * state is bounded — plain dropDuplicates(key) would grow forever. */
+  def dedupStream(stream: DataFrame, keyCol: String, watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   final case class Event(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
   final case class SessionState(start_us: Long, last_us: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -73,6 +73,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("NO gate query plans a cartesian product; nested-loop joins only where bounded") {
+    // BNLJ is acceptable only with a provably bounded build side: the
+    // 1-row GateChecks verdict, q16's 1-row scalar-subquery broadcast,
+    // and s1/s3's MaxQueries-limited query set
+    val boundedBnlj = Set("q16_subquery", "s1_ann_brute", "s3_ann_ivf",
+      "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "q23_approx",
+      "t4_fingerprint")
+    // ETL queries do eager side work (sink writes, Derby DDL) at plan
+    // construction — auditing their read-back plan adds nothing
+    val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")
+    SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+      assert(bnlj == 0 || boundedBnlj(name),
+        s"$name plans an unvetted BroadcastNestedLoopJoin")
+    }
+  }
+
   test("multimodal decode parallelism scales with the cluster, not a constant") {
     val n = Multimodal.decodeAll(spark, sf).rdd.getNumPartitions
     val expected = spark.sparkContext.defaultParallelism * 4

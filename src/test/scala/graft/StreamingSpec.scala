@@ -86,6 +86,37 @@ class StreamingSpec extends AnyFunSuite {
       s"missing closed sessions: ${(mustEmit -- streamed).take(3)}")
   }
 
+  test("streaming dedup keeps one row per key and evicts state past the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    implicit val sqlCtx = spark.sqlContext
+    // (key, event-time seconds): key "a" arrives 3x inside the watermark
+    // window (dedup to 1), then once far past it (state evicted → re-emitted)
+    val source = MemoryStream[(String, Long)]
+    val stream = source.toDF().toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = StreamingOps.dedupStream(stream, "k", watermark = "10 seconds")
+      .select("k", "sec")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      source.addData(("a", 100L), ("a", 101L), ("b", 102L))
+      q.processAllAvailable()
+      source.addData(("a", 103L), ("c", 120L)) // "a" still within watermark
+      q.processAllAvailable()
+      source.addData(("a", 500L)) // far past the watermark: state evicted
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.count(_._1 == "a") == 2,
+      s"one 'a' within the window, one after eviction: $rows")
+    assert(rows.contains(("b", 102L)) && rows.contains(("c", 120L)))
+    assert(!rows.contains(("a", 101L)) && !rows.contains(("a", 103L)),
+      s"in-window duplicates must drop: $rows")
+  }
+
   test("streaming sessionization emits closed sessions matching the batch twin") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
