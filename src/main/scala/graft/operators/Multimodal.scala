@@ -94,9 +94,29 @@ object Multimodal {
         array(col("f_bytes"), col("f_width"), col("f_height"), col("f_c0")).as("features"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------- m3_frame_sample
+  /** Frame sampling over video-like payloads: every 2nd frame index with
+    * its byte offset into the payload (stub layout: equal-width frames).
+    * The explode shape — one row per sampled frame, metadata-derived —
+    * is exactly the fan-out a real video pipeline feeds to a decoder;
+    * a real deployment swaps the offset arithmetic for container parsing
+    * and keeps the plumbing. */
+  def m3FrameSample(s: SparkSession, d: String): DataFrame = {
+    val nBytes = octet_length(col("payload")).cast("long")
+    val nFrames = (lit(1) + octet_length(col("payload")) % 4).cast("long")
+    payloads(s, d)
+      .select(col("doc_id"), nBytes.as("n_bytes"), nFrames.as("n_frames"))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * expr("n_bytes div n_frames")).as("frame_offset"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1MultimodalMeta,
-    "m2_features" -> m2Features
+    "m2_features" -> m2Features,
+    "m3_frame_sample" -> m3FrameSample
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -115,6 +135,15 @@ object Multimodal {
         |    CAST(64 + (octet_length(encode(text)) * 7) % 256 AS DOUBLE),
         |    CAST(ascii(substr(text, 1, 1)) AS DOUBLE)
         |  ] AS features
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m3_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(1 + octet_length(encode(text)) % 4 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(u.frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(u.frame_idx * (n_bytes // n_frames) AS BIGINT) AS frame_offset
+        |FROM f, unnest(generate_series(0, n_frames - 1, 2)) AS u(frame_idx)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

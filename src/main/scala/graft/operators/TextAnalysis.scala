@@ -23,6 +23,22 @@ object TextAnalysis {
         size(array_distinct(tokens)).as("n_distinct"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------- t5_bpe_tokens
+  /** BPE-ish subword token counting: a GPT-2-style pre-tokenizer regex
+    * (letter runs | single digits | punctuation runs) counts the units a
+    * byte-pair encoder would merge — the standard proxy for "how many
+    * tokens does this document cost". ASCII character classes so Java
+    * regex (Spark) and RE2 (DuckDB) agree exactly. */
+  def t5BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+    documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_units"),
+        size(array_distinct(regexp_extract_all(col("text"), lit(pat), lit(0))))
+          .as("n_distinct_units"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------- t2_quality
   /** Quality scoring: length/word statistics + stopword ratio + a binary
     * keep/drop flag — the classic pre-training corpus filter shape. */
@@ -101,7 +117,8 @@ object TextAnalysis {
     "t1_tokens" -> t1Tokens,
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
-    "t4_fingerprint" -> t4Fingerprint
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_bpe_tokens" -> t5BpeTokens
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -109,6 +126,11 @@ object TextAnalysis {
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe_units,
+        |  len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))) AS n_distinct_units
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t2_quality" ->
       """WITH t AS (SELECT doc_id, text,
