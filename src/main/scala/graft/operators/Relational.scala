@@ -157,6 +157,22 @@ object Relational {
       .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
   }
 
+  // --------------------------------------------------- q31_window_range
+  /** Value-based (RANGE) window frame: per-customer trailing-30-day spend.
+    * Unlike ROWS frames, the frame bound is a value predicate on the order
+    * date — all ties enter the frame together, so the result is
+    * deterministic without a full-order tiebreak. Both engines order on
+    * integer epoch days so the frame arithmetic is identical. */
+  def q31WindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_date(col("o_orderdate").cast("date")))
+      .rangeBetween(-30, 0)
+    orders(s, d)
+      .withColumn("trailing_30d", sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ------------------------------------------------------------- q9_topk
   /** Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
     * heaps + driver merge of k rows, never a global sort. */
@@ -418,6 +434,7 @@ object Relational {
     "q6_cond_agg" -> q6CondAgg,
     "q7_window_rank" -> q7WindowRank,
     "q8_window_running" -> q8WindowRunning,
+    "q31_window_range" -> q31WindowRange,
     "q9_topk" -> q9TopK,
     "q10_setops" -> q10SetOps,
     "q11_rollup" -> q11Rollup,
@@ -537,6 +554,14 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders
         |ORDER BY o_custkey, orderdate, o_orderkey""".stripMargin,
+    "q31_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q9_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
