@@ -173,6 +173,36 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // ------------------------------------------------------ q32_lag_ntile
+  /** Offset + distribution window functions: lag/lead against the prior
+    * and next order, ntile spend-quartile per customer — the remaining
+    * window-function families (q7 covers ranking, q8/q31 frames). */
+  def q32LagNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("spend_quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------ q33_json_struct
+  /** Schema-full JSON parsing: from_json into a typed struct (vs q27's
+    * per-path get_json_object), then field access + predicate on the
+    * parsed columns. */
+  def q33JsonStruct(s: SparkSession, d: String): DataFrame = {
+    val schema = "k LONG, cat STRING"
+    events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("p"))
+      .select(col("event_id"), col("p.k").as("k"), col("p.cat").as("cat"))
+      .filter(col("k") > 50)
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- q9_topk
   /** Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
     * heaps + driver merge of k rows, never a global sort. */
@@ -435,6 +465,8 @@ object Relational {
     "q7_window_rank" -> q7WindowRank,
     "q8_window_running" -> q8WindowRunning,
     "q31_window_range" -> q31WindowRange,
+    "q32_lag_ntile" -> q32LagNtile,
+    "q33_json_struct" -> q33JsonStruct,
     "q9_topk" -> q9TopK,
     "q10_setops" -> q10SetOps,
     "q11_rollup" -> q11Rollup,
@@ -562,6 +594,22 @@ object Relational {
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q32_lag_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_orderkey, 1) OVER w AS prev_order,
+        |  LEAD(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS spend_quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q33_json_struct" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS k,
+        |  props->>'$.cat' AS cat
+        |FROM events
+        |WHERE CAST(props->>'$.k' AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
     "q9_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

@@ -61,6 +61,18 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-static enrichment: each micro-batch joins against a
+    * broadcastable dimension snapshot — the canonical streaming pattern
+    * (events × user/customer dims). The static side re-resolves per batch,
+    * so a dim refresh is picked up without restarting the query; the join
+    * broadcasts, so the stream never shuffles. */
+  def enrichWithCustomers(stream: DataFrame, customers: DataFrame): DataFrame =
+    stream.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("c_mktsegment").as("segment"))
+
   final case class Event(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
   final case class SessionState(start_us: Long, last_us: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -86,6 +86,27 @@ class StreamingSpec extends AnyFunSuite {
       s"missing closed sessions: ${(mustEmit -- streamed).take(3)}")
   }
 
+  test("stream-static enrichment joins every event against the broadcast dim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamingOps.readEventStream(spark, dir.toString)
+    val q = StreamingOps.enrichWithCustomers(stream, Tables.customer(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_out")
+    val batch = Tables.events(spark, sf).join(
+        Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"), "left_outer")
+    assert(streamed.count() == Tables.events(spark, sf).count(),
+      "left join must preserve every event")
+    assert(streamed.filter(col("segment").isNotNull).count() ==
+      batch.filter(col("c_mktsegment").isNotNull).count(),
+      "streamed enrichment must match the batch join hit count")
+  }
+
   test("streaming dedup keeps one row per key and evicts state past the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
