@@ -24,7 +24,7 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // single-node bench: spill/shuffle scratch on tmpfs when available —
@@ -42,13 +42,12 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val warmupDir = "/root/testdata/sf0.001"
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmupDir)))
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try materialize(fn(spark, warmupDir)) catch { case _: Throwable => () }
-      }
-
+    // warm-then-time per query at the TARGET SF — the same protocol as the
+    // DuckDB baseline (tools/duckbench.py runs each query once untimed,
+    // then times the second run), so neither engine's measurement carries
+    // first-run planning/JIT/page-cache costs the other's doesn't
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) }
       catch { case e: Throwable =>
