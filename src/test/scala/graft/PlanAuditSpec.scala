@@ -73,6 +73,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q32: both window specs share ONE partition exchange") {
+    // lag/lead and ntile partition on the same key with different
+    // orderings — the plan must shuffle once and sort twice, not
+    // shuffle per window spec
+    val p = plan(Relational.q32LagNtile(spark, sf))
+    val exchanges = p.split("Exchange hashpartitioning\\(o_custkey").length - 1
+    assert(exchanges == 1, s"expected a single window exchange:\n$p")
+  }
+
   test("NO gate query plans a cartesian product; nested-loop joins only where bounded") {
     // BNLJ is acceptable only with a provably bounded build side: the
     // 1-row GateChecks verdict, q16's 1-row scalar-subquery broadcast,
