@@ -45,7 +45,19 @@ object Dedup {
   // ------------------------------------------------- d3_ngram_jaccard
   /** Word-set Jaccard near-dup within a blocking key (source): the
     * block-local self-join bounds candidates; intersect/union sizes are
-    * integers so the similarity is bit-identical on both engines. */
+    * integers so the similarity is bit-identical on both engines.
+    *
+    * Sub-blocking bounds the O(block²) worst case: jaccard ≥ 0.8 forces
+    * |A|/|B| ∈ [0.8, 1.25] ⊂ (0.5, 2), so a true pair's ⌊log₂ length⌋
+    * buckets differ by at most 1 — the join key becomes (source, bucket)
+    * with one side exploded to its 3-bucket neighborhood. A huge or
+    * skewed source block shatters into per-length-bucket blocks joined
+    * only with their neighbors, and the finer key also spreads the
+    * shuffle. The bucket is computed with integer/string ops (binary
+    * digit count), not floating-point log, so the ≤1-gap guarantee is
+    * exact. Result-identical: the exact pairwise length prefilter and
+    * the jaccard threshold still apply, and each qualifying pair meets
+    * the equi-join at exactly one exploded bucket value. */
   def d3NgramJaccard(s: SparkSession, d: String): DataFrame = {
     // tokens are interned to 64-bit hashes and SORTED on the scan (once per
     // doc), so the per-pair similarity is a single O(n+m) merge walk
@@ -55,19 +67,23 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
       .withColumn("nw", size(col("w")))
+      // ⌊log₂ nw⌋ + 1 via binary digit count — exact integer arithmetic
+      .withColumn("bkt", length(conv(greatest(col("nw"), lit(1)), 10, 2)))
     val a = docs.select(col("doc_id").as("a_id"), col("source"),
-      col("w").as("wa"), col("nw").as("na"))
+        col("w").as("wa"), col("nw").as("na"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
     val b = docs.select(col("doc_id").as("b_id"), col("source").as("src_b"),
-      col("w").as("wb"), col("nw").as("nb"))
+      col("w").as("wb"), col("nw").as("nb"), col("bkt").as("bkt_b"))
     val jac = {
       import org.apache.spark.sql.GraftBridge
       GraftBridge.column(graft.functions.JaccardSorted(
         GraftBridge.expression(col("wa")), GraftBridge.expression(col("wb"))))
     }
-    // length-ratio prefilter (PPJoin-style): jaccard ≥ 0.8 ⇒ |A|/|B| ∈
-    // [0.8, 1.25] since j ≤ min/max — prunes most pairs with integer
+    // exact length-ratio prefilter (PPJoin-style): jaccard ≥ 0.8 ⇒ |A|/|B| ∈
+    // [0.8, 1.25] since j ≤ min/max — prunes remaining pairs with integer
     // comparisons before any per-pair set operation; result-neutral
-    a.join(b, col("source") === col("src_b") && col("a_id") < col("b_id") &&
+    a.join(b, col("source") === col("src_b") && col("bkt") === col("bkt_b") &&
+        col("a_id") < col("b_id") &&
         col("na") * 4 <= col("nb") * 5 && col("nb") * 4 <= col("na") * 5)
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
