@@ -101,10 +101,35 @@ object EtlQueries {
         count(col("t")).as("n_t"))
   }
 
+  // -------------------------------------------------------- e4_compact
+  /** Small-file compaction round trip: fragment lineitem into many tiny
+    * files, compact to ~1 MiB targets, read back — row count and an
+    * exact decimal sum prove byte fidelity; `compacted_ok` pins the
+    * maintenance contract (strictly fewer files than the fragmented
+    * input, every row preserved). */
+  def e4Compact(s: SparkSession, d: String): DataFrame = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (Files.isDirectory(shm)) Files.createTempDirectory(shm, "graft-e4")
+      else Files.createTempDirectory("graft-e4")
+    // fragment: over-parallel write = the many-small-files disease
+    val nFragments = 40
+    lineitem(s, d).repartition(nFragments)
+      .write.option("compression", "snappy").parquet(dir.resolve("small").toString)
+    val files = graft.sources.Compact.compact(s,
+      dir.resolve("small").toString, dir.resolve("big").toString,
+      targetBytes = 1L << 20)
+    s.read.parquet(files.map(_.toString): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("l_extendedprice"))).cast("double").as("total_price"),
+        lit(files.size < nFragments && files.nonEmpty).as("compacted_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_sink_roundtrip" -> e1SinkRoundtrip,
     "e2_jdbc_roundtrip" -> e2JdbcRoundtrip,
-    "e3_jdbc_types" -> e3JdbcTypes
+    "e3_jdbc_types" -> e3JdbcTypes,
+    "e4_compact" -> e4Compact
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -134,6 +159,11 @@ object EtlQueries {
         |  CAST(2 * SUM(dd) AS DOUBLE) AS sum_dd,
         |  CAST(2 * SUM(binlen) AS BIGINT) AS bin_bytes,
         |  CAST(2 * COUNT(t) AS BIGINT) AS n_t
-        |FROM typed""".stripMargin
+        |FROM typed""".stripMargin,
+    "e4_compact" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  TRUE AS compacted_ok
+        |FROM lineitem""".stripMargin
   )
 }

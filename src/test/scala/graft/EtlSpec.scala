@@ -283,6 +283,34 @@ class EtlSpec extends AnyFunSuite {
     assert(viaText.exceptAll(plain).isEmpty && plain.exceptAll(viaText).isEmpty)
   }
 
+  test("compaction hits the file-size target and preserves every row") {
+    val dir = tmp()
+    Tables.lineitem(spark, sf).repartition(24)
+      .write.parquet(dir.resolve("small").toString)
+    val inBytes = Files.list(dir.resolve("small")).iterator()
+      .asScalaSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val files = graft.sources.Compact.compact(spark,
+      dir.resolve("small").toString, dir.resolve("big").toString,
+      targetBytes = inBytes / 4)
+    // ceil(bytes/target) = 4-5 files, far fewer than 24
+    assert(files.size >= 2 && files.size <= 6, s"got ${files.size} files")
+    val back = spark.read.parquet(dir.resolve("big").toString)
+    assert(back.count() == 6000)
+    assert(back.agg(org.apache.spark.sql.functions.sum(col("l_orderkey")))
+      .head.getLong(0) ==
+      Tables.lineitem(spark, sf).agg(
+        org.apache.spark.sql.functions.sum(col("l_orderkey"))).head.getLong(0))
+  }
+
+  private implicit class IterSeq[A](it: java.util.Iterator[A]) {
+    def asScalaSeq: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+
   test("cli: completions cover bash/zsh/fish and reject unknown shells") {
     Seq("bash", "zsh", "fish").foreach { sh =>
       val script = Cli.completions(sh)
