@@ -11,6 +11,28 @@ import graft.sources.{JdbcSink, ParquetSink}
   * back so DuckDB can independently verify the result. */
 object EtlQueries {
 
+  /** Scratch dir for a roundtrip query: on tmpfs when the machine has one
+    * (the roundtrips measure the machinery, not /tmp's backing store), and
+    * deleted at JVM exit — the returned DataFrame still reads the files
+    * lazily, so eager deletion would break the query. */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (Files.isDirectory(shm)) Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          Files.list(p).iterator().asScala.foreach(rm)
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rm(dir)
+    }))
+    dir
+  }
+
   // -------------------------------------------------- e1_sink_roundtrip
   /** lineitem → ParquetSink with row-count splitting (`out_01.par`…) →
     * read the split files back → aggregate. The sums check byte fidelity;
@@ -18,12 +40,7 @@ object EtlQueries {
     * and at least ⌈rows/20k⌉ files — the exact count depends on source
     * task partitioning, which an engine-independent oracle can't model). */
   def e1SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
-    // scratch output on tmpfs when the machine has it — the roundtrip
-    // measures the sink machinery, not the speed of /tmp's backing store
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val dir =
-      if (Files.isDirectory(shm)) Files.createTempDirectory(shm, "graft-e1")
-      else Files.createTempDirectory("graft-e1")
+    val dir = scratchDir("graft-e1")
     val out = dir.resolve("out.par")
     val files = ParquetSink.write(
       lineitem(s, d), out.toString,
@@ -108,10 +125,7 @@ object EtlQueries {
     * maintenance contract (strictly fewer files than the fragmented
     * input, every row preserved). */
   def e4Compact(s: SparkSession, d: String): DataFrame = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val dir =
-      if (Files.isDirectory(shm)) Files.createTempDirectory(shm, "graft-e4")
-      else Files.createTempDirectory("graft-e4")
+    val dir = scratchDir("graft-e4")
     // fragment: over-parallel write = the many-small-files disease
     val nFragments = 40
     lineitem(s, d).repartition(nFragments)
