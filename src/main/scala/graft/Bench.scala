@@ -8,15 +8,18 @@ import org.apache.spark.sql.SparkSession
   * state query time, which is what a long-running cluster job sees.
   *
   * Each query is materialized through the noop sink, not `.count()`:
-  * count() stacks an aggregate on top, letting Catalyst drop trailing sorts
-  * (EliminateSorts) and prune computed projections, which under-measures
-  * pure-projection queries. The noop write executes the query's own full
-  * plan — every output column computed, rows consumed on executors, nothing
-  * collected. */
+  * Dataset.count() would stack an aggregate on top, letting Catalyst drop
+  * trailing sorts (EliminateSorts) and prune computed projections, which
+  * under-measures pure-projection queries. Counting the query's OWN
+  * InternalRow RDD executes its full physical plan — every output column
+  * computed by the generated code, rows consumed on executors, nothing
+  * collected — without the DataSourceV2 write-path wrapper a noop-sink
+  * write adds (~50ms/query measured). */
 object Bench {
 
-  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.count(); ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
