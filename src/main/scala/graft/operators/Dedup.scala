@@ -164,13 +164,14 @@ object Dedup {
       .select(col("a_id"), col("b_id"), jac.as("j"))
       .filter(col("j") >= 0.7)
       .select(col("a_id"), col("b_id"))
-    val check = truth
-      .join(found.select(col("a_id"), col("b_id"), lit(1).as("hit")),
-        Seq("a_id", "b_id"), "left_outer")
-      .agg((count(lit(1)) === 0 ||
-        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.8)
-        .as("gate_ok"))
-    GateChecks.require(found, check).orderBy(col("a_id"), col("b_id"))
+    GateChecks.requireCached(found, f =>
+      truth
+        .join(f.select(col("a_id"), col("b_id"), lit(1).as("hit")),
+          Seq("a_id", "b_id"), "left_outer")
+        .agg((count(lit(1)) === 0 ||
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.8)
+          .as("gate_ok")))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ---------------------------------------------------- d5_simhash_dup
@@ -211,10 +212,11 @@ object Dedup {
         col("source") === col("src_b") && col("a_id") < col("b_id"))
       .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 3)
       .select(col("a_id"), col("b_id"))
-    val check = truth.join(found.select(col("a_id"), col("b_id")),
-        Seq("a_id", "b_id"), "left_anti")
-      .agg((count(lit(1)) === 0).as("gate_ok"))
-    GateChecks.require(found, check).orderBy(col("a_id"), col("b_id"))
+    GateChecks.requireCached(found, f =>
+      truth.join(f.select(col("a_id"), col("b_id")),
+          Seq("a_id", "b_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("gate_ok")))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ----------------------------------------------- d6_embedding_neardup

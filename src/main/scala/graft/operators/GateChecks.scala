@@ -22,4 +22,14 @@ object GateChecks {
     * column; the result passes through iff it is true. */
   def require(result: DataFrame, check: DataFrame): DataFrame =
     result.crossJoin(broadcast(check)).filter(col("gate_ok")).drop("gate_ok")
+
+  /** Like [[require]], but for checks DERIVED from the result: the result
+    * is cached so the output branch and the verdict branch share one
+    * computation instead of re-executing the (expensive) candidate
+    * pipeline twice. The cache is small — these are final result sets —
+    * and evicts with the session. */
+  def requireCached(result: DataFrame, mkCheck: DataFrame => DataFrame): DataFrame = {
+    val cached = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(cached, mkCheck(cached))
+  }
 }

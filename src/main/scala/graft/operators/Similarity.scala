@@ -86,13 +86,13 @@ object Similarity {
     // s1 query set must be >= 30% recovered (the 4x4-band floor on
     // isotropic data) or the query fails to zero rows
     val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
-    val check = exact
-      .join(found.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-        Seq("q_id", "vec_id"), "left_outer")
-      .agg((count(lit(1)) === 0 ||
-        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.3)
-        .as("gate_ok"))
-    graft.operators.GateChecks.require(found, check)
+    GateChecks.requireCached(found, f =>
+      exact
+        .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left_outer")
+        .agg((count(lit(1)) === 0 ||
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.3)
+          .as("gate_ok")))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -167,13 +167,13 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
 
     val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
-    val check = exact
-      .join(found.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-        Seq("q_id", "vec_id"), "left_outer")
-      .agg((count(lit(1)) === 0 ||
-        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.3)
-        .as("gate_ok"))
-    graft.operators.GateChecks.require(found, check)
+    GateChecks.requireCached(found, f =>
+      exact
+        .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left_outer")
+        .agg((count(lit(1)) === 0 ||
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.3)
+          .as("gate_ok")))
       .orderBy(col("q_id"), col("rank"))
   }
 
