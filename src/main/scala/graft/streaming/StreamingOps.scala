@@ -61,6 +61,35 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  final case class UserTotals(user_id: Long, n_events: Long, last_us: Long)
+
+  /** Per-user running totals via `mapGroupsWithState` — the 1:1 state API
+    * (one output row per group per batch, vs sessionize's 0..n-row
+    * `flatMapGroupsWithState`). State is one small record per user;
+    * event-time timeout + watermark bound it exactly like sessionize. */
+  def userTotals(events: Dataset[Event], idleMinutes: Int = 60): Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val events = batch.toSeq
+            val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L))
+            val next = UserTotals(user,
+              prev.n_events + events.size,
+              math.max(prev.last_us, events.map(_.ts_us).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_us / 1000 + idleMinutes * 60000L)
+            next
+          }
+      }
+  }
+
   /** Stream-static enrichment: each micro-batch joins against a
     * broadcastable dimension snapshot — the canonical streaming pattern
     * (events × user/customer dims). The static side re-resolves per batch,

@@ -178,6 +178,17 @@ class EtlSpec extends AnyFunSuite {
     assert(Cli.appendCredentials("", None, None) == "")
   }
 
+  test("cli: byte-suffixed sizes parse (KiB/MiB/GiB)") {
+    assert(Cli.parse(Seq("query", "--batch-size-memory", "2MiB", "o", "s"))
+      ._2.batchSizeMemory == (2L << 20))
+    assert(Cli.parse(Seq("query", "--file-size-threshold", "1GiB", "o", "s"))
+      ._2.fileSizeThreshold == (1L << 30))
+    assert(Cli.parse(Seq("query", "--batch-size-memory", "512KiB", "o", "s"))
+      ._2.batchSizeMemory == (512L << 10))
+    assert(Cli.parse(Seq("query", "--batch-size-memory", "4096", "o", "s"))
+      ._2.batchSizeMemory == 4096L)
+  }
+
   test("cli: --user/--password/--encoding parse and env fallback applies") {
     val (_, c) = Cli.parse(Seq("query", "-u", "alice", "-p", "s3cret",
       "--encoding", "Utf16", "out.par", "SELECT 1"))

@@ -86,6 +86,40 @@ class StreamingSpec extends AnyFunSuite {
       s"missing closed sessions: ${(mustEmit -- streamed).take(3)}")
   }
 
+  test("mapGroupsWithState per-user totals converge to the batch group-by") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[StreamingOps.Event].collect().sortBy(_.ts_us)
+    val source = MemoryStream[StreamingOps.Event]
+    val withWm = source.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 minute")
+      .as[StreamingOps.Event]
+    // update mode: each batch emits the refreshed per-user record
+    val q = StreamingOps.userTotals(withWm)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals_out").start()
+    try {
+      source.addData(all.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // keep the LAST emitted record per user; must equal the batch group-by
+    val streamed = spark.table("totals_out")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("last_us")).as("l"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(expr("ts_ns div 1000")).as("l"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch,
+      s"diff: ${(streamed.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff streamed.toSet).take(3)}")
+  }
+
   test("stream-static enrichment joins every event against the broadcast dim") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich")
     java.nio.file.Files.copy(
