@@ -278,6 +278,39 @@ object Relational {
         (dec2(col("p_retailprice")) * lit(10)).cast("double").as("price_x10"))
       .orderBy(col("p_partkey"))
 
+  // ----------------------------------------------------------- q34_datefns
+  /** Date-function battery: truncation, calendar arithmetic with month-end
+    * clamping (add_months), day diffs, last-of-month, day-of-week (both
+    * engines: 1 = Sunday after adjustment), ISO week/quarter extraction. */
+  def q34DateFns(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .select(col("o_orderkey"),
+        date_trunc("month", col("od")).cast("date").as("month_start"),
+        add_months(col("od"), 1).as("next_month"),
+        datediff(to_date(lit("1998-12-31")), col("od")).as("days_to_end"),
+        last_day(col("od")).as("month_end"),
+        dayofweek(col("od")).as("dow"),
+        quarter(col("od")).as("q"),
+        year(col("od")).as("y"))
+      .orderBy(col("o_orderkey"))
+
+  // ----------------------------------------------------------- q35_strfns
+  /** String-function battery beyond q14: padding, char translation,
+    * trimming, case-insensitive containment, edit distance (also the
+    * fuzzy-dedup primitive), and split-part extraction. */
+  def q35StrFns(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
+        col("p_type").contains("BRASS").as("has_brass"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("edit_dist"),
+        element_at(split(col("p_type"), " "), 1).as("type_word1"))
+      .orderBy(col("p_partkey"))
+
   // ----------------------------------------------------------- q15_having
   /** GROUP BY + HAVING: the having predicate is applied post-aggregation by
     * Catalyst as a plain filter — no second pass. */
@@ -467,6 +500,8 @@ object Relational {
     "q31_window_range" -> q31WindowRange,
     "q32_lag_ntile" -> q32LagNtile,
     "q33_json_struct" -> q33JsonStruct,
+    "q34_datefns" -> q34DateFns,
+    "q35_strfns" -> q35StrFns,
     "q9_topk" -> q9TopK,
     "q10_setops" -> q10SetOps,
     "q11_rollup" -> q11Rollup,
@@ -610,6 +645,25 @@ object Relational {
         |FROM events
         |WHERE CAST(props->>'$.k' AS BIGINT) > 50
         |ORDER BY event_id""".stripMargin,
+    "q34_datefns" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_end,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q35_strfns" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '#') AS brand_pad,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+        |  trim('  ' || p_brand || '  ') AS brand_trim,
+        |  contains(p_type, 'BRASS') AS has_brass,
+        |  CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS edit_dist,
+        |  string_split(p_type, ' ')[1] AS type_word1
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q9_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
