@@ -311,6 +311,38 @@ object Relational {
         element_at(split(col("p_type"), " "), 1).as("type_word1"))
       .orderBy(col("p_partkey"))
 
+  // ------------------------------------------------------ q36_grouping_sets
+  /** Explicit GROUPING SETS with mixed sets + GROUPING() disambiguation —
+    * completes the grouping-sets family (q11 ROLLUP, q30 CUBE). Expressed
+    * through SQL because the Dataset API exposes only the rollup/cube
+    * shorthands. */
+  def q36GroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        CAST(grouping(l_linestatus) AS INT) AS g_status,
+        COUNT(*) AS n
+      FROM lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  // --------------------------------------------------------- q37_array_fns
+  /** Array higher-order functions over the token column: filter (long
+    * tokens), transform (lengths), exists (any numeric token), in-order
+    * aggregate fold (total chars) — the array-processing surface a
+    * document pipeline leans on. */
+  def q37ArrayFns(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"),
+        size(filter(col("t"), x => length(x) >= 8)).as("n_long"),
+        element_at(transform(col("t"), x => length(x)), 1).as("len1"),
+        exists(col("t"), x => x.rlike("^[0-9]+$")).as("has_number"),
+        aggregate(col("t"), lit(0), (acc, x) => acc + length(x)).as("total_chars"))
+      .orderBy(col("doc_id"))
+
   // ----------------------------------------------------------- q15_having
   /** GROUP BY + HAVING: the having predicate is applied post-aggregation by
     * Catalyst as a plain filter — no second pass. */
@@ -502,6 +534,8 @@ object Relational {
     "q33_json_struct" -> q33JsonStruct,
     "q34_datefns" -> q34DateFns,
     "q35_strfns" -> q35StrFns,
+    "q36_grouping_sets" -> q36GroupingSets,
+    "q37_array_fns" -> q37ArrayFns,
     "q9_topk" -> q9TopK,
     "q10_setops" -> q10SetOps,
     "q11_rollup" -> q11Rollup,
@@ -664,6 +698,23 @@ object Relational {
         |  CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS edit_dist,
         |  string_split(p_type, ' ')[1] AS type_word1
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q37_array_fns" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> length(x) >= 8)) AS INT) AS n_long,
+        |  CAST(list_transform(t, x -> length(x))[1] AS INT) AS len1,
+        |  len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$'))) > 0 AS has_number,
+        |  CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS INT) AS total_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q9_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
