@@ -113,12 +113,36 @@ object TextAnalysis {
     GateChecks.require(base, check).orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------- t6_pipeline
+  /** End-to-end corpus curation — quality filter → exact dedup → per-source
+    * yield stats — the composed shape a pre-training data pipeline runs:
+    * every stage is the same declarative operator used standalone
+    * (t2's keep predicate, d1's hash-groupBy), so Catalyst fuses the
+    * filter into the scan and the pipeline stays two shuffles total
+    * (dedup group-by, stats group-by). */
+  def t6Pipeline(s: SparkSession, d: String): DataFrame = {
+    val kept = t2Quality(s, d).filter(col("keep") === 1).select(col("doc_id"))
+    val docs = documents(s, d).join(kept, "doc_id")
+    val deduped = docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        min(col("source")).as("src"),
+        count(lit(1)).as("n_copies"))
+    deduped
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies") - 1).as("n_dropped_dups"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("src"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> t1Tokens,
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
-    "t5_bpe_tokens" -> t5BpeTokens
+    "t5_bpe_tokens" -> t5BpeTokens,
+    "t6_pipeline" -> t6Pipeline
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -132,6 +156,23 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe_units,
         |  len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))) AS n_distinct_units
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_pipeline" ->
+      """WITH q AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_alpha
+        |  FROM documents),
+        |kept AS (SELECT doc_id FROM q
+        |  WHERE len(toks) BETWEEN 5 AND 1000
+        |    AND (CAST(n_alpha AS DOUBLE) / len(toks)) BETWEEN 2.0 AND 12.0
+        |    AND (CAST(len(list_filter(toks, x -> x IN ('the','a','and','of'))) AS DOUBLE) / len(toks)) < 0.5),
+        |docs AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+        |dedup AS (SELECT text, min(doc_id) AS keep_id, min(source) AS src,
+        |    COUNT(*) AS n_copies
+        |  FROM docs GROUP BY text)
+        |SELECT src, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped_dups,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM dedup GROUP BY src ORDER BY src""".stripMargin,
     "t2_quality" ->
       """WITH t AS (SELECT doc_id, text,
         |    string_split_regex(trim(text), '\s+') AS toks,
