@@ -293,8 +293,8 @@ object Cli {
 
   /** No JDBC analog of ODBC DSNs; configured sources come from the
     * GRAFT_JDBC_URLS env var (comma-separated). */
-  def listDataSources(): Seq[String] =
-    sys.env.get("GRAFT_JDBC_URLS").map(_.split(',').toSeq.map(_.trim)).getOrElse(Seq.empty)
+  def listDataSources(conf: Option[String] = sys.env.get("GRAFT_JDBC_URLS")): Seq[String] =
+    conf.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
   private val subcommands =
     Seq("query", "insert", "exec", "list-drivers", "list-data-sources", "completions")

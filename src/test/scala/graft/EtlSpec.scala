@@ -331,6 +331,14 @@ class EtlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Cli.completions("tcsh"))
   }
 
+  test("cli: list-data-sources parses the configured-URL env (E2 reinterpretation)") {
+    // no JDBC analog of ODBC DSNs: sources come from GRAFT_JDBC_URLS
+    assert(Cli.listDataSources(Some("jdbc:derby:memory:a, jdbc:postgresql://h/db")) ==
+      Seq("jdbc:derby:memory:a", "jdbc:postgresql://h/db"))
+    assert(Cli.listDataSources(Some("")) == Seq.empty)
+    assert(Cli.listDataSources(None) == Seq.empty)
+  }
+
   test("cli: list-drivers sees the embedded derby driver") {
     // force driver registration the same way a connection would
     java.sql.DriverManager.getConnection(

@@ -73,6 +73,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q33: json parsing reads only the referenced columns") {
+    val p = plan(Relational.q33JsonStruct(spark, sf))
+    assert(p.contains("event_id") && p.contains("props"))
+    assert(!p.contains("user_id"), "unreferenced event columns must be pruned")
+  }
+
   test("q32: both window specs share ONE partition exchange") {
     // lag/lead and ntile partition on the same key with different
     // orderings — the plan must shuffle once and sort twice, not
