@@ -43,6 +43,20 @@ class EtlSpec extends AnyFunSuite {
     assert(ParquetSink.suffixedPath("dir/out.par", 7, 3) == "dir/out_007.par")
     assert(ParquetSink.suffixedPath("noext", 1, 2) == "noext_01")
     assert(ParquetSink.suffixedPath("a.b.par", 12, 2) == "a.b_12.par")
+    // counter overflow widens the suffix rather than wrapping/failing
+    assert(ParquetSink.suffixedPath("out.par", 100, 2) == "out_100.par")
+    assert(ParquetSink.suffixedPath("out.par", 1234, 3) == "out_1234.par")
+  }
+
+  test("top-k-per-group edges: k exceeding group size, empty input") {
+    import spark.implicits._
+    val tiny = Seq((1L, 10L, 5.0), (1L, 11L, 7.0)).toDF("g", "id", "v")
+    val top = graft.plans.TopKPerGroup(tiny,
+      groupCols = Seq(col("g")), orderCols = Seq(col("v") -> false, col("id") -> true), k = 5)
+    assert(top.count() == 2, "k larger than the group returns the whole group")
+    val empty = graft.plans.TopKPerGroup(tiny.filter(lit(false)),
+      groupCols = Seq(col("g")), orderCols = Seq(col("v") -> false), k = 3)
+    assert(empty.count() == 0)
   }
 
   test("file-size-threshold splits by compressed bytes") {
