@@ -49,19 +49,32 @@ object Bench {
     // DuckDB baseline (tools/duckbench.py runs each query once untimed,
     // then times the second run), so neither engine's measurement carries
     // first-run planning/JIT/page-cache costs the other's doesn't
+    // a query that throws records the -1 sentinel (never a normal-looking
+    // elapsed time) and fails the whole bench run via exit code
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+      // drop warm-run caches: CacheManager matches by plan equality, so a
+      // surviving warm cache would silently serve the timed run — the
+      // measured run must pay for its own intra-query cache build
+      graft.operators.CacheScope.releaseAll()
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      graft.operators.CacheScope.releaseAll()
+      name -> (if (ok) elapsed else -1.0)
     }
+    val failed = results.count(_._2 < 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -150,8 +150,10 @@ object TypeMapping {
             if !opts.driverSupports64Bit && dt.scale == 0 &&
               dt.precision >= 10 && dt.precision <= 18 =>
           TypeKernels.decimalTextToI64(col(f.name), dt.precision).as(f.name)
+        // int64 spans 19 digits (±9.2e18); decimal(20,0) holds the full
+        // range — decimal(18,0) would NULL any |v| >= 1e18 on the text path
         case LongType if !opts.driverSupports64Bit =>
-          TypeKernels.decimalTextToI64(col(f.name), 18).cast(LongType).as(f.name)
+          TypeKernels.decimalTextToI64(col(f.name), 20).cast(LongType).as(f.name)
         case StringType if opts.columnLengthLimit > 0 =>
           TypeKernels.enforceLengthLimit(col(f.name), opts.columnLengthLimit).as(f.name)
         case _ => col(f.name)

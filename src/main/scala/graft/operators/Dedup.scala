@@ -117,14 +117,14 @@ object Dedup {
       import org.apache.spark.sql.GraftBridge
       val shs = GraftBridge.column(graft.functions.ShingleHashes(
         GraftBridge.expression(trim(col("text"))), 2))
-      documents(s, d)
+      // the candidate and exact-twin branches both read this; cache so the
+      // one-pass shingle+minhash kernel runs once per document (released
+      // per-query by the runner via CacheScope)
+      CacheScope.persist(documents(s, d)
         .withColumn("shs", shs)
         .select(col("doc_id"), col("source"), col("shs"),
           GraftBridge.column(graft.functions.MinHashBuckets(
-            GraftBridge.expression(col("shs")), nSig, bandRows)).as("buckets"))
-        // the candidate and exact-twin branches both read this; cache so
-        // the one-pass shingle+minhash kernel runs once per document
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            GraftBridge.expression(col("shs")), nSig, bandRows)).as("buckets")))
     }
 
     val exploded = shingled
@@ -188,10 +188,10 @@ object Dedup {
     * fails the whole query to zero rows if any guaranteed pair is missed. */
   def d5SimhashDup(s: SparkSession, d: String): DataFrame = {
     // banding and the completeness twin both read the signatures; cache so
-    // tokenize+simhash runs once per document
-    val sh = documents(s, d)
-      .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tokenize+simhash runs once per document (released per-query by the
+    // runner via CacheScope)
+    val sh = CacheScope.persist(documents(s, d)
+      .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh")))
     val banded = sh.withColumn("band", explode(array(
       (0 until 4).map(b => struct(lit(b).as("i"),
         col("sh").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))

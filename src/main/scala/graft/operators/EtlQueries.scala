@@ -126,13 +126,27 @@ object EtlQueries {
     * input, every row preserved). */
   def e4Compact(s: SparkSession, d: String): DataFrame = {
     val dir = scratchDir("graft-e4")
-    // fragment: over-parallel write = the many-small-files disease
-    val nFragments = 40
+    // fragment: over-parallel write = the many-small-files disease.
+    // The fragment count scales with the source size so the fragmented
+    // input always has ~4x more files than the ~targetBytes-sized compacted
+    // output at ANY scale factor — a fixed 40 flips `compacted_ok` false
+    // once lineitem exceeds ~40 MiB compressed.
+    val targetBytes = 1L << 20
+    val inputBytes = {
+      val src = java.nio.file.Paths.get(d, "lineitem.parquet")
+      import scala.jdk.CollectionConverters._
+      if (Files.isDirectory(src))
+        Files.walk(src).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+      else Files.size(src)
+    }
+    val nFragments =
+      math.max(40L, 4L * ((inputBytes + targetBytes - 1) / targetBytes)).toInt
     lineitem(s, d).repartition(nFragments)
       .write.option("compression", "snappy").parquet(dir.resolve("small").toString)
     val files = graft.sources.Compact.compact(s,
       dir.resolve("small").toString, dir.resolve("big").toString,
-      targetBytes = 1L << 20)
+      targetBytes = targetBytes)
     s.read.parquet(files.map(_.toString): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(Relational.dec2(col("l_extendedprice"))).cast("double").as("total_price"),

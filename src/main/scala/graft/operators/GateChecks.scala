@@ -27,9 +27,10 @@ object GateChecks {
     * is cached so the output branch and the verdict branch share one
     * computation instead of re-executing the (expensive) candidate
     * pipeline twice. The cache is small — these are final result sets —
-    * and evicts with the session. */
+    * and is released by the runner via [[CacheScope.releaseAll]] after the
+    * query materializes. */
   def requireCached(result: DataFrame, mkCheck: DataFrame => DataFrame): DataFrame = {
-    val cached = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = CacheScope.persist(result)
     require(cached, mkCheck(cached))
   }
 }

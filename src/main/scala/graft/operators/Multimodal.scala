@@ -75,12 +75,16 @@ object Multimodal {
 
   // ------------------------------------------------------- m2_features
   /** Batched feature extraction over the binary column: a fixed-width
-    * float vector per payload (the embedding-pipeline front half — decode
+    * feature row per payload (the embedding-pipeline front half — decode
     * → features → ANN). The stub "features" are deterministic projections
-    * of the decoded metadata plus a byte histogram moment, so the whole
-    * vector is SQL-recomputable and the gate oracles it exactly; a real
+    * of the decoded metadata plus a byte histogram moment, so every value
+    * is SQL-recomputable and the gate oracles it exactly; a real
     * deployment swaps [[StubDecoder]] for an image/audio model and keeps
-    * every piece of the Spark plumbing (schema, batching, partitioning). */
+    * every piece of the Spark plumbing (schema, batching, partitioning).
+    *
+    * The gate surface is scalar columns (not array<double>): the driver's
+    * pandas compare cannot hash ndarray cells. [[featureVector]] is the
+    * assembled-vector view downstream ANN consumes. */
   def m2Features(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("text"))
@@ -90,9 +94,12 @@ object Multimodal {
         (lit(64) + (octet_length(col("payload")) * 7) % 256).cast("double").as("f_height"),
         // leading code point: a stand-in for a content-derived channel stat
         ascii(substring(col("text"), 1, 1)).cast("double").as("f_c0"))
-      .select(col("doc_id"),
-        array(col("f_bytes"), col("f_width"), col("f_height"), col("f_c0")).as("features"))
       .orderBy(col("doc_id"))
+
+  /** Assembled array<double> view of [[m2Features]] for ANN consumers. */
+  def featureVector(s: SparkSession, d: String): DataFrame =
+    m2Features(s, d).select(col("doc_id"),
+      array(col("f_bytes"), col("f_width"), col("f_height"), col("f_c0")).as("features"))
 
   // ---------------------------------------------------- m3_frame_sample
   /** Frame sampling over video-like payloads: every 2nd frame index with
@@ -129,12 +136,11 @@ object Multimodal {
         |  1 + octet_length(encode(text)) % 4 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m2_features" ->
-      """SELECT doc_id, [
-        |    CAST(octet_length(encode(text)) AS DOUBLE),
-        |    CAST(64 + octet_length(encode(text)) % 256 AS DOUBLE),
-        |    CAST(64 + (octet_length(encode(text)) * 7) % 256 AS DOUBLE),
-        |    CAST(ascii(substr(text, 1, 1)) AS DOUBLE)
-        |  ] AS features
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS DOUBLE) AS f_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 256 AS DOUBLE) AS f_width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 256 AS DOUBLE) AS f_height,
+        |  CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f_c0
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m3_frame_sample" ->
       """WITH f AS (SELECT doc_id,
