@@ -17,6 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.RelationalExt.queries ++
+      operators.PipelineExt.queries ++
       operators.TypeKernelQueries.queries ++
       operators.EtlQueries.queries ++
       operators.TextAnalysis.queries ++
@@ -30,6 +32,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
+      operators.RelationalExt.oracleSql ++
+      operators.PipelineExt.oracleSql ++
       operators.TypeKernelQueries.oracleSql ++
       operators.EtlQueries.oracleSql ++
       operators.TextAnalysis.oracleSql ++

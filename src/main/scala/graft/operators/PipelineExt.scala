@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data pipeline extensions (round 3): dup-pair clustering,
+  * PII redaction, token-budget corpus mixing.
+  */
+object PipelineExt {
+
+  // ------------------------------------------------------- d7_dup_clusters
+  /** Connected components over near-dup pairs — the back half of a real
+    * dedup pipeline: pair lists (d3/d4/d5 output) become clusters, each
+    * cluster keeps one canonical document.
+    *
+    * Algorithm: iterative min-label propagation. Every doc starts labeled
+    * with its own id; each round, a node adopts the minimum label in its
+    * neighborhood; fixpoint when no label changes. Rounds needed = graph
+    * diameter — near-dup clusters are small and dense, so a handful; the
+    * iteration cap is a correctness guard, not a truncation (it THROWS
+    * rather than emitting partial components).
+    *
+    * Scale posture: each round is one equi-join (edges ⋈ labels on src) +
+    * one map-side-combining min-aggregate on dst + one join back — all
+    * shuffles keyed on doc_id, linear in |E|. `localCheckpoint` truncates
+    * the growing lineage each round (on a cluster: `sc.setCheckpointDir` +
+    * reliable checkpoint for driver-failure tolerance). For graphs with
+    * continent-sized components you'd swap the loop body for the
+    * large-star/small-star contraction (same join primitives, fewer
+    * rounds); dup graphs never need it. */
+  def d7DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.d3NgramJaccard(s, d).select(col("a_id"), col("b_id"))
+    // undirected: one edge row per direction
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+
+    val maxRounds = 30
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("comp")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (col("nbr_min") < col("comp")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.select(col("id"), col("comp"))
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"d7: component labels not converged after $maxRounds rounds")
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------- t7_redact_pii
+  /** PII redaction: emails, IPv4s, and phone-shaped numbers replaced with
+    * typed placeholders, plus per-kind match counts from the original
+    * text. Pure per-row regex expressions — no shuffle, scan-bound, the
+    * same codegen'd regexes at any scale. Patterns stay inside the
+    * Java-regex ∩ RE2 common subset so the oracle replicates them
+    * byte-for-byte. */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PhonePat = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** The redaction expression over an arbitrary string column (t7's kernel,
+    * exposed for composition and specs). */
+  def redact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+
+  def t7RedactPii(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        redact(col("text")).as("clean_text"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).as("n_phones"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------------------- t8_token_mix
+  /** Token-budget corpus mixing: per source, greedily keep the largest
+    * documents (n_chars desc, doc_id tiebreak) until a whitespace-token
+    * budget is exhausted — the quota step that turns a filtered corpus
+    * into a training mix.
+    *
+    * One window shuffle keyed on source; the running sum is a single
+    * in-partition pass. At 100 TB a pathologically hot source key would
+    * make one partition the straggler — the fix is hierarchical: allocate
+    * the budget across hash-sub-buckets first, then run this same window
+    * per sub-bucket. The per-source shape here is the building block. */
+  def t8TokenMix(s: SparkSession, d: String): DataFrame = {
+    val budget = 5000L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_dup_clusters" -> d7DupClusters,
+    "t7_redact_pii" -> t7RedactPii,
+    "t8_token_mix" -> t8TokenMix
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // transitive closure via recursive CTE over the same d3 pair semantics;
+    // cluster id = min reachable doc id
+    "d7_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(a.w, b.w))) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin,
+    "t7_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS clean_text,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t8_token_mix" ->
+      """WITH t AS (SELECT source, doc_id, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 5000
+        |ORDER BY source, cum_tokens""".stripMargin
+  )
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, PipelineExt, RelationalExt}
+
+/** Round-3 extension specs: dup clustering invariants, interval-join
+  * binning equivalence, exact-sum statistics vs built-ins, redaction
+  * goldens, token-budget invariants. */
+class ExtSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("d7: clusters are consistent with their pair graph") {
+    val pairs = Dedup.d3NgramJaccard(spark, sf)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = PipelineExt.d7DupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // every paired doc is labeled; both endpoints share a label
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are canonical: the cluster id is the minimum member id
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.keys.min)
+    byCluster.foreach { case (cid, minMember) =>
+      assert(cid == minMember, s"cluster $cid not labeled by its min member")
+    }
+    // cluster count < doc count iff at least one multi-doc cluster exists
+    assert(clusters.values.toSet.size <= clusters.size)
+  }
+
+  test("q41: bucketed interval join equals the naive range join") {
+    val bucketed = RelationalExt.q41IntervalJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("t_us"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("t_us").as("t_err"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u_p"), col("t_us").as("t_pur"))
+    val naive = err.join(pur,
+        col("user_id") === col("u_p") &&
+          abs(col("t_err") - col("t_pur")) <= 600L * 1000000L, "left_outer")
+      .groupBy(col("err_id")).agg(count(col("t_pur")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed == naive)
+  }
+
+  test("q39: exact-sum stddev/corr agree with Spark's streaming builtins") {
+    val ref = graft.Tables.part(spark, sf)
+      .groupBy(col("p_brand"))
+      .agg(stddev_samp(col("p_size")).as("sd"),
+        corr(col("p_size"), col("p_retailprice")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // columns: p_brand, n, median_size, stddev_size, stddev_price, corr
+    val battery = RelationalExt.q39StatsBattery(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    battery.foreach { case (brand, (sd, c)) =>
+      val (rsd, rc) = ref(brand)
+      assert(math.abs(sd - rsd) < 1e-9 * math.max(1.0, rsd), s"stddev drift $brand")
+      assert(math.abs(c - rc) < 1e-9, s"corr drift $brand")
+    }
+  }
+
+  test("t7: redaction goldens — email, ip, phone, mixed, negative") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact me at jane.doe+x@example.org today",
+      "server 10.0.255.3 rebooted",
+      "call 555-867-5309 now",
+      "a@b.io via 1.2.3.4 at 800 555 1212",
+      "no pii here, just 3.14 and v1.2").toDF("text")
+    val out = rows.select(PipelineExt.redact(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "contact me at <EMAIL> today")
+    assert(out(1) == "server <IP> rebooted")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "<EMAIL> via <IP> at <PHONE>")
+    assert(out(4) == "no pii here, just 3.14 and v1.2")
+  }
+
+  test("t8: per-source cumulative tokens never exceed the budget and are monotone") {
+    val rows = PipelineExt.t8TokenMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) <= 5000L))
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val cums = rs.map(_.getLong(3)).toSeq
+      assert(cums == cums.sorted, "cumulative sums not monotone within source")
+    }
+  }
+
+  test("q40: unpivot emits one row per (id, metric) with matching values") {
+    val n = graft.Tables.part(spark, sf).count()
+    val up = RelationalExt.q40Unpivot(spark, sf)
+    assert(up.count() == 2 * n)
+    assert(up.groupBy(col("metric")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("p_size" -> n, "p_retailprice" -> n))
+  }
+}
