@@ -51,12 +51,18 @@ object Bench {
     // first-run planning/JIT/page-cache costs the other's doesn't
     // a query that throws records the -1 sentinel (never a normal-looking
     // elapsed time) and fails the whole bench run via exit code
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q1_agg,k1_decimal_cast times a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       // drop warm-run caches: CacheManager matches by plan equality, so a
       // surviving warm cache would silently serve the timed run — the
-      // measured run must pay for its own intra-query cache build
-      graft.operators.CacheScope.releaseAll()
+      // measured run must pay for its own intra-query cache build.
+      // Blocking: async block removal must not bleed into the timed window.
+      graft.operators.CacheScope.releaseAll(blocking = true)
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -65,7 +71,7 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      graft.operators.CacheScope.releaseAll()
+      graft.operators.CacheScope.releaseAll(blocking = true)
       name -> (if (ok) elapsed else -1.0)
     }
     val failed = results.count(_._2 < 0)

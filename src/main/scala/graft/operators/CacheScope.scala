@@ -21,24 +21,39 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheScope {
 
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[Boolean => Unit]()
 
   /** Persist `df` and register it for the next [[releaseAll]]. */
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val cached = df.persist(level)
-    live.add(cached)
+    live.add(b => { cached.unpersist(b); () })
     cached
   }
 
-  /** Unpersist every registered frame (non-blocking). Safe to call when
-    * nothing is registered, or twice. */
-  def releaseAll(): Unit = {
-    var df = live.poll()
-    while (df != null) {
-      try df.unpersist(blocking = false)
+  /** Eager local checkpoint with managed block lifetime: truncates lineage
+    * (iterative algorithms keep a constant plan shape round over round, so
+    * codegen caches hit), while the checkpoint blocks — which Spark frees
+    * only on RDD garbage collection — are released by the runner's next
+    * [[releaseAll]] instead of lingering across queries. */
+  def localCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    val rdds = org.apache.spark.sql.GraftBridge.backingRdds(cp)
+    live.add(b => rdds.foreach(_.unpersist(b)))
+    cp
+  }
+
+  /** Release every registered cache/checkpoint. Safe to call when nothing
+    * is registered, or twice. `blocking = true` waits for block removal —
+    * use between benchmark timing windows so async cleanup can't bleed
+    * into the next query's measurement. */
+  def releaseAll(blocking: Boolean = false): Unit = {
+    var f = live.poll()
+    while (f != null) {
+      try f(blocking)
       catch { case _: Throwable => () }
-      df = live.poll()
+      f = live.poll()
     }
   }
 }

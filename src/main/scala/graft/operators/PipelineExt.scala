@@ -24,22 +24,23 @@ object PipelineExt {
     *
     * Scale posture: each round is one equi-join (edges ⋈ labels on src) +
     * one map-side-combining min-aggregate on dst + one join back — all
-    * shuffles keyed on doc_id, linear in |E|. `localCheckpoint` truncates
-    * the growing lineage each round (on a cluster: `sc.setCheckpointDir` +
-    * reliable checkpoint for driver-failure tolerance). For graphs with
-    * continent-sized components you'd swap the loop body for the
-    * large-star/small-star contraction (same join primitives, fewer
+    * shuffles keyed on doc_id, linear in |E|. Each round rebases on an
+    * eager [[CacheScope.localCheckpoint]]: the lineage truncation keeps
+    * the per-round plan SHAPE constant (an RDD scan + two joins), so
+    * codegen compiles once and round cost stays flat; block lifetime is
+    * managed, freed by the runner after the query. On a cluster add
+    * periodic reliable checkpoints for driver-failure tolerance. For
+    * graphs with continent-sized components you'd swap the loop body for
+    * the large-star/small-star contraction (same join primitives, fewer
     * rounds); dup graphs never need it. */
   def d7DupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup.d3NgramJaccard(s, d).select(col("a_id"), col("b_id"))
     // undirected: one edge row per direction
-    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst")
-      .localCheckpoint(true)
+    val edges = CacheScope.localCheckpoint(
+      pairs.union(pairs.select(col("b_id"), col("a_id"))).toDF("src", "dst"))
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = CacheScope.localCheckpoint(
+      edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
 
     val maxRounds = 30
     var round = 0
@@ -48,11 +49,11 @@ object PipelineExt {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("comp")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          (col("nbr_min") < col("comp")).as("changed"))
-        .localCheckpoint(true)
+      val next = CacheScope.localCheckpoint(
+        labels.join(nbrMin, col("id") === col("dst"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+            (col("nbr_min") < col("comp")).as("changed")))
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.select(col("id"), col("comp"))
       round += 1

@@ -22,6 +22,14 @@ object GraftBridge {
   def analyzedPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** The persisted RDDs backing a (local)checkpointed Dataset's LogicalRDD
+    * nodes — so callers can free checkpoint blocks deterministically
+    * instead of waiting for RDD garbage collection. */
+  def backingRdds(df: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+    analyzedPlan(df).collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
   def ofRows(
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
