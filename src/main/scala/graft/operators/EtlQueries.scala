@@ -153,11 +153,64 @@ object EtlQueries {
         lit(files.size < nFragments && files.nonEmpty).as("compacted_ok"))
   }
 
+  // ---------------------------------------------------------- e5_merge
+  /** CDC merge round trip ([[graft.sources.Merge]]): a deterministic
+    * changeset derived from customer — key%10==3 upserts (+1000 balance),
+    * key%10==7 deletes, key%10==1 re-keyed inserts — applied to the base,
+    * snapshotted to parquet, read back, and aggregated to totals DuckDB
+    * recomputes from the same merge semantics in SQL. */
+  def e5Merge(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e5")
+    val base = customer(s, d)
+    val upserts = base.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .withColumn("_deleted", lit(false))
+    val inserts = base.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      .withColumn("_deleted", lit(false))
+    val deletes = base.filter(col("c_custkey") % 10 === 7)
+      .withColumn("_deleted", lit(true))
+    val changes = upserts.unionByName(inserts).unionByName(deletes)
+    val snapshot = graft.sources.Merge.mergeToParquet(
+      s, base, changes, "c_custkey", dir.resolve("snap").toString)
+    snapshot.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("c_custkey")).as("n_keys"),
+      sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+  }
+
+  // ------------------------------------------------------ e6_partitioned
+  /** Hive-partitioned write + partition pruning: orders written
+    * partitioned by order year, read back with a year filter — the read
+    * path must scan ONLY that partition's directory (PlanAuditSpec pins
+    * the pruned-partition count in the physical plan; `layout_ok` here
+    * asserts the on-disk year=NNNN directory layout engine-independently). */
+  def e6Partitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e6")
+    val out = dir.resolve("by_year").toString
+    orders(s, d).withColumn("year", year(col("o_orderdate")))
+      .write.partitionBy("year").parquet(out)
+    import scala.jdk.CollectionConverters._
+    val partDirs = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filter(_.startsWith("year=")).toSeq.sorted
+    val expected = orders(s, d)
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .collect().map(r => s"year=${r.getInt(0)}").toSeq.sorted
+    s.read.parquet(out)
+      .filter(col("year") === 1997)
+      .agg(count(lit(1)).as("n_1997"),
+        sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_1997"),
+        lit(partDirs == expected).as("layout_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_sink_roundtrip" -> e1SinkRoundtrip,
     "e2_jdbc_roundtrip" -> e2JdbcRoundtrip,
     "e3_jdbc_types" -> e3JdbcTypes,
-    "e4_compact" -> e4Compact
+    "e4_compact" -> e4Compact,
+    "e5_merge" -> e5Merge,
+    "e6_partitioned" -> e6Partitioned
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -192,6 +245,31 @@ object EtlQueries {
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
         |  TRUE AS compacted_ok
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "e5_merge" ->
+      """WITH up AS (SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |ins AS (SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 1),
+        |del AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 7),
+        |changed AS (SELECT c_custkey FROM up
+        |  UNION ALL SELECT c_custkey FROM ins
+        |  UNION ALL SELECT c_custkey FROM del),
+        |surv AS (SELECT * FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)),
+        |merged AS (SELECT * FROM surv
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT c_custkey) AS n_keys,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM merged""".stripMargin,
+    "e6_partitioned" ->
+      """SELECT COUNT(*) AS n_1997,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_1997,
+        |  TRUE AS layout_ok
+        |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin
   )
 }

@@ -136,7 +136,26 @@ object RelationalExt {
       |    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------ q43_latest_per_key
+  /** Dedup-by-latest: keep each (user, event_type)'s most recent event via
+    * ROW_NUMBER() = 1 — the CDC/snapshot idiom. One shuffle on the key;
+    * Spark evaluates the rank filter with a WindowGroupLimit push-down
+    * (top-1 per group never materializes full partitions). Deterministic
+    * tiebreak on event_id for equal timestamps. */
+  def q43LatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us").desc, col("event_id").desc)
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("t_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("t_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_latest_per_key" -> q43LatestPerKey,
     "q38_full_outer" -> q38FullOuter,
     "q39_stats_battery" -> q39StatsBattery,
     "q40_unpivot" -> q40Unpivot,
@@ -186,6 +205,14 @@ object RelationalExt {
         |  ON e.user_id = p.user_id AND abs(e.t_us - p.t_us) <= 600000000
         |GROUP BY e.event_id
         |ORDER BY err_id""".stripMargin,
-    "q42_exists" -> existsSql.format("customer", "orders", "orders")
+    "q42_exists" -> existsSql.format("customer", "orders", "orders"),
+    "q43_latest_per_key" ->
+      """WITH t AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, t_us
+        |FROM t WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }

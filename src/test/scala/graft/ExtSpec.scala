@@ -91,6 +91,45 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("e5 merge semantics: upsert replaces, delete drops, insert appends, untouched passes") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "v", "x")
+    val changes = Seq(
+      (2L, "b2", 25.0, false), // upsert
+      (3L, "c", 30.0, true),   // delete
+      (4L, "d", 40.0, false)   // insert
+    ).toDF("k", "v", "x", "_deleted")
+    val out = graft.sources.Merge.merge(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (4L, "d", 40.0)))
+  }
+
+  test("e6: year filter prunes to a single hive partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-e6-spec")
+    try {
+      graft.Tables.orders(spark, sf)
+        .withColumn("year", year(col("o_orderdate")))
+        .write.partitionBy("year").parquet(dir.resolve("t").toString)
+      val read = spark.read.parquet(dir.resolve("t").toString)
+        .filter(col("year") === 1997)
+      val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+      // FileSourceScan reports the partition filter and a pruned count
+      assert(scan.contains("PartitionFilters") && scan.contains("1997"), scan)
+      val years = read.select(col("year")).distinct().collect().map(_.getInt(0)).toSeq
+      assert(years == Seq(1997))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("q43: top-1-per-group plans with a window group limit, not full rank") {
+    val p = RelationalExt.q43LatestPerKey(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q40: unpivot emits one row per (id, metric) with matching values") {
     val n = graft.Tables.part(spark, sf).count()
     val up = RelationalExt.q40Unpivot(spark, sf)
