@@ -149,6 +149,30 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked stream-stream interval join — the streaming twin of the
+    * batch `q41_interval_join`: for each error event, same-user purchases
+    * within ±10 minutes. Both sides carry watermarks and the join
+    * condition time-bounds the match, so each side's state store retains
+    * only `watermark + window` of history — the bounded-state form of a
+    * stream-stream join (an unbounded-condition join would grow state
+    * forever). Inner join: matches emit as soon as both sides arrive;
+    * the watermark finalizes (evicts) rows once no counterpart can come. */
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "20 minutes")
+    val p = purchases
+      .select(col("event_id").as("pur_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "20 minutes")
+    e.join(p,
+      col("e_user") === col("p_user") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") <= col("e_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("err_id"), col("pur_id"), col("e_user").as("user_id"))
+  }
+
   /** Batch reference implementation of the same sessionization (window +
     * cumulative gap flags) used by the spec to validate the streaming
     * results — and a useful batch operator in its own right. */

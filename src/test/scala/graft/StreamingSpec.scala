@@ -172,6 +172,47 @@ class StreamingSpec extends AnyFunSuite {
       s"in-window duplicates must drop: $rows")
   }
 
+  test("stream-stream interval join matches the batch twin across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[StreamingOps.Event].collect().sortBy(_.ts_us)
+    val errs = all.filter(_.event_type == "error")
+    val purs = all.filter(_.event_type == "purchase")
+    val mid = all(all.length / 2).ts_us
+
+    val srcE = MemoryStream[StreamingOps.Event]
+    val srcP = MemoryStream[StreamingOps.Event]
+    def ts(ds: org.apache.spark.sql.Dataset[StreamingOps.Event]) =
+      ds.withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingOps.errorPurchaseJoin(ts(srcE.toDS()), ts(srcP.toDS()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      srcE.addData(errs.filter(_.ts_us <= mid).toSeq)
+      srcP.addData(purs.filter(_.ts_us <= mid).toSeq)
+      q.processAllAvailable()
+      srcE.addData(errs.filter(_.ts_us > mid).toSeq)
+      srcP.addData(purs.filter(_.ts_us > mid).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("ssj_out")
+      .select(col("err_id"), col("pur_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winUs = 600L * 1000000L
+    val batch = (for {
+      e <- errs; p <- purs
+      if e.user_id == p.user_id && math.abs(e.ts_us - p.ts_us) <= winUs
+    } yield (e.event_id, p.event_id)).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("streaming sessionization emits closed sessions matching the batch twin") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
