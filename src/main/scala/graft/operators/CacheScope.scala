@@ -36,7 +36,14 @@ object CacheScope {
     * (iterative algorithms keep a constant plan shape round over round, so
     * codegen caches hit), while the checkpoint blocks — which Spark frees
     * only on RDD garbage collection — are released by the runner's next
-    * [[releaseAll]] instead of lingering across queries. */
+    * [[releaseAll]] instead of lingering across queries.
+    *
+    * CONTRACT — single materialization: a locally-checkpointed frame cannot
+    * be recomputed after its blocks are unpersisted (the lineage is gone by
+    * design). Frames built through this seam are therefore valid until the
+    * runner's next [[releaseAll]] and must not be re-executed afterwards;
+    * a consumer that needs the result again rebuilds it via the query
+    * function (Verify/Bench both do — each run calls the builder afresh). */
   def localCheckpoint(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(eager = true)
     val rdds = org.apache.spark.sql.GraftBridge.backingRdds(cp)
@@ -52,7 +59,10 @@ object CacheScope {
     var f = live.poll()
     while (f != null) {
       try f(blocking)
-      catch { case _: Throwable => () }
+      catch {
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
       f = live.poll()
     }
   }

@@ -161,9 +161,9 @@ object PipelineExt {
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT source, doc_id, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY source
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM t)
         |SELECT source, doc_id, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 5000

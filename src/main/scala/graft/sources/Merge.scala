@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Key-based merge (CDC upsert/delete) into parquet — the maintenance
@@ -22,14 +23,43 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Returns the merged snapshot (lazy; caller writes/sinks it). */
-  def merge(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+  /** Returns the merged snapshot (lazy; caller writes/sinks it).
+    *
+    * Malformed changesets are normalized/rejected rather than silently
+    * applied: a NULL `_deleted` means "not a delete" (coalesced to false —
+    * otherwise the row would be dropped from upserts by the NULL predicate
+    * yet still anti-join its key out of base: silent data loss), and a
+    * changeset with two rows for one key either resolves by `seqCol`
+    * (highest sequence wins — the CDC log-offset contract) or, with no
+    * sequence column, fails at materialization via `raise_error` instead
+    * of emitting duplicate rows. The validation window runs on the
+    * changeset only (small in CDC), never on base. */
+  def merge(base: DataFrame, changes: DataFrame, key: String,
+      seqCol: Option[String] = None): DataFrame = {
     val dataCols = base.columns.filter(_ != key)
     require(changes.columns.contains("_deleted"),
       "changeset must carry a boolean _deleted column")
-    val changedKeys = changes.select(col(key))
+    val norm = changes.withColumn("_deleted",
+      coalesce(col("_deleted").cast("boolean"), lit(false)))
+    val oneRowPerKey = seqCol match {
+      case Some(sc) =>
+        val w = Window.partitionBy(col(key)).orderBy(col(sc).desc)
+        norm.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      case None =>
+        val w = Window.partitionBy(col(key))
+        norm.withColumn("_cnt", count(lit(1)).over(w))
+          .withColumn(key,
+            when(col("_cnt") > 1, raise_error(concat(
+              lit(s"Merge: duplicate changeset rows for key $key="),
+              col(key).cast("string"),
+              lit("; pass seqCol to resolve by sequence"))))
+              .otherwise(col(key)))
+          .drop("_cnt")
+    }
+    val changedKeys = oneRowPerKey.select(col(key))
     val survivors = base.join(changedKeys, Seq(key), "left_anti")
-    val upserts = changes.filter(!col("_deleted"))
+    val upserts = oneRowPerKey.filter(!col("_deleted"))
       .select(col(key) +: dataCols.map(col): _*)
     survivors.unionByName(upserts)
   }
@@ -37,8 +67,9 @@ object Merge {
   /** Merge and materialize to parquet, returning the snapshot reader. */
   def mergeToParquet(
       s: SparkSession, base: DataFrame, changes: DataFrame,
-      key: String, outPath: String): DataFrame = {
-    merge(base, changes, key).write.mode("overwrite").parquet(outPath)
+      key: String, outPath: String,
+      seqCol: Option[String] = None): DataFrame = {
+    merge(base, changes, key, seqCol).write.mode("overwrite").parquet(outPath)
     s.read.parquet(outPath)
   }
 }

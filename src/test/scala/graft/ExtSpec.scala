@@ -104,6 +104,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (4L, "d", 40.0)))
   }
 
+  test("e5 merge: NULL _deleted is an upsert, not a silent delete") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((2L, "b2", Option.empty[Boolean]))
+      .toDF("k", "v", "_deleted")
+    val out = graft.sources.Merge.merge(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2")))
+  }
+
+  test("e5 merge: duplicate changeset keys fail without seqCol, resolve with it") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val dup = Seq((1L, "x", false, 10L), (1L, "y", false, 20L))
+      .toDF("k", "v", "_deleted", "seq")
+    val err = intercept[Exception] {
+      graft.sources.Merge.merge(base, dup.drop("seq"), "k").collect()
+    }
+    assert(err.getMessage.contains("duplicate changeset rows"), err.getMessage)
+    val resolved = graft.sources.Merge.merge(base, dup, "k", Some("seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(resolved.toSeq == Seq((1L, "y")), "highest seq must win")
+  }
+
   test("e6: year filter prunes to a single hive partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft-e6-spec")
     try {
