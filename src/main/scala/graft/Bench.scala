@@ -75,10 +75,26 @@ object Bench {
       name -> (if (ok) elapsed else -1.0)
     }
     val failed = results.count(_._2 < 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of output; a full-precision
+    // queries map for 80+ queries overflows that, truncating the line's
+    // "{"metric" prefix and making it unparseable (BENCH_r01..r03 all show
+    // parsed:null). Emit full precision first for humans/logs, then the
+    // contract line last at the highest per-query precision that keeps the
+    // whole line under the tail budget.
+    def line(qs: Seq[(String, Double)], prec: Int): String = {
+      def f(v: Double) =
+        if (v < 0) "-1" else s"%.${prec}f".format(v)
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$m,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""bench-full {"total":$total,"queries":$full}""")
+    val contract = Seq(3, 2, 1).map(line(results, _)).find(_.length <= 1900)
+      .getOrElse(line(results, 1))
+    println(contract)
     System.out.flush()
     spark.stop()
     if (failed > 0) sys.exit(1)
