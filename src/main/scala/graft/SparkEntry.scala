@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.RelationalExt.queries ++
       operators.PipelineExt.queries ++
+      operators.CurationExt.queries ++
       operators.TypeKernelQueries.queries ++
       operators.EtlQueries.queries ++
       operators.TextAnalysis.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     operators.Relational.oracleSql ++
       operators.RelationalExt.oracleSql ++
       operators.PipelineExt.oracleSql ++
+      operators.CurationExt.oracleSql ++
       operators.TypeKernelQueries.oracleSql ++
       operators.EtlQueries.oracleSql ++
       operators.TextAnalysis.oracleSql ++

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data curation extensions (round 4): benchmark decontamination,
+  * fuzzy record linkage, repetition-quality signals, LM sequence packing,
+  * and binary payload chunking.
+  *
+  * Scale design mirrors the other pipeline modules: pairwise work is always
+  * bounded by a blocking key or a broadcastable side; per-document signals
+  * are single-pass; shuffles are keyed on bounded-cardinality keys with
+  * map-side combine.
+  */
+object CurationExt {
+
+  private def toks = split(trim(col("text")), "\\s+")
+
+  // ------------------------------------------------- d8_decontaminate
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 4-gram with a held-out eval set (here: doc_id % 50 == 0, an eval-split
+    * stand-in) — the overlap check run before training so test data never
+    * leaks into the corpus (the n-gram-collision method used for GPT-style
+    * training sets).
+    *
+    * Scale posture: the eval side is tiny by construction (benchmarks are
+    * thousands of docs, the corpus is billions), so its gram set is
+    * BROADCAST — the corpus never shuffles; each scan task streams its
+    * grams against the in-memory eval index. At extreme eval sizes swap
+    * the broadcast for a bloom-filter pre-pass and a shuffle join on gram
+    * hash; the gram generation (one transform+explode, linear in tokens)
+    * is unchanged. */
+  def d8Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val W = 4
+    val grams = documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("w")) - W),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(W))))).as("gram"))
+      .distinct()
+    val evalGrams = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gram"), col("doc_id").as("eval_id"))
+    val corpus = grams.filter(col("doc_id") % 50 =!= 0)
+    corpus.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------- d9_fuzzy_link
+  /** Fuzzy record linkage: blocked edit-distance join between two entity
+    * tables (customer ↔ supplier on the numeric suffix of their names,
+    * blocked by nation). The blocking key bounds the candidate set — the
+    * edit distance only runs inside a block, never all-pairs — which is
+    * the standard record-linkage shape at scale: block, compare, link.
+    * The smaller side is broadcast; distances are exact integers so the
+    * oracle matches bit-for-bit. */
+  def d9FuzzyLink(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+      regexp_extract(col("c_name"), "([0-9]+)$", 1).as("c_sfx"))
+    val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
+      regexp_extract(col("s_name"), "([0-9]+)$", 1).as("s_sfx"))
+    c.join(broadcast(sup), col("c_nationkey") === col("s_nationkey") &&
+        levenshtein(col("c_sfx"), col("s_sfx")) <= 1)
+      .select(col("c_custkey"), col("s_suppkey"),
+        levenshtein(col("c_sfx"), col("s_sfx")).cast("long").as("dist"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  // --------------------------------------------------- t9_repetition
+  /** Repetition-quality signals (the Gopher-rules family): per document,
+    * the most-frequent-word fraction, distinct-word ratio, and
+    * most-frequent-bigram fraction — the filters that catch boilerplate
+    * and degenerate repetition before training.
+    *
+    * Shape: explode → two-level groupBy keyed on (doc_id, term). Both
+    * aggregations combine map-side, and doc_id is in every key, so the
+    * shuffle is as wide as the corpus but never hot-keyed. Ratios divide
+    * two exact longs, so both engines produce the identical double. */
+  def t9Repetition(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val wordTop = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct"))
+    val bigrams = documents(s, d)
+      .select(col("doc_id"), toks.as("wl"))
+      .filter(size(col("wl")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("wl")) - 2),
+          i => concat_ws(" ", slice(col("wl"), i + 1, lit(2))))).as("bigram"))
+    val bigramTop = bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top2_n"), sum(col("n")).as("n_bigrams"))
+    wordTop.join(bigramTop, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("top_n"), col("n_words"), col("n_distinct"),
+        (col("top_n") / col("n_words")).as("top_word_frac"),
+        (col("n_distinct") / col("n_words")).as("distinct_frac"),
+        coalesce(col("top2_n") / col("n_bigrams"), lit(0.0)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------- t10_pack
+  /** LM sequence packing: documents are concatenated per source shard in
+    * doc_id order into one token stream, then chunked into fixed 512-token
+    * training sequences. Each document reports its token offset and the
+    * first/last pack it lands in — the bookkeeping a packed-pretraining
+    * loader needs to locate any document inside the packed stream.
+    *
+    * One window shuffle keyed on the shard (source); the running offset is
+    * a single in-partition pass and every derived column is integer
+    * arithmetic on it. At 100 TB the shard key is exactly the unit a
+    * packing job parallelizes over, so the window never crosses shards. */
+  def t10Pack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("tok_offset"),
+        expr("tok_offset div 512").as("first_pack"),
+        expr("(tok_offset + n_tokens - 1) div 512").as("last_pack"),
+        (expr("(tok_offset + n_tokens - 1) div 512")
+          - expr("tok_offset div 512") + 1).as("n_packs"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  // -------------------------------------------------------- m4_chunk
+  /** Binary payload chunking: each payload split into fixed 64-byte
+    * windows with per-chunk digest and length — the shape a multimodal
+    * pipeline uses to shard large media blobs for parallel hashing,
+    * dedup, or upload. Row fan-out is linear in payload bytes with no
+    * shuffle before the final order; the Spark side chunks the REAL
+    * binary column (substring/md5 on BinaryType). The oracle recomputes
+    * over VARCHAR windows, which is byte-identical here because the
+    * payload is UTF-8 of ASCII text — DuckDB has no BLOB substring. */
+  def m4Chunk(s: SparkSession, d: String): DataFrame =
+    Multimodal.payloads(s, d)
+      .select(col("doc_id"), col("payload"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr("(n_bytes - 1) div 64"))).as("chunk_idx"),
+        col("payload"))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(expr("substring(payload, chunk_idx * 64 + 1, 64)")).as("chunk_md5"),
+        octet_length(expr("substring(payload, chunk_idx * 64 + 1, 64)"))
+          .cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_decontaminate" -> d8Decontaminate,
+    "d9_fuzzy_link" -> d9FuzzyLink,
+    "t9_repetition" -> t9Repetition,
+    "t10_pack" -> t10Pack,
+    "m4_chunk" -> m4Chunk
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d8_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 3)) AS u(i) WHERE len(w) >= 4),
+        |e AS (SELECT gram, doc_id AS eval_id FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_grams,
+        |       CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM c JOIN e USING (gram) GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "d9_fuzzy_link" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    regexp_extract(c_name, '([0-9]+)$', 1) AS sfx FROM customer),
+        |s AS (SELECT s_suppkey, s_nationkey,
+        |    regexp_extract(s_name, '([0-9]+)$', 1) AS sfx FROM supplier)
+        |SELECT c_custkey, s_suppkey, CAST(levenshtein(c.sfx, s.sfx) AS BIGINT) AS dist
+        |FROM c JOIN s ON c_nationkey = s_nationkey AND levenshtein(c.sfx, s.sfx) <= 1
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "t9_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |u AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_n, CAST(sum(n) AS BIGINT) AS n_words,
+        |             CAST(count(*) AS BIGINT) AS n_distinct FROM c GROUP BY 1),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS wl FROM documents),
+        |b AS (SELECT doc_id, array_to_string(wl[i:i+1], ' ') AS bigram
+        |      FROM t, unnest(generate_series(1, len(wl) - 1)) AS v(i) WHERE len(wl) >= 2),
+        |bc AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        |bu AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top2_n,
+        |             CAST(sum(n) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+        |SELECT u.doc_id, top_n, n_words, n_distinct,
+        |  top_n / n_words AS top_word_frac,
+        |  n_distinct / n_words AS distinct_frac,
+        |  coalesce(top2_n / n_bigrams, 0.0) AS top_bigram_frac
+        |FROM u LEFT JOIN bu ON u.doc_id = bu.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
+    "t10_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS off
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, off AS tok_offset,
+        |  off // 512 AS first_pack, (off + n_tokens - 1) // 512 AS last_pack,
+        |  (off + n_tokens - 1) // 512 - off // 512 + 1 AS n_packs
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    "m4_chunk" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
+        |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+        |  md5(substr(text, CAST(u.ci * 64 + 1 AS BIGINT), 64)) AS chunk_md5,
+        |  CAST(octet_length(encode(substr(text, CAST(u.ci * 64 + 1 AS BIGINT), 64))) AS BIGINT) AS chunk_len
+        |FROM d, unnest(generate_series(0, (n_bytes - 1) // 64)) AS u(ci)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

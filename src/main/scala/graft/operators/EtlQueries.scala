@@ -204,13 +204,53 @@ object EtlQueries {
         lit(partDirs == expected).as("layout_ok"))
   }
 
+  // ------------------------------------------------------ e7_bucketed
+  /** Bucketed co-located join: both sides written as bucketed tables on
+    * the join key (8 buckets, sorted), then sort-merge-joined WITHOUT any
+    * shuffle — the layout investment that turns every subsequent join on
+    * that key into a scan-local merge. This is the single biggest join
+    * optimization available at 100 TB: the exchange that would move the
+    * fact table disappears because the data was written pre-partitioned.
+    *
+    * `colocated_ok` is computed from the executed physical plan (no
+    * ShuffleExchange anywhere under the join), so a layout regression
+    * flips the gate red rather than silently reintroducing the shuffle.
+    * The merge hint only pins the join strategy under test (broadcast
+    * would hide the bucketing evidence); bucketing itself is what removes
+    * the exchanges. */
+  def e7Bucketed(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e7")
+    s.sql("DROP TABLE IF EXISTS graft_e7_orders")
+    s.sql("DROP TABLE IF EXISTS graft_e7_customer")
+    orders(s, d).write.format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", dir.resolve("orders").toString)
+      .mode("overwrite").saveAsTable("graft_e7_orders")
+    customer(s, d).write.format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", dir.resolve("customer").toString)
+      .mode("overwrite").saveAsTable("graft_e7_customer")
+    val joined = s.table("graft_e7_orders").hint("merge")
+      .join(s.table("graft_e7_customer"),
+        col("o_custkey") === col("c_custkey"))
+    val colocated = joined.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty
+    joined.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("c_custkey")).as("n_custs"),
+      sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_price"),
+      lit(colocated).as("colocated_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_sink_roundtrip" -> e1SinkRoundtrip,
     "e2_jdbc_roundtrip" -> e2JdbcRoundtrip,
     "e3_jdbc_types" -> e3JdbcTypes,
     "e4_compact" -> e4Compact,
     "e5_merge" -> e5Merge,
-    "e6_partitioned" -> e6Partitioned
+    "e6_partitioned" -> e6Partitioned,
+    "e7_bucketed" -> e7Bucketed
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -270,6 +310,12 @@ object EtlQueries {
       """SELECT COUNT(*) AS n_1997,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_1997,
         |  TRUE AS layout_ok
-        |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin
+        |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin,
+    "e7_bucketed" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT c_custkey) AS n_custs,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  TRUE AS colocated_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
   )
 }
