@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults to sbt's LoggedOutput, which prefixes every
+// program line with "[info] " — that prefix is why the driver failed to
+// json-parse Bench's contract line in rounds 1-4 (BENCH_r0*.json all show
+// parsed:null while the tail clearly contains the line). StdoutOutput
+// passes the forked JVM's stdout/stderr through raw, so the contract line
+// starts at column 0.
+run / outputStrategy := Some(StdoutOutput)
+// Also drop sbt's trailing "[success] Total time: ..." line so the bench
+// contract line is the LAST line of output — covers a last-line parser too.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

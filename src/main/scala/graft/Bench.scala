@@ -76,27 +76,34 @@ object Bench {
     }
     val failed = results.count(_._2 < 0)
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    // The driver keeps only the LAST 2000 chars of output; a full-precision
+    // The driver keeps only the LAST ~2000 chars of output; a full-precision
     // queries map for 80+ queries overflows that, truncating the line's
     // "{"metric" prefix and making it unparseable (BENCH_r01..r03 all show
     // parsed:null). Emit full precision first for humans/logs, then the
     // contract line last at the highest per-query precision that keeps the
-    // whole line under the tail budget.
+    // whole line under the tail budget. Locale.ROOT: a comma-decimal default
+    // locale would emit 1,23 and break the JSON.
+    def fmt(v: Double, prec: Int): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     def line(qs: Seq[(String, Double)], prec: Int): String = {
-      def f(v: Double) =
-        if (v < 0) "-1" else s"%.${prec}f".format(v)
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$m,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$m,"failed":$failed,"sf":"$sfDir"}"""
     }
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""bench-full {"total":$total,"queries":$full}""")
+    // If even precision 1 overflows the budget, drop the per-query map —
+    // a parseable total beats an unparseable detail line.
     val contract = Seq(3, 2, 1).map(line(results, _)).find(_.length <= 1900)
-      .getOrElse(line(results, 1))
+      .getOrElse(
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing the contract so no executor/shutdown log
+    // line can land after it — the driver's tail parse wants it last.
+    spark.stop()
     println(contract)
     System.out.flush()
-    spark.stop()
     if (failed > 0) sys.exit(1)
   }
 }

@@ -233,9 +233,25 @@ object EtlQueries {
     val joined = s.table("graft_e7_orders").hint("merge")
       .join(s.table("graft_e7_customer"),
         col("o_custkey") === col("c_custkey"))
-    val colocated = joined.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.isEmpty
+    // Plan inspection must run with AQE off: under AQE the whole plan is
+    // wrapped in AdaptiveSparkPlanExec (a leaf), so collecting
+    // ShuffleExchangeLike on the adaptive plan finds nothing even when the
+    // bucketed layout regressed and a shuffle WAS planned — the gate would
+    // stay green in exactly the case it exists to catch. Rebuilding the
+    // join under adaptive.enabled=false yields the statically-planned tree
+    // where a layout regression surfaces as a visible exchange.
+    val colocated = {
+      val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        s.table("graft_e7_orders").hint("merge")
+          .join(s.table("graft_e7_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+          }.isEmpty
+      } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }
     joined.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("c_custkey")).as("n_custs"),

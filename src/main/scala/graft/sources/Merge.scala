@@ -43,7 +43,12 @@ object Merge {
       coalesce(col("_deleted").cast("boolean"), lit(false)))
     val oneRowPerKey = seqCol match {
       case Some(sc) =>
-        val w = Window.partitionBy(col(key)).orderBy(col(sc).desc)
+        // Tiebreaker: two changeset rows tied on the highest sequence value
+        // would otherwise be resolved by partition-internal row order —
+        // nondeterministic across runs/shuffles. Hashing the full row makes
+        // the winner a pure function of row content.
+        val w = Window.partitionBy(col(key))
+          .orderBy(col(sc).desc, xxhash64(norm.columns.map(col): _*).asc)
         norm.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
       case None =>
