@@ -135,7 +135,52 @@ object TypeKernelQueries {
         TypeKernels.microsToNanosChecked(unix_micros(col("ts"))).as("epoch_ns"))
       .orderBy(col("event_id"))
 
+  // -------------------------------------------------------- k11_boolean
+  /** A4 Bit→bool kernel (boolean.rs:29-52): nullable bit values through the
+    * BooleanType mapping, the text rendering, and a mapping-table gate
+    * (`SqlBit` must derive `BooleanType`, TypeMapping.scala). */
+  def k11Boolean(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TypeMapping
+    val mappedOk = TypeMapping.field(
+      TypeMapping.SourceColumn("b", TypeMapping.SqlBit),
+      TypeMapping.MappingOptions()
+    ).dataType == org.apache.spark.sql.types.BooleanType
+    val b = when(col("o_orderkey") % 7 === 0, lit(null).cast("boolean"))
+      .otherwise(col("o_orderkey") % 2 === 0)
+    orders(s, d)
+      .select(col("o_orderkey"),
+        b.as("bit_val"),
+        b.cast("string").as("bit_txt"),
+        lit(mappedOk).as("mapping_ok"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------- k12_unknown_text
+  /** A15 unknown-type fallback (column_strategy.rs:224-239): a type the
+    * mapping table doesn't know is fetched on its display-size text
+    * surface — here a decimal rendered through the same text path — with
+    * the B6 length-limit kernel enforcing the variadic byte cap (passes at
+    * the default 4096; exceeding raises, spec-covered) and a mapping-table
+    * gate (`SqlOther` must derive `StringType`). */
+  def k12UnknownText(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TypeMapping
+    val mappedOk = TypeMapping.field(
+      TypeMapping.SourceColumn("u", TypeMapping.SqlOther(64)),
+      TypeMapping.MappingOptions()
+    ).dataType == org.apache.spark.sql.types.StringType
+    part(s, d)
+      .select(col("p_partkey"),
+        TypeKernels.enforceLengthLimit(
+          col("p_retailprice").cast("decimal(12,2)").cast("string"), 4096)
+          .as("unk_txt"),
+        TypeKernels.enforceLengthLimit(col("p_type"), 4096).as("type_txt"),
+        lit(mappedOk).as("mapping_ok"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k11_boolean" -> k11Boolean,
+    "k12_unknown_text" -> k12UnknownText,
     "k1_decimal_cast" -> k1DecimalCast,
     "k2_decimal_text" -> k2DecimalText,
     "k3_avoid_decimal" -> k3AvoidDecimal,
@@ -149,6 +194,18 @@ object TypeKernelQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k11_boolean" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 2 = 0 END AS bit_val,
+        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 2 = 0 END AS VARCHAR) AS bit_txt,
+        |  TRUE AS mapping_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "k12_unknown_text" ->
+      """SELECT p_partkey,
+        |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS unk_txt,
+        |  p_type AS type_txt,
+        |  TRUE AS mapping_ok
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "k1_decimal_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(9,2)) AS VARCHAR) AS price_i32,
