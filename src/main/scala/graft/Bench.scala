@@ -63,6 +63,11 @@ object Bench {
       // measured run must pay for its own intra-query cache build.
       // Blocking: async block removal must not bleed into the timed window.
       graft.operators.CacheScope.releaseAll(blocking = true)
+      // GC barrier: collect the warm run's (and prior queries') garbage
+      // before the timer starts. Without it a timed run can absorb heap
+      // debt from earlier cache-heavy queries — k1_decimal_cast measured
+      // 1.4s in isolation vs 15s mid-suite on one r05 run.
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }

@@ -58,7 +58,13 @@ object Dedup {
     * exact. Result-identical: the exact pairwise length prefilter and
     * the jaccard threshold still apply, and each qualifying pair meets
     * the equi-join at exactly one exploded bucket value. */
-  def d3NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def d3NgramJaccard(s: SparkSession, d: String): DataFrame =
+    d3Pairs(s, d).orderBy(col("a_id"), col("b_id"))
+
+  /** d3's pair set without the final presentation sort — consumers that
+    * feed the pairs into further shuffles (d7's clustering) skip the
+    * range-partition pass entirely. */
+  private[operators] def d3Pairs(s: SparkSession, d: String): DataFrame = {
     // tokens are interned to 64-bit hashes and SORTED on the scan (once per
     // doc), so the per-pair similarity is a single O(n+m) merge walk
     // ([[graft.functions.JaccardSorted]]) — no per-pair hash-set builds,
@@ -87,7 +93,6 @@ object Dedup {
         col("na") * 4 <= col("nb") * 5 && col("nb") * 4 <= col("na") * 5)
       .select(col("a_id"), col("b_id"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ------------------------------------------------------ d4_minhash_lsh

@@ -15,27 +15,35 @@ object PipelineExt {
     * dedup pipeline: pair lists (d3/d4/d5 output) become clusters, each
     * cluster keeps one canonical document.
     *
-    * Algorithm: iterative min-label propagation. Every doc starts labeled
-    * with its own id; each round, a node adopts the minimum label in its
-    * neighborhood; fixpoint when no label changes. Rounds needed = graph
-    * diameter — near-dup clusters are small and dense, so a handful; the
-    * iteration cap is a correctness guard, not a truncation (it THROWS
-    * rather than emitting partial components).
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Every doc starts labeled with its own id; each round, a node adopts
+    * the minimum of (its label, its neighbors' labels, its label's label).
+    * The last term — hash-to-min pointer jumping — halves label-chain
+    * depth every round, so rounds needed drop from graph diameter to
+    * O(log diameter); fixpoint when no label changes. The iteration cap is
+    * a correctness guard, not a truncation (it THROWS rather than emitting
+    * partial components). Labels are always doc ids inside the same
+    * component and only decrease, so the fixpoint is the component min;
+    * a no-change round proves neighbor-consistency across every edge,
+    * which forces one label per component.
     *
     * Scale posture: each round is one equi-join (edges ⋈ labels on src) +
-    * one map-side-combining min-aggregate on dst + one join back — all
-    * shuffles keyed on doc_id, linear in |E|. Each round rebases on an
+    * one map-side-combining min-aggregate on dst + two label-table joins —
+    * all shuffles keyed on doc_id, linear in |E|. Each round rebases on an
     * eager [[CacheScope.localCheckpoint]]: the lineage truncation keeps
-    * the per-round plan SHAPE constant (an RDD scan + two joins), so
-    * codegen compiles once and round cost stays flat; block lifetime is
-    * managed, freed by the runner after the query. On a cluster add
-    * periodic reliable checkpoints for driver-failure tolerance. For
-    * graphs with continent-sized components you'd swap the loop body for
-    * the large-star/small-star contraction (same join primitives, fewer
-    * rounds); dup graphs never need it. */
+    * the per-round plan SHAPE constant, so codegen compiles once and round
+    * cost stays flat; block lifetime is managed, freed by the runner after
+    * the query. On a cluster add periodic reliable checkpoints for
+    * driver-failure tolerance. For graphs with continent-sized components
+    * you'd swap the loop body for the large-star/small-star contraction
+    * (same join primitives, provably fewer rounds); dup graphs never
+    * need it. */
   def d7DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.d3NgramJaccard(s, d).select(col("a_id"), col("b_id"))
-    // undirected: one edge row per direction
+    // pairs materialize ONCE (sort-free builder); the undirected edge set
+    // is a cheap double scan of the checkpointed blocks, not a second run
+    // of the pair join
+    val pairs = CacheScope.localCheckpoint(
+      Dedup.d3Pairs(s, d).select(col("a_id"), col("b_id")))
     val edges = CacheScope.localCheckpoint(
       pairs.union(pairs.select(col("b_id"), col("a_id"))).toDF("src", "dst"))
 
@@ -49,11 +57,19 @@ object PipelineExt {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("comp")).as("nbr_min"))
+      val prop = labels.join(nbrMin, col("id") === col("dst"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (col("nbr_min") < col("comp")).as("changed"))
+      // pointer jump: comp := min(comp, label(comp)). label(comp) is the
+      // label of a node in the same component, so monotonicity and
+      // containment hold; chains of stale labels collapse exponentially.
+      val ptr = labels.select(col("id").as("p_id"), col("comp").as("p_comp"))
       val next = CacheScope.localCheckpoint(
-        labels.join(nbrMin, col("id") === col("dst"), "left_outer")
+        prop.join(ptr, col("comp") === col("p_id"), "left_outer")
           .select(col("id"),
-            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-            (col("nbr_min") < col("comp")).as("changed")))
+            least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"),
+            (col("changed") || col("p_comp") < col("comp")).as("changed")))
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.select(col("id"), col("comp"))
       round += 1
