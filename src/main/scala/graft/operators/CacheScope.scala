@@ -51,6 +51,22 @@ object CacheScope {
     cp
   }
 
+  /** As [[localCheckpoint]], but also returns an idempotent early-release
+    * handle so a builder can free blocks needed only to materialize a
+    * derived checkpoint (d7 frees the directed pair blocks once the
+    * undirected edge set is checkpointed — otherwise ~3× the pair data
+    * sits in block storage for the whole query). The frame stays
+    * registered for [[releaseAll]] as the safety net on abnormal exit. */
+  def localCheckpointReleasable(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint(eager = true)
+    val rdds = org.apache.spark.sql.GraftBridge.backingRdds(cp)
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val free: Boolean => Unit = b =>
+      if (released.compareAndSet(false, true)) rdds.foreach(_.unpersist(b))
+    live.add(free)
+    (cp, () => free(false))
+  }
+
   /** Release every registered cache/checkpoint. Safe to call when nothing
     * is registered, or twice. `blocking = true` waits for block removal —
     * use between benchmark timing windows so async cleanup can't bleed

@@ -42,10 +42,14 @@ object PipelineExt {
     // pairs materialize ONCE (sort-free builder); the undirected edge set
     // is a cheap double scan of the checkpointed blocks, not a second run
     // of the pair join
-    val pairs = CacheScope.localCheckpoint(
+    val (pairs, freePairs) = CacheScope.localCheckpointReleasable(
       Dedup.d3Pairs(s, d).select(col("a_id"), col("b_id")))
     val edges = CacheScope.localCheckpoint(
       pairs.union(pairs.select(col("b_id"), col("a_id"))).toDF("src", "dst"))
+    // edges is an eager checkpoint — the directed pair blocks (embedded
+    // twice in it) are dead weight from here; free them now instead of
+    // holding ~3x the pair data until the runner's releaseAll
+    freePairs()
 
     var labels = CacheScope.localCheckpoint(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
@@ -60,7 +64,10 @@ object PipelineExt {
       val prop = labels.join(nbrMin, col("id") === col("dst"), "left_outer")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          (col("nbr_min") < col("comp")).as("changed"))
+          // coalesce: nbr_min is NULL for isolated-in-this-round nodes and
+          // NULL < comp is NULL — make "no neighbor ⇒ unchanged" explicit
+          // rather than leaning on three-valued logic downstream
+          coalesce(col("nbr_min") < col("comp"), lit(false)).as("changed"))
       // pointer jump: comp := min(comp, label(comp)). label(comp) is the
       // label of a node in the same component, so monotonicity and
       // containment hold; chains of stale labels collapse exponentially.
@@ -69,7 +76,12 @@ object PipelineExt {
         prop.join(ptr, col("comp") === col("p_id"), "left_outer")
           .select(col("id"),
             least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"),
-            (col("changed") || col("p_comp") < col("comp")).as("changed")))
+            // coalesce guards the (currently impossible) NULL p_comp case:
+            // labels always cover every live node id today, but a future
+            // label-domain change must surface as "changed", not silently
+            // converge via NULL-is-false filtering
+            coalesce(col("changed") || col("p_comp") < col("comp"),
+              lit(false)).as("changed")))
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.select(col("id"), col("comp"))
       round += 1
