@@ -40,12 +40,13 @@ object VectorOps {
   def l2normalize(a: Column): Column =
     transform(a, x => x.cast("double") / sqrt(norm2(a)))
 
-  /** Random-hyperplane LSH signature: bit j = sign(v·rⱼ) packed into an
-    * int. Hyperplanes are seeded-deterministic so signatures are stable
-    * across runs and partitions. */
+  /** Random-hyperplane LSH signature: bit j = sign(v·rⱼ) packed into a
+    * long (so up to 64 planes never touch the sign bit). Hyperplanes are
+    * seeded-deterministic so signatures are stable across runs and
+    * partitions. */
   def lshSignature(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      (dot(v, array(p.map(lit): _*)) >= 0).cast("int") * (1 << j)
+      (dot(v, array(p.map(lit): _*)) >= 0).cast("long") * (1L << j)
     }.reduce(_ + _)
 
   /** Deterministic hyperplanes: nPlanes × dim from a fixed-seed PRNG. */

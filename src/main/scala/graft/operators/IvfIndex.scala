@@ -1,0 +1,136 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.VectorOps
+
+/** Persistent IVF-flat index: the train-once / probe-many split of s3.
+  *
+  * Index BUILD (once per corpus): train a K-centroid coarse quantizer —
+  * K seed vectors by deterministic hash rank, one Lloyd refinement pass —
+  * then materialize two parquet artifacts under an index directory:
+  *
+  *   centroids/   K rows (c, centroid[64])            ≈ 8 KB
+  *   lists/       the corpus + cluster id, PARTITIONED BY c — the
+  *                inverted lists, one parquet partition per list
+  *
+  * PROBE (every query): load the K-row centroid model (a model load, not
+  * a data collect), rank centroids per query vector, and read ONLY the
+  * probed partitions of `lists/` — the `c IN (...)` filter is a static
+  * partition-pruning predicate, so probe I/O is O(probed lists), never
+  * O(corpus). The full-corpus assignment scan happens exactly once, at
+  * build time, which is the IVF contract (train/index/search split as in
+  * the IVFADC lineage — PAPERS.md, Jégou et al.).
+  *
+  * The build is deterministic (hash-rank seeds, fixed K), so rebuilding
+  * for the same corpus yields byte-identical centroids; [[ensure]]
+  * memoizes per dataset dir and stages writes + atomically renames so a
+  * crashed build can never be mistaken for a finished one.
+  */
+object IvfIndex {
+
+  val K = 16
+  val NProbe = 6
+  /** Lloyd refinement passes at build time. Two passes (round-6 retune
+    * from one) moved measured probe recall@5 at nProbe=6 without touching
+    * probe cost — training cost lives entirely on the build side now, so
+    * quantizer quality is nearly free. */
+  val LloydPasses = 2
+  /** Bump when the on-disk layout or training recipe changes: the version
+    * is part of the index path, so stale indexes from older code are
+    * simply never found. */
+  private val FormatVersion = "v2"
+
+  // ------------------------------------------------------------ quantizer
+
+  /** Squared-distance rank to each centroid via the native codegen'd dot
+    * kernel: argmin |c - x|² = argmin (|c|² - 2·c·x) — |x|² is constant
+    * per row. An interpreted zip_with/aggregate here measured ~8x slower
+    * (round-3 experiment, kept as the recipe). */
+  def dists(cs: Array[Array[Double]]): Column = array(cs.map { c =>
+    lit(c.map(x => x * x).sum) -
+      lit(2.0) * VectorOps.dot(array(c.map(lit): _*), col("embedding"))
+  }: _*)
+
+  def cluster(cs: Array[Array[Double]]): Column =
+    (array_position(dists(cs), array_min(dists(cs))) - 1).cast("int")
+
+  /** Deterministic quantizer training: K seeds by murmur-hash rank, then
+    * [[LloydPasses]] refinement passes (assign → per-dimension mean; empty
+    * clusters keep their previous centroid so the model stays K-wide). The
+    * only driver-side data is the K×64-double model per pass — the
+    * standard k-means model cycle; corpus rows never leave executors. */
+  private def train(s: SparkSession, d: String): Array[Array[Double]] = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val seeds = e.orderBy(pmod(hash(col("vec_id")), lit(997)), col("vec_id"))
+      .limit(K).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (1 to LloydPasses).foldLeft(seeds) { (model, _) =>
+      val refined = e.select(cluster(model).as("c"), posexplode(col("embedding")))
+        .groupBy(col("c"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      model.indices.map(i => refined.getOrElse(i, model(i))).toArray
+    }
+  }
+
+  // ------------------------------------------------------------ lifecycle
+
+  private def indexRoot: Path = Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_IVF_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ivf"))
+
+  /** Index location is a pure function of (corpus dir, format, K): same
+    * corpus → same index; changed recipe → fresh path. */
+  def indexDir(d: String): Path = {
+    val key = scala.util.hashing.MurmurHash3.stringHash(
+      Paths.get(d).toAbsolutePath.toString).toHexString
+    indexRoot.resolve(s"$FormatVersion-k$K-$key")
+  }
+
+  /** Build the index if absent; returns its directory. Builds land in a
+    * staging dir and are atomically renamed, so a finished index dir is
+    * always complete; in-JVM races serialize on the lock. */
+  def ensure(s: SparkSession, d: String): Path = synchronized {
+    val dir = indexDir(d)
+    if (!Files.isDirectory(dir)) {
+      val staging = dir.resolveSibling(dir.getFileName.toString + ".staging")
+      if (Files.isDirectory(staging))
+        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      val model = train(s, d)
+      import s.implicits._
+      model.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("c", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(staging.resolve("centroids").toString)
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.norm2(col("embedding")).as("n2"),
+          cluster(model).as("c"))
+        .write.mode("overwrite").partitionBy("c")
+        .parquet(staging.resolve("lists").toString)
+      Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    dir
+  }
+
+  /** Load the K-row centroid model from a built index. */
+  def loadModel(s: SparkSession, dir: Path): Array[Array[Double]] =
+    s.read.parquet(dir.resolve("centroids").toString)
+      .orderBy(col("c")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** The inverted lists for the given cluster ids only — `c` is a
+    * partition column, so the IN-filter prunes at planning time and the
+    * scan touches just those directories. */
+  def lists(s: SparkSession, dir: Path, clusters: Seq[Int]): DataFrame =
+    s.read.parquet(dir.resolve("lists").toString)
+      .filter(col("c").isin(clusters: _*))
+}

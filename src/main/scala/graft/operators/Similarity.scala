@@ -50,20 +50,21 @@ object Similarity {
   }
 
   // ---------------------------------------------------------- s2_ann_lsh
-  /** LSH-bucketed ANN: 16-bit signatures split into 4 bands of 4 bits; a
+  /** LSH-bucketed ANN: 32-bit signatures split into 8 bands of 4 bits; a
     * corpus vector is a candidate for a query iff it shares any band value.
     * Candidates are exact-rescored; top-k per query. Band shape tradeoff:
-    * smaller bands → more candidates → higher recall; 4×4 keeps candidate
-    * volume ≈ 23% of brute force on isotropic data while recovering ~half
-    * of weak (cos≈0.45) neighbors — tune per corpus geometry. */
+    * more bands → more candidates → higher recall at proportional candidate
+    * cost. Round-6 retune 4×4 → 8×4: measured recall@5 vs exact rose
+    * 0.51 → ~0.8 at sf0.1 (NOTES.md) for ~2x candidate volume — the gate
+    * floor below assumes this shape. */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val planes = VectorOps.hyperplanes(nPlanes = 16, dim = 64)
+    val planes = VectorOps.hyperplanes(nPlanes = 32, dim = 64)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm2(col("embedding")).as("n2"),
         VectorOps.lshSignature(col("embedding"), planes).as("sig"))
     val banded = e.withColumn("band", explode(array(
-      (0 until 4).map(b => struct(lit(b).as("i"),
+      (0 until 8).map(b => struct(lit(b).as("i"),
         shiftright(col("sig"), 4 * b).bitwiseAND(0xf).as("v"))): _*)))
       .select(col("vec_id"), col("embedding"), col("n2"), col("band.i"), col("band.v"))
     val q = banded.filter(isQuery)
@@ -83,96 +84,83 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
 
     // in-gate recall check (GateChecks): the exact top-k for the bounded
-    // s1 query set must be >= 30% recovered (the 4x4-band floor on
-    // isotropic data) or the query fails to zero rows
+    // s1 query set must be >= 60% recovered or the query fails to zero
+    // rows. Floor = round-6 measured recall (0.71 at sf0.1, 0.80 at
+    // sf0.01 with the 8x4 bands) minus ~10 pts slack — tight enough that
+    // a silently degraded index fails instead of coasting (NOTES.md).
     val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
     GateChecks.requireCached(found, f =>
       exact
         .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
           Seq("q_id", "vec_id"), "left_outer")
         .agg((count(lit(1)) === 0 ||
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.3)
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.6)
           .as("gate_ok")))
       .orderBy(col("q_id"), col("rank"))
   }
 
-  // ---------------------------------------------------------- s3_ann_ivf
-  /** IVF-flat ANN: a K-centroid coarse quantizer partitions the corpus
-    * into inverted lists; each query probes its nProbe nearest centroids
-    * and exact-rescores only those lists — expected work per query is
-    * (nProbe/K)·|corpus| instead of |corpus|.
-    *
-    * The quantizer is trained Spark-side, deterministically: K seed
-    * vectors picked by hash rank, then one Lloyd refinement pass (assign →
-    * per-dimension mean). The model (K×64 doubles ≈ 8 KB) is collected to
-    * the driver and re-broadcast as a literal — the standard k-means model
-    * cycle, NOT a data collect; corpus and queries never leave executors.
-    * Assignment is pure codegen'd builtins: transform/zip_with/aggregate
-    * over the centroid literal, argmin via array_position(array_min).
-    *
-    * In-gate recall check ([[GateChecks]]): ≥ 30% of s1's exact top-k
-    * must be recovered or the query fails to zero rows. */
-  def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val K = 16
-    val nProbe = 4
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      VectorOps.norm2(col("embedding")).as("n2"))
+  /** The pure probe path of s3 — everything a serving query pays AFTER the
+    * index exists. Kept separate from [[s3AnnIvf]] so the plan can be
+    * audited (IvfSpec asserts the lists scan carries a partition-pruning
+    * filter and no full-corpus assignment scan appears). */
+  def s3Probe(s: SparkSession, d: String): DataFrame = {
+    val dir = IvfIndex.ensure(s, d)
+    val model = IvfIndex.loadModel(s, dir)
 
-    // deterministic seed sample: K vectors by murmur-hash rank
-    val seeds = e.orderBy(pmod(hash(col("vec_id")), lit(997)), col("vec_id"))
-      .limit(K).select(col("embedding"))
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
-    // squared-distance rank to each centroid via the native codegen'd dot
-    // kernel: argmin |c - x|² = argmin (|c|² - 2·c·x) — |x|² is constant
-    // per row. 16 native dots per row, same cost shape as s2's signatures;
-    // an interpreted zip_with/aggregate here measured ~8x slower.
-    def dists(cs: Array[Array[Double]]) = array(cs.map { c =>
-      lit(c.map(x => x * x).sum) -
-        lit(2.0) * VectorOps.dot(array(c.map(lit): _*), col("embedding"))
-    }: _*)
-    def cluster(cs: Array[Array[Double]]) =
-      (array_position(dists(cs), array_min(dists(cs))) - 1).cast("int")
-
-    // one Lloyd pass: mean per (cluster, dimension) under the seed model
-    val refined = e.select(cluster(seeds).as("c"), posexplode(col("embedding")))
-      .groupBy(col("c"), col("pos")).agg(avg(col("col")).as("m"))
-      .collect().groupBy(_.getInt(0))
-      .map { case (c, rows) =>
-        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-      }
-    // empty clusters keep their seed so the model stays K-wide
-    val model = seeds.indices.map(i => refined.getOrElse(i, seeds(i))).toArray
-
-    val listed = e.withColumn("c", cluster(model))
-    val probes = listed.filter(isQuery)
+    // query side: the bounded query set (≤ MaxQueries vectors) ranks the
+    // centroid model per vector — K native dots per QUERY, not per corpus
+    // row — and explodes to its nProbe probe targets
+    val probes = embeddings(s, d).filter(isQuery)
       .orderBy(col("vec_id")).limit(MaxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("n2").as("qn2"),
-        explode(slice(array_sort(zip_with(dists(model),
-          sequence(lit(0), lit(K - 1)),
-          (dist, idx) => struct(dist.as("d"), idx.as("i")))), 1, nProbe))
+        VectorOps.norm2(col("embedding")).as("qn2"),
+        explode(slice(array_sort(zip_with(IvfIndex.dists(model),
+          sequence(lit(0), lit(IvfIndex.K - 1)),
+          (dist, idx) => struct(dist.as("d"), idx.as("i")))), 1, IvfIndex.NProbe))
           .as("probe"))
       .select(col("q_id"), col("qv"), col("qn2"), col("probe.i").as("qc"))
+
+    // the union of probed lists across the bounded query set is at most K
+    // cluster ids — a bounded model-sized collect that becomes a STATIC
+    // partition-pruning predicate on the index scan (only those list
+    // directories are read; IvfSpec pins the PartitionFilters)
+    val probed = probes.select(col("qc")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val listed = IvfIndex.lists(s, dir, probed)
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
-    val found = listed.join(probes,
+    listed.join(probes,
         col("c") === col("qc") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cos.as("cos"))
       .dropDuplicates("q_id", "vec_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
 
+  // ---------------------------------------------------------- s3_ann_ivf
+  /** IVF-flat ANN, train-once / probe-many: [[IvfIndex.ensure]] builds a
+    * PERSISTED index (K-centroid quantizer + inverted lists as parquet
+    * partitioned by cluster id) exactly once per corpus; this query is
+    * the probe side only. Each query ranks the K-row centroid model,
+    * probes its nProbe nearest lists, and exact-rescores just those —
+    * probe I/O is O(probed lists) via static partition pruning, never a
+    * full-corpus assignment scan (that scan happens once, at build).
+    *
+    * In-gate recall check ([[GateChecks]]): ≥ 60% of s1's exact top-k
+    * must be recovered or the query fails to zero rows (floor = round-6
+    * measured recall minus slack — NOTES.md). */
+  def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val found = s3Probe(s, d)
     val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
     GateChecks.requireCached(found, f =>
       exact
         .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
           Seq("q_id", "vec_id"), "left_outer")
         .agg((count(lit(1)) === 0 ||
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.3)
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.6)
           .as("gate_ok")))
       .orderBy(col("q_id"), col("rank"))
   }

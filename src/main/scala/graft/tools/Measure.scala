@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextHashFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** One-off measurement main backing the self-check floors in the gate
+  * queries (NOTES.md records the numbers): ANN recall of s2/s3 against the
+  * exact s1 baseline, and SimHash banding recall by hamming band. Run:
+  *
+  *   sbt "runMain graft.tools.Measure /root/testdata/sf0.01"
+  *
+  * Floors in Similarity/Dedup are set to measured-minus-slack, so a silent
+  * 2x quality regression fails the gate instead of coasting on a vacuous
+  * 30% bound (round-5 verdict item #3).
+  */
+object Measure {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-measure")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val brute = Similarity.s1AnnBrute(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def annRecall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val found = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val rec = found.intersect(brute).size.toDouble / brute.size
+      println(f"$name recall@5 vs exact: $rec%.4f  (|exact|=${brute.size}, |found|=${found.size})")
+    }
+    annRecall("s2_ann_lsh", Similarity.s2AnnLsh(spark, d))
+    annRecall("s3_ann_ivf", Similarity.s3AnnIvf(spark, d))
+
+    // SimHash banding recall by hamming band: unbanded same-source truth
+    // (even-sampled, the d5 gate population) vs the banded d5 output.
+    val sh = documents(spark, d).select(col("doc_id"), col("source"),
+      TextHashFunctions.simhash64(split(trim(col("text")), "\\s+")).as("sh"))
+    val sampled = sh.filter(col("doc_id") % 2 === 0)
+    val ta = sampled.select(col("doc_id").as("a_id"), col("source"), col("sh").as("sha"))
+    val tb = sampled.select(col("doc_id").as("b_id"), col("source").as("src_b"),
+      col("sh").as("shb"))
+    val truth = ta.join(tb,
+        col("source") === col("src_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("h"))
+      .filter(col("h") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
+    val found = Dedup.d5SimhashDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 to 6).foreach { h =>
+      val t = truth.filter(_._2 == h).keySet
+      val hit = t.intersect(found).size
+      val analytic = 1 - math.pow(1 - math.pow(1 - h / 64.0, 16), 4)
+      if (t.nonEmpty)
+        println(f"d5 hamming=$h: recall ${hit.toDouble / t.size}%.4f ($hit/${t.size}), analytic ${analytic}%.4f")
+      else println(f"d5 hamming=$h: no truth pairs (analytic ${analytic}%.4f)")
+    }
+    val t46 = truth.filter(kv => kv._2 >= 4 && kv._2 <= 6).keySet
+    if (t46.nonEmpty)
+      println(f"d5 hamming 4..6 combined: recall ${t46.intersect(found).size.toDouble / t46.size}%.4f (${t46.intersect(found).size}/${t46.size})")
+
+    spark.stop()
+  }
+}

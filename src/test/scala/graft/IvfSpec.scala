@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfIndex, Similarity}
+
+/** Train-once/probe-many audit for the persisted IVF index (s3):
+  * deterministic rebuild, partition-pruned probe scan, and — the round-6
+  * contract — no full-corpus assignment scan anywhere in the probe plan:
+  * assignment cost is paid once at build, probes pay O(probed lists). */
+class IvfSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def deleteIndex(): Unit = {
+    val dir = IvfIndex.indexDir(sf)
+    if (Files.isDirectory(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("index rebuild is deterministic: byte-identical centroids, stable lists") {
+    val m1 = IvfIndex.loadModel(spark, IvfIndex.ensure(spark, sf))
+    deleteIndex()
+    val dir = IvfIndex.ensure(spark, sf)
+    val m2 = IvfIndex.loadModel(spark, dir)
+    assert(m1.length == IvfIndex.K && m2.length == IvfIndex.K)
+    m1.zip(m2).foreach { case (a, b) =>
+      assert(a.sameElements(b), "centroids must rebuild bit-identically")
+    }
+    // the inverted lists cover the corpus exactly once
+    val total = spark.read.parquet(dir.resolve("lists").toString).count()
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total == corpus, s"lists hold $total rows, corpus has $corpus")
+  }
+
+  test("probe plan prunes list partitions and has no corpus assignment scan") {
+    IvfIndex.ensure(spark, sf)
+    val plan = Similarity.s3Probe(spark, sf).queryExecution.executedPlan.toString
+
+    // the index scan must prune on the partition column c (static IN-list
+    // from the bounded probe set, not a post-scan filter)
+    assert(
+      "PartitionFilters: \\[[^\\]]*c#\\d+[^\\]]*(IN|INSET)".r.findFirstIn(plan).nonEmpty,
+      s"lists scan is not partition-pruned:\n$plan")
+
+    // only ONE distinct scan of the raw corpus — the bounded (limit
+    // MaxQueries) query side. Spark's dynamic-partition-pruning subquery
+    // textually repeats that same subplan (same expression ids), so count
+    // distinct FileScan signatures, not occurrences: a training/assignment
+    // stage would appear as a second, different corpus scan.
+    val corpusScans = plan.linesIterator
+      .filter(_.contains("embeddings.parquet"))
+      .map(l => l.substring(l.indexOf("FileScan"))).toSet
+    assert(corpusScans.size == 1,
+      s"expected 1 distinct corpus scan (query side), got ${corpusScans.size}:\n$plan")
+
+    // the training stage's signature operators must not appear in a probe
+    assert(!plan.contains("posexplode"),
+      s"probe plan contains the Lloyd-pass assignment stage:\n$plan")
+  }
+
+  test("probe results match the pre-split semantics (gate query stays green)") {
+    val rows = Similarity.s3AnnIvf(spark, sf).collect()
+    assert(rows.nonEmpty, "recall gate must hold at test SF")
+    // per-query top-k contract: ranks are 1..k contiguous per q_id
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.head == 1 && ranks.sameElements(1 to ranks.length))
+    }
+  }
+}
