@@ -316,17 +316,17 @@ object Relational {
     * completes the grouping-sets family (q11 ROLLUP, q30 CUBE). Expressed
     * through SQL because the Dataset API exposes only the rollup/cube
     * shorthands. */
-  def q36GroupingSets(s: SparkSession, d: String): DataFrame = {
-    lineitem(s, d).createOrReplaceTempView("lineitem_gs")
-    s.sql("""
-      SELECT l_returnflag, l_linestatus,
-        CAST(grouping(l_returnflag) AS INT) AS g_flag,
-        CAST(grouping(l_linestatus) AS INT) AS g_status,
-        COUNT(*) AS n
-      FROM lineitem_gs
-      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
-  }
+  def q36GroupingSets(s: SparkSession, d: String): DataFrame =
+    TempViews.withViews(s, "lineitem_gs" -> lineitem(s, d)) { v =>
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          CAST(grouping(l_linestatus) AS INT) AS g_status,
+          COUNT(*) AS n
+        FROM ${v("lineitem_gs")}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }
 
   // --------------------------------------------------------- q37_array_fns
   /** Array higher-order functions over the token column: filter (long
@@ -453,10 +453,10 @@ object Relational {
       |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
       |GROUP BY m ORDER BY m""".stripMargin
 
-  def q25RecursiveCte(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("graft_orders_rcte")
-    s.sql(monthSpineSql.format("graft_orders_rcte"))
-  }
+  def q25RecursiveCte(s: SparkSession, d: String): DataFrame =
+    TempViews.withViews(s, "orders_rcte" -> orders(s, d)) { v =>
+      s.sql(monthSpineSql.format(v("orders_rcte")))
+    }
 
   // ------------------------------------------------------ q26_string_agg
   /** Ordered string aggregation: sorted-distinct collect (deterministic on
@@ -492,18 +492,18 @@ object Relational {
   // --------------------------------------------------------- q29_lateral
   /** Correlated LATERAL subquery — per-customer order stats computed by a
     * dependent subquery, decorrelated by Catalyst into a join. */
-  def q29Lateral(s: SparkSession, d: String): DataFrame = {
-    customer(s, d).createOrReplaceTempView("graft_cust_lat")
-    orders(s, d).createOrReplaceTempView("graft_ord_lat")
-    s.sql(
-      """SELECT c_custkey, c_name, t.max_price, t.n
-        |FROM graft_cust_lat,
-        |LATERAL (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
-        |                COUNT(*) AS n
-        |         FROM graft_ord_lat WHERE o_custkey = c_custkey) t
-        |WHERE t.n > 0
-        |ORDER BY c_custkey""".stripMargin)
-  }
+  def q29Lateral(s: SparkSession, d: String): DataFrame =
+    TempViews.withViews(s,
+      "cust_lat" -> customer(s, d), "ord_lat" -> orders(s, d)) { v =>
+      s.sql(
+        s"""SELECT c_custkey, c_name, t.max_price, t.n
+           |FROM ${v("cust_lat")},
+           |LATERAL (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+           |                COUNT(*) AS n
+           |         FROM ${v("ord_lat")} WHERE o_custkey = c_custkey) t
+           |WHERE t.n > 0
+           |ORDER BY c_custkey""".stripMargin)
+    }
 
   // -------------------------------------------------------------- q30_cube
   /** CUBE grouping sets — all 4 combinations in one Expand+aggregate pass

@@ -117,11 +117,11 @@ object RelationalExt {
   /** Correlated EXISTS / NOT EXISTS — customers active in 1996 that churned
     * in 1997. Catalyst decorrelates both subqueries into one semi and one
     * anti join against the same pre-filtered orders scan. */
-  def q42Exists(s: SparkSession, d: String): DataFrame = {
-    customer(s, d).createOrReplaceTempView("graft_cust_ex")
-    orders(s, d).createOrReplaceTempView("graft_ord_ex")
-    s.sql(existsSql.format("graft_cust_ex", "graft_ord_ex", "graft_ord_ex"))
-  }
+  def q42Exists(s: SparkSession, d: String): DataFrame =
+    TempViews.withViews(s,
+      "cust_ex" -> customer(s, d), "ord_ex" -> orders(s, d)) { v =>
+      s.sql(existsSql.format(v("cust_ex"), v("ord_ex"), v("ord_ex")))
+    }
 
   private val existsSql =
     """SELECT c_custkey, c_name

@@ -115,16 +115,17 @@ object TypeKernelQueries {
   /** Positional `?` parameter binding with all-parameters-are-varchar
     * semantics (src/query.rs:62-66): the bound text is coerced in context
     * by the engine, here through real SQL over a registered view. */
-  def k9Params(s: SparkSession, d: String): DataFrame = {
-    lineitem(s, d).createOrReplaceTempView("graft_lineitem_params")
-    val sql = QueryParams.substitute(
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM graft_lineitem_params
-        |WHERE l_quantity >= ? AND l_returnflag = ?
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-      Seq("48", "R"))
-    s.sql(sql)
-  }
+  def k9Params(s: SparkSession, d: String): DataFrame =
+    graft.operators.TempViews.withViews(
+      s, "lineitem_params" -> lineitem(s, d)) { v =>
+      val sql = QueryParams.substitute(
+        s"""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+           |FROM ${v("lineitem_params")}
+           |WHERE l_quantity >= ? AND l_returnflag = ?
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        Seq("48", "R"))
+      s.sql(sql)
+    }
 
   // ------------------------------------------------------ k10_nano_range
   /** A6 nanosecond bounds: checked micros→nanos conversion (errors outside

@@ -10,6 +10,32 @@ import graft.operators.{Dedup, PipelineExt, RelationalExt}
 class ExtSpec extends AnyFunSuite {
   import TestSession._
 
+  test("SQL-expressed queries run concurrently in one session without view collisions") {
+    // round-6: constant temp-view names made concurrent same-session calls
+    // race (one call's createOrReplace could swap the table under another's
+    // analysis). TempViews nonces the names; 8 interleaved calls across the
+    // view-registering queries must all agree with their serial results.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val serial = Map(
+      "q42" -> RelationalExt.q42Exists(spark, sf).count(),
+      "q29" -> operators.Relational.q29Lateral(spark, sf).count(),
+      "q36" -> operators.Relational.q36GroupingSets(spark, sf).count())
+    val runs = Future.sequence((1 to 8).map { i =>
+      Future {
+        i % 3 match {
+          case 0 => "q42" -> RelationalExt.q42Exists(spark, sf).count()
+          case 1 => "q29" -> operators.Relational.q29Lateral(spark, sf).count()
+          case _ => "q36" -> operators.Relational.q36GroupingSets(spark, sf).count()
+        }
+      }
+    })
+    Await.result(runs, 5.minutes).foreach { case (k, n) =>
+      assert(n == serial(k), s"$k returned $n concurrently vs ${serial(k)} serially")
+    }
+  }
+
   test("d7: clusters are consistent with their pair graph") {
     val pairs = Dedup.d3NgramJaccard(spark, sf)
       .select(col("a_id"), col("b_id")).collect()
