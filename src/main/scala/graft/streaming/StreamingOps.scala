@@ -194,13 +194,63 @@ object StreamingOps {
       .orderBy(col("user_id"), col("start_us"))
   }
 
-  /** Gate entry: batch sessionization (the streaming op's semantics twin,
-    * DuckDB-verifiable). */
+  /** q44: [[hourlyByType]] EXECUTED through the streaming engine — file
+    * source over the events parquet, micro-batches, state store, memory
+    * sink — then compared against the SAME DuckDB oracle as the batch
+    * q20 twin. This is the round-6 streaming-depth gate: q21 verifies
+    * streaming *semantics* via a batch twin; q44 verifies the streaming
+    * *execution path* end-to-end.
+    *
+    * Complete output mode, deliberately: with a FINITE source, append
+    * mode never emits the final windows (the watermark stops advancing
+    * when data ends), so a complete-mode aggregation is the only honest
+    * way to compare total results. The memory sink holds only the
+    * aggregated windows (hours × event types — model-sized, not data-
+    * sized); an infinite deployment would swap in a parquet/Kafka sink
+    * with append mode and accept watermark-finalized emission. */
+  def q44StreamHourly(s: SparkSession, d: String): DataFrame = {
+    // the file source lists a DIRECTORY; testdata packs every table into
+    // one dir, so stage the events file into its own (a real deployment
+    // points the stream at a dedicated ingest directory — this copy is a
+    // test-layout shim, not part of the operator)
+    val stage = java.nio.file.Files.createTempDirectory("graft-q44-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      stage.resolve("events.parquet"))
+    val sink = "graft_q44_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = hourlyByType(readEventStream(s, stage.toString))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+    // copy the sink table out (checkpoint), then drop the temp view so no
+    // named state outlives the call (same contract as TempViews)
+    val out = graft.operators.CacheScope.localCheckpoint(s.table(sink))
+    s.catalog.dropTempView(sink)
+    out.orderBy(col("bucket_us"), col("event_type"))
+  }
+
+  /** Gate entries: batch sessionization (the streaming op's semantics
+    * twin, DuckDB-verifiable) and the streaming-executed hourly windows. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d))
+    "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
+    "q44_stream_hourly" -> q44StreamHourly
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical to q20's oracle: the streaming execution must land on the
+    // same totals as the batch plan and the oracle engine
+    "q44_stream_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q21_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |m AS (SELECT user_id, ts_us,

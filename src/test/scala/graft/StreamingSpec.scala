@@ -42,6 +42,19 @@ class StreamingSpec extends AnyFunSuite {
       s"only ${streamed.size} of ${batch.size} windows emitted")
   }
 
+  test("q44 gate query (complete-mode streaming execution) equals the batch twin exactly") {
+    val streamed = StreamingOps.q44StreamHourly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    val batch = operators.Relational.q20WindowTumbling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    // complete mode emits ALL windows, so unlike the append-mode test this
+    // is exact set equality — the streaming engine must land on the same
+    // counts and decimal-exact sums as the batch plan
+    assert(streamed.nonEmpty)
+    assert(streamed.sorted.sameElements(batch.sorted),
+      s"streamed ${streamed.length} windows, batch ${batch.length}")
+  }
+
   test("multi-batch streaming sessionization emits every closed session (MemoryStream)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
