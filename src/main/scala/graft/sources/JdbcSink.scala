@@ -36,6 +36,23 @@ object JdbcSink {
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
       s"(${columns.map(_ => "?").mkString(", ")})"
 
+  /** Dialect-aware variant: identifiers quoted per the TARGET database's
+    * rules, resolved from the JDBC url through Spark's own dialect
+    * registry ([[org.apache.spark.sql.jdbc.JdbcDialects]]) — the same
+    * registry `df.write.jdbc` consults, so this surface previews exactly
+    * what [[insert]] sends. The reference proves MSSQL + Postgres against
+    * live containers (tests/integration.rs:27-38, docker-compose.yml);
+    * this environment has no network, so dialect coverage is pinned at
+    * the statement level instead: JdbcDialectSpec records the exact text
+    * generated per dialect url (Postgres/MSSQL/Derby/MySQL), which is
+    * where the quoting quirks a user hits first live (`"c"` vs
+    * backticks; mixed-case folding). */
+  def insertStatement(table: String, columns: Seq[String], url: String): String = {
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    s"INSERT INTO $table (${columns.map(dialect.quoteIdentifier).mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+  }
+
   /** `?name?` → positional rewrite (execute.rs:64-109). Returns the
     * positional SQL and the referenced column names in parameter order.
     * `\?` emits a literal `?` and binds nothing. */
