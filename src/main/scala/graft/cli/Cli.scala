@@ -50,6 +50,9 @@ object Cli {
       sequentialFetching: Boolean = false,
       /** -1 = quiet, 0 = default, N = -v count (logging.rs:4-25 parity) */
       verbosity: Int = 0,
+      /** --prompt (reference connection opts, src/main.rs): ask for the
+        * password interactively instead of taking it from flag/env */
+      promptPassword: Boolean = false,
       positional: Vector[String] = Vector.empty)
 
   def parse(args: Seq[String]): (String, Conf) = {
@@ -81,6 +84,7 @@ object Cli {
         case "--avoid-decimal" :: t => c = c.copy(avoidDecimal = true); t
         case "--prefer-varbinary" :: t => c = c.copy(preferVarbinary = true); t
         case "--sequential-fetching" :: t => c = c.copy(sequentialFetching = true); t
+        case "--prompt" :: t => c = c.copy(promptPassword = true); t
         case ("-v" | "--verbose") :: t => c = c.copy(verbosity = c.verbosity.max(0) + 1); t
         case ("-q" | "--quiet") :: t => c = c.copy(verbosity = -1); t
         case flag :: _ if flag.startsWith("--") =>
@@ -95,6 +99,11 @@ object Cli {
       c = c.copy(connectionString = sys.env.get("GRAFT_CONNECTION_STRING"))
     if (c.user.isEmpty) c = c.copy(user = sys.env.get("GRAFT_USER"))
     if (c.password.isEmpty) c = c.copy(password = sys.env.get("GRAFT_PASSWORD"))
+    // --prompt wins over flag/env (matching the reference's "ask me"
+    // intent: an explicit prompt must never silently reuse a stale
+    // environment secret); resolution is deferred to command run time via
+    // resolveCredentials so parsing stays pure and testable
+    if (c.promptPassword) c = c.copy(password = None)
     // stdout output conflicts with file splitting (reference main.rs:295-311)
     if (cmd == "query" && c.positional.headOption.contains("-") &&
       (c.rowGroupsPerFile > 0 || c.fileSizeThreshold > 0))
@@ -157,10 +166,31 @@ object Cli {
       |  --column-compression-default CODEC, --column-compression-level-default N,
       |  --parquet-column-encoding COL:ENC, --column-length-limit N, --suffix-length N,
       |  --no-empty-file, --avoid-decimal, --prefer-varbinary, --sequential-fetching,
-      |  --driver-does-not-support-64bit-integers""".stripMargin
+      |  --driver-does-not-support-64bit-integers, --user/-u NAME, --password/-p PW,
+      |  --prompt (ask for the password interactively)""".stripMargin
+
+  /** `--prompt` resolution (reference interactive credentials,
+    * src/main.rs connection opts): read the password from the console
+    * (no-echo) at command start, falling back to a stdin line when no
+    * console is attached (pipes, CI). Injectable reader keeps it
+    * spec-testable without a tty. */
+  def resolveCredentials(conf: Conf,
+      readSecret: () => String = defaultReadSecret): Conf =
+    if (conf.promptPassword) conf.copy(password = Some(readSecret()))
+    else conf
+
+  private def defaultReadSecret(): String =
+    Option(System.console()) match {
+      case Some(console) =>
+        console.printf("password: ")
+        new String(console.readPassword())
+      case None =>
+        Option(scala.io.StdIn.readLine()).getOrElse("")
+    }
 
   def main(args: Array[String]): Unit = {
-    val (cmd, conf) = parse(args.toIndexedSeq)
+    val (cmd, rawConf) = parse(args.toIndexedSeq)
+    val conf = resolveCredentials(rawConf)
     cmd match {
       case "query" => runQuery(conf)
       case "insert" => runInsert(conf)
@@ -300,8 +330,9 @@ object Cli {
     Seq("query", "insert", "exec", "list-drivers", "list-data-sources", "completions")
 
   /** Shell completion scripts (reference main.rs:363-367 generates via
-    * clap_complete for bash/zsh/fish/elvish/powershell; the three shells
-    * this environment can exercise are covered). */
+    * clap_complete for bash/zsh/fish/elvish/powershell — all five shells
+    * are covered; bash/zsh/fish are the ones this environment can
+    * exercise live, elvish/powershell are pinned by spec). */
   def completions(shell: String): String = shell match {
     case "bash" =>
       s"""_graft() {
@@ -320,8 +351,22 @@ object Cli {
     case "fish" =>
       subcommands.map(c =>
         s"complete -c graft -n __fish_use_subcommand -a $c").mkString("\n")
+    case "elvish" =>
+      s"""set edit:completion:arg-completer[graft] = {|@words|
+         |  if (== (count $$words) 2) {
+         |    all [${subcommands.mkString(" ")}]
+         |  }
+         |}""".stripMargin
+    case "powershell" =>
+      s"""Register-ArgumentCompleter -Native -CommandName graft -ScriptBlock {
+         |  param($$wordToComplete, $$commandAst, $$cursorPosition)
+         |  @(${subcommands.map(c => s"'$c'").mkString(", ")}) |
+         |    Where-Object { $$_ -like "$$wordToComplete*" } |
+         |    ForEach-Object { [System.Management.Automation.CompletionResult]::new($$_, $$_, 'ParameterValue', $$_) }
+         |}""".stripMargin
     case other => throw new IllegalArgumentException(
-      s"unsupported shell '$other'; expected one of: bash, zsh, fish")
+      s"unsupported shell '$other'; expected one of: " +
+        "bash, zsh, fish, elvish, powershell")
   }
 
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {

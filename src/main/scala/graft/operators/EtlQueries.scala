@@ -191,6 +191,12 @@ object EtlQueries {
     orders(s, d).withColumn("year", year(col("o_orderdate")))
       .write.partitionBy("year").parquet(out)
     import scala.jdk.CollectionConverters._
+    // NOTE: this directory listing + distinct-years collect is a LAYOUT
+    // ASSERTION, valid only because the partition key (order year) has
+    // single-digit cardinality by construction. Do not copy the pattern
+    // for high-cardinality partition keys — listing and collecting
+    // distinct values is O(partitions) on the driver; the query path
+    // itself never does this (it prunes statically on the year filter).
     val partDirs = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
       .filter(Files.isDirectory(_)).map(_.getFileName.toString)
       .filter(_.startsWith("year=")).toSeq.sorted

@@ -100,9 +100,13 @@ object IvfIndex {
   def ensure(s: SparkSession, d: String): Path = synchronized {
     val dir = indexDir(d)
     if (!Files.isDirectory(dir)) {
-      val staging = dir.resolveSibling(dir.getFileName.toString + ".staging")
-      if (Files.isDirectory(staging))
-        org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      // per-attempt staging name: two JVMs may race to build the same
+      // index (Verify and a test run); each stages privately and the
+      // loser of the final rename just discards — builds are
+      // deterministic, so whichever index lands is THE index
+      val staging = dir.resolveSibling(
+        dir.getFileName.toString + ".staging-" +
+          java.util.UUID.randomUUID().toString.take(8))
       val model = train(s, d)
       import s.implicits._
       model.zipWithIndex
@@ -116,7 +120,14 @@ object IvfIndex {
           cluster(model).as("c"))
         .write.mode("overwrite").partitionBy("c")
         .parquet(staging.resolve("lists").toString)
-      Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.FileSystemException if Files.isDirectory(dir) =>
+          // a concurrent builder won; its (identical) index is in place
+          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      }
     }
     dir
   }

@@ -210,6 +210,28 @@ class EtlSpec extends AnyFunSuite {
     assert(c.encoding == "Utf16")
   }
 
+  test("cli: --prompt discards flag/env password and reads interactively") {
+    val (_, c) = Cli.parse(Seq("query", "-p", "stale", "--prompt", "o", "s"))
+    // an explicit prompt must never silently reuse a stale secret
+    assert(c.promptPassword && c.password.isEmpty)
+    val resolved = Cli.resolveCredentials(c, () => "fresh-secret")
+    assert(resolved.password.contains("fresh-secret"))
+    // without --prompt, resolution is a no-op
+    val (_, plain) = Cli.parse(Seq("query", "-p", "kept", "o", "s"))
+    assert(Cli.resolveCredentials(plain, () => fail("must not prompt"))
+      .password.contains("kept"))
+  }
+
+  test("cli: completions cover all five reference shells (E4 parity)") {
+    for (shell <- Seq("bash", "zsh", "fish", "elvish", "powershell"))
+      assert(Cli.completions(shell).contains("graft"), shell)
+    // each script enumerates the subcommands
+    assert(Cli.completions("elvish").contains("list-drivers"))
+    assert(Cli.completions("powershell").contains("list-data-sources"))
+    val e = intercept[IllegalArgumentException](Cli.completions("tcsh"))
+    assert(e.getMessage.contains("powershell"))
+  }
+
   test("stdout output streams a whole readable parquet (C4 parity)") {
     val sink = tmp().resolve("captured.par")
     val prev = System.out
