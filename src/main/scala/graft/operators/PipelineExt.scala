@@ -147,10 +147,32 @@ object PipelineExt {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  // ------------------------------------------------------- t11_split
+  /** Deterministic train/validation/test assignment — the split step of a
+    * training-data pipeline. Bucket = first 32 md5 bits of the document id
+    * mod 100 → 90/5/5. Hash-of-id (never random()) so the split is stable
+    * under reruns, repartitioning, and incremental arrivals — a document's
+    * split never changes when the corpus around it does. Pure per-row
+    * expressions, no shuffle except the presentation sort; portable: the
+    * oracle recomputes the identical md5 buckets in SQL. To re-roll a
+    * split, version the key (md5(concat(id, ':v2'))), don't re-seed. */
+  def t11Split(s: SparkSession, d: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    documents(s, d)
+      .select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d7_dup_clusters" -> d7DupClusters,
     "t7_redact_pii" -> t7RedactPii,
-    "t8_token_mix" -> t8TokenMix
+    "t8_token_mix" -> t8TokenMix,
+    "t11_split" -> t11Split
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,6 +206,15 @@ object PipelineExt {
         |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
         |  len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t11_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "t8_token_mix" ->
       """WITH t AS (SELECT source, doc_id, n_chars,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

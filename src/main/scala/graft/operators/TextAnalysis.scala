@@ -136,7 +136,30 @@ object TextAnalysis {
       .orderBy(col("src"))
   }
 
+  // -------------------------------------------- t12_quality_percentile
+  /** Per-source EXACT length quantiles — the threshold-derivation step of
+    * corpus quality filtering ("drop the bottom quartile per source"
+    * needs the quartile first). SQL-standard PERCENTILE_DISC (first value
+    * with cumulative distribution ≥ q) picks real elements, so results
+    * are integers both engines agree on bit-for-bit — unlike interpolated
+    * PERCENTILE_CONT, whose float arithmetic is not oracle-stable. One
+    * shuffle on source with partial aggregation; for the sketch-based
+    * scale path at extreme group cardinality see q23's approx family. */
+  def t12QualityPercentile(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p75"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_quality_percentile" -> t12QualityPercentile,
     "t1_tokens" -> t1Tokens,
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
@@ -146,6 +169,13 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t12_quality_percentile" ->
+      """SELECT source,
+        |  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+        |  CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "t1_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
