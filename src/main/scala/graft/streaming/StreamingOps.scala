@@ -234,11 +234,43 @@ object StreamingOps {
     out.orderBy(col("bucket_us"), col("event_type"))
   }
 
+  /** q45: the watermarked stream-stream interval join
+    * ([[errorPurchaseJoin]]) EXECUTED through the streaming engine and
+    * oracle-compared as a pair list. Inner joins emit matches as soon as
+    * both sides arrive — watermarks only bound state retention — so a
+    * finite run emits the complete join result and the final table is
+    * directly DuckDB-comparable (q41 gates the same ±10-minute semantics
+    * on the batch path; this gates the streaming execution of it). */
+  def q45StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-q45-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      stage.resolve("events.parquet"))
+    val sink = "graft_q45_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = readEventStream(s, stage.toString)
+    val q = errorPurchaseJoin(
+        ev.filter(col("event_type") === "error"),
+        ev.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+    val out = graft.operators.CacheScope.localCheckpoint(s.table(sink))
+    s.catalog.dropTempView(sink)
+    out.orderBy(col("err_id"), col("pur_id"))
+  }
+
   /** Gate entries: batch sessionization (the streaming op's semantics
-    * twin, DuckDB-verifiable) and the streaming-executed hourly windows. */
+    * twin, DuckDB-verifiable) and the two streaming-EXECUTED queries
+    * (windowed aggregation q44, stream-stream interval join q45). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
-    "q44_stream_hourly" -> q44StreamHourly
+    "q44_stream_hourly" -> q44StreamHourly,
+    "q45_stream_interval_join" -> q45StreamIntervalJoin
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -251,6 +283,14 @@ object StreamingOps {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q45_stream_interval_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+        |    FROM events)
+        |SELECT e.event_id AS err_id, p.event_id AS pur_id, e.user_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND abs(e.t_us - p.t_us) <= 600000000
+        |ORDER BY err_id, pur_id""".stripMargin,
     "q21_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |m AS (SELECT user_id, ts_us,
