@@ -33,6 +33,17 @@ object CurationExt {
     * hash; the gram generation (one transform+explode, linear in tokens)
     * is unchanged. */
   def d8Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val (corpus, evalGrams) = decontamSides(s, d)
+    corpus.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared gram generation for d8/d10: distinct word 4-grams per doc,
+    * split into (corpus, eval) sides on the eval-split stand-in. */
+  private def decontamSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val W = 4
     val grams = documents(s, d)
       .select(col("doc_id"), toks.as("w"))
@@ -42,10 +53,39 @@ object CurationExt {
           sequence(lit(0), size(col("w")) - W),
           i => concat_ws(" ", slice(col("w"), i + 1, lit(W))))).as("gram"))
       .distinct()
-    val evalGrams = grams.filter(col("doc_id") % 50 === 0)
-      .select(col("gram"), col("doc_id").as("eval_id"))
-    val corpus = grams.filter(col("doc_id") % 50 =!= 0)
-    corpus.join(broadcast(evalGrams), Seq("gram"))
+    (grams.filter(col("doc_id") % 50 =!= 0),
+      grams.filter(col("doc_id") % 50 === 0)
+        .select(col("gram"), col("doc_id").as("eval_id")))
+  }
+
+  // -------------------------------------------- d10_decontaminate_bloom
+  /** d8's documented scale path, realized: when the eval gram set is too
+    * large to broadcast as rows, aggregate it into a BLOOM FILTER (Spark's
+    * own `BloomFilterAggregate`, the runtime-filter machinery), scalar-
+    * subquery that ~MB blob to every scan task, and pre-filter corpus
+    * grams with `might_contain` BEFORE the exact verification join — which
+    * can then be a plain shuffle join, because only the ~fpp-sized
+    * candidate slice of the corpus reaches it.
+    *
+    * EXACT results, not approximate: Bloom filters have no false
+    * negatives, so the pre-filter drops only true negatives, and the
+    * verification join removes the false positives — d10 shares d8's
+    * oracle verbatim. The corpus side still never shuffles ITS full gram
+    * stream anywhere: the bloom check is per-row scan work. */
+  def d10DecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val (corpus, evalGrams) = decontamSides(s, d)
+    val bloom = evalGrams.agg(GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("gram"))))
+        .toAggregateExpression()).as("bf"))
+    val candidates = corpus.filter(GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.scalarSubquery(bloom),
+      GraftBridge.expression(xxhash64(col("gram"))))))
+    // exact verify on the bloom survivors — deliberately NOT broadcast:
+    // this is the shape for eval sets beyond broadcast size
+    candidates.join(evalGrams, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
@@ -159,6 +199,7 @@ object CurationExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_decontaminate" -> d8Decontaminate,
+    "d10_decontaminate_bloom" -> d10DecontaminateBloom,
     "d9_fuzzy_link" -> d9FuzzyLink,
     "t9_repetition" -> t9Repetition,
     "t10_pack" -> t10Pack,
@@ -167,6 +208,16 @@ object CurationExt {
 
   val oracleSql: Map[String, String] = Map(
     "d8_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 3)) AS u(i) WHERE len(w) >= 4),
+        |e AS (SELECT gram, doc_id AS eval_id FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_grams,
+        |       CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM c JOIN e USING (gram) GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    // identical to d8: the bloom pre-filter is result-neutral by design
+    "d10_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
         |      FROM t, unnest(generate_series(1, len(w) - 3)) AS u(i) WHERE len(w) >= 4),

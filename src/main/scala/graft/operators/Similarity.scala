@@ -58,6 +58,30 @@ object Similarity {
     * 0.51 → ~0.8 at sf0.1 (NOTES.md) for ~2x candidate volume — the gate
     * floor below assumes this shape. */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val found = s2Found(s, d)
+
+    // in-gate recall check (GateChecks): the exact top-k for the bounded
+    // s1 query set must be >= 60% recovered or the query fails to zero
+    // rows. Floor = round-6 measured recall (0.71 at sf0.1, 0.80 at
+    // sf0.01 with the 8x4 bands) minus ~10 pts slack — tight enough that
+    // a silently degraded index fails instead of coasting (NOTES.md).
+    val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
+    GateChecks.requireCached(found, f =>
+      exact
+        .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left_outer")
+        .agg((count(lit(1)) === 0 ||
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.6)
+          .as("gate_ok")))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s2's pure search path (candidate generation + exact rescoring),
+    * separate from the gate so the plan can be audited: the candidate
+    * join must stay keyed on (band, bucket) — the gate's bounded
+    * crossJoins (1-row verdict, ≤64-vector exact twin) are by design and
+    * excluded from that audit. */
+  private[graft] def s2Found(s: SparkSession, d: String): DataFrame = {
     val planes = VectorOps.hyperplanes(nPlanes = 32, dim = 64)
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
@@ -77,26 +101,11 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
-    val found = cand
+    cand
       .select(col("q_id"), col("vec_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-
-    // in-gate recall check (GateChecks): the exact top-k for the bounded
-    // s1 query set must be >= 60% recovered or the query fails to zero
-    // rows. Floor = round-6 measured recall (0.71 at sf0.1, 0.80 at
-    // sf0.01 with the 8x4 bands) minus ~10 pts slack — tight enough that
-    // a silently degraded index fails instead of coasting (NOTES.md).
-    val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
-    GateChecks.requireCached(found, f =>
-      exact
-        .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-          Seq("q_id", "vec_id"), "left_outer")
-        .agg((count(lit(1)) === 0 ||
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.6)
-          .as("gate_ok")))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** The pure probe path of s3 — everything a serving query pays AFTER the

@@ -30,6 +30,13 @@ object GraftBridge {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
 
+  /** Wrap a 1-row/1-column Dataset as a scalar-subquery EXPRESSION — the
+    * form `BloomFilterMightContain` requires for its filter side (it
+    * rejects plain attribute references; InjectRuntimeFilter uses exactly
+    * this shape). */
+  def scalarSubquery(df: Dataset[_]): Expression =
+    catalyst.expressions.ScalarSubquery(analyzedPlan(df))
+
   def ofRows(
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

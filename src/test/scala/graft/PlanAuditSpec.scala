@@ -121,4 +121,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"query-side limit must bound the broadcast:\n$p")
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("s2 LSH candidate join is an equi join on (band, bucket), never nested-loop") {
+    val p = plan(Similarity.s2Found(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must stay keyed on band buckets:\n$p")
+  }
+
+  test("t11 split is scan-shaped: no hash shuffle, only the presentation sort") {
+    val p = plan(operators.PipelineExt.t11Split(spark, sf))
+    // the split assignment itself is per-row; the only exchange allowed is
+    // the range partitioning of the final ORDER BY
+    assert(!p.contains("hashpartitioning"),
+      s"t11 must not shuffle on any key:\n$p")
+  }
+
+  test("d10 bloom decontamination: might_contain pre-filter feeds a shuffle verify join") {
+    // at toy SF the optimizer may (correctly) turn the verify join into a
+    // broadcast from size stats; the audit asks what d10 DECLARES, so
+    // disable auto-broadcast — d8 still broadcasts under this setting
+    // (explicit hint), proving the two operators differ where intended
+    val p = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      (plan(operators.CurationExt.d10DecontaminateBloom(spark, sf)),
+        plan(operators.CurationExt.d8Decontaminate(spark, sf)))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(p._1.contains("might_contain"),
+      s"bloom pre-filter must appear in the corpus scan path:\n${p._1}")
+    assert(p._1.contains("SortMergeJoin") || p._1.contains("ShuffledHashJoin"),
+      s"d10's verify join must not require broadcast in the scale path:\n${p._1}")
+    assert(p._2.contains("BroadcastHashJoin"),
+      "d8 must keep its explicit broadcast for the tiny-eval fast path")
+  }
+
+  test("t12 percentiles aggregate partially before the source shuffle") {
+    val p = plan(operators.TextAnalysis.t12QualityPercentile(spark, sf))
+    // percentile_disc plans as ObjectHashAggregate/SortAggregate with a
+    // partial stage: two aggregate operators must appear
+    val aggs = "(ObjectHashAggregate|SortAggregate|HashAggregate)".r
+      .findAllIn(p).size
+    assert(aggs >= 2, s"expect partial + final aggregate stages:\n$p")
+  }
 }
