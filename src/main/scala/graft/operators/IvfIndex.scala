@@ -86,11 +86,19 @@ object IvfIndex {
     sys.env.getOrElse("SPARK_GRAFT_IVF_DIR",
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ivf"))
 
-  /** Index location is a pure function of (corpus dir, format, K): same
-    * corpus → same index; changed recipe → fresh path. */
+  /** Index location is a pure function of (corpus identity, format, K):
+    * same corpus → same index; changed recipe → fresh path. Corpus
+    * identity includes the embeddings file's size and mtime, not just its
+    * path — if the dataset is regenerated in place, the old index must
+    * MISS, never silently serve stale inverted lists. */
   def indexDir(d: String): Path = {
+    val src = Paths.get(d).toAbsolutePath.resolve("embeddings.parquet")
+    val fingerprint =
+      if (Files.exists(src))
+        s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
+      else "absent"
     val key = scala.util.hashing.MurmurHash3.stringHash(
-      Paths.get(d).toAbsolutePath.toString).toHexString
+      s"$src|$fingerprint").toHexString
     indexRoot.resolve(s"$FormatVersion-k$K-$key")
   }
 

@@ -168,11 +168,34 @@ object PipelineExt {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------- t13_stratified_sample
+  /** Deterministic stratified sampling: k documents per source, selected
+    * by md5-hash order — uniformly "random" yet fully reproducible, the
+    * way eval subsets and ablation slices should be cut (TABLESAMPLE /
+    * rand() give a different corpus every run and can't be oracle-
+    * checked; hash order can). One window shuffle keyed on source, k-th
+    * row cut in-partition; the t8 hot-source caveat (hierarchical
+    * sub-bucketing) applies identically at extreme stratum skew. */
+  def t13StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").as("hv")
+    val w = Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"), hv)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      // long: DuckDB's ROW_NUMBER is BIGINT and the compare is dtype-exact
+      .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d7_dup_clusters" -> d7DupClusters,
     "t7_redact_pii" -> t7RedactPii,
     "t8_token_mix" -> t8TokenMix,
-    "t11_split" -> t11Split
+    "t11_split" -> t11Split,
+    "t13_stratified_sample" -> t13StratifiedSample
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,6 +238,15 @@ object PipelineExt {
         |       WHEN bucket < 95 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t13_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, doc_id, rn FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
     "t8_token_mix" ->
       """WITH t AS (SELECT source, doc_id, n_chars,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
