@@ -30,6 +30,31 @@ object StreamingOps {
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
 
+  /** Run `body` with confs suited to a SHORT bounded streaming execution,
+    * restoring the session's values after: few state partitions (each
+    * state store pays per-batch file IO regardless of data volume — at 32
+    * shuffle partitions the q45 join ran 4x slower than the same join at
+    * 8) and no checkpoint checksums (pure overhead for a gate run whose
+    * checkpoint is discarded). A long-lived production stream would keep
+    * the session defaults: state-partition count must match expected
+    * state VOLUME, and checksums guard checkpoints that actually get
+    * restored. */
+  private def withGateStreamConfs[T](s: SparkSession)(body: => T): T = {
+    val conf = s.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevSum = conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try body
+    finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevSum match {
+        case Some(v) => conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", v)
+        case None => conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   /** File-source stream over a directory of event parquet files. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -218,14 +243,16 @@ object StreamingOps {
       java.nio.file.Paths.get(s"$d/events.parquet"),
       stage.resolve("events.parquet"))
     val sink = "graft_q44_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = hourlyByType(readEventStream(s, stage.toString))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete())
-      .start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    withGateStreamConfs(s) {
+      val q = hourlyByType(readEventStream(s, stage.toString))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
     }
     // copy the sink table out (checkpoint), then drop the temp view so no
     // named state outlives the call (same contract as TempViews)
@@ -247,17 +274,19 @@ object StreamingOps {
       java.nio.file.Paths.get(s"$d/events.parquet"),
       stage.resolve("events.parquet"))
     val sink = "graft_q45_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ev = readEventStream(s, stage.toString)
-    val q = errorPurchaseJoin(
-        ev.filter(col("event_type") === "error"),
-        ev.filter(col("event_type") === "purchase"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append())
-      .start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    withGateStreamConfs(s) {
+      val ev = readEventStream(s, stage.toString)
+      val q = errorPurchaseJoin(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "purchase"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
     }
     val out = graft.operators.CacheScope.localCheckpoint(s.table(sink))
     s.catalog.dropTempView(sink)
