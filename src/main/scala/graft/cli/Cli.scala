@@ -50,8 +50,10 @@ object Cli {
       sequentialFetching: Boolean = false,
       /** -1 = quiet, 0 = default, N = -v count (logging.rs:4-25 parity) */
       verbosity: Int = 0,
-      /** --prompt (reference connection opts, src/main.rs): ask for the
-        * password interactively instead of taking it from flag/env */
+      /** --prompt (reference connection.rs:49-77, where it triggers the
+        * ODBC driver-completion dialog and is windows-only): JDBC has no
+        * driver-completion analog, so reinterpreted — documented in
+        * README — as portable interactive credential entry. */
       promptPassword: Boolean = false,
       positional: Vector[String] = Vector.empty)
 
