@@ -72,7 +72,7 @@ object Bench {
       // before the timer starts. Without it a timed run can absorb heap
       // debt from earlier cache-heavy queries — k1_decimal_cast measured
       // 1.4s in isolation vs 15s mid-suite on one r05 run.
-      // min of N timed runs (default 2): r5→r6 triage showed same-code
+      // min of N timed runs (default 3): r5→r6 triage showed same-code
       // run-to-run spread of ±2x on sub-2s queries in this environment
       // (q1_agg 0.94..2.80s over 5 identical runs; toggling /dev/shm and
       // the GC barrier moved nothing consistently). The min estimates the
@@ -80,10 +80,12 @@ object Bench {
       // time — so round-over-round comparisons track code, not machine
       // weather. Each timed run still pays its own cache build.
       val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-      val times = (1 to nRuns).map { i =>
-        if (i > 1) {
-          if (sys.env.getOrElse("SPARK_GRAFT_GC", "true").toBoolean) System.gc()
-        }
+      val times = (1 to nRuns).map { _ =>
+        // GC barrier before EVERY timed run — including the first, which
+        // otherwise absorbs the warm run's heap debt (the k1 15s-vs-1.4s
+        // pathology above), and which is the ONLY run under
+        // SPARK_GRAFT_RUNS=1 triage
+        if (sys.env.getOrElse("SPARK_GRAFT_GC", "true").toBoolean) System.gc()
         val t0 = System.nanoTime()
         val ok =
           try { materialize(fn(spark, sfDir)); true }

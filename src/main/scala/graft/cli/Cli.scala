@@ -176,10 +176,20 @@ object Cli {
     * (no-echo) at command start, falling back to a stdin line when no
     * console is attached (pipes, CI). Injectable reader keeps it
     * spec-testable without a tty. */
-  def resolveCredentials(conf: Conf,
+  def resolveCredentials(conf: Conf, cmd: String = "",
       readSecret: () => String = defaultReadSecret): Conf =
-    if (conf.promptPassword) conf.copy(password = Some(readSecret()))
-    else conf
+    if (conf.promptPassword) {
+      // the stdin fallback and a stdin-sourced query share ONE stream: the
+      // prompt would consume the query's first line as the password and
+      // feed a fragment of SQL to the database as the credential. Refuse
+      // loudly instead of corrupting both.
+      if (System.console() == null &&
+          cmd == "query" && conf.positional.lift(1).contains("-"))
+        throw new IllegalArgumentException(
+          "--prompt cannot read the password from stdin while the query is " +
+            "also read from stdin ('-'); attach a terminal or pass the query inline")
+      conf.copy(password = Some(readSecret()))
+    } else conf
 
   private def defaultReadSecret(): String =
     Option(System.console()) match {
@@ -192,7 +202,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val (cmd, rawConf) = parse(args.toIndexedSeq)
-    val conf = resolveCredentials(rawConf)
+    val conf = resolveCredentials(rawConf, cmd)
     cmd match {
       case "query" => runQuery(conf)
       case "insert" => runInsert(conf)

@@ -199,12 +199,35 @@ object Dedup {
     *    6). Floor 0.45 = measured minus ~15 pts: loose enough for
     *    small-sample noise, tight enough that a broken band split (which
     *    collapses recall toward 0) fails loudly. */
+  /** d5's signature frame, uncached — shared with [[graft.tools.Measure]]
+    * so the measured recall population is definitionally the gate
+    * population (they cannot drift apart). */
+  private[graft] def d5Signatures(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh"))
+
+  /** d5's unbanded truth: same-source pairs with hamming ≤ `maxH` over the
+    * even-doc_id sample, as (a_id, b_id, h). The hamming≤3 subset is
+    * pigeonhole-guaranteed (deterministic — ANY sampled miss proves
+    * banding broken); recall over 4..maxH is a ratio, so the sampled
+    * estimate keeps its teeth; the sample quarters the join work. */
+  private[graft] def d5Truth(sh: DataFrame, maxH: Int): DataFrame = {
+    val sampled = sh.filter(col("doc_id") % 2 === 0)
+    val ta = sampled.select(col("doc_id").as("a_id"), col("source"), col("sh").as("sha"))
+    val tb = sampled.select(col("doc_id").as("b_id"), col("source").as("src_b"),
+      col("sh").as("shb"))
+    ta.join(tb,
+        col("source") === col("src_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("h"))
+      .filter(col("h") <= maxH)
+  }
+
   def d5SimhashDup(s: SparkSession, d: String): DataFrame = {
     // banding and the completeness twin both read the signatures; cache so
     // tokenize+simhash runs once per document (released per-query by the
     // runner via CacheScope)
-    val sh = CacheScope.persist(documents(s, d)
-      .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh")))
+    val sh = CacheScope.persist(d5Signatures(s, d))
     val banded = sh.withColumn("band", explode(array(
       (0 until 4).map(b => struct(lit(b).as("i"),
         col("sh").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))
@@ -219,19 +242,7 @@ object Dedup {
       .filter(col("hamming") <= 6)
       .select(col("a_id"), col("b_id"), col("hamming"))
 
-    // unbanded hamming<=6 truth within same-source blocks, sampled to even
-    // doc_ids (the hamming<=3 guarantee is deterministic, so ANY sampled
-    // miss proves banding broken; recall is a ratio, so the sampled
-    // estimate keeps its teeth; the sample quarters the join work)
-    val sampled = sh.filter(col("doc_id") % 2 === 0)
-    val ta = sampled.select(col("doc_id").as("a_id"), col("source"), col("sh").as("sha"))
-    val tb = sampled.select(col("doc_id").as("b_id"), col("source").as("src_b"),
-      col("sh").as("shb"))
-    val truth = ta.join(tb,
-        col("source") === col("src_b") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("sha").bitwiseXOR(col("shb"))).as("h"))
-      .filter(col("h") <= 6)
+    val truth = d5Truth(sh, maxH = 6)
     GateChecks.requireCached(found, f => {
       val hits = truth.join(
         f.select(col("a_id"), col("b_id"), lit(1).as("hit")),

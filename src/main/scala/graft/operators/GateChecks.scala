@@ -33,4 +33,17 @@ object GateChecks {
     val cached = CacheScope.persist(result)
     require(cached, mkCheck(cached))
   }
+
+  /** Recall floor vs an exact twin, the shared shape of the ANN gates
+    * (s2/s3): `exact`'s (q_id, vec_id) pairs must be recovered by the
+    * result at ratio ≥ `floor`, vacuously true when the exact set is
+    * empty. One definition so the two gates cannot silently diverge. */
+  def requireRecall(result: DataFrame, exact: DataFrame, floor: Double): DataFrame =
+    requireCached(result, f =>
+      exact
+        .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left_outer")
+        .agg((count(lit(1)) === 0 ||
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= floor)
+          .as("gate_ok")))
 }

@@ -115,25 +115,33 @@ object IvfIndex {
       val staging = dir.resolveSibling(
         dir.getFileName.toString + ".staging-" +
           java.util.UUID.randomUUID().toString.take(8))
-      val model = train(s, d)
-      import s.implicits._
-      model.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }.toSeq
-        .toDF("c", "centroid")
-        .repartition(1)
-        .write.mode("overwrite").parquet(staging.resolve("centroids").toString)
-      embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          VectorOps.norm2(col("embedding")).as("n2"),
-          cluster(model).as("c"))
-        .write.mode("overwrite").partitionBy("c")
-        .parquet(staging.resolve("lists").toString)
-      try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.DirectoryNotEmptyException |
-            _: java.nio.file.FileSystemException if Files.isDirectory(dir) =>
-          // a concurrent builder won; its (identical) index is in place
+      // any exit that does not land the rename removes the staging dir —
+      // a failed build (OOM, disk full, interrupt) must not leave
+      // near-corpus-sized orphans accumulating under the index root
+      var renamed = false
+      try {
+        val model = train(s, d)
+        import s.implicits._
+        model.zipWithIndex
+          .map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("c", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(staging.resolve("centroids").toString)
+        embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm2(col("embedding")).as("n2"),
+            cluster(model).as("c"))
+          .write.mode("overwrite").partitionBy("c")
+          .parquet(staging.resolve("lists").toString)
+        try {
+          Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+          renamed = true
+        } catch {
+          case _: java.nio.file.FileSystemException if Files.isDirectory(dir) =>
+            // a concurrent builder won; its (identical) index is in place
+        }
+      } finally {
+        if (!renamed && Files.isDirectory(staging))
           org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       }
     }

@@ -57,24 +57,16 @@ object Similarity {
     * cost. Round-6 retune 4×4 → 8×4: measured recall@5 vs exact rose
     * 0.51 → ~0.8 at sf0.1 (NOTES.md) for ~2x candidate volume — the gate
     * floor below assumes this shape. */
-  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val found = s2Found(s, d)
+  /** Recall floor shared by the s2/s3 gates: round-6 measured recall
+    * (s2 0.71, s3 0.68 at sf0.1; 0.80/0.78 at sf0.01) minus ~10 pts
+    * slack — tight enough that a silently degraded index fails instead
+    * of coasting (NOTES.md). */
+  private val AnnRecallFloor = 0.6
 
-    // in-gate recall check (GateChecks): the exact top-k for the bounded
-    // s1 query set must be >= 60% recovered or the query fails to zero
-    // rows. Floor = round-6 measured recall (0.71 at sf0.1, 0.80 at
-    // sf0.01 with the 8x4 bands) minus ~10 pts slack — tight enough that
-    // a silently degraded index fails instead of coasting (NOTES.md).
-    val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
-    GateChecks.requireCached(found, f =>
-      exact
-        .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-          Seq("q_id", "vec_id"), "left_outer")
-        .agg((count(lit(1)) === 0 ||
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.6)
-          .as("gate_ok")))
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame =
+    GateChecks.requireRecall(s2Found(s, d),
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
       .orderBy(col("q_id"), col("rank"))
-  }
 
   /** s2's pure search path (candidate generation + exact rescoring),
     * separate from the gate so the plan can be audited: the candidate
@@ -118,16 +110,20 @@ object Similarity {
 
     // query side: the bounded query set (≤ MaxQueries vectors) ranks the
     // centroid model per vector — K native dots per QUERY, not per corpus
-    // row — and explodes to its nProbe probe targets
-    val probes = embeddings(s, d).filter(isQuery)
-      .orderBy(col("vec_id")).limit(MaxQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        VectorOps.norm2(col("embedding")).as("qn2"),
-        explode(slice(array_sort(zip_with(IvfIndex.dists(model),
-          sequence(lit(0), lit(IvfIndex.K - 1)),
-          (dist, idx) => struct(dist.as("d"), idx.as("i")))), 1, IvfIndex.NProbe))
-          .as("probe"))
-      .select(col("q_id"), col("qv"), col("qn2"), col("probe.i").as("qc"))
+    // row — and explodes to its nProbe probe targets. Materialized ONCE
+    // (eager checkpoint): both the probed-cluster collect below and the
+    // probe join read these blocks, so the query-side scan + centroid
+    // ranking never runs twice per probe call.
+    val probes = CacheScope.localCheckpoint(
+      embeddings(s, d).filter(isQuery)
+        .orderBy(col("vec_id")).limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          VectorOps.norm2(col("embedding")).as("qn2"),
+          explode(slice(array_sort(zip_with(IvfIndex.dists(model),
+            sequence(lit(0), lit(IvfIndex.K - 1)),
+            (dist, idx) => struct(dist.as("d"), idx.as("i")))), 1, IvfIndex.NProbe))
+            .as("probe"))
+        .select(col("q_id"), col("qv"), col("qn2"), col("probe.i").as("qc")))
 
     // the union of probed lists across the bounded query set is at most K
     // cluster ids — a bounded model-sized collect that becomes a STATIC
@@ -161,18 +157,10 @@ object Similarity {
     * In-gate recall check ([[GateChecks]]): ≥ 60% of s1's exact top-k
     * must be recovered or the query fails to zero rows (floor = round-6
     * measured recall minus slack — NOTES.md). */
-  def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val found = s3Probe(s, d)
-    val exact = s1AnnBrute(s, d).select(col("q_id"), col("vec_id"))
-    GateChecks.requireCached(found, f =>
-      exact
-        .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-          Seq("q_id", "vec_id"), "left_outer")
-        .agg((count(lit(1)) === 0 ||
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.6)
-          .as("gate_ok")))
+  def s3AnnIvf(s: SparkSession, d: String): DataFrame =
+    GateChecks.requireRecall(s3Probe(s, d),
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
       .orderBy(col("q_id"), col("rank"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> s1AnnBrute,

@@ -30,29 +30,55 @@ object StreamingOps {
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
 
-  /** Run `body` with confs suited to a SHORT bounded streaming execution,
-    * restoring the session's values after: few state partitions (each
-    * state store pays per-batch file IO regardless of data volume — at 32
-    * shuffle partitions the q45 join ran 4x slower than the same join at
-    * 8) and no checkpoint checksums (pure overhead for a gate run whose
-    * checkpoint is discarded). A long-lived production stream would keep
-    * the session defaults: state-partition count must match expected
-    * state VOLUME, and checksums guard checkpoints that actually get
-    * restored. */
-  private def withGateStreamConfs[T](s: SparkSession)(body: => T): T = {
-    val conf = s.conf
-    val prevParts = conf.get("spark.sql.shuffle.partitions")
-    val prevSum = conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-    try body
-    finally {
-      conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevSum match {
-        case Some(v) => conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", v)
-        case None => conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+  /** Run `body` in an ISOLATED child session (shared SparkContext,
+    * independent SQL conf + temp-view catalog) tuned for a short bounded
+    * streaming execution: few state partitions (each state store pays
+    * per-batch file IO regardless of data volume — at 32 shuffle
+    * partitions the q45 join ran 4x slower than the same join at 8) and
+    * no checkpoint checksums (pure overhead for a gate run whose
+    * checkpoint is discarded). Isolation, not set-and-restore: mutating
+    * the caller's conf would leak the overrides to concurrent queries in
+    * the same session and is non-reentrant under overlap — the child
+    * session's conf and its memory-sink temp view simply die with the
+    * call. A long-lived production stream keeps the session defaults:
+    * state-partition count must match expected state VOLUME, and
+    * checksums guard checkpoints that actually get restored. */
+  private def withGateStreamSession[T](s: SparkSession)(body: SparkSession => T): T = {
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    ns.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    body(ns)
+  }
+
+  /** Shared harness for the streaming-executed gate queries: stage the
+    * events file into its own directory (the file source lists a
+    * DIRECTORY; testdata packs every table into one dir — a real
+    * deployment points the stream at a dedicated ingest path, so the copy
+    * is a test-layout shim, not part of the operator), run the stream to
+    * completion in an isolated session, and hand back the sink table as a
+    * checkpointed frame. Cleanup is unconditional: the staging dir is
+    * deleted and the memory-sink view dropped on EVERY exit path,
+    * including `start()` itself throwing — no named state or temp files
+    * outlive the call (same contract as TempViews). */
+  private def runGateStream(s: SparkSession, d: String, prefix: String)(
+      build: (SparkSession, String, String) => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+      : DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory(prefix + "src")
+    val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        stage.resolve("events.parquet"))
+      withGateStreamSession(s) { ns =>
+        try {
+          val q = build(ns, stage.toString, sink).start()
+          try q.processAllAvailable() finally q.stop()
+          graft.operators.CacheScope.localCheckpoint(ns.table(sink))
+        } finally {
+          if (ns.catalog.tableExists(sink)) ns.catalog.dropTempView(sink)
+        }
       }
-    }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
   }
 
   /** File-source stream over a directory of event parquet files. */
@@ -234,31 +260,11 @@ object StreamingOps {
     * sized); an infinite deployment would swap in a parquet/Kafka sink
     * with append mode and accept watermark-finalized emission. */
   def q44StreamHourly(s: SparkSession, d: String): DataFrame = {
-    // the file source lists a DIRECTORY; testdata packs every table into
-    // one dir, so stage the events file into its own (a real deployment
-    // points the stream at a dedicated ingest directory — this copy is a
-    // test-layout shim, not part of the operator)
-    val stage = java.nio.file.Files.createTempDirectory("graft-q44-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      stage.resolve("events.parquet"))
-    val sink = "graft_q44_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withGateStreamConfs(s) {
-      val q = hourlyByType(readEventStream(s, stage.toString))
+    runGateStream(s, d, "graft_q44_") { (ns, stage, sink) =>
+      hourlyByType(readEventStream(ns, stage))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Complete())
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
-      }
-    }
-    // copy the sink table out (checkpoint), then drop the temp view so no
-    // named state outlives the call (same contract as TempViews)
-    val out = graft.operators.CacheScope.localCheckpoint(s.table(sink))
-    s.catalog.dropTempView(sink)
-    out.orderBy(col("bucket_us"), col("event_type"))
+    }.orderBy(col("bucket_us"), col("event_type"))
   }
 
   /** q45: the watermarked stream-stream interval join
@@ -269,28 +275,14 @@ object StreamingOps {
     * directly DuckDB-comparable (q41 gates the same ±10-minute semantics
     * on the batch path; this gates the streaming execution of it). */
   def q45StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory("graft-q45-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      stage.resolve("events.parquet"))
-    val sink = "graft_q45_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withGateStreamConfs(s) {
-      val ev = readEventStream(s, stage.toString)
-      val q = errorPurchaseJoin(
+    runGateStream(s, d, "graft_q45_") { (ns, stage, sink) =>
+      val ev = readEventStream(ns, stage)
+      errorPurchaseJoin(
           ev.filter(col("event_type") === "error"),
           ev.filter(col("event_type") === "purchase"))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append())
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
-      }
-    }
-    val out = graft.operators.CacheScope.localCheckpoint(s.table(sink))
-    s.catalog.dropTempView(sink)
-    out.orderBy(col("err_id"), col("pur_id"))
+    }.orderBy(col("err_id"), col("pur_id"))
   }
 
   /** Gate entries: batch sessionization (the streaming op's semantics

@@ -3,8 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.Tables._
-import graft.functions.TextHashFunctions
 import graft.operators.{Dedup, Similarity}
 
 /** One-off measurement main backing the self-check floors in the gate
@@ -39,19 +37,10 @@ object Measure {
     annRecall("s2_ann_lsh", Similarity.s2AnnLsh(spark, d))
     annRecall("s3_ann_ivf", Similarity.s3AnnIvf(spark, d))
 
-    // SimHash banding recall by hamming band: unbanded same-source truth
-    // (even-sampled, the d5 gate population) vs the banded d5 output.
-    val sh = documents(spark, d).select(col("doc_id"), col("source"),
-      TextHashFunctions.simhash64(split(trim(col("text")), "\\s+")).as("sh"))
-    val sampled = sh.filter(col("doc_id") % 2 === 0)
-    val ta = sampled.select(col("doc_id").as("a_id"), col("source"), col("sh").as("sha"))
-    val tb = sampled.select(col("doc_id").as("b_id"), col("source").as("src_b"),
-      col("sh").as("shb"))
-    val truth = ta.join(tb,
-        col("source") === col("src_b") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("sha").bitwiseXOR(col("shb"))).as("h"))
-      .filter(col("h") <= 6)
+    // SimHash banding recall by hamming band: the SAME truth builder the
+    // d5 gate uses (Dedup.d5Truth), so what Measure reports and what the
+    // gate enforces are definitionally one population.
+    val truth = Dedup.d5Truth(Dedup.d5Signatures(spark, d), maxH = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
     val found = Dedup.d5SimhashDup(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -214,12 +214,17 @@ class EtlSpec extends AnyFunSuite {
     val (_, c) = Cli.parse(Seq("query", "-p", "stale", "--prompt", "o", "s"))
     // an explicit prompt must never silently reuse a stale secret
     assert(c.promptPassword && c.password.isEmpty)
-    val resolved = Cli.resolveCredentials(c, () => "fresh-secret")
+    val resolved = Cli.resolveCredentials(c, readSecret = () => "fresh-secret")
     assert(resolved.password.contains("fresh-secret"))
     // without --prompt, resolution is a no-op
     val (_, plain) = Cli.parse(Seq("query", "-p", "kept", "o", "s"))
-    assert(Cli.resolveCredentials(plain, () => fail("must not prompt"))
+    assert(Cli.resolveCredentials(plain, readSecret = () => fail("must not prompt"))
       .password.contains("kept"))
+    // stdin query + stdin password cannot share one stream (no console here)
+    val (_, both) = Cli.parse(Seq("query", "--prompt", "out.par", "-"))
+    val e = intercept[IllegalArgumentException](
+      Cli.resolveCredentials(both, "query", () => "x"))
+    assert(e.getMessage.contains("stdin"))
   }
 
   test("cli: completions cover all five reference shells (E4 parity)") {

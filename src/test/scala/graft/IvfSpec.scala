@@ -44,16 +44,18 @@ class IvfSpec extends AnyFunSuite {
       "PartitionFilters: \\[[^\\]]*c#\\d+[^\\]]*(IN|INSET)".r.findFirstIn(plan).nonEmpty,
       s"lists scan is not partition-pruned:\n$plan")
 
-    // only ONE distinct scan of the raw corpus — the bounded (limit
-    // MaxQueries) query side. Spark's dynamic-partition-pruning subquery
-    // textually repeats that same subplan (same expression ids), so count
+    // at most ONE distinct scan of the raw corpus — the bounded (limit
+    // MaxQueries) query side, which since round 6 is materialized once at
+    // probe construction (an eager checkpoint) and so may appear as a
+    // LogicalRDD rather than a FileScan. Spark's dynamic-partition-pruning
+    // subquery textually repeats subplans (same expression ids), so count
     // distinct FileScan signatures, not occurrences: a training/assignment
-    // stage would appear as a second, different corpus scan.
+    // stage would appear as an extra, different corpus scan.
     val corpusScans = plan.linesIterator
       .filter(_.contains("embeddings.parquet"))
       .map(l => l.substring(l.indexOf("FileScan"))).toSet
-    assert(corpusScans.size == 1,
-      s"expected 1 distinct corpus scan (query side), got ${corpusScans.size}:\n$plan")
+    assert(corpusScans.size <= 1,
+      s"expected ≤1 distinct corpus scan (query side), got ${corpusScans.size}:\n$plan")
 
     // the training stage's signature operators must not appear in a probe
     assert(!plan.contains("posexplode"),
