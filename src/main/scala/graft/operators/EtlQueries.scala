@@ -265,7 +265,58 @@ object EtlQueries {
       lit(colocated).as("colocated_ok"))
   }
 
+  // ------------------------------------------------ e8_jsonl_roundtrip
+  /** JSONL sink + source round trip — LLM corpora overwhelmingly ship as
+    * newline-delimited JSON, so the engine must read and write it
+    * losslessly. Write the documents table as jsonl, read it back with
+    * the PINNED original schema (schema inference on a 100 TB ingest is
+    * both a second full scan and a correctness hazard — production
+    * pipelines pin schemas), and aggregate per source; any escaping or
+    * type-fidelity loss in the round trip breaks the oracle compare
+    * against the untouched parquet. Scale: JSON lines split by byte
+    * range like any text format — reads parallelize per split. */
+  def e8JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e8")
+    val out = dir.resolve("docs.jsonl").toString
+    val src = documents(s, d)
+    src.write.mode("overwrite").json(out)
+    s.read.schema(src.schema).json(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        sum(length(col("lang")).cast("long")).as("sum_lang_len"))
+      .orderBy(col("source"))
+  }
+
+  // -------------------------------------------------- e9_csv_roundtrip
+  /** CSV sink + source round trip with the hostile cases on: quoted
+    * fields, embedded delimiters/quotes, and escaping survive the write →
+    * read cycle with a pinned schema (`multiLine` covers embedded
+    * newlines; header names the columns). Same oracle shape as e8: any
+    * quoting bug diverges from the parquet truth. */
+  def e9CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e9")
+    val out = dir.resolve("docs.csv").toString
+    val src = documents(s, d)
+    src.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(out)
+    s.read.schema(src.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        sum(length(col("lang")).cast("long")).as("sum_lang_len"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_jsonl_roundtrip" -> e8JsonlRoundtrip,
+    "e9_csv_roundtrip" -> e9CsvRoundtrip,
     "e1_sink_roundtrip" -> e1SinkRoundtrip,
     "e2_jdbc_roundtrip" -> e2JdbcRoundtrip,
     "e3_jdbc_types" -> e3JdbcTypes,
@@ -276,6 +327,20 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // e8/e9 read what THEY wrote; the oracle reads the untouched parquet —
+    // equality proves the round trip lossless
+    "e8_jsonl_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(SUM(length(lang)) AS BIGINT) AS sum_lang_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "e9_csv_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(SUM(length(lang)) AS BIGINT) AS sum_lang_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "e1_sink_roundtrip" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
