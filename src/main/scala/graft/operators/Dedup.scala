@@ -261,6 +261,27 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // ------------------------------------------- d11_incremental_dedup
+  /** Incremental dedup — the continuous-ingest form of d1: an arriving
+    * batch (doc_id % 10 ∈ {8,9}, a batch-boundary stand-in) is deduped
+    * BOTH against the historical corpus (left anti join on content) and
+    * within itself (first-arrival groupBy), without ever re-scanning
+    * history's groupings. At 100 TB the anti join shuffles on the content
+    * key with the batch side small — or goes broadcast when the BATCH
+    * (always the small side) fits; history is only ever scanned, never
+    * collected. Output: the novel documents that enter the corpus. */
+  def d11IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val history = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    batch
+      .join(history.select(col("text")), Seq("text"), "left_anti")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_in_batch"))
+      .select(col("keep_id"), col("n_in_batch"))
+      .orderBy(col("keep_id"))
+  }
+
   // ----------------------------------------------- d6_embedding_neardup
   /** Embedding-cosine near-dup, blocked on the label column (the ANN-bucket
     * stand-in): exact in-order double accumulation so DuckDB reproduces the
@@ -287,10 +308,17 @@ object Dedup {
     "d3_ngram_jaccard" -> d3NgramJaccard,
     "d4_minhash_lsh" -> d4MinhashLsh,
     "d5_simhash_dup" -> d5SimhashDup,
-    "d6_embedding_neardup" -> d6EmbeddingNearDup
+    "d6_embedding_neardup" -> d6EmbeddingNearDup,
+    "d11_incremental_dedup" -> d11IncrementalDedup
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d11_incremental_dedup" ->
+      """WITH h AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+        |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8)
+        |SELECT MIN(b.doc_id) AS keep_id, COUNT(*) AS n_in_batch
+        |FROM b ANTI JOIN h USING (text)
+        |GROUP BY b.text ORDER BY keep_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
