@@ -111,8 +111,20 @@ object Bench {
     def fmt(v: Double, prec: Int): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+    // 95+ queries: full names at any precision overflow the tail budget,
+    // so the contract map uses each query's series prefix (q12_distinct →
+    // q12) — unique across the inventory by construction; any collision
+    // keeps the full name for the colliders. bench-full above retains the
+    // full-name, full-precision map for humans and logs.
+    val shortNames: Map[String, String] = {
+      val pref = results.map { case (k, _) =>
+        k -> "^[a-z]+\\d+".r.findFirstIn(k).getOrElse(k)
+      }.toMap
+      val counts = pref.values.groupBy(identity).view.mapValues(_.size).toMap
+      pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }
+    }
     def line(qs: Seq[(String, Double)], prec: Int): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }
+      val m = qs.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, prec) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$m,"failed":$failed,"sf":"$sfDir"}"""
     }
