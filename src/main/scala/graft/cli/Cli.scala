@@ -176,15 +176,19 @@ object Cli {
     * (no-echo) at command start, falling back to a stdin line when no
     * console is attached (pipes, CI). Injectable reader keeps it
     * spec-testable without a tty. */
+  /** `hasConsole` is a parameter (defaulting to the ambient console), not
+    * an inline System.console() check: the stdin-clash guard's behavior
+    * must be decidable in tests regardless of how the JVM was launched,
+    * and callers embedding the CLI can force either path. */
   def resolveCredentials(conf: Conf, cmd: String = "",
+      hasConsole: Boolean = System.console() != null,
       readSecret: () => String = defaultReadSecret): Conf =
     if (conf.promptPassword) {
       // the stdin fallback and a stdin-sourced query share ONE stream: the
       // prompt would consume the query's first line as the password and
       // feed a fragment of SQL to the database as the credential. Refuse
       // loudly instead of corrupting both.
-      if (System.console() == null &&
-          cmd == "query" && conf.positional.lift(1).contains("-"))
+      if (!hasConsole && cmd == "query" && conf.positional.lift(1).contains("-"))
         throw new IllegalArgumentException(
           "--prompt cannot read the password from stdin while the query is " +
             "also read from stdin ('-'); attach a terminal or pass the query inline")
@@ -197,6 +201,9 @@ object Cli {
         console.printf("password: ")
         new String(console.readPassword())
       case None =>
+        // stderr, not stdout: stdout may be the parquet stream ('-') and
+        // a piped caller still deserves to see what is being awaited
+        System.err.print("password: ")
         Option(scala.io.StdIn.readLine()).getOrElse("")
     }
 

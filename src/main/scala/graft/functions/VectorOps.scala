@@ -41,7 +41,9 @@ object VectorOps {
     transform(a, x => x.cast("double") / sqrt(norm2(a)))
 
   /** Random-hyperplane LSH signature: bit j = sign(v·rⱼ) packed into a
-    * long (so up to 64 planes never touch the sign bit). Hyperplanes are
+    * long — up to 64 planes fit (63 without touching the sign bit; at 64
+    * the signature can be negative, which masked band extraction handles
+    * but unsigned-magnitude comparisons would not). Hyperplanes are
     * seeded-deterministic so signatures are stable across runs and
     * partitions. */
   def lshSignature(v: Column, planes: Seq[Array[Double]]): Column =

@@ -76,7 +76,11 @@ object CurationExt {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val (corpus, evalGrams) = decontamSides(s, d)
+    val (corpus, rawEval) = decontamSides(s, d)
+    // both the bloom build and the verify join read the eval grams; cache
+    // so tokenize+explode+distinct runs once (released per-query by the
+    // runner via CacheScope)
+    val evalGrams = CacheScope.persist(rawEval)
     val bloom = evalGrams.agg(GraftBridge.column(
       new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("gram"))))
         .toAggregateExpression()).as("bf"))

@@ -223,11 +223,11 @@ object Dedup {
       .filter(col("h") <= maxH)
   }
 
-  def d5SimhashDup(s: SparkSession, d: String): DataFrame = {
-    // banding and the completeness twin both read the signatures; cache so
-    // tokenize+simhash runs once per document (released per-query by the
-    // runner via CacheScope)
-    val sh = CacheScope.persist(d5Signatures(s, d))
+  /** d5's banded candidate pipeline, UNGATED — shared with
+    * [[graft.tools.Measure]]: measuring recall through the gated query
+    * would read 0.0 whenever recall is below the floor, exactly when an
+    * accurate measurement matters most. */
+  private[graft] def d5Found(sh: DataFrame): DataFrame = {
     val banded = sh.withColumn("band", explode(array(
       (0 until 4).map(b => struct(lit(b).as("i"),
         col("sh").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))
@@ -235,13 +235,20 @@ object Dedup {
     val l = banded.select(col("doc_id").as("a_id"), col("sh").as("sha"), col("i"), col("v"))
     val r = banded.select(col("doc_id").as("b_id"), col("sh").as("shb"),
       col("i").as("i_r"), col("v").as("v_r"))
-    val found = l.join(r,
+    l.join(r,
         col("i") === col("i_r") && col("v") === col("v_r") && col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= 6)
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
 
+  def d5SimhashDup(s: SparkSession, d: String): DataFrame = {
+    // banding and the completeness twin both read the signatures; cache so
+    // tokenize+simhash runs once per document (released per-query by the
+    // runner via CacheScope)
+    val sh = CacheScope.persist(d5Signatures(s, d))
+    val found = d5Found(sh)
     val truth = d5Truth(sh, maxH = 6)
     GateChecks.requireCached(found, f => {
       val hits = truth.join(

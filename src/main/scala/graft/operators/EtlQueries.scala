@@ -275,18 +275,51 @@ object EtlQueries {
     * type-fidelity loss in the round trip breaks the oracle compare
     * against the untouched parquet. Scale: JSON lines split by byte
     * range like any text format — reads parallelize per split. */
+  /** Shared fidelity surface for the text-format round trips: per-source
+    * counts, char sums, AND per-column null counts — without the null
+    * counts, the classic CSV fidelity loss ('' read back as NULL) is
+    * invisible to the sums (NULL is skipped, '' adds 0) and the gate
+    * would bless a lossy round trip. One definition + one oracle string
+    * so e8 and e9 cannot drift apart in strength. */
+  private def roundtripFidelity(df: DataFrame): DataFrame =
+    df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        sum(length(col("lang")).cast("long")).as("sum_lang_len"),
+        sum(col("text").isNull.cast("long")).as("n_null_text"),
+        sum(col("lang").isNull.cast("long")).as("n_null_lang"))
+      .orderBy(col("source"))
+
+  private val RoundtripOracle =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+      |  CAST(SUM(length(lang)) AS BIGINT) AS sum_lang_len,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+      |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Materialize the round-trip aggregate eagerly and delete the scratch
+    * dir before returning: scratch lives on /dev/shm (RAM), and under the
+    * warm+min-of-3 bench each invocation would otherwise park an
+    * uncompressed text copy of the corpus in tmpfs until JVM exit. */
+  private def materializedThenClean(df: DataFrame,
+      dir: java.nio.file.Path): DataFrame = {
+    val out = CacheScope.localCheckpoint(df)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    // re-assert presentation order: checkpointing materializes partitions,
+    // it does not promise their downstream traversal order
+    out.orderBy(col("source"))
+  }
+
   def e8JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = scratchDir("graft-e8")
     val out = dir.resolve("docs.jsonl").toString
     val src = documents(s, d)
     src.write.mode("overwrite").json(out)
-    s.read.schema(src.schema).json(out)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        sum(length(col("text")).cast("long")).as("sum_text_len"),
-        sum(length(col("lang")).cast("long")).as("sum_lang_len"))
-      .orderBy(col("source"))
+    materializedThenClean(
+      roundtripFidelity(s.read.schema(src.schema).json(out)), dir)
   }
 
   // -------------------------------------------------- e9_csv_roundtrip
@@ -302,16 +335,11 @@ object EtlQueries {
     src.write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .csv(out)
-    s.read.schema(src.schema)
-      .option("header", "true").option("multiLine", "true")
-      .option("escape", "\"")
-      .csv(out)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        sum(length(col("text")).cast("long")).as("sum_text_len"),
-        sum(length(col("lang")).cast("long")).as("sum_lang_len"))
-      .orderBy(col("source"))
+    materializedThenClean(
+      roundtripFidelity(s.read.schema(src.schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(out)), dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,19 +356,10 @@ object EtlQueries {
 
   val oracleSql: Map[String, String] = Map(
     // e8/e9 read what THEY wrote; the oracle reads the untouched parquet —
-    // equality proves the round trip lossless
-    "e8_jsonl_roundtrip" ->
-      """SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
-        |  CAST(SUM(length(lang)) AS BIGINT) AS sum_lang_len
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "e9_csv_roundtrip" ->
-      """SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
-        |  CAST(SUM(length(lang)) AS BIGINT) AS sum_lang_len
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // equality (including per-column null counts) proves the round trip
+    // lossless. One shared constant: the two gates stay equally strong.
+    "e8_jsonl_roundtrip" -> RoundtripOracle,
+    "e9_csv_roundtrip" -> RoundtripOracle,
     "e1_sink_roundtrip" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,

@@ -66,9 +66,23 @@ object StreamingOps {
     val stage = java.nio.file.Files.createTempDirectory(prefix + "src")
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        stage.resolve("events.parquet"))
+      // events.parquet may be a single file (driver testdata) or a
+      // Spark-written DIRECTORY of part files — Files.copy on a directory
+      // copies only the empty dir entry, which would stream zero rows and
+      // silently "pass" the bench. Stage the actual parquet files either way.
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val it = java.nio.file.Files.list(src)
+        try it.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => java.nio.file.Files.copy(p, stage.resolve(p.getFileName)))
+        finally it.close()
+        require(java.nio.file.Files.list(stage).count() > 0,
+          s"no parquet part files found under $src")
+      } else {
+        java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
+      }
       withGateStreamSession(s) { ns =>
         try {
           val q = build(ns, stage.toString, sink).start()

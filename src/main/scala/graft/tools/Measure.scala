@@ -34,15 +34,19 @@ object Measure {
       val rec = found.intersect(brute).size.toDouble / brute.size
       println(f"$name recall@5 vs exact: $rec%.4f  (|exact|=${brute.size}, |found|=${found.size})")
     }
-    annRecall("s2_ann_lsh", Similarity.s2AnnLsh(spark, d))
-    annRecall("s3_ann_ivf", Similarity.s3AnnIvf(spark, d))
+    // measure the UNGATED search paths: the gated queries zero their
+    // output below the floor, which would print recall 0.0 exactly when
+    // the true (sub-floor) value is the number needed to retune
+    annRecall("s2_ann_lsh", Similarity.s2Found(spark, d))
+    annRecall("s3_ann_ivf", Similarity.s3Probe(spark, d))
 
     // SimHash banding recall by hamming band: the SAME truth builder the
     // d5 gate uses (Dedup.d5Truth), so what Measure reports and what the
     // gate enforces are definitionally one population.
-    val truth = Dedup.d5Truth(Dedup.d5Signatures(spark, d), maxH = 6)
+    val d5Sigs = Dedup.d5Signatures(spark, d)
+    val truth = Dedup.d5Truth(d5Sigs, maxH = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
-    val found = Dedup.d5SimhashDup(spark, d).collect()
+    val found = Dedup.d5Found(d5Sigs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     (0 to 6).foreach { h =>
       val t = truth.filter(_._2 == h).keySet

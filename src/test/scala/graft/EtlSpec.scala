@@ -220,11 +220,14 @@ class EtlSpec extends AnyFunSuite {
     val (_, plain) = Cli.parse(Seq("query", "-p", "kept", "o", "s"))
     assert(Cli.resolveCredentials(plain, readSecret = () => fail("must not prompt"))
       .password.contains("kept"))
-    // stdin query + stdin password cannot share one stream (no console here)
+    // stdin query + stdin password cannot share one stream; with a console
+    // attached the same invocation is fine — both paths forced explicitly
     val (_, both) = Cli.parse(Seq("query", "--prompt", "out.par", "-"))
     val e = intercept[IllegalArgumentException](
-      Cli.resolveCredentials(both, "query", () => "x"))
+      Cli.resolveCredentials(both, "query", hasConsole = false, () => "x"))
     assert(e.getMessage.contains("stdin"))
+    assert(Cli.resolveCredentials(both, "query", hasConsole = true, () => "tty-pw")
+      .password.contains("tty-pw"))
   }
 
   test("cli: completions cover all five reference shells (E4 parity)") {
