@@ -35,9 +35,9 @@ object PipelineExt {
     * cost stays flat; block lifetime is managed, freed by the runner after
     * the query. On a cluster add periodic reliable checkpoints for
     * driver-failure tolerance. For graphs with continent-sized components
-    * you'd swap the loop body for the large-star/small-star contraction
-    * (same join primitives, provably fewer rounds); dup graphs never
-    * need it. */
+    * use [[d12DupClustersStar]] — the large-star/small-star contraction,
+    * same join primitives, rounds independent of diameter — which
+    * cross-validates against this operator on the same oracle. */
   def d7DupClusters(s: SparkSession, d: String): DataFrame = {
     // pairs materialize ONCE (sort-free builder); the undirected edge set
     // is a cheap double scan of the checkpointed blocks, not a second run
@@ -90,6 +90,88 @@ object PipelineExt {
       throw new IllegalStateException(
         s"d7: component labels not converged after $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------- d12_dup_clusters_star
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — d7's documented escape hatch, realized: where
+    * d7's label propagation needs O(log diameter) rounds, star
+    * contraction converges in O(log² n) rounds INDEPENDENT of diameter,
+    * which is what survives continent-sized components (long chains of
+    * near-dup shingles) at 100 TB.
+    *
+    * Each round is two groupBy-min + join passes over the edge list —
+    * same shuffle primitives as d7, keyed on node id, linear in |E|:
+    *   large-star: per node u, m = min(Γ(u) ∪ {u}); reattach every
+    *     LARGER neighbor to m:  (v, m) for v ∈ Γ(u), v > u
+    *   small-star: per node u over its ≤-neighbors N(u): m = min(N(u) ∪
+    *     {u}); emit (v, m) for v ∈ N(u) ∖ {m}, plus (u, m)
+    * Fixpoint: the canonical edge set stops changing; the result is a
+    * star per component centered at its minimum id, read off directly as
+    * (doc_id, cluster_id). Output is IDENTICAL to d7 by construction —
+    * both share d7's recursive-CTE DuckDB oracle verbatim, so the two
+    * algorithms cross-validate through the gate. */
+  def d12DupClustersStar(s: SparkSession, d: String): DataFrame = {
+    val (pairs, freePairs) = CacheScope.localCheckpointReleasable(
+      Dedup.d3Pairs(s, d).select(col("a_id"), col("b_id")))
+    // symmetric edge list; self-loops keep isolated-after-contraction
+    // roots present through the star rounds
+    var edges = CacheScope.localCheckpoint(
+      pairs.union(pairs.select(col("b_id"), col("a_id"))).toDF("u", "v")
+        .union(pairs.select(col("a_id"), col("a_id"))
+          .union(pairs.select(col("b_id"), col("b_id"))).toDF("u", "v"))
+        .distinct())
+    freePairs()
+
+    // one star pass: per node u, m = min of the listed neighborhood ∪ {u};
+    // reattach the selected neighbors to m and keep (u, m). The extra
+    // (u, m) edge vs the paper's emission is connectivity-neutral (m is in
+    // u's neighborhood closure) and keeps roots alive without separate
+    // self-loop bookkeeping.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = e.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val attach =
+        if (large) e.filter(col("v") > col("u")) // larger neighbors move
+        else e                                   // small-star: all ≤ are in e
+      attach.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // canonical ≤-oriented form: (max, min) per edge — small-star's input
+    // shape and the fixpoint-comparison surface
+    def orientDown(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+    // large-star needs the SYMMETRIC neighborhood of every node
+    def symmetrize(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+    val maxRounds = 20
+    var round = 0
+    var converged = false
+    edges = CacheScope.localCheckpoint(orientDown(edges))
+    while (!converged && round < maxRounds) {
+      val afterLarge = star(symmetrize(edges), large = true)
+      val next = CacheScope.localCheckpoint(
+        orientDown(star(orientDown(afterLarge), large = false)))
+      // fixpoint on the canonical (max,min) edge set: stars are stable
+      // under both passes, so no new/changed edges ⇔ converged
+      converged =
+        next.except(edges).limit(1).count() == 0 &&
+          edges.except(next).limit(1).count() == 0
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"d12: star contraction not converged after $maxRounds rounds")
+    // converged form: (v, m) stars + (m, m) self-loops — read labels off
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -192,6 +274,7 @@ object PipelineExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d7_dup_clusters" -> d7DupClusters,
+    "d12_dup_clusters_star" -> d12DupClustersStar,
     "t7_redact_pii" -> t7RedactPii,
     "t8_token_mix" -> t8TokenMix,
     "t11_split" -> t11Split,
@@ -202,6 +285,25 @@ object PipelineExt {
     // transitive closure via recursive CTE over the same d3 pair semantics;
     // cluster id = min reachable doc id
     "d7_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(a.w, b.w))) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin,
+    // d12 computes the identical result by star contraction: same oracle
+    "d12_dup_clusters_star" ->
       """WITH RECURSIVE t AS (SELECT doc_id, source,
         |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
         |  FROM documents),

@@ -36,6 +36,16 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("d12 star contraction and d7 label propagation agree exactly") {
+    val d7 = PipelineExt.d7DupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d12 = PipelineExt.d12DupClustersStar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d7.nonEmpty)
+    assert(d12 == d7,
+      s"algorithms disagree: only-d7=${(d7 -- d12).take(5)}, only-d12=${(d12 -- d7).take(5)}")
+  }
+
   test("d7: clusters are consistent with their pair graph") {
     val pairs = Dedup.d3NgramJaccard(spark, sf)
       .select(col("a_id"), col("b_id")).collect()
