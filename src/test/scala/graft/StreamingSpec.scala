@@ -9,6 +9,56 @@ import graft.streaming.StreamingOps
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
 
+  test("file-sink streaming survives stop/restart on one checkpoint exactly-once") {
+    // the core streaming guarantee: a query stopped mid-stream and
+    // restarted on the SAME checkpoint neither loses nor duplicates rows.
+    // Feed the events table in two file drops with a full stop between.
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft-restart-src")
+    val outDir = Files.createTempDirectory("graft-restart-out").resolve("out")
+    val cpDir = Files.createTempDirectory("graft-restart-cp")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+
+    // column named "ts" to match eventSchema (raw nanos long on disk)
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val half1 = all.filter(col("event_id") % 2 === 0)
+    val half2 = all.filter(col("event_id") % 2 === 1)
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-restart-tmp")
+      df.coalesce(1).write.parquet(tmp.resolve("p").toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp.resolve("p")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(StreamingOps.eventSchema)
+        .parquet(srcDir.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", cpDir.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    drop(half1, "h1.parquet")
+    runOnce()                      // phase 1: first half only
+    drop(half2, "h2.parquet")
+    runOnce()                      // phase 2: restart on same checkpoint
+    // a third restart with no new data must add nothing (idempotent resume)
+    runOnce()
+
+    val out = spark.read.parquet(outDir.toString)
+    val expected = all.count()
+    assert(out.count() == expected,
+      s"rows after restart: ${out.count()} vs $expected (lost or duplicated)")
+    assert(out.select(col("event_id")).distinct().count() == expected,
+      "duplicate event_ids after checkpoint resume")
+  }
+
   test("file-source stream hourly aggregation equals the batch tumbling window") {
     // file-source streams need a directory: stage the events file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
