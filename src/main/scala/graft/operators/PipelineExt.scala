@@ -132,7 +132,7 @@ object PipelineExt {
     // self-loop bookkeeping.
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val m = e.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
       val attach =
         if (large) e.filter(col("v") > col("u")) // larger neighbors move
         else e                                   // small-star: all ≤ are in e
@@ -154,16 +154,20 @@ object PipelineExt {
     var round = 0
     var converged = false
     edges = CacheScope.localCheckpoint(orientDown(edges))
+    var edgeCount = edges.count()
     while (!converged && round < maxRounds) {
       val afterLarge = star(symmetrize(edges), large = true)
       val next = CacheScope.localCheckpoint(
         orientDown(star(orientDown(afterLarge), large = false)))
-      // fixpoint on the canonical (max,min) edge set: stars are stable
-      // under both passes, so no new/changed edges ⇔ converged
-      converged =
-        next.except(edges).limit(1).count() == 0 &&
-          edges.except(next).limit(1).count() == 0
+      // fixpoint on the canonical (max,min) edge set: next ∖ prev empty
+      // AND equal cardinality ⟹ set equality — one anti-join pass plus a
+      // count on checkpointed blocks, instead of two excepts. Exact, not
+      // a hash proxy: a false convergence would emit wrong clusters.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.except(edges).limit(1).count() == 0
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     if (!converged)
