@@ -154,6 +154,36 @@ class PlanAuditSpec extends AnyFunSuite {
       "d8 must keep its explicit broadcast for the tiny-eval fast path")
   }
 
+  test("AQE splits skewed join partitions (platform path next to q22's manual salting)") {
+    // q22 demonstrates salting for skew the PLAN can't see coming; this
+    // audit pins the platform path for skew discovered at RUNTIME: AQE
+    // re-plans a sort-merge join whose shuffle stats reveal a hot key.
+    // Thresholds are shrunk so toy data triggers the same machinery a
+    // 100 TB hot key would.
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.shuffle.partitions", "4")
+    // 95% of left rows share key 7
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    val left = ns.range(0, 50000)
+      .select(when(pmod(col("id"), lit(20)) =!= 0, lit(7L))
+        .otherwise(col("id")).as("k"), col("id").as("payload"))
+    val right = ns.range(0, 100).select(col("id").as("k"), col("id").as("r"))
+    val joined = left.join(right, "k")
+    // materialize THIS plan (count() would execute a different, agg-topped
+    // query and leave joined's own AQE plan unfinalized)
+    assert(joined.queryExecution.toRdd.count() > 0)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "AQE must have finalized")
+    assert(p.contains("skew=true"),
+      s"runtime skew split did not trigger:\n$p")
+  }
+
   test("t12 percentiles aggregate partially before the source shuffle") {
     val p = plan(operators.TextAnalysis.t12QualityPercentile(spark, sf))
     // percentile_disc plans as ObjectHashAggregate/SortAggregate with a
