@@ -207,9 +207,18 @@ object Cli {
         Option(scala.io.StdIn.readLine()).getOrElse("")
     }
 
+  /** Subcommands that actually open a database connection — the only ones
+    * where `--prompt` may block on credential entry. `graft completions
+    * bash --prompt` or `list-drivers --prompt` must never stall reading a
+    * password that would not be used. (exec's statement is inline-only,
+    * reference main.rs:292 — no stdin positional to clash with, so the
+    * stdin-clash guard inside resolveCredentials applies to query alone.) */
+  private val credentialCommands = Set("query", "insert", "exec")
+
   def main(args: Array[String]): Unit = {
     val (cmd, rawConf) = parse(args.toIndexedSeq)
-    val conf = resolveCredentials(rawConf, cmd)
+    val conf =
+      if (credentialCommands(cmd)) resolveCredentials(rawConf, cmd) else rawConf
     cmd match {
       case "query" => runQuery(conf)
       case "insert" => runInsert(conf)

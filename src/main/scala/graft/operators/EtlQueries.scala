@@ -49,11 +49,11 @@ object EtlQueries {
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("c"),
         sum(Relational.dec2(col("l_extendedprice"))).as("p"))
-    perFile.agg(
+    materializedThenClean(perFile.agg(
       sum(col("c")).as("n_rows"),
       sum(col("p")).cast("double").as("total_price"),
       (max(col("c")) <= 20000 &&
-        count(lit(1)) >= expr("(sum(c) + 19999) div 20000")).as("split_ok"))
+        count(lit(1)) >= expr("(sum(c) + 19999) div 20000")).as("split_ok")), dir)
   }
 
   // -------------------------------------------------- e2_jdbc_roundtrip
@@ -147,10 +147,10 @@ object EtlQueries {
     val files = graft.sources.Compact.compact(s,
       dir.resolve("small").toString, dir.resolve("big").toString,
       targetBytes = targetBytes)
-    s.read.parquet(files.map(_.toString): _*)
+    materializedThenClean(s.read.parquet(files.map(_.toString): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(Relational.dec2(col("l_extendedprice"))).cast("double").as("total_price"),
-        lit(files.size < nFragments && files.nonEmpty).as("compacted_ok"))
+        lit(files.size < nFragments && files.nonEmpty).as("compacted_ok")), dir)
   }
 
   // ---------------------------------------------------------- e5_merge
@@ -173,10 +173,10 @@ object EtlQueries {
     val changes = upserts.unionByName(inserts).unionByName(deletes)
     val snapshot = graft.sources.Merge.mergeToParquet(
       s, base, changes, "c_custkey", dir.resolve("snap").toString)
-    snapshot.agg(
+    materializedThenClean(snapshot.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("c_custkey")).as("n_keys"),
-      sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal")), dir)
   }
 
   // ------------------------------------------------------ e6_partitioned
@@ -203,11 +203,11 @@ object EtlQueries {
     val expected = orders(s, d)
       .select(year(col("o_orderdate")).as("y")).distinct()
       .collect().map(r => s"year=${r.getInt(0)}").toSeq.sorted
-    s.read.parquet(out)
+    materializedThenClean(s.read.parquet(out)
       .filter(col("year") === 1997)
       .agg(count(lit(1)).as("n_1997"),
         sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_1997"),
-        lit(partDirs == expected).as("layout_ok"))
+        lit(partDirs == expected).as("layout_ok")), dir)
   }
 
   // ------------------------------------------------------ e7_bucketed
@@ -258,11 +258,16 @@ object EtlQueries {
           }.isEmpty
       } finally s.conf.set("spark.sql.adaptive.enabled", prev)
     }
-    joined.agg(
+    // drop the temp catalog entries before deleting their backing files:
+    // the checkpoint inside materializedThenClean has already consumed them
+    val result = materializedThenClean(joined.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("c_custkey")).as("n_custs"),
       sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_price"),
-      lit(colocated).as("colocated_ok"))
+      lit(colocated).as("colocated_ok")), dir)
+    s.sql("DROP TABLE IF EXISTS graft_e7_orders")
+    s.sql("DROP TABLE IF EXISTS graft_e7_customer")
+    result
   }
 
   // ------------------------------------------------ e8_jsonl_roundtrip
@@ -302,15 +307,18 @@ object EtlQueries {
 
   /** Materialize the round-trip aggregate eagerly and delete the scratch
     * dir before returning: scratch lives on /dev/shm (RAM), and under the
-    * warm+min-of-3 bench each invocation would otherwise park an
-    * uncompressed text copy of the corpus in tmpfs until JVM exit. */
-  private def materializedThenClean(df: DataFrame,
-      dir: java.nio.file.Path): DataFrame = {
+    * warm+min-of-3 bench each invocation would otherwise park a data-sized
+    * copy in tmpfs until JVM exit — 4+ copies per query per bench run,
+    * pressuring the same tmpfs that holds shuffle spill (spark.local.dir)
+    * and distorting later measurements. The shutdown hook in [[scratchDir]]
+    * stays as a backstop for queries that throw mid-flight. */
+  private def materializedThenClean(df: DataFrame, dir: java.nio.file.Path,
+      order: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val out = CacheScope.localCheckpoint(df)
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
-    // re-assert presentation order: checkpointing materializes partitions,
-    // it does not promise their downstream traversal order
-    out.orderBy(col("source"))
+    // re-assert presentation order where one exists: checkpointing
+    // materializes partitions, it does not promise traversal order
+    if (order.isEmpty) out else out.orderBy(order: _*)
   }
 
   def e8JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
@@ -319,7 +327,8 @@ object EtlQueries {
     val src = documents(s, d)
     src.write.mode("overwrite").json(out)
     materializedThenClean(
-      roundtripFidelity(s.read.schema(src.schema).json(out)), dir)
+      roundtripFidelity(s.read.schema(src.schema).json(out)), dir,
+      order = Seq(col("source")))
   }
 
   // -------------------------------------------------- e9_csv_roundtrip
@@ -339,7 +348,8 @@ object EtlQueries {
       roundtripFidelity(s.read.schema(src.schema)
         .option("header", "true").option("multiLine", "true")
         .option("escape", "\"")
-        .csv(out)), dir)
+        .csv(out)), dir,
+      order = Seq(col("source")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

