@@ -48,6 +48,15 @@ object Cli {
       avoidDecimal: Boolean = false,
       preferVarbinary: Boolean = false,
       sequentialFetching: Boolean = false,
+      /** partitioned (parallel) JDBC read: N concurrent result-set cursors
+        * over disjoint ranges of this numeric column — the beyond-reference
+        * scale path promised by SURVEY §4.2 (vs the reference's single
+        * double-buffered cursor, fetch_batch.rs:93-152) */
+      jdbcPartitionColumn: Option[String] = None,
+      jdbcNumPartitions: Option[Int] = None,
+      /** LOW:HIGH partition bounds; absent → one min/max probe derives them
+        * ([[graft.sources.JdbcPartitioning.deriveBounds]]) */
+      jdbcBounds: Option[(Long, Long)] = None,
       /** -1 = quiet, 0 = default, N = -v count (logging.rs:4-25 parity) */
       verbosity: Int = 0,
       /** --prompt (reference connection.rs:49-77, where it triggers the
@@ -86,6 +95,9 @@ object Cli {
         case "--avoid-decimal" :: t => c = c.copy(avoidDecimal = true); t
         case "--prefer-varbinary" :: t => c = c.copy(preferVarbinary = true); t
         case "--sequential-fetching" :: t => c = c.copy(sequentialFetching = true); t
+        case "--jdbc-partition-column" :: v :: t => c = c.copy(jdbcPartitionColumn = Some(v)); t
+        case "--jdbc-num-partitions" :: v :: t => c = c.copy(jdbcNumPartitions = Some(v.toInt)); t
+        case "--jdbc-bounds" :: v :: t => c = c.copy(jdbcBounds = Some(parseBounds(v))); t
         case "--prompt" :: t => c = c.copy(promptPassword = true); t
         case ("-v" | "--verbose") :: t => c = c.copy(verbosity = c.verbosity.max(0) + 1); t
         case ("-q" | "--quiet") :: t => c = c.copy(verbosity = -1); t
@@ -148,6 +160,21 @@ object Cli {
     (version, encodings.map { case (col, _) => col -> false }.toMap)
   }
 
+  /** `LOW:HIGH` partition bounds for --jdbc-bounds. */
+  private def parseBounds(v: String): (Long, Long) = v.split(":", 2) match {
+    case Array(lo, hi) =>
+      try {
+        val (l, h) = (lo.trim.toLong, hi.trim.toLong)
+        require(l <= h, s"--jdbc-bounds low $l exceeds high $h")
+        (l, h)
+      } catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"invalid --jdbc-bounds '$v'; expected LOW:HIGH integers")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"invalid --jdbc-bounds '$v'; expected LOW:HIGH")
+  }
+
   private def parseBytes(v: String): Long = {
     val s = v.trim.toLowerCase
     val (num, mult) =
@@ -169,7 +196,10 @@ object Cli {
       |  --parquet-column-encoding COL:ENC, --column-length-limit N, --suffix-length N,
       |  --no-empty-file, --avoid-decimal, --prefer-varbinary, --sequential-fetching,
       |  --driver-does-not-support-64bit-integers, --user/-u NAME, --password/-p PW,
-      |  --prompt (ask for the password interactively)""".stripMargin
+      |  --prompt (ask for the password interactively),
+      |  --jdbc-partition-column COL [--jdbc-num-partitions N] [--jdbc-bounds LO:HI]
+      |    (parallel JDBC read: N concurrent range-partitioned cursors; bounds
+      |     auto-derived via one MIN/MAX probe when omitted)""".stripMargin
 
   /** `--prompt` resolution (reference interactive credentials,
     * src/main.rs connection opts): read the password from the console
@@ -264,6 +294,18 @@ object Cli {
     graft.functions.TimeKernels.registerAll(spark)
     val sql = QueryParams.substitute(readQueryText(sqlArg), params.toSeq)
     val df = (conf.connectionString, conf.tablesDir) match {
+      case (Some(url), _) if conf.jdbcPartitionColumn.isDefined =>
+        // parallel ingest: one result-set cursor per partition (SURVEY
+        // §4.2's answer to the reference's concurrent fetch). Partition
+        // count defaults to the session's parallelism — the executor
+        // count is what the N cursors should saturate.
+        graft.sources.JdbcPartitioning.read(spark, url, sql,
+          conf.jdbcPartitionColumn.get,
+          numPartitions = conf.jdbcNumPartitions
+            .getOrElse(spark.sparkContext.defaultParallelism),
+          bounds = conf.jdbcBounds,
+          user = conf.user, password = conf.password,
+          fetchSize = conf.batchSizeRow)
       case (Some(url), _) =>
         var r = spark.read.format("jdbc")
           .option("url", url)

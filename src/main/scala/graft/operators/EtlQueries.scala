@@ -352,6 +352,39 @@ object EtlQueries {
       order = Seq(col("source")))
   }
 
+  // ---------------------------------------------- e10_jdbc_partitioned
+  /** Partitioned (parallel) JDBC ingest through the gate: load a bounded
+    * orders slice into Derby, read it back via
+    * [[graft.sources.JdbcPartitioning.read]] — 4 range-partitioned
+    * result-set cursors on the key, bounds AUTO-DERIVED by the min/max
+    * probe — and aggregate to values DuckDB recomputes from the source
+    * table. In-gate structural checks ride along as booleans: the scan
+    * must materialize as exactly 4 Spark partitions (`n_parts_ok`), and
+    * at least 2 of them must have delivered rows (`parallel_ok`, via
+    * spark_partition_id) — proof the read was genuinely parallel, not one
+    * cursor plus three empty stubs. JdbcPartitionSpec pins the plan text
+    * and the NULL/skew semantics. */
+  def e10JdbcPartitioned(s: SparkSession, d: String): DataFrame = {
+    val db = s"graftpart${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val src = orders(s, d).orderBy(col("o_orderkey")).limit(2000)
+      .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("price"))
+    JdbcSink.insert(src, url, "orders_slice", batchRows = 500)
+    val back = graft.sources.JdbcPartitioning.read(
+      s, url, """SELECT "id", "cust", "price" FROM orders_slice""",
+      column = "\"id\"", numPartitions = 4)
+    val nPartsOk = back.rdd.getNumPartitions == 4
+    back
+      .select(col("id"), col("cust"), Relational.dec2(col("price")).as("p"),
+        spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("cust")).as("n_custs"),
+        sum(col("p")).cast("double").as("total_price"),
+        lit(nPartsOk).as("n_parts_ok"),
+        (countDistinct(col("pid")) >= 2).as("parallel_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e8_jsonl_roundtrip" -> e8JsonlRoundtrip,
     "e9_csv_roundtrip" -> e9CsvRoundtrip,
@@ -361,7 +394,8 @@ object EtlQueries {
     "e4_compact" -> e4Compact,
     "e5_merge" -> e5Merge,
     "e6_partitioned" -> e6Partitioned,
-    "e7_bucketed" -> e7Bucketed
+    "e7_bucketed" -> e7Bucketed,
+    "e10_jdbc_partitioned" -> e10JdbcPartitioned
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -422,6 +456,14 @@ object EtlQueries {
         |  COUNT(DISTINCT c_custkey) AS n_keys,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
         |FROM merged""".stripMargin,
+    "e10_jdbc_partitioned" ->
+      """WITH src AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  TRUE AS n_parts_ok,
+        |  TRUE AS parallel_ok
+        |FROM src""".stripMargin,
     "e6_partitioned" ->
       """SELECT COUNT(*) AS n_1997,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_1997,
