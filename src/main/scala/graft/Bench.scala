@@ -50,6 +50,19 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Index-bearing queries (s2 LSH signatures, s3 IVF): the persisted
+    // artifacts build once and serve every later execution, so pay the
+    // build HERE — outside every warmed/timed window — and report it as
+    // its own metric line. Round-over-round s2/s3 comparisons then track
+    // probe cost only; previously a driver-run s3 number silently
+    // included zero-or-one builds depending on tmp-dir state. A build
+    // that was already done (warm tmp) honestly reports ~0.
+    def timedBuild(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val s3Build = timedBuild(graft.operators.IvfIndex.ensure(spark, sfDir))
+    val s2Build = timedBuild(graft.operators.LshIndex.ensure(spark, sfDir))
+
     // warm-then-time per query at the TARGET SF — the same protocol as the
     // DuckDB baseline (tools/duckbench.py runs each query once untimed,
     // then times the second run), so neither engine's measurement carries
@@ -130,6 +143,7 @@ object Bench {
     }
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    println(s"""bench-index {"s2_build":${fmt(s2Build, 3)},"s3_build":${fmt(s3Build, 3)}}""")
     println(s"""bench-full {"total":$total,"queries":$full}""")
     // If even precision 1 overflows the budget, drop the per-query map —
     // a parseable total beats an unparseable detail line.

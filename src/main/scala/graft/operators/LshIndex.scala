@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.{Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.VectorOps
+
+/** Persistent LSH signature table: the sign-once / probe-many split of s2
+  * (the s3/IvfIndex template applied to random-hyperplane LSH, round-6
+  * verdict item #2).
+  *
+  * BUILD (once per corpus): compute every vector's 32-bit random-
+  * hyperplane signature (32 native dot products per vector — the
+  * expensive part of LSH) plus its squared norm, and persist
+  *
+  *   signatures/   (vec_id, embedding, n2, sig)   one row per vector
+  *
+  * PROBE (every s2 execution): read `signatures/` and derive the 8×4-bit
+  * band values by bit ops (shift+mask — pennies next to the 32×64-mult
+  * signature). Neither side of the candidate join touches the raw
+  * embeddings table or recomputes a hyperplane product; LshSpec pins
+  * both (no embeddings.parquet scan in the probe plan).
+  *
+  * The signature row carries the embedding + norm so exact rescoring of
+  * candidates also reads only the index — one artifact serves candidate
+  * generation and rescoring. Stored UNEXPLODED (banding is cheap; 8×
+  * materialized bands would octuple the artifact for no compute saved).
+  * At cluster scale the next step is writing the exploded form as a
+  * table BUCKETED on (band, value) so the corpus side of the candidate
+  * join never shuffles (the e7_bucketed layout investment applied to
+  * ANN serving); this environment's catalog is session-scoped, so the
+  * artifact stays plain parquet and the join shuffles on (band, value) —
+  * a recorded deviation, not an oversight.
+  *
+  * Lifecycle is [[IndexLifecycle]]: recursive-listing corpus fingerprint
+  * (an in-place rewrite misses, never serves stale signatures), staging +
+  * atomic rename, deterministic rebuild (fixed-seed hyperplanes).
+  */
+object LshIndex {
+
+  val NPlanes = 32
+  val Dim = 64
+  /** Bump when the layout or signature recipe changes: stale indexes from
+    * older code are simply never found. */
+  private val FormatVersion = "v1"
+
+  private def indexRoot: Path = Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_LSH_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-lsh"))
+
+  def indexDir(d: String): Path = {
+    val src = Paths.get(d).toAbsolutePath.resolve("embeddings.parquet")
+    val key = scala.util.hashing.MurmurHash3.stringHash(
+      s"$src|${IndexLifecycle.fingerprint(src)}").toHexString
+    indexRoot.resolve(s"$FormatVersion-p$NPlanes-$key")
+  }
+
+  /** Build the signature table if absent; returns its directory. */
+  def ensure(s: SparkSession, d: String): Path =
+    IndexLifecycle.ensureBuilt(indexDir(d)) { staging =>
+      val planes = VectorOps.hyperplanes(nPlanes = NPlanes, dim = Dim)
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.norm2(col("embedding")).as("n2"),
+          VectorOps.lshSignature(col("embedding"), planes).as("sig"))
+        .write.mode("overwrite").parquet(staging.resolve("signatures").toString)
+    }
+
+  /** The persisted signature table: (vec_id, embedding, n2, sig). */
+  def signatures(s: SparkSession, dir: Path): DataFrame =
+    s.read.parquet(dir.resolve("signatures").toString)
+}

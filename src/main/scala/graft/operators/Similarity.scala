@@ -72,13 +72,16 @@ object Similarity {
     * separate from the gate so the plan can be audited: the candidate
     * join must stay keyed on (band, bucket) — the gate's bounded
     * crossJoins (1-row verdict, ≤64-vector exact twin) are by design and
-    * excluded from that audit. */
+    * excluded from that audit.
+    *
+    * Since round 7 the signatures come from the PERSISTED [[LshIndex]]
+    * (sign-once/probe-many): every execution reads (vec_id, embedding,
+    * n2, sig) from the index parquet and derives band values by bit ops —
+    * no hyperplane product and no raw-embeddings scan on the probe path
+    * (LshSpec pins both). Both join sides read the index: the query side
+    * is the same table filtered to query vectors. */
   private[graft] def s2Found(s: SparkSession, d: String): DataFrame = {
-    val planes = VectorOps.hyperplanes(nPlanes = 32, dim = 64)
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        VectorOps.norm2(col("embedding")).as("n2"),
-        VectorOps.lshSignature(col("embedding"), planes).as("sig"))
+    val e = LshIndex.signatures(s, LshIndex.ensure(s, d))
     val banded = e.withColumn("band", explode(array(
       (0 until 8).map(b => struct(lit(b).as("i"),
         shiftright(col("sig"), 4 * b).bitwiseAND(0xf).as("v"))): _*)))
