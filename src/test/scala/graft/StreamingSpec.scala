@@ -105,6 +105,18 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.length} windows, batch ${batch.length}")
   }
 
+  test("q46 gate query (kill-resume on one checkpoint) equals the batch twin exactly") {
+    val streamed = StreamingOps.q46StreamRestart(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    val batch = operators.Relational.q20WindowTumbling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    // exactly-once across the restart: set equality with the batch plan —
+    // lost state would drop windows, double-emission would duplicate them
+    assert(streamed.nonEmpty)
+    assert(streamed.sorted.sameElements(batch.sorted),
+      s"streamed ${streamed.length} windows, batch ${batch.length}")
+  }
+
   test("multi-batch streaming sessionization emits every closed session (MemoryStream)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
