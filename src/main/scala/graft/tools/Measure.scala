@@ -17,7 +17,12 @@ import graft.operators.{Dedup, Similarity}
   */
 object Measure {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // one or more dataset dirs: the multi-SF run is the recall TREND —
+    // floors are justified per SF, and drift with corpus growth must be
+    // visible in NOTES before a bigger corpus breaks the 0.60 gate
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-measure")
@@ -26,7 +31,14 @@ object Measure {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    dirs.foreach { d =>
+      println(s"== $d")
+      measureOne(spark, d)
+    }
+    spark.stop()
+  }
 
+  private def measureOne(spark: SparkSession, d: String): Unit = {
     val brute = Similarity.s1AnnBrute(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     def annRecall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
@@ -59,7 +71,5 @@ object Measure {
     val t46 = truth.filter(kv => kv._2 >= 4 && kv._2 <= 6).keySet
     if (t46.nonEmpty)
       println(f"d5 hamming 4..6 combined: recall ${t46.intersect(found).size.toDouble / t46.size}%.4f (${t46.intersect(found).size}/${t46.size})")
-
-    spark.stop()
   }
 }
