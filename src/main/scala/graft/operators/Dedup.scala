@@ -289,6 +289,38 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  // ------------------------------------------------- d13_canonicalize
+  /** Provenance-ranked canonicalization — the KEEP POLICY half of dedup:
+    * within each duplicate group (d2's normalized content key: sorted
+    * distinct word set), the copy from the highest-priority source wins
+    * (source asc, doc_id tiebreak), and every member maps to that
+    * canonical id. d2 answers "which content is duplicated"; this answers
+    * the question a real pipeline asks next — "which COPY do we keep, and
+    * where do the others point" (the redirect table attribution and
+    * incremental joins consume).
+    *
+    * Scale posture: the window partitions on a 64-bit hash of the
+    * normalized key (xxhash64 + length), not the key text, so the
+    * shuffle carries slim (key, doc_id, source) rows rather than
+    * document-sized strings — collision probability is 2^-64-scale per
+    * pair (same accepted argument as d3's hashed token sets). Both
+    * window functions share one partitioning: a single shuffle. */
+  def d13Canonicalize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = array_join(array_sort(array_distinct(toks)), " ")
+    val key = Seq(col("k1"), col("k2"))
+    val wOrd = Window.partitionBy(key: _*).orderBy(col("source"), col("doc_id"))
+    val wAll = Window.partitionBy(key: _*)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        xxhash64(norm).as("k1"), length(norm).as("k2"))
+      .withColumn("canonical_id", first(col("doc_id")).over(wOrd))
+      .withColumn("n_copies", count(lit(1)).over(wAll))
+      .filter(col("n_copies") > 1)
+      .select(col("doc_id"), col("canonical_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------- d6_embedding_neardup
   /** Embedding-cosine near-dup, blocked on the label column (the ANN-bucket
     * stand-in): exact in-order double accumulation so DuckDB reproduces the
@@ -316,10 +348,25 @@ object Dedup {
     "d4_minhash_lsh" -> d4MinhashLsh,
     "d5_simhash_dup" -> d5SimhashDup,
     "d6_embedding_neardup" -> d6EmbeddingNearDup,
-    "d11_incremental_dedup" -> d11IncrementalDedup
+    "d11_incremental_dedup" -> d11IncrementalDedup,
+    "d13_canonicalize" -> d13Canonicalize
   )
 
   val oracleSql: Map[String, String] = Map(
+    // groups on the raw normalized key — the Spark side's 64-bit hash of
+    // it is collision-equivalent; divergence would fail the hash compare
+    "d13_canonicalize" ->
+      """WITH n AS (SELECT doc_id, source,
+        |    array_to_string(list_sort(list_distinct(
+        |      string_split_regex(trim(text), '\s+'))), ' ') AS key
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    FIRST_VALUE(doc_id) OVER (PARTITION BY key
+        |      ORDER BY source, doc_id) AS canonical_id,
+        |    COUNT(*) OVER (PARTITION BY key) AS n_copies
+        |  FROM n)
+        |SELECT doc_id, canonical_id, n_copies FROM g
+        |WHERE n_copies > 1 ORDER BY doc_id""".stripMargin,
     "d11_incremental_dedup" ->
       """WITH h AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
         |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8)

@@ -158,8 +158,33 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  // ---------------------------------------------- t14_ngram_blocklist
+  /** Corpus-wide repeated-n-gram table — the blocklist-builder step of
+    * boilerplate/repetition filtering (find the word 3-grams that
+    * dominate the corpus, then strip or down-weight documents heavy in
+    * them; the aggregate t9 consumes per-doc, built corpus-wide). Top-k
+    * by frequency with a total (n desc, gram) order so the cut is
+    * deterministic on both engines.
+    *
+    * Scale posture: the explode multiplies rows by ~words-per-doc, but
+    * the group-by aggregates partially map-side, so the shuffle carries
+    * one row per DISTINCT gram per partition, not per occurrence; the
+    * final top-k is a TakeOrdered over group counts, never a global
+    * sort of the gram table. */
+  def t14NgramBlocklist(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_quality_percentile" -> t12QualityPercentile,
+    "t14_ngram_blocklist" -> t14NgramBlocklist,
     "t1_tokens" -> t1Tokens,
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
@@ -169,6 +194,14 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t14_ngram_blocklist" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                     for i in range(1, len(ws) - 1)]) AS gram
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT gram, COUNT(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     "t12_quality_percentile" ->
       """SELECT source,
         |  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,

@@ -33,6 +33,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ far))
   }
 
+  test("d13 canonicalization: every member maps to its group's (source, doc_id) minimum") {
+    val rows = Dedup.d13Canonicalize(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata contains normalized duplicate groups")
+    // recompute truth from the raw normalized key (the oracle's keying)
+    val byKey = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        array_join(array_sort(array_distinct(
+          split(trim(col("text")), "\\s+"))), " ").as("key"))
+      .collect()
+      .groupBy(_.getString(2))
+      .filter(_._2.length > 1)
+    val truth = byKey.values.flatMap { g =>
+      val canon = g.minBy(r => (r.getString(1), r.getLong(0))).getLong(0)
+      g.map(r => r.getLong(0) -> (canon, g.length.toLong))
+    }.toMap
+    assert(rows.length == truth.size)
+    rows.foreach { r =>
+      assert(truth(r.getLong(0)) == ((r.getLong(1), r.getLong(2))),
+        s"doc ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}), " +
+          s"want ${truth(r.getLong(0))}")
+    }
+  }
+
+  test("t14 blocklist: top grams ordered (n desc, gram), counts match a recount") {
+    val rows = graft.operators.TextAnalysis.t14NgramBlocklist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.sameElements(rows.sortBy { case (g, n) => (-n, g) }),
+      "output must be totally ordered for a deterministic cut")
+    // spot-recount the head gram by brute force
+    val (gram, n) = rows.head
+    val recount = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).trim.split("\\s+").sliding(3)
+        .count(_.mkString(" ") == gram))
+      .sum
+    assert(recount.toLong == n, s"head gram '$gram': $n vs recount $recount")
+  }
+
   test("minhash-LSH near-dup recall >= 80% of brute-force jaccard>=0.7 pairs") {
     // brute force truth on 2-gram shingles, all pairs (small sf only)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
