@@ -225,7 +225,8 @@ object PipelineExt {
     * in-partition pass. At 100 TB a pathologically hot source key would
     * make one partition the straggler — the fix is hierarchical: allocate
     * the budget across hash-sub-buckets first, then run this same window
-    * per sub-bucket. The per-source shape here is the building block. */
+    * per sub-bucket. The per-source shape here is the building block;
+    * [[t15TokenMixHierarchical]] is that fix, realized and gated. */
   def t8TokenMix(s: SparkSession, d: String): DataFrame = {
     val budget = 5000L
     val w = Window.partitionBy(col("source"))
@@ -238,6 +239,39 @@ object PipelineExt {
       .filter(col("cum_tokens") <= budget)
       .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  // ------------------------------------------- t15_token_mix_hierarchical
+  /** The hierarchical form of t8's token-budget mixing — the documented
+    * hot-source fix, realized: the per-source budget is pre-allocated
+    * across S hash-sub-buckets (budget/S each), and t8's greedy window
+    * runs per (source, bucket). A pathologically hot source now spreads
+    * over S partitions instead of making one the straggler, and S scales
+    * with observed skew without touching the algorithm.
+    *
+    * The trade vs t8 is explicit and bounded: selection within each
+    * sub-bucket is still largest-first, but the cut is per-quota, so up
+    * to S boundary documents differ from the global greedy answer —
+    * quota sampling, the standard skew-vs-optimality trade. Buckets come
+    * from md5 (t11/t13's portable hash), never hash()/rand(), so both
+    * engines compute identical assignments and reruns are stable. */
+  def t15TokenMixHierarchical(s: SparkSession, d: String): DataFrame = {
+    val subBuckets = 4
+    val perBucket = 5000L / subBuckets
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % subBuckets).as("bkt")
+    val w = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        bucket)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= perBucket)
+      .select(col("source"), col("bkt"), col("doc_id"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("bkt"), col("cum_tokens"))
   }
 
   // ------------------------------------------------------- t11_split
@@ -288,6 +322,7 @@ object PipelineExt {
     "d12_dup_clusters_star" -> d12DupClustersStar,
     "t7_redact_pii" -> t7RedactPii,
     "t8_token_mix" -> t8TokenMix,
+    "t15_token_mix_hierarchical" -> t15TokenMixHierarchical,
     "t11_split" -> t11Split,
     "t13_stratified_sample" -> t13StratifiedSample
   )
@@ -360,6 +395,19 @@ object PipelineExt {
         |  FROM h)
         |SELECT source, doc_id, rn FROM r WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin,
+    "t15_token_mix_hierarchical" ->
+      """WITH t AS (SELECT source, doc_id, n_chars,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS bkt,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, bkt, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source, bkt
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, bkt, doc_id, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 1250
+        |ORDER BY source, bkt, cum_tokens""".stripMargin,
     "t8_token_mix" ->
       """WITH t AS (SELECT source, doc_id, n_chars,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
