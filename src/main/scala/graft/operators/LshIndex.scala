@@ -33,7 +33,9 @@ import graft.functions.VectorOps
   * join never shuffles (the e7_bucketed layout investment applied to
   * ANN serving); this environment's catalog is session-scoped, so the
   * artifact stays plain parquet and the join shuffles on (band, value) —
-  * a recorded deviation, not an oversight.
+  * a recorded deviation, not an oversight, and LshSpec DEMONSTRATES the
+  * bucketed layout end-to-end (zero-exchange candidate join), so the
+  * recipe is proven, not just described.
   *
   * Lifecycle is [[IndexLifecycle]]: recursive-listing corpus fingerprint
   * (an in-place rewrite misses, never serves stale signatures), staging +
@@ -43,6 +45,8 @@ object LshIndex {
 
   val NPlanes = 32
   val Dim = 64
+  val Bands = 8
+  val BandBits = 4
   /** Bump when the layout or signature recipe changes: stale indexes from
     * older code are simply never found. */
   private val FormatVersion = "v1"
@@ -72,4 +76,15 @@ object LshIndex {
   /** The persisted signature table: (vec_id, embedding, n2, sig). */
   def signatures(s: SparkSession, dir: Path): DataFrame =
     s.read.parquet(dir.resolve("signatures").toString)
+
+  /** Explode a signature frame to its [[Bands]]×[[BandBits]]-bit band rows
+    * (i, v) — shift+mask only, shared by the s2 probe and the bucketed-
+    * serving demonstration in LshSpec. */
+  def banded(sigs: DataFrame): DataFrame =
+    sigs.withColumn("band", explode(array(
+      (0 until Bands).map(b => struct(lit(b).as("i"),
+        shiftright(col("sig"), BandBits * b)
+          .bitwiseAND((1 << BandBits) - 1).as("v"))): _*)))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("band.i"), col("band.v"))
 }

@@ -81,11 +81,8 @@ object Similarity {
     * (LshSpec pins both). Both join sides read the index: the query side
     * is the same table filtered to query vectors. */
   private[graft] def s2Found(s: SparkSession, d: String): DataFrame = {
-    val e = LshIndex.signatures(s, LshIndex.ensure(s, d))
-    val banded = e.withColumn("band", explode(array(
-      (0 until 8).map(b => struct(lit(b).as("i"),
-        shiftright(col("sig"), 4 * b).bitwiseAND(0xf).as("v"))): _*)))
-      .select(col("vec_id"), col("embedding"), col("n2"), col("band.i"), col("band.v"))
+    val banded = LshIndex.banded(
+      LshIndex.signatures(s, LshIndex.ensure(s, d)))
     val q = banded.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         col("n2").as("qn2"), col("i").as("qi"), col("v").as("qvalue"))
