@@ -123,6 +123,13 @@ object Cli {
       (c.rowGroupsPerFile > 0 || c.fileSizeThreshold > 0))
       throw new IllegalArgumentException(
         "splitting the output into multiple files is incompatible with writing to stdout")
+    // partition tuning without the column would silently run a
+    // single-cursor read — the exact bottleneck the flags exist to
+    // remove; refuse loudly instead
+    if (c.jdbcPartitionColumn.isEmpty &&
+      (c.jdbcNumPartitions.isDefined || c.jdbcBounds.isDefined))
+      throw new IllegalArgumentException(
+        "--jdbc-num-partitions/--jdbc-bounds require --jdbc-partition-column")
     (cmd, c)
   }
 

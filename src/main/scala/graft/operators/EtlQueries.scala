@@ -56,30 +56,53 @@ object EtlQueries {
         count(lit(1)) >= expr("(sum(c) + 19999) div 20000")).as("split_ok")), dir)
   }
 
+  /** Run `body` against a uniquely-named in-memory Derby database, then
+    * DROP the database on every exit path: an in-memory Derby instance
+    * lives in driver heap until explicitly dropped, and the warm+min-of-3
+    * bench would otherwise park 4 of them per JDBC gate query per run
+    * (same accumulation class as the tmpfs copies materializedThenClean
+    * exists to delete). The result frame must therefore be materialized
+    * (checkpointed) before body returns. Derby signals a SUCCESSFUL drop
+    * with SQLException 08006 — swallowing it is the documented protocol,
+    * not error hiding. */
+  private def withDerby(prefix: String)(body: String => DataFrame): DataFrame = {
+    val db = s"$prefix${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    try body(url)
+    finally {
+      try {
+        java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+        ()
+      } catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   // -------------------------------------------------- e2_jdbc_roundtrip
   /** region → JDBC insert (auto-generated statement) into an embedded Derby
     * table, then the exec path (`?name?` placeholders) doubles every row,
     * then read back over JDBC and count per key — exercising the full
     * reverse path (insert.rs + execute.rs semantics) against a real
     * database. */
-  def e2JdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val db = s"graftverify${System.nanoTime()}"
-    val url = s"jdbc:derby:memory:$db;create=true"
-    val r = region(s, d)
-    JdbcSink.insert(r, url, "regions", batchRows = 2)
-    // Spark's JDBC writer creates case-sensitive quoted columns on Derby, so
-    // the user-authored exec statement quotes them too
-    JdbcSink.exec(r,
-      """INSERT INTO regions ("r_regionkey", "r_name") VALUES (?r_regionkey?, ?r_name?)""",
-      url, batchRows = 2)
-    s.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", "regions")
-      .load()
-      .groupBy(col("r_regionkey"), col("r_name"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("r_regionkey"))
-  }
+  def e2JdbcRoundtrip(s: SparkSession, d: String): DataFrame =
+    withDerby("graftverify") { url =>
+      val r = region(s, d)
+      JdbcSink.insert(r, url, "regions", batchRows = 2)
+      // Spark's JDBC writer creates case-sensitive quoted columns on Derby,
+      // so the user-authored exec statement quotes them too
+      JdbcSink.exec(r,
+        """INSERT INTO regions ("r_regionkey", "r_name") VALUES (?r_regionkey?, ?r_name?)""",
+        url, batchRows = 2)
+      // checkpoint BEFORE withDerby drops the database: the frame must
+      // never lazily re-read a connection that no longer exists
+      CacheScope.localCheckpoint(
+        s.read.format("jdbc")
+          .option("url", url)
+          .option("dbtable", "regions")
+          .load()
+          .groupBy(col("r_regionkey"), col("r_name"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy(col("r_regionkey"))
+    }
 
   // ------------------------------------------------------ e3_jdbc_types
   /** Reverse-path type matrix (reference integration.rs:2208-3800): derive
@@ -89,9 +112,7 @@ object EtlQueries {
     * both binding paths cover every type and NULL), read back over JDBC,
     * and aggregate to values DuckDB recomputes from the source table. The
     * float/double columns carry integer values so sums are exact. */
-  def e3JdbcTypes(s: SparkSession, d: String): DataFrame = {
-    val db = s"grafttypes${System.nanoTime()}"
-    val url = s"jdbc:derby:memory:$db;create=true"
+  def e3JdbcTypes(s: SparkSession, d: String): DataFrame = withDerby("grafttypes") { url =>
     val nullRow = col("o_orderkey") % 7 === 0
     def masked(c: org.apache.spark.sql.Column) = when(!nullRow, c)
     val typed = orders(s, d).orderBy(col("o_orderkey")).limit(200)
@@ -107,15 +128,16 @@ object EtlQueries {
       """INSERT INTO typed ("id", "b", "si", "f", "dd", "bin", "t")
         |VALUES (?id?, ?b?, ?si?, ?f?, ?dd?, ?bin?, ?t?)""".stripMargin,
       url, batchRows = 32)
-    s.read.format("jdbc").option("url", url).option("dbtable", "typed").load()
-      .agg(count(lit(1)).as("n_rows"),
-        count(when(col("b"), 1)).as("n_b_true"),
-        (count(lit(1)) - count(col("b"))).as("n_b_null"),
-        sum(col("si")).cast("long").as("sum_si"),
-        sum(col("f")).cast("double").as("sum_f"),
-        sum(col("dd")).cast("double").as("sum_dd"),
-        sum(octet_length(col("bin"))).cast("long").as("bin_bytes"),
-        count(col("t")).as("n_t"))
+    CacheScope.localCheckpoint(
+      s.read.format("jdbc").option("url", url).option("dbtable", "typed").load()
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("b"), 1)).as("n_b_true"),
+          (count(lit(1)) - count(col("b"))).as("n_b_null"),
+          sum(col("si")).cast("long").as("sum_si"),
+          sum(col("f")).cast("double").as("sum_f"),
+          sum(col("dd")).cast("double").as("sum_dd"),
+          sum(octet_length(col("bin"))).cast("long").as("bin_bytes"),
+          count(col("t")).as("n_t")))
   }
 
   // -------------------------------------------------------- e4_compact
@@ -258,15 +280,17 @@ object EtlQueries {
           }.isEmpty
       } finally s.conf.set("spark.sql.adaptive.enabled", prev)
     }
-    // drop the temp catalog entries before deleting their backing files:
-    // the checkpoint inside materializedThenClean has already consumed them
-    val result = materializedThenClean(joined.agg(
+    // checkpoint the aggregate (consuming the tables), drop the catalog
+    // entries, THEN delete their backing files — the catalog never points
+    // at nonexistent paths, even transiently
+    val result = CacheScope.localCheckpoint(joined.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("c_custkey")).as("n_custs"),
       sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_price"),
-      lit(colocated).as("colocated_ok")), dir)
+      lit(colocated).as("colocated_ok")))
     s.sql("DROP TABLE IF EXISTS graft_e7_orders")
     s.sql("DROP TABLE IF EXISTS graft_e7_customer")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     result
   }
 
@@ -364,26 +388,25 @@ object EtlQueries {
     * spark_partition_id) — proof the read was genuinely parallel, not one
     * cursor plus three empty stubs. JdbcPartitionSpec pins the plan text
     * and the NULL/skew semantics. */
-  def e10JdbcPartitioned(s: SparkSession, d: String): DataFrame = {
-    val db = s"graftpart${System.nanoTime()}"
-    val url = s"jdbc:derby:memory:$db;create=true"
-    val src = orders(s, d).orderBy(col("o_orderkey")).limit(2000)
-      .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
-        col("o_totalprice").as("price"))
-    JdbcSink.insert(src, url, "orders_slice", batchRows = 500)
-    val back = graft.sources.JdbcPartitioning.read(
-      s, url, """SELECT "id", "cust", "price" FROM orders_slice""",
-      column = "\"id\"", numPartitions = 4)
-    val nPartsOk = back.rdd.getNumPartitions == 4
-    back
-      .select(col("id"), col("cust"), Relational.dec2(col("price")).as("p"),
-        spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("cust")).as("n_custs"),
-        sum(col("p")).cast("double").as("total_price"),
-        lit(nPartsOk).as("n_parts_ok"),
-        (countDistinct(col("pid")) >= 2).as("parallel_ok"))
-  }
+  def e10JdbcPartitioned(s: SparkSession, d: String): DataFrame =
+    withDerby("graftpart") { url =>
+      val src = orders(s, d).orderBy(col("o_orderkey")).limit(2000)
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+          col("o_totalprice").as("price"))
+      JdbcSink.insert(src, url, "orders_slice", batchRows = 500)
+      val back = graft.sources.JdbcPartitioning.read(
+        s, url, """SELECT "id", "cust", "price" FROM orders_slice""",
+        column = "\"id\"", numPartitions = 4)
+      val nPartsOk = back.rdd.getNumPartitions == 4
+      CacheScope.localCheckpoint(back
+        .select(col("id"), col("cust"), Relational.dec2(col("price")).as("p"),
+          spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cust")).as("n_custs"),
+          sum(col("p")).cast("double").as("total_price"),
+          lit(nPartsOk).as("n_parts_ok"),
+          (countDistinct(col("pid")) >= 2).as("parallel_ok")))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e8_jsonl_roundtrip" -> e8JsonlRoundtrip,

@@ -23,8 +23,22 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 object IndexLifecycle {
 
-  /** Content fingerprint of a dataset path (file or directory). */
+  /** Content fingerprint of a dataset path (file or directory), memoized
+    * per JVM: probes call ensure() → indexDir() → fingerprint() on every
+    * execution, and an O(part-files) recursive stat walk inside every
+    * timed probe would defeat the point of the persisted index at the
+    * very file counts (thousands of part files) where it matters. The
+    * window this opens — a corpus rewritten IN PLACE, MID-JVM, serves
+    * the stale index until restart — is the same window Spark's own
+    * file-listing caches accept; cross-run staleness (the dangerous,
+    * silent kind) is still caught because a fresh JVM always walks. */
+  private val fingerprintMemo =
+    new java.util.concurrent.ConcurrentHashMap[Path, String]()
+
   def fingerprint(src: Path): String =
+    fingerprintMemo.computeIfAbsent(src.toAbsolutePath, computeFingerprint)
+
+  private def computeFingerprint(src: Path): String =
     if (!Files.exists(src)) "absent"
     else if (Files.isRegularFile(src))
       s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
@@ -40,6 +54,21 @@ object IndexLifecycle {
         finally walk.close()
       scala.util.hashing.MurmurHash3.orderedHash(entries).toHexString
     }
+
+  /** Index directory for a derived artifact: a pure function of (dataset
+    * path, content fingerprint, recipe string), rooted at `envVar` when
+    * set else a tmp-dir subdirectory. Shared by IvfIndex/LshIndex so the
+    * keying recipe cannot drift between artifacts. */
+  def keyedDir(envVar: String, defaultRootName: String, datasetFile: Path,
+      recipe: String): Path = {
+    val root = java.nio.file.Paths.get(
+      sys.env.getOrElse(envVar,
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + defaultRootName))
+    val src = datasetFile.toAbsolutePath
+    val key = scala.util.hashing.MurmurHash3.stringHash(
+      s"$src|${fingerprint(src)}").toHexString
+    root.resolve(s"$recipe-$key")
+  }
 
   /** Run `build` into a fresh private staging sibling of `dir`, then
     * atomically publish. No-op if `dir` already exists. Any exit that does

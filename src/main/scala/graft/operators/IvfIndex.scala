@@ -84,22 +84,15 @@ object IvfIndex {
 
   // ------------------------------------------------------------ lifecycle
 
-  private def indexRoot: Path = Paths.get(
-    sys.env.getOrElse("SPARK_GRAFT_IVF_DIR",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ivf"))
-
   /** Index location is a pure function of (corpus identity, format, K):
     * same corpus → same index; changed recipe → fresh path. Corpus
     * identity is [[IndexLifecycle.fingerprint]] — the recursive per-file
     * (name, size, mtime) listing — so if the dataset is regenerated in
     * place (even keeping part-file names), the old index MISSES, never
     * silently serving stale inverted lists. */
-  def indexDir(d: String): Path = {
-    val src = Paths.get(d).toAbsolutePath.resolve("embeddings.parquet")
-    val key = scala.util.hashing.MurmurHash3.stringHash(
-      s"$src|${IndexLifecycle.fingerprint(src)}").toHexString
-    indexRoot.resolve(s"$FormatVersion-k$K-$key")
-  }
+  def indexDir(d: String): Path = IndexLifecycle.keyedDir(
+    "SPARK_GRAFT_IVF_DIR", "graft-ivf",
+    Paths.get(d).resolve("embeddings.parquet"), s"$FormatVersion-k$K")
 
   /** Build the index if absent; returns its directory. Staging + atomic
     * publication via [[IndexLifecycle.ensureBuilt]]; in-JVM races

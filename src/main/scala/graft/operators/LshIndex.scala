@@ -51,16 +51,9 @@ object LshIndex {
     * older code are simply never found. */
   private val FormatVersion = "v1"
 
-  private def indexRoot: Path = Paths.get(
-    sys.env.getOrElse("SPARK_GRAFT_LSH_DIR",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-lsh"))
-
-  def indexDir(d: String): Path = {
-    val src = Paths.get(d).toAbsolutePath.resolve("embeddings.parquet")
-    val key = scala.util.hashing.MurmurHash3.stringHash(
-      s"$src|${IndexLifecycle.fingerprint(src)}").toHexString
-    indexRoot.resolve(s"$FormatVersion-p$NPlanes-$key")
-  }
+  def indexDir(d: String): Path = IndexLifecycle.keyedDir(
+    "SPARK_GRAFT_LSH_DIR", "graft-lsh",
+    Paths.get(d).resolve("embeddings.parquet"), s"$FormatVersion-p$NPlanes")
 
   /** Build the signature table if absent; returns its directory. */
   def ensure(s: SparkSession, d: String): Path =

@@ -340,8 +340,11 @@ object StreamingOps {
         val tmp = root.resolve(s"tmp-$name")
         df.coalesce(1).write.parquet(tmp.toString)
         import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally listing.close()
         java.nio.file.Files.move(part, srcDir.resolve(s"$name.parquet"))
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }

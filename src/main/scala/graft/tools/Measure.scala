@@ -20,9 +20,17 @@ object Measure {
     // one or more dataset dirs: the multi-SF run is the recall TREND —
     // floors are justified per SF, and drift with corpus growth must be
     // visible in NOTES before a bigger corpus breaks the 0.60 gate
-    val dirs =
-      if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val dirs = {
+      val requested =
+        if (args.nonEmpty) args.toSeq
+        else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      // skip absent fixtures instead of dying mid-report (single-fixture
+      // environments keep the old behavior; the trend just has one row)
+      val (present, absent) = requested.partition(p =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+      absent.foreach(p => println(s"== $p SKIPPED (not a directory)"))
+      present
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-measure")

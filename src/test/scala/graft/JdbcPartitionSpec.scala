@@ -119,6 +119,14 @@ class JdbcPartitionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Cli.parse(Seq("query", "--jdbc-bounds", "abc", "o", "s"))
     }
+    // tuning flags without the column would silently fall back to a
+    // single-cursor read — must refuse instead
+    intercept[IllegalArgumentException] {
+      Cli.parse(Seq("query", "--jdbc-num-partitions", "8", "o", "s"))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.parse(Seq("query", "--jdbc-bounds", "1:100", "o", "s"))
+    }
   }
 
   test("cli: query end-to-end with a partitioned source writes correct parquet") {
