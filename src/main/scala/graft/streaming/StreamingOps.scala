@@ -321,6 +321,23 @@ object StreamingOps {
     * end; its own window can never finalize (nothing later advances the
     * watermark past it), and it is filtered defensively on read-back.
     * The result is the SAME aggregate as q44/q20 — same DuckDB oracle. */
+  /** Stage a frame as ONE parquet file named `name.parquet` in `srcDir` —
+    * the file-source feed step shared by the multi-feed streaming gates
+    * (each drop() is one future micro-batch). */
+  private def stageFeed(scratch: java.nio.file.Path,
+      srcDir: java.nio.file.Path)(df: DataFrame, name: String): Unit = {
+    val tmp = scratch.resolve(s"tmp-$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+    java.nio.file.Files.move(part, srcDir.resolve(s"$name.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   def q46StreamRestart(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_q46_")
     val srcDir = root.resolve("src")
@@ -336,18 +353,7 @@ object StreamingOps {
       val cut = lo + (hi - lo) / 2
 
       // one parquet file per feed so each phase sees exactly one new file
-      def drop(df: DataFrame, name: String): Unit = {
-        val tmp = root.resolve(s"tmp-$name")
-        df.coalesce(1).write.parquet(tmp.toString)
-        import scala.jdk.CollectionConverters._
-        val listing = java.nio.file.Files.list(tmp)
-        val part =
-          try listing.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          finally listing.close()
-        java.nio.file.Files.move(part, srcDir.resolve(s"$name.parquet"))
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      }
+      val drop = stageFeed(root, srcDir) _
 
       withGateStreamSession(s) { ns =>
         def runOnce(): Unit = {
@@ -375,15 +381,83 @@ object StreamingOps {
     result.orderBy(col("bucket_us"), col("event_type"))
   }
 
+  /** q47: streaming CDC upsert via foreachBatch — the lakehouse ingest
+    * shape: a change stream (upserts + deletes keyed on c_custkey, the
+    * SAME deterministic changeset as the batch e5 gate) applies to a
+    * parquet snapshot one micro-batch at a time through
+    * [[graft.sources.Merge]], and the final snapshot must equal the
+    * one-shot batch merge (e5's DuckDB oracle, verbatim).
+    *
+    * foreachBatch is the right tool because the sink transform is a
+    * key-based MERGE — not expressible as an append/update sink — and
+    * its replay contract (a batch may re-run after failure) is honored
+    * by writing each generation to a batchId-keyed dir: re-running batch
+    * N rewrites gen-N from gen-(N-1), idempotent by construction. Batch
+    * order across feeds is immaterial here because changeset keys are
+    * unique corpus-wide (each key appears in exactly one feed); a keyed
+    * log with intra-key ordering would pass `seqCol` to Merge instead.
+    * At scale the per-batch merge is one key shuffle (broadcast when the
+    * batch is small — the common CDC case) plus a parallel snapshot
+    * write; generations pair with Compact for file sizing. */
+  def q47StreamUpsert(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q47_")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val snapRoot = root.resolve("snap")
+    val cpDir = root.resolve("cp")
+    val result = try {
+      val base = graft.Tables.customer(s, d)
+      // e5's changeset: key%10==3 upserts (+1000 balance), %10==1
+      // re-keyed inserts, %10==7 deletes — all keys distinct
+      val upserts = base.filter(col("c_custkey") % 10 === 3)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("_deleted", lit(false))
+      val inserts = base.filter(col("c_custkey") % 10 === 1)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("_deleted", lit(false))
+      val deletes = base.filter(col("c_custkey") % 10 === 7)
+        .withColumn("_deleted", lit(true))
+      val changes = upserts.unionByName(inserts).unionByName(deletes)
+      val drop = stageFeed(root, srcDir) _
+
+      @volatile var current: Option[String] = None
+      val q = s.readStream.schema(changes.schema).parquet(srcDir.toString)
+        .writeStream
+        .option("checkpointLocation", cpDir.toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val cur = current.map(p => s.read.parquet(p)).getOrElse(base)
+          val gen = snapRoot.resolve(s"gen-$id").toString
+          graft.sources.Merge.mergeToParquet(s, cur, batch, "c_custkey", gen)
+          current = Some(gen)
+          ()
+        }
+        .start()
+      try {
+        // two disjoint-key feeds → two micro-batches through the merge
+        drop(changes.filter(pmod(col("c_custkey"), lit(2)) === 0), "c0")
+        q.processAllAvailable()
+        drop(changes.filter(pmod(col("c_custkey"), lit(2)) === 1), "c1")
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.operators.CacheScope.localCheckpoint(
+        current.map(p => s.read.parquet(p)).getOrElse(base)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("c_custkey")).as("n_keys"),
+            sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    result
+  }
+
   /** Gate entries: batch sessionization (the streaming op's semantics
-    * twin, DuckDB-verifiable) and the three streaming-EXECUTED queries
+    * twin, DuckDB-verifiable) and the four streaming-EXECUTED queries
     * (windowed aggregation q44, stream-stream interval join q45,
-    * checkpoint kill-resume q46). */
+    * checkpoint kill-resume q46, foreachBatch CDC upsert q47). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
     "q44_stream_hourly" -> q44StreamHourly,
     "q45_stream_interval_join" -> q45StreamIntervalJoin,
-    "q46_stream_restart" -> q46StreamRestart
+    "q46_stream_restart" -> q46StreamRestart,
+    "q47_stream_upsert" -> q47StreamUpsert
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -406,6 +480,28 @@ object StreamingOps {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // e5's oracle verbatim: the streamed per-batch merges must land on
+    // the same snapshot as the one-shot batch merge
+    "q47_stream_upsert" ->
+      """WITH up AS (SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 3),
+        |ins AS (SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 1),
+        |del AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 7),
+        |changed AS (SELECT c_custkey FROM up
+        |  UNION ALL SELECT c_custkey FROM ins
+        |  UNION ALL SELECT c_custkey FROM del),
+        |surv AS (SELECT * FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)),
+        |merged AS (SELECT * FROM surv
+        |  UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT c_custkey) AS n_keys,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM merged""".stripMargin,
     "q45_stream_interval_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
         |    FROM events)

@@ -117,6 +117,15 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.length} windows, batch ${batch.length}")
   }
 
+  test("q47 foreachBatch CDC upsert converges to the one-shot batch merge") {
+    val streamed = StreamingOps.q47StreamUpsert(spark, sf).collect()
+    val batch = operators.EtlQueries.e5Merge(spark, sf).collect()
+    assert(streamed.length == 1 && batch.length == 1)
+    assert(streamed.head.getLong(0) == batch.head.getLong(0), "row counts differ")
+    assert(streamed.head.getLong(1) == batch.head.getLong(1), "key counts differ")
+    assert(streamed.head.getDouble(2) == batch.head.getDouble(2), "balances differ")
+  }
+
   test("multi-batch streaming sessionization emits every closed session (MemoryStream)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
