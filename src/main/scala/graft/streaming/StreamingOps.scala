@@ -155,6 +155,42 @@ object StreamingOps {
       }
   }
 
+  /** Per-user running totals on the NEXT-GEN arbitrary-state API
+    * (`transformWithState`, Spark 4): the same semantics as
+    * [[userTotals]] (mapGroupsWithState) realized as a typed
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] — named typed
+    * state cells (a ValueState here; ListState/MapState and per-cell TTL
+    * are what the new API adds over GroupState), explicit TimeMode, and
+    * a RocksDB-backed state store (the API requires it; the spec sets
+    * the provider). Kept alongside the classic-API twin because
+    * production pipelines straddle both surfaces; the spec proves the
+    * two converge to the same batch group-by. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val evs = rows.toSeq
+      val prev = Option(totals.get()).getOrElse(UserTotals(user, 0L, 0L))
+      val next = UserTotals(user,
+        prev.n_events + evs.size,
+        math.max(prev.last_us, evs.map(_.ts_us).max))
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userTotalsTws(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-static enrichment: each micro-batch joins against a
     * broadcastable dimension snapshot — the canonical streaming pattern
     * (events × user/customer dims). The static side re-resolves per batch,

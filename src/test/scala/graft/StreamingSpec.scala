@@ -204,6 +204,44 @@ class StreamingSpec extends AnyFunSuite {
       s"diff: ${(streamed.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff streamed.toSet).take(3)}")
   }
 
+  test("transformWithState per-user totals converge to the batch group-by (next-gen state API)") {
+    import org.apache.spark.sql.functions._
+    // transformWithState requires the RocksDB state store; isolate the
+    // provider override in a child session (same pattern as the gate
+    // streams) so other tests keep the default HDFS-backed store
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ns.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    import ns.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = ns.sqlContext
+    val all = Tables.events(ns, sf)
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[StreamingOps.Event].collect().sortBy(_.ts_us)
+    val mid = all(all.length / 2).ts_us
+    val source = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.userTotalsTws(source.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tws_out").start()
+    try {
+      // two batches: state must persist and accumulate across them
+      source.addData(all.filter(_.ts_us <= mid).toSeq); q.processAllAvailable()
+      source.addData(all.filter(_.ts_us > mid).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = ns.table("tws_out")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("last_us")).as("l"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Tables.events(ns, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(expr("ts_ns div 1000")).as("l"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch,
+      s"diff: ${(streamed.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff streamed.toSet).take(3)}")
+  }
+
   test("stream-static enrichment joins every event against the broadcast dim") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich")
     java.nio.file.Files.copy(
