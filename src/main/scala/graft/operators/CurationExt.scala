@@ -96,6 +96,32 @@ object CurationExt {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------- t16_contamination_frac
+  /** Graded contamination scoring: d8 answers "does this doc share ANY
+    * eval n-gram"; real decontamination pipelines threshold on the
+    * FRACTION of a document's grams that are contaminated (a quote of one
+    * benchmark question is very different from a verbatim test-set dump).
+    * Per corpus doc: total distinct 4-grams, shared-with-eval count, and
+    * their ratio — downstream policy drops above a threshold instead of
+    * binary-flagging.
+    *
+    * Same scale shape as d8: the distinct eval gram set is broadcast, the
+    * corpus never shuffles its gram stream (the groupBy is keyed on doc_id
+    * with map-side combine). The ratio divides two exact longs, so both
+    * engines produce the identical double. */
+  def t16ContaminationFrac(s: SparkSession, d: String): DataFrame = {
+    val (corpus, evalGrams) = decontamSides(s, d)
+    val evalSet = evalGrams.select(col("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    corpus.join(broadcast(evalSet), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------- d9_fuzzy_link
   /** Fuzzy record linkage: blocked edit-distance join between two entity
     * tables (customer ↔ supplier on the numeric suffix of their names,
@@ -205,12 +231,25 @@ object CurationExt {
     "d8_decontaminate" -> d8Decontaminate,
     "d10_decontaminate_bloom" -> d10DecontaminateBloom,
     "d9_fuzzy_link" -> d9FuzzyLink,
+    "t16_contamination_frac" -> t16ContaminationFrac,
     "t9_repetition" -> t9Repetition,
     "t10_pack" -> t10Pack,
     "m4_chunk" -> m4Chunk
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t16_contamination_frac" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 3)) AS u(i) WHERE len(w) >= 4),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+        |SELECT c.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(e.gram) AS BIGINT) AS n_shared,
+        |  CAST(count(e.gram) AS DOUBLE) / count(*) AS contamination
+        |FROM c LEFT JOIN e ON c.gram = e.gram
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
     "d8_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram

@@ -376,6 +376,135 @@ object EtlQueries {
       order = Seq(col("source")))
   }
 
+  // -------------------------------------------------- e11_orc_roundtrip
+  /** ORC sink + source round trip: the second columnar interchange format
+    * a lake engine must speak (Hive-era tables are overwhelmingly ORC).
+    * Same fidelity surface and oracle as e8/e9 — counts, char sums, and
+    * per-column null counts against the untouched parquet. zstd exercises
+    * the codec path; the read schema is pinned for symmetry with e8/e9
+    * (ORC carries its own schema, but pinning guards against silent type
+    * widening on read). Scale: ORC stripes split like parquet row groups —
+    * reads parallelize per stripe. */
+  def e11OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e11")
+    val out = dir.resolve("docs.orc").toString
+    val src = documents(s, d)
+    src.write.mode("overwrite").option("compression", "zstd").orc(out)
+    materializedThenClean(
+      roundtripFidelity(s.read.schema(src.schema).orc(out)), dir,
+      order = Seq(col("source")))
+  }
+
+  // -------------------------------------------------- e12_xml_roundtrip
+  /** XML sink + source round trip (Spark 4's built-in XML source):
+    * rowTag-framed documents where entity escaping (&, <, >, quotes) must
+    * survive the write → read cycle. `ignoreSurroundingSpaces=false` pins
+    * value fidelity — the reader DEFAULT trims edge whitespace, a silent
+    * corruption on a text corpus (EtlSpec proves the hostile cases:
+    * entities, `]]>`, newlines/tabs, edge spaces, empty string, NULL).
+    * Scale: one row element per record; the source splits files by byte
+    * range like any text format. */
+  def e12XmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e12")
+    val out = dir.resolve("docs.xml").toString
+    val src = documents(s, d)
+    src.write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
+    materializedThenClean(
+      roundtripFidelity(s.read.schema(src.schema)
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(out)), dir,
+      order = Seq(col("source")))
+  }
+
+  // ------------------------------------------------------- e13_zorder
+  /** Z-order clustered write + data-skipping proof. lineitem is written
+    * twice at 16 files each: once clustered on the Morton curve of
+    * (l_partkey, l_suppkey) ([[graft.functions.ZOrderCurve]]) with files
+    * cut on curve CELLS (see below), once linearly sorted on l_partkey
+    * alone. The gate then reads back the per-file min/max envelopes
+    * (exactly what parquet footer stats expose to a scan planner) and
+    * probes a centered 1/8-wide range slab on EACH dimension:
+    *   - the z-ordered layout must prune BOTH dimensions (≤ 65% of files
+    *     overlap either slab — the cell-aligned 4×4 z-grid yields exactly
+    *     8/16 = 50% per dimension on uniform data),
+    *   - the linear layout must show the failure it exists to demonstrate:
+    *     ~every file overlaps the non-leading dimension's slab (≥ 95%).
+    * Totals (rows + price sum) ride along so DuckDB independently proves
+    * the clustered rewrite lost nothing. At 100 TB this layout choice is
+    * the difference between scanning 6% and 100% of a table for a
+    * two-predicate point-range query; the curve value itself is pure
+    * per-row bit math inside WholeStageCodegen, and the only driver-side
+    * values are the 4 clustering bounds (model-sized metadata — do NOT
+    * copy this pattern for row data). */
+  def e13Zorder(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ZOrderFunctions.{code16, zorder2}
+    val dir = scratchDir("graft-e13")
+    val files = 16
+    val src = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+    val b = src.agg(
+      min(col("l_partkey")).cast("double"), max(col("l_partkey")).cast("double"),
+      min(col("l_suppkey")).cast("double"), max(col("l_suppkey")).cast("double")).head
+    val (aLo, aHi, bLo, bHi) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+
+    // CELL-ALIGNED file assignment: files are cut on the top-4-bit curve
+    // cells (the 4×4 grid), not on sampled row-count quantiles. Quantile
+    // chunks of a space-filling curve straddle cell boundaries, and
+    // consecutive Morton cells alternate in the MINOR dimension first —
+    // measured here, boundary-straddling files widened the supp envelopes
+    // until pruning failed. Hash-repartitioning on the cell id routes each
+    // cell to exactly one task and partitionBy writes one file per cell:
+    // every file's envelope is its cell's exact bounds, deterministically.
+    val zOut = dir.resolve("z").toString
+    src.withColumn("zv",
+        zorder2(code16(col("l_partkey"), aLo, aHi), code16(col("l_suppkey"), bLo, bHi)))
+      .withColumn("zcell", shiftright(col("zv"), 28).cast("int"))
+      .repartition(files, col("zcell"))
+      .sortWithinPartitions(col("zcell"), col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").partitionBy("zcell").parquet(zOut)
+    val linOut = dir.resolve("linear").toString
+    src.repartitionByRange(files, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(linOut)
+
+    // per-file envelopes — the information content of parquet footer stats,
+    // recomputed engine-side so the check is self-contained
+    def envelopes(path: String): DataFrame = s.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_partkey")).as("amin"), max(col("l_partkey")).as("amax"),
+        min(col("l_suppkey")).as("bmin"), max(col("l_suppkey")).as("bmax"),
+        count(lit(1)).as("c"), sum(Relational.dec2(col("l_extendedprice"))).as("p"))
+
+    def slab(lo: Double, hi: Double): (Double, Double) = {
+      val w = hi - lo
+      (lo + 0.4375 * w, lo + 0.5625 * w)
+    }
+    val (aSlabLo, aSlabHi) = slab(aLo, aHi)
+    val (bSlabLo, bSlabHi) = slab(bLo, bHi)
+    def overlaps(mn: String, mx: String, lo: Double, hi: Double) =
+      sum((col(mn) <= hi && col(mx) >= lo).cast("long"))
+
+    val zStats = envelopes(zOut).agg(
+      sum(col("c")).as("n_rows"),
+      sum(col("p")).cast("double").as("total_price"),
+      count(lit(1)).as("nf"),
+      overlaps("amin", "amax", aSlabLo, aSlabHi).as("za"),
+      overlaps("bmin", "bmax", bSlabLo, bSlabHi).as("zb"))
+    val linStats = envelopes(linOut).agg(
+      count(lit(1)).as("lnf"),
+      overlaps("bmin", "bmax", bSlabLo, bSlabHi).as("lb"))
+
+    materializedThenClean(zStats.crossJoin(linStats).select(
+      col("n_rows"), col("total_price"),
+      (col("za") <= col("nf") * 0.65).as("z_prunes_part_ok"),
+      (col("zb") <= col("nf") * 0.65).as("z_prunes_supp_ok"),
+      (col("lb") >= col("lnf") * 0.95).as("linear_supp_unpruned")), dir)
+  }
+
   // ---------------------------------------------- e10_jdbc_partitioned
   /** Partitioned (parallel) JDBC ingest through the gate: load a bounded
     * orders slice into Derby, read it back via
@@ -411,6 +540,9 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e8_jsonl_roundtrip" -> e8JsonlRoundtrip,
     "e9_csv_roundtrip" -> e9CsvRoundtrip,
+    "e11_orc_roundtrip" -> e11OrcRoundtrip,
+    "e12_xml_roundtrip" -> e12XmlRoundtrip,
+    "e13_zorder" -> e13Zorder,
     "e1_sink_roundtrip" -> e1SinkRoundtrip,
     "e2_jdbc_roundtrip" -> e2JdbcRoundtrip,
     "e3_jdbc_types" -> e3JdbcTypes,
@@ -427,6 +559,14 @@ object EtlQueries {
     // lossless. One shared constant: the two gates stay equally strong.
     "e8_jsonl_roundtrip" -> RoundtripOracle,
     "e9_csv_roundtrip" -> RoundtripOracle,
+    "e11_orc_roundtrip" -> RoundtripOracle,
+    "e12_xml_roundtrip" -> RoundtripOracle,
+    "e13_zorder" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  TRUE AS z_prunes_part_ok, TRUE AS z_prunes_supp_ok,
+        |  TRUE AS linear_supp_unpruned
+        |FROM lineitem""".stripMargin,
     "e1_sink_roundtrip" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,

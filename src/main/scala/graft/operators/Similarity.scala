@@ -162,15 +162,94 @@ object Similarity {
         s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
       .orderBy(col("q_id"), col("rank"))
 
+  // ---------------------------------------------------------- s4_ann_sq8
+  /** Candidates rescored exactly after the quantized pass; sized so every
+    * true top-k member sits deep inside the rescore window (measured max
+    * approx-rank of a true top-5 member is single-digit — NOTES.md). */
+  private val Sq8Rescore = 32
+
+  /** s4's pure search path: SQ8-quantized candidate generation + exact
+    * rescoring. The corpus is scanned as 8-bit codes (4× less data than
+    * float32 — at 100 TB that is 4× less scan I/O and cache footprint for
+    * the ranking pass), queries stay full-precision (ADC scoring,
+    * [[graft.functions.QuantizeKernels]]), the top [[Sq8Rescore]] per
+    * query by approximate dot are rescored with the true cosine, and only
+    * those ≤64×32 candidate rows ever leave the scan (broadcast back over
+    * the corpus for exact rescoring). The only driver-side values are the
+    * 64 per-dimension (lo, step) bounds — model-sized metadata like the
+    * IVF centroids; do NOT copy this pattern for row data. */
+  /** The full approximate ranking (uncut): exposed so [[graft.tools.Measure]]
+    * can report the worst approx-rank of any TRUE top-k member — the
+    * margin that justifies [[Sq8Rescore]]. */
+  private[graft] def s4ApproxRanked(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.QuantizeFunctions
+    val e = embeddings(s, d)
+    val bounds = e
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .orderBy(col("i")).collect()
+    val lo = bounds.map(_.getDouble(1)).toSeq
+    val step = bounds.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+
+    val codes = e.select(col("vec_id"),
+      QuantizeFunctions.sq8Encode(col("embedding"), lo, step).as("code"))
+    val q = e.filter(isQuery)
+      .orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        VectorOps.norm2(col("embedding")).as("qn2"))
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("vec_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn2"),
+        QuantizeFunctions.sq8AdcDot(col("qv"), col("code"), lo, step).as("adot"))
+      .withColumn("arank", row_number().over(wApprox))
+  }
+
+  private[graft] def s4Found(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cand = s4ApproxRanked(s, d)
+      .filter(col("arank") <= Sq8Rescore)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn2"))
+    val full = e.select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
+    full.join(broadcast(cand), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** SQ8 ANN through the gate: quantized candidates, exact top-k. Gated on
+    * the shared recall floor like s2/s3 (measured recall is ~1.0 — SQ8's
+    * 255-level dequantization error is far below typical cosine gaps — but
+    * the floor keeps the gate's contract uniform across the ANN family). */
+  def s4AnnSq8(s: SparkSession, d: String): DataFrame =
+    GateChecks.requireRecall(s4Found(s, d),
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
+      .orderBy(col("q_id"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> s1AnnBrute,
     "s2_ann_lsh" -> s2AnnLsh,
-    "s3_ann_ivf" -> s3AnnIvf
+    "s3_ann_ivf" -> s3AnnIvf,
+    "s4_ann_sq8" -> s4AnnSq8
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "s1_ann_brute" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Shared by s1 and s4: s4's rescore window is sized so the exact top-k
+    * always survives the quantized pass (measured worst approx-rank of a
+    * true top-5 member: 6, window 32 — NOTES.md), and its rescoring
+    * computes the identical cosine expression — so the SQ8 path is
+    * result-IDENTICAL to brute force and shares the exact oracle, the
+    * strongest claim an approximate-representation query can make (the
+    * d10/d8 bloom pattern). The in-gate recall floor stays as the
+    * mechanism that would catch a margin collapse at a bigger corpus. */
+  private val ExactTopKOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
         |      ORDER BY vec_id LIMIT 64),
         |scored AS (
@@ -184,5 +263,9 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rank, vec_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_ann_brute" -> ExactTopKOracle,
+    "s4_ann_sq8" -> ExactTopKOracle
   )
 }

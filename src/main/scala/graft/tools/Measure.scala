@@ -59,6 +59,19 @@ object Measure {
     // the true (sub-floor) value is the number needed to retune
     annRecall("s2_ann_lsh", Similarity.s2Found(spark, d))
     annRecall("s3_ann_ivf", Similarity.s3Probe(spark, d))
+    annRecall("s4_ann_sq8", Similarity.s4Found(spark, d))
+
+    // s4 rescore-window margin: the worst approximate rank of any TRUE
+    // top-5 member. Sq8Rescore (32) is justified iff this stays well
+    // inside the window; a margin creeping toward 32 means retune the
+    // window BEFORE recall decays.
+    val aranks = Similarity.s4ApproxRanked(spark, d)
+      .select(col("q_id"), col("vec_id"), col("arank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val trueRanks = brute.toSeq.flatMap(aranks.get)
+    if (trueRanks.nonEmpty)
+      println(s"s4 max approx-rank of a true top-5 member: ${trueRanks.max} " +
+        s"(rescore window 32; matched ${trueRanks.size}/${brute.size})")
 
     // SimHash banding recall by hamming band: the SAME truth builder the
     // d5 gate uses (Dedup.d5Truth), so what Measure reports and what the

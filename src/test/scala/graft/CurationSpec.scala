@@ -19,6 +19,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("t16: fractions in [0,1], shared <= total, positives equal d8's flag set") {
+    val t16 = CurationExt.t16ContaminationFrac(spark, sf).collect()
+    assert(t16.nonEmpty)
+    t16.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, "eval docs are never scored")
+      assert(r.getLong(2) <= r.getLong(1), "shared grams cannot exceed total")
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(frac == r.getLong(2).toDouble / r.getLong(1), "ratio is the exact long division")
+    }
+    // graded scoring must agree with the boolean flagger on WHO overlaps
+    val positives = t16.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    val d8docs = CurationExt.d8Decontaminate(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(positives == d8docs, "t16's positive-overlap docs must equal d8's flagged set")
+  }
+
   test("d9: links stay inside the nation block with distance <= 1") {
     val df = CurationExt.d9FuzzyLink(spark, sf)
     val rows = df.collect()

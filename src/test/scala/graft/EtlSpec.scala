@@ -358,6 +358,71 @@ class EtlSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.sum(col("l_orderkey"))).head.getLong(0))
   }
 
+  test("orc and xml round-trip hostile strings byte-for-byte (e11/e12 fidelity)") {
+    import spark.implicits._
+    // the cases each format is most likely to corrupt: XML entities and
+    // CDATA terminators, embedded newlines/tabs, edge whitespace (the XML
+    // reader DEFAULT trims these), empty-vs-NULL, and non-ASCII
+    val hostile = Seq(
+      (1L, "plain"),
+      (2L, "amp & lt < gt > quote \" apos ' cdata ]]>"),
+      (3L, "multi\nline\twith\ttabs"),
+      (4L, "  edge  spaces  "),
+      (5L, "unicode é中😀"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "")
+    ).toDF("id", "v")
+    val dir = tmp()
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Option[String])] =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sortBy(_._1)
+    val want = pairs(hostile)
+
+    val orcOut = dir.resolve("h.orc").toString
+    hostile.write.mode("overwrite").option("compression", "zstd").orc(orcOut)
+    assert(pairs(spark.read.schema(hostile.schema).orc(orcOut)) == want)
+
+    val xmlOut = dir.resolve("h.xml").toString
+    hostile.write.mode("overwrite").option("rowTag", "doc").format("xml").save(xmlOut)
+    assert(pairs(spark.read.schema(hostile.schema)
+      .option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
+      .format("xml").load(xmlOut)) == want)
+  }
+
+  test("z-order curve: bit interleave exact values, grid structure, codegen parity") {
+    import graft.functions.ZOrderCurve._
+    // spread16 dilates bit i to position 2i
+    assert(spread16(0) == 0L)
+    assert(spread16(1) == 1L)
+    assert(spread16(0xffff) == 0x55555555L)
+    assert(spread16(0x8000) == 0x40000000L)
+    // interleave: a odd bits, b even bits
+    assert(interleave16(0, 0) == 0L)
+    assert(interleave16(1, 1) == 3L)
+    assert(interleave16(2, 1) == 9L)
+    assert(interleave16(0xffff, 0) == 0xaaaaaaaaL)
+    assert(interleave16(0, 0xffff) == 0x55555555L)
+    // grid structure: the top 2 code bits are (a15, b15) — every point in
+    // the a-high half-plane sorts after every point in the a-low half-plane
+    // whose b is also low ⇒ equal z-ranges tile the plane as a grid
+    assert(interleave16(0x8000, 0) > interleave16(0x7fff, 0x7fff))
+    // scale16 clamps and maps bounds to code-space extremes
+    assert(scale16(5.0, 5.0, 10.0) == 0)
+    assert(scale16(10.0, 5.0, 10.0) == 65535)
+    assert(scale16(-1.0, 0.0, 1.0) == 0 && scale16(2.0, 0.0, 1.0) == 65535)
+    assert(scale16(1.0, 1.0, 1.0) == 0, "degenerate bounds collapse to one cell")
+
+    // expression evaluates identically through codegen
+    import spark.implicits._
+    import graft.functions.ZOrderFunctions.zorder2
+    val df = Seq((1, 1), (0xffff, 0), (0, 0xffff), (1234, 4321))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), zorder2(col("a"), col("b")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == graft.functions.ZOrderCurve.interleave16(r.getInt(0), r.getInt(1)))
+    }
+  }
+
   private implicit class IterSeq[A](it: java.util.Iterator[A]) {
     def asScalaSeq: Seq[A] = {
       val b = Seq.newBuilder[A]

@@ -93,8 +93,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row GateChecks verdict, q16's 1-row scalar-subquery broadcast,
     // and s1/s3's MaxQueries-limited query set
     val boundedBnlj = Set("q16_subquery", "s1_ann_brute", "s3_ann_ivf",
-      "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "q23_approx",
-      "t4_fingerprint")
+      "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
+      "q23_approx", "t4_fingerprint")
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing
     val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")
@@ -120,6 +120,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains(s"limit=${Similarity.MaxQueries}"),
       s"query-side limit must bound the broadcast:\n$p")
     assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("s4 SQ8 ANN: bounded broadcast, codes scanned as bytes, kernel in codegen") {
+    val p = plan(Similarity.s4ApproxRanked(spark, sf))
+    // same bounded-broadcast contract as s1 — the quantized pass scans the
+    // corpus once against a ≤ MaxQueries broadcast side
+    assert(p.contains(s"limit=${Similarity.MaxQueries}"),
+      s"query-side limit must bound the broadcast:\n$p")
+    // the ADC kernel must appear in the scan-side projection (native
+    // expression, not a UDF)
+    assert(p.contains("sq8adcdot") || p.contains("Sq8AdcDot") ||
+      p.toLowerCase.contains("sq8"),
+      s"quantized scoring kernel missing from the plan:\n$p")
   }
 
   test("s2 LSH candidate join is an equi join on (band, bucket), never nested-loop") {

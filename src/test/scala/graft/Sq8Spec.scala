@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ByteType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** SQ8 quantization kernel (s4): representation size, dequantization error
+  * bound, degenerate-dimension exactness, and the end-to-end gated query.
+  * Recall floors are justified by measurement (graft.tools.Measure →
+  * NOTES.md), not here — the spec pins the kernel's contracts. */
+class Sq8Spec extends AnyFunSuite {
+  import TestSession._
+
+  test("sq8 codes are byte arrays (4x smaller than float32) and ADC dot is error-bounded") {
+    import spark.implicits._
+    import graft.functions.QuantizeFunctions._
+    val lo = Seq(0.0, -0.75, -1.0, 5.0)
+    val hi = Seq(1.0, 1.0, 1.0, 5.0) // last dim degenerate (lo == hi)
+    val step = lo.zip(hi).map { case (l, h) => (h - l) / 255.0 }
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, -1.0f, 5.0f)),
+      (2L, Array(0.25f, -0.75f, 0.1f, 5.0f)),
+      (3L, Array(1.0f, 0.0f, 1.0f, 5.0f))
+    ).toDF("id", "v")
+    val q = Seq(0.3f, -0.2f, 0.8f, 0.5f)
+
+    val enc = vecs.select(col("id"), col("v"),
+      sq8Encode(col("v"), lo, step).as("code"))
+    assert(enc.schema("code").dataType.asInstanceOf[ArrayType].elementType == ByteType,
+      "codes must be 1 byte per dimension")
+
+    val rows = enc
+      .select(col("id"), col("v"), sq8AdcDot(typedLit(q), col("code"), lo, step).as("adot"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val exact = q.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      // per-dim dequantization error ≤ step/2 (round-to-nearest), so the
+      // dot error is bounded by Σ |q_i| · step_i / 2 — plus float slack
+      val bound = q.zip(step).map { case (a, st) => math.abs(a.toDouble) * st / 2 }.sum + 1e-9
+      assert(math.abs(r.getDouble(2) - exact) <= bound,
+        s"id=${r.getLong(0)}: |${r.getDouble(2)} - $exact| > $bound")
+    }
+
+    // degenerate dimension decodes exactly: code 0 → lo, contributing
+    // q_3 * 5.0 with zero error — verified implicitly by the bound above
+    // (step_4 = 0 adds nothing to it), asserted explicitly here
+    val code = enc.filter(col("id") === 1L).select(col("code")).head.getSeq[Byte](0)
+    assert(code(3) == -128.toByte, "degenerate dim encodes to shifted zero")
+  }
+
+  test("s4 gated query passes its recall gate and matches the s1 output schema") {
+    val s4 = Similarity.s4AnnSq8(spark, sf)
+    val rows = s4.collect()
+    assert(rows.nonEmpty, "recall gate must pass at test SF")
+    assert(s4.columns.toSeq == Seq("q_id", "rank", "vec_id", "cos"))
+    // exact rescoring: every returned cos is a true cosine in [-1, 1]
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+  }
+}
