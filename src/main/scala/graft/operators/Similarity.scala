@@ -169,9 +169,11 @@ object Similarity {
   private val Sq8Rescore = 32
 
   /** s4's pure search path: SQ8-quantized candidate generation + exact
-    * rescoring. The corpus is scanned as 8-bit codes (4× less data than
-    * float32 — at 100 TB that is 4× less scan I/O and cache footprint for
-    * the ranking pass), queries stay full-precision (ADC scoring,
+    * rescoring, quantize-once/probe-many. The ranking pass scans the
+    * PERSISTED [[Sq8Index]] code table — 8-bit codes, 4× less scan I/O
+    * and cache footprint than the float32 embeddings at any scale — and
+    * recomputes neither bounds nor encodes (Sq8Spec pins the plan).
+    * Queries stay full-precision (ADC scoring,
     * [[graft.functions.QuantizeKernels]]), the top [[Sq8Rescore]] per
     * query by approximate dot are rescored with the true cosine, and only
     * those ≤64×32 candidate rows ever leave the scan (broadcast back over
@@ -183,18 +185,10 @@ object Similarity {
     * margin that justifies [[Sq8Rescore]]. */
   private[graft] def s4ApproxRanked(s: SparkSession, d: String): DataFrame = {
     import graft.functions.QuantizeFunctions
-    val e = embeddings(s, d)
-    val bounds = e
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
-      .orderBy(col("i")).collect()
-    val lo = bounds.map(_.getDouble(1)).toSeq
-    val step = bounds.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
-
-    val codes = e.select(col("vec_id"),
-      QuantizeFunctions.sq8Encode(col("embedding"), lo, step).as("code"))
-    val q = e.filter(isQuery)
+    val dir = Sq8Index.ensure(s, d)
+    val (lo, step) = Sq8Index.bounds(s, dir)
+    val codes = Sq8Index.codes(s, dir)
+    val q = embeddings(s, d).filter(isQuery)
       .orderBy(col("vec_id")).limit(MaxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         VectorOps.norm2(col("embedding")).as("qn2"))

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.{Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.QuantizeFunctions
+
+/** Persistent SQ8 code table: the quantize-once / probe-many split of s4
+  * (the IvfIndex/LshIndex lifecycle applied to scalar quantization).
+  *
+  * BUILD (once per corpus): one bounds pass (per-dimension min/max), then
+  * one encode pass, persisting
+  *
+  *   bounds/  one row: (lo array<double>, step array<double>)
+  *   codes/   (vec_id, code array<tinyint>)   one row per vector
+  *
+  * PROBE (every s4 execution): the quantized ranking scans `codes/` —
+  * 4× fewer bytes than the float32 embeddings table, which is the entire
+  * point of SQ8 at corpus scale — and never recomputes a bound or an
+  * encode (Sq8Spec pins the probe plan: no posexplode bounds pass, no
+  * encode transform). Deliberately UNLIKE LshIndex, the code rows do NOT
+  * carry the full-precision embedding: duplicating it would nullify the
+  * 4× scan saving. Exact rescoring joins the ≤ queries×window candidate
+  * set back to the raw embeddings table — one narrow scan, row-group-
+  * prunable at scale because codes and corpus share vec_id order.
+  *
+  * Lifecycle is [[IndexLifecycle]]: recursive-listing corpus fingerprint,
+  * staging + atomic rename, deterministic rebuild (bounds and codes are
+  * pure functions of the corpus). */
+object Sq8Index {
+
+  val Dim = 64
+  /** Bump when the layout or encoding recipe changes. */
+  private val FormatVersion = "v1"
+
+  def indexDir(d: String): Path = IndexLifecycle.keyedDir(
+    "SPARK_GRAFT_SQ8_DIR", "graft-sq8",
+    Paths.get(d).resolve("embeddings.parquet"), s"$FormatVersion-d$Dim")
+
+  /** Build bounds + codes if absent; returns the index directory. */
+  def ensure(s: SparkSession, d: String): Path =
+    IndexLifecycle.ensureBuilt(indexDir(d)) { staging =>
+      val e = embeddings(s, d)
+      val b = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(min(col("x").cast("double")).as("lo"),
+          max(col("x").cast("double")).as("hi"))
+        .orderBy(col("i")).collect()
+      val lo = b.map(_.getDouble(1)).toSeq
+      val step = b.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+      import s.implicits._
+      Seq((lo, step)).toDF("lo", "step")
+        .write.mode("overwrite").parquet(staging.resolve("bounds").toString)
+      e.select(col("vec_id"),
+          QuantizeFunctions.sq8Encode(col("embedding"), lo, step).as("code"))
+        .write.mode("overwrite").parquet(staging.resolve("codes").toString)
+    }
+
+  /** The persisted (lo, step) dequantization bounds — one row, 2×[[Dim]]
+    * doubles: model-sized driver metadata, like the IVF centroids. */
+  def bounds(s: SparkSession, dir: Path): (Seq[Double], Seq[Double]) = {
+    val r = s.read.parquet(dir.resolve("bounds").toString).head
+    (r.getSeq[Double](0), r.getSeq[Double](1))
+  }
+
+  /** The persisted code table: (vec_id, code). */
+  def codes(s: SparkSession, dir: Path): DataFrame =
+    s.read.parquet(dir.resolve("codes").toString)
+}

@@ -295,6 +295,33 @@ object StreamingOps {
       .orderBy(col("user_id"), col("start_us"))
   }
 
+  /** q48: Spark's NATIVE session-window aggregation (the SessionWindow
+    * operator) on the batch path — the same 30-minute-gap sessions as
+    * q21's lag-and-cumsum islands, computed by the engine's dedicated
+    * session operator instead of the window-function idiom, so the two
+    * implementations cross-validate each other's session semantics.
+    *
+    * Boundary convention differs at EXACTLY gap distance: session_window
+    * merges while the next event starts strictly before the current
+    * window's end, so a gap of exactly 30 minutes STARTS a new session,
+    * where the lag idiom's `diff > gap` test keeps it. The oracle encodes
+    * `>=` here and `>` for q21 — both edge conventions pinned, in both
+    * engines. end_us = last event + gap, session_window's definition.
+    *
+    * Scale: one shuffle keyed on user_id, sessions merge sort-locally per
+    * key — and the same expression runs unchanged in streaming mode with
+    * watermark-bounded state, which is the point of using the native
+    * operator. */
+  def q48SessionWindow(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
   /** q44: [[hourlyByType]] EXECUTED through the streaming engine — file
     * source over the events parquet, micro-batches, state store, memory
     * sink — then compared against the SAME DuckDB oracle as the batch
@@ -490,6 +517,7 @@ object StreamingOps {
     * checkpoint kill-resume q46, foreachBatch CDC upsert q47). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
+    "q48_session_window" -> q48SessionWindow,
     "q44_stream_hourly" -> q44StreamHourly,
     "q45_stream_interval_join" -> q45StreamIntervalJoin,
     "q46_stream_restart" -> q46StreamRestart,
@@ -497,6 +525,24 @@ object StreamingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q21's islands use `diff > gap` (keep); session_window merges only
+    // while next < window end, so this oracle uses `>=` (split) and
+    // end = last event + gap — the native operator's exact convention
+    "q48_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
     // identical to q20's oracle: the streaming execution must land on the
     // same totals as the batch plan and the oracle engine
     "q44_stream_hourly" ->

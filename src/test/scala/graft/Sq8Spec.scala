@@ -51,6 +51,38 @@ class Sq8Spec extends AnyFunSuite {
     assert(code(3) == -128.toByte, "degenerate dim encodes to shifted zero")
   }
 
+  test("probe plan reads only the code table: no bounds pass, no encode, deterministic rebuild") {
+    import graft.operators.Sq8Index
+    def deleteIndex(): Unit = {
+      val dir = Sq8Index.indexDir(sf)
+      if (java.nio.file.Files.isDirectory(dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+    val c1 = Sq8Index.codes(spark, Sq8Index.ensure(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    deleteIndex()
+    val dir = Sq8Index.ensure(spark, sf)
+    val c2 = Sq8Index.codes(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    // codes are clamped integer rounds of exact per-dim bounds: integer
+    // equality is the right claim (a flipped code is a ranking change)
+    assert(c1 == c2, "code table must rebuild identically")
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(c1.size.toLong == corpus)
+
+    // probe plan: the quantized ranking must scan codes/, never re-derive
+    // them — no posexplode bounds pass, no encode transform, and the one
+    // embeddings scan is the bounded query side
+    val plan = Similarity.s4ApproxRanked(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("graft-sq8") || plan.toLowerCase.contains("sq8"),
+      s"ranking must read the persisted code table:\n$plan")
+    assert(!plan.contains("posexplode"),
+      s"bounds derivation must not appear on the probe path:\n$plan")
+    val embedScans = "embeddings\\.parquet".r.findAllIn(plan).length
+    assert(embedScans <= 1,
+      s"only the bounded query side may read raw embeddings (found $embedScans):\n$plan")
+  }
+
   test("s4 gated query passes its recall gate and matches the s1 output schema") {
     val s4 = Similarity.s4AnnSq8(spark, sf)
     val rows = s4.collect()

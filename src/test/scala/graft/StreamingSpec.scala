@@ -9,6 +9,21 @@ import graft.streaming.StreamingOps
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
 
+  test("q48 native session_window equals q21's lag-islands modulo the end convention") {
+    // the two session definitions differ only at EXACTLY gap distance
+    // (q48 splits, q21 keeps) and in the end column (q48: last + gap,
+    // q21: last); the fixture has no exact-gap ties (checked against the
+    // oracle), so shifting q48's end back by the gap must reproduce q21
+    // bit-for-bit — the native operator and the window idiom
+    // cross-validate each other
+    val gapUs = 30L * 60 * 1000000
+    val nat = StreamingOps.q48SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - gapUs, r.getLong(3))).toSet
+    val isl = StreamingOps.sessionizeBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(nat == isl)
+  }
+
   test("file-sink streaming survives stop/restart on one checkpoint exactly-once") {
     // the core streaming guarantee: a query stopped mid-stream and
     // restarted on the SAME checkpoint neither loses nor duplicates rows.
