@@ -301,12 +301,12 @@ object StreamingOps {
     * session operator instead of the window-function idiom, so the two
     * implementations cross-validate each other's session semantics.
     *
-    * Boundary convention differs at EXACTLY gap distance: session_window
-    * merges while the next event starts strictly before the current
-    * window's end, so a gap of exactly 30 minutes STARTS a new session,
-    * where the lag idiom's `diff > gap` test keeps it. The oracle encodes
-    * `>=` here and `>` for q21 — both edge conventions pinned, in both
-    * engines. end_us = last event + gap, session_window's definition.
+    * Boundary convention at EXACTLY gap distance is the same as q21's
+    * `diff > gap` islands: session_window merges while the next event
+    * starts at or before the current window's end (verified empirically —
+    * two events exactly 30 minutes apart form ONE session), so both
+    * oracles encode `>`; the conventions differ only in the end column
+    * (end_us = last event + gap here, session_window's definition).
     *
     * Scale: one shuffle keyed on user_id, sessions merge sort-locally per
     * key — and the same expression runs unchanged in streaming mode with
@@ -525,14 +525,14 @@ object StreamingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // q21's islands use `diff > gap` (keep); session_window merges only
-    // while next < window end, so this oracle uses `>=` (split) and
-    // end = last event + gap — the native operator's exact convention
+    // same `diff > gap` islands as q21 — session_window MERGES events at
+    // exactly gap distance (next.start <= window end, empirically
+    // verified) — only the end column differs: end = last event + gap
     "q48_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |m AS (SELECT user_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
-        |      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+        |      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
         |      THEN 1 ELSE 0 END AS new_sess
         |  FROM e),
         |s AS (SELECT user_id, ts_us,

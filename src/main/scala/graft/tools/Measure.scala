@@ -64,14 +64,19 @@ object Measure {
     // s4 rescore-window margin: the worst approximate rank of any TRUE
     // top-5 member. Sq8Rescore (32) is justified iff this stays well
     // inside the window; a margin creeping toward 32 means retune the
-    // window BEFORE recall decays.
-    val aranks = Similarity.s4ApproxRanked(spark, d)
-      .select(col("q_id"), col("vec_id"), col("arank")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    val trueRanks = brute.toSeq.flatMap(aranks.get)
+    // window BEFORE recall decays. Semi-join against the ≤ 320 true
+    // pairs BEFORE collecting — the uncut ranking is |corpus|×|queries|
+    // rows and must never reach the driver.
+    val trueRanks = {
+      import spark.implicits._
+      val truePairs = brute.toSeq.toDF("q_id", "vec_id")
+      Similarity.s4ApproxRanked(spark, d)
+        .join(org.apache.spark.sql.functions.broadcast(truePairs), Seq("q_id", "vec_id"))
+        .select(col("arank")).collect().map(_.getInt(0))
+    }
     if (trueRanks.nonEmpty)
       println(s"s4 max approx-rank of a true top-5 member: ${trueRanks.max} " +
-        s"(rescore window 32; matched ${trueRanks.size}/${brute.size})")
+        s"(rescore window 32; matched ${trueRanks.length}/${brute.size})")
 
     // SimHash banding recall by hamming band: the SAME truth builder the
     // d5 gate uses (Dedup.d5Truth), so what Measure reports and what the

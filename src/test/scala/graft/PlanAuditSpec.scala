@@ -129,9 +129,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains(s"limit=${Similarity.MaxQueries}"),
       s"query-side limit must bound the broadcast:\n$p")
     // the ADC kernel must appear in the scan-side projection (native
-    // expression, not a UDF)
-    assert(p.contains("sq8adcdot") || p.contains("Sq8AdcDot") ||
-      p.toLowerCase.contains("sq8"),
+    // expression, not a UDF) — no directory-name fallback here: the plan
+    // always contains the 'graft-sq8' scan path, which would make a
+    // loose contains("sq8") vacuously true even after a UDF regression
+    assert(p.contains("sq8adcdot") || p.contains("Sq8AdcDot"),
       s"quantized scoring kernel missing from the plan:\n$p")
   }
 

@@ -62,6 +62,11 @@ class Sq8Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     deleteIndex()
     val dir = Sq8Index.ensure(spark, sf)
+    // the rebuild lands at the SAME keyed path (unchanged corpus) with new
+    // part-file names — drop the session's cached file listing or later
+    // reads serve the deleted files (production rebuilds only happen when
+    // the fingerprint, and hence the path, changes)
+    spark.catalog.refreshByPath(dir.toString)
     val c2 = Sq8Index.codes(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     // codes are clamped integer rounds of exact per-dim bounds: integer

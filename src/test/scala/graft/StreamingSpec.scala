@@ -10,12 +10,12 @@ class StreamingSpec extends AnyFunSuite {
   import TestSession._
 
   test("q48 native session_window equals q21's lag-islands modulo the end convention") {
-    // the two session definitions differ only at EXACTLY gap distance
-    // (q48 splits, q21 keeps) and in the end column (q48: last + gap,
-    // q21: last); the fixture has no exact-gap ties (checked against the
-    // oracle), so shifting q48's end back by the gap must reproduce q21
-    // bit-for-bit — the native operator and the window idiom
-    // cross-validate each other
+    // the two session definitions agree everywhere — session_window
+    // merges events at exactly gap distance just like the lag idiom's
+    // `diff > gap` test (verified empirically on an exact-gap pair) —
+    // and differ only in the end column (q48: last + gap, q21: last), so
+    // shifting q48's end back by the gap must reproduce q21 bit-for-bit:
+    // the native operator and the window idiom cross-validate each other
     val gapUs = 30L * 60 * 1000000
     val nat = StreamingOps.q48SessionWindow(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - gapUs, r.getLong(3))).toSet
