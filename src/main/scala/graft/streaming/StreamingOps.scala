@@ -322,6 +322,57 @@ object StreamingOps {
         col("n_events"))
       .orderBy(col("user_id"), col("start_us"))
 
+  /** q49: session windows EXECUTED through the streaming engine — q48's
+    * native session_window aggregation under a watermark, file source →
+    * micro-batches → state store → append-mode parquet sink. Append is
+    * the only honest mode for session state: a session emits exactly
+    * once, when the watermark passes its close. A sentinel flush row 3
+    * hours past the last event advances the watermark beyond every real
+    * session's end so the finite feed flushes completely (the q46
+    * technique); the sentinel user's own session is filtered from the
+    * readback. The oracle is q48's verbatim — the streaming execution
+    * must land on the identical session set the batch operator and
+    * DuckDB compute, which also makes q48/q49 a batch/streaming twin
+    * pair sharing one oracle. */
+  def q49StreamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q49_")
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val outDir = root.resolve("out")
+    val cpDir = root.resolve("cp")
+    val result = try {
+      val all = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val hi = all.agg(max(col("ts"))).head.getLong(0)
+      val drop = stageFeed(root, srcDir) _
+      withGateStreamSession(s) { ns =>
+        drop(all, "feed")
+        drop(ns.createDataFrame(
+          java.util.Collections.singletonList(org.apache.spark.sql.Row(
+            -1L, hi + 3L * 3600 * 1000000000L, -1L, "flush", 0.0, null)),
+          eventSchema), "flush")
+        val q = readEventStream(ns, srcDir.toString)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+          .writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", cpDir.toString)
+          .outputMode(OutputMode.Append())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.operators.CacheScope.localCheckpoint(
+          ns.read.parquet(outDir.toString).filter(col("user_id") >= 0))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    result.orderBy(col("user_id"), col("start_us"))
+  }
+
   /** q44: [[hourlyByType]] EXECUTED through the streaming engine — file
     * source over the events parquet, micro-batches, state store, memory
     * sink — then compared against the SAME DuckDB oracle as the batch
@@ -518,31 +569,38 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
     "q48_session_window" -> q48SessionWindow,
+    "q49_stream_session" -> q49StreamSessionWindow,
     "q44_stream_hourly" -> q44StreamHourly,
     "q45_stream_interval_join" -> q45StreamIntervalJoin,
     "q46_stream_restart" -> q46StreamRestart,
     "q47_stream_upsert" -> q47StreamUpsert
   )
 
+  // same `diff > gap` islands as q21 — session_window MERGES events at
+  // exactly gap distance (next.start <= window end, empirically
+  // verified) — only the end column differs: end = last event + gap.
+  // Shared verbatim by q48 (batch operator) and q49 (the same aggregation
+  // EXECUTED through the streaming engine): the two are a batch/streaming
+  // twin pair and must land on the identical session set.
+  private val SessionWindowOracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |m AS (SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (SELECT user_id, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM m)
+      |SELECT user_id, min(ts_us) AS start_us,
+      |  max(ts_us) + 1800000000 AS end_us, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // same `diff > gap` islands as q21 — session_window MERGES events at
-    // exactly gap distance (next.start <= window end, empirically
-    // verified) — only the end column differs: end = last event + gap
-    "q48_session_window" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-        |m AS (SELECT user_id, ts_us,
-        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
-        |      OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
-        |      THEN 1 ELSE 0 END AS new_sess
-        |  FROM e),
-        |s AS (SELECT user_id, ts_us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM m)
-        |SELECT user_id, min(ts_us) AS start_us,
-        |  max(ts_us) + 1800000000 AS end_us, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, start_us""".stripMargin,
+    "q48_session_window" -> SessionWindowOracle,
+    "q49_stream_session" -> SessionWindowOracle,
     // identical to q20's oracle: the streaming execution must land on the
     // same totals as the batch plan and the oracle engine
     "q44_stream_hourly" ->
