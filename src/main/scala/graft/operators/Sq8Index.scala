@@ -44,13 +44,19 @@ object Sq8Index {
   def ensure(s: SparkSession, d: String): Path =
     IndexLifecycle.ensureBuilt(indexDir(d)) { staging =>
       val e = embeddings(s, d)
-      val b = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy(col("i"))
-        .agg(min(col("x").cast("double")).as("lo"),
-          max(col("x").cast("double")).as("hi"))
-        .orderBy(col("i")).collect()
-      val lo = b.map(_.getDouble(1)).toSeq
-      val step = b.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+      // per-dimension bounds in ONE scan with map-side partial aggregation:
+      // 2×Dim plain min/max aggregates over element_at projections. The
+      // posexplode alternative multiplies the row count by Dim and shuffles
+      // it — at corpus scale that is Dim extra passes' worth of rows moved
+      // for 128 numbers.
+      val b = e.agg(
+        min(element_at(col("embedding"), 1).cast("double")).as("a0"),
+        (1 until Dim).map(i =>
+          min(element_at(col("embedding"), i + 1).cast("double"))) ++
+          (0 until Dim).map(i =>
+            max(element_at(col("embedding"), i + 1).cast("double"))): _*).head
+      val lo = (0 until Dim).map(b.getDouble)
+      val step = (0 until Dim).map(i => (b.getDouble(Dim + i) - b.getDouble(i)) / 255.0)
       import s.implicits._
       Seq((lo, step)).toDF("lo", "step")
         .write.mode("overwrite").parquet(staging.resolve("bounds").toString)
