@@ -23,6 +23,10 @@ class IvfSpec extends AnyFunSuite {
     val m1 = IvfIndex.loadModel(spark, IvfIndex.ensure(spark, sf))
     deleteIndex()
     val dir = IvfIndex.ensure(spark, sf)
+    // rebuild lands at the SAME keyed path with new part-file names — drop
+    // the session's cached file listing (the Sq8Spec lesson; production
+    // rebuilds change the fingerprint and hence the path)
+    spark.catalog.refreshByPath(dir.toString)
     val m2 = IvfIndex.loadModel(spark, dir)
     assert(m1.length == IvfIndex.K && m2.length == IvfIndex.K)
     // tolerance, not bit-equality: the Lloyd means are partial aggregates

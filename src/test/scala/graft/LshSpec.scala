@@ -25,6 +25,10 @@ class LshSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     deleteIndex()
     val dir = LshIndex.ensure(spark, sf)
+    // rebuild lands at the SAME keyed path with new part-file names — drop
+    // the session's cached file listing (the Sq8Spec lesson; production
+    // rebuilds change the fingerprint and hence the path)
+    spark.catalog.refreshByPath(dir.toString)
     val d2 = LshIndex.signatures(spark, dir)
       .select("vec_id", "sig").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
