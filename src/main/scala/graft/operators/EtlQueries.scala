@@ -505,6 +505,88 @@ object EtlQueries {
       (col("lb") >= col("lnf") * 0.95).as("linear_supp_unpruned")), dir)
   }
 
+  // --------------------------------------------- e14_schema_evolution
+  /** Schema evolution on read: two writer generations of the same table
+    * (generation 2 adds a `quality` column) merged by `mergeSchema` into
+    * one frame where generation-1 rows read the new column as NULL — the
+    * schema-drift situation every long-lived lake table hits. The gate
+    * aggregates per source with per-generation null counts, so a merge
+    * that drops rows, mis-aligns columns, or backfills the wrong default
+    * diverges from the oracle (which recomputes both generations from the
+    * untouched parquet). Doubles are aggregated only via count/min/max
+    * (order-independent) — a SUM over merge-ordered doubles would not be
+    * oracle-stable. */
+  def e14SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e14")
+    val out = dir.resolve("docs")
+    val src = documents(s, d)
+    src.filter(col("doc_id") % 2 === 0)
+      .write.parquet(out.resolve("gen1").toString)
+    src.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("quality", length(col("text")).cast("double") / 100.0)
+      .write.parquet(out.resolve("gen2").toString)
+    materializedThenClean(
+      s.read.option("mergeSchema", "true")
+        .parquet(out.resolve("gen1").toString, out.resolve("gen2").toString)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("quality").isNull.cast("long")).as("n_gen1"),
+          count(col("quality")).as("n_gen2"),
+          min(col("quality")).as("q_min"),
+          max(col("quality")).as("q_max"))
+        .orderBy(col("source")),
+      dir, order = Seq(col("source")))
+  }
+
+  // -------------------------------------------- e15_dynamic_overwrite
+  /** Dynamic partition overwrite — the incremental-backfill write mode:
+    * a source-partitioned table gets ONE partition's rows re-written
+    * (every row of the lexicographically-first source re-scored with
+    * +1,000,000 chars) via `partitionOverwriteMode=dynamic`, which
+    * replaces exactly the partitions present in the incoming frame and
+    * leaves every other partition's FILES physically untouched. Both
+    * claims are gated: the totals (oracle recomputes the patch from the
+    * untouched parquet), and `untouched_ok` — the part-file listing of a
+    * non-patched partition is byte-identical (names + sizes + mtimes)
+    * across the overwrite, the difference between an incremental backfill
+    * and a full-table rewrite at 100 TB. */
+  def e15DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e15")
+    val out = dir.resolve("docs").toString
+    val src = documents(s, d)
+    src.write.partitionBy("source").parquet(out)
+    val first = src.agg(min(col("source"))).head.getString(0)
+    val second = src.filter(col("source") =!= first)
+      .agg(min(col("source"))).head.getString(0)
+    def listing(sourceVal: String): Seq[(String, Long, Long)] = {
+      val p = java.nio.file.Paths.get(out, s"source=$sourceVal")
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(p)
+      try l.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => (f.getFileName.toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toSeq.sortBy(_._1)
+      finally l.close()
+    }
+    val before = listing(second)
+    src.filter(col("source") === first)
+      .withColumn("n_chars", col("n_chars") + 1000000L)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source").parquet(out)
+    val untouched = listing(second) == before
+    materializedThenClean(
+      s.read.parquet(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("untouched_ok", lit(untouched))
+        .orderBy(col("source")),
+      dir, order = Seq(col("source")))
+  }
+
   // ---------------------------------------------- e10_jdbc_partitioned
   /** Partitioned (parallel) JDBC ingest through the gate: load a bounded
     * orders slice into Derby, read it back via
@@ -543,6 +625,8 @@ object EtlQueries {
     "e11_orc_roundtrip" -> e11OrcRoundtrip,
     "e12_xml_roundtrip" -> e12XmlRoundtrip,
     "e13_zorder" -> e13Zorder,
+    "e14_schema_evolution" -> e14SchemaEvolution,
+    "e15_dynamic_overwrite" -> e15DynamicOverwrite,
     "e1_sink_roundtrip" -> e1SinkRoundtrip,
     "e2_jdbc_roundtrip" -> e2JdbcRoundtrip,
     "e3_jdbc_types" -> e3JdbcTypes,
@@ -561,6 +645,22 @@ object EtlQueries {
     "e9_csv_roundtrip" -> RoundtripOracle,
     "e11_orc_roundtrip" -> RoundtripOracle,
     "e12_xml_roundtrip" -> RoundtripOracle,
+    "e14_schema_evolution" ->
+      """WITH g AS (SELECT source, n_chars,
+        |    CASE WHEN doc_id % 2 <> 0 THEN length(text) / 100.0 END AS quality
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1,
+        |  CAST(COUNT(quality) AS BIGINT) AS n_gen2,
+        |  MIN(quality) AS q_min, MAX(quality) AS q_max
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "e15_dynamic_overwrite" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) + CASE WHEN source = (SELECT min(source) FROM documents)
+        |    THEN 1000000 * COUNT(*) ELSE 0 END AS BIGINT) AS sum_chars,
+        |  TRUE AS untouched_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "e13_zorder" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
