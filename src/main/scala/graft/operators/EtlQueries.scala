@@ -515,14 +515,20 @@ object EtlQueries {
     * diverges from the oracle (which recomputes both generations from the
     * untouched parquet). Doubles are aggregated only via count/min/max
     * (order-independent) — a SUM over merge-ordered doubles would not be
-    * oracle-stable. */
+    * oracle-stable.
+    *
+    * The generation split is doc_id % 7 < 3 — deliberately COPRIME with
+    * the testdata's source assignment (source = src{doc_id % 20}): a
+    * mod-2 or mod-4 split makes every source single-generation (20 ≡ 0
+    * mod 4), and then no aggregation group ever mixes NULL-filled gen-1
+    * rows with gen-2 rows — exactly the case the gate exists to check. */
   def e14SchemaEvolution(s: SparkSession, d: String): DataFrame = {
     val dir = scratchDir("graft-e14")
     val out = dir.resolve("docs")
     val src = documents(s, d)
-    src.filter(col("doc_id") % 2 === 0)
+    src.filter(col("doc_id") % 7 < 3)
       .write.parquet(out.resolve("gen1").toString)
-    src.filter(col("doc_id") % 2 =!= 0)
+    src.filter(col("doc_id") % 7 >= 3)
       .withColumn("quality", length(col("text")).cast("double") / 100.0)
       .write.parquet(out.resolve("gen2").toString)
     materializedThenClean(
@@ -647,7 +653,7 @@ object EtlQueries {
     "e12_xml_roundtrip" -> RoundtripOracle,
     "e14_schema_evolution" ->
       """WITH g AS (SELECT source, n_chars,
-        |    CASE WHEN doc_id % 2 <> 0 THEN length(text) / 100.0 END AS quality
+        |    CASE WHEN doc_id % 7 >= 3 THEN length(text) / 100.0 END AS quality
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -46,9 +46,10 @@ object Sq8Index {
       val e = embeddings(s, d)
       // per-dimension bounds in ONE scan with map-side partial aggregation:
       // 2×Dim plain min/max aggregates over element_at projections. The
-      // posexplode alternative multiplies the row count by Dim and shuffles
-      // it — at corpus scale that is Dim extra passes' worth of rows moved
-      // for 128 numbers.
+      // posexplode alternative materializes Dim rows per vector before its
+      // own partial aggregation — the saving is that row-blowup in the
+      // scan stage (its shuffle was already only Dim rows per task), for
+      // the same 128 numbers.
       val b = e.agg(
         min(element_at(col("embedding"), 1).cast("double")).as("a0"),
         (1 until Dim).map(i =>

@@ -334,18 +334,14 @@ object StreamingOps {
     * must land on the identical session set the batch operator and
     * DuckDB compute, which also makes q48/q49 a batch/streaming twin
     * pair sharing one oracle. */
-  def q49StreamSessionWindow(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q49_")
-    val srcDir = root.resolve("src")
-    java.nio.file.Files.createDirectories(srcDir)
-    val outDir = root.resolve("out")
-    val cpDir = root.resolve("cp")
-    val result = try {
+  def q49StreamSessionWindow(s: SparkSession, d: String): DataFrame =
+    withFeedDirs("graft_q49_") { (root, srcDir, drop) =>
+      val outDir = root.resolve("out")
+      val cpDir = root.resolve("cp")
       val all = graft.Tables.events(s, d)
         .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
       val hi = all.agg(max(col("ts"))).head.getLong(0)
-      val drop = stageFeed(root, srcDir) _
       withGateStreamSession(s) { ns =>
         drop(all, "feed")
         drop(ns.createDataFrame(
@@ -369,9 +365,7 @@ object StreamingOps {
         graft.operators.CacheScope.localCheckpoint(
           ns.read.parquet(outDir.toString).filter(col("user_id") >= 0))
       }
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-    result.orderBy(col("user_id"), col("start_us"))
-  }
+    }.orderBy(col("user_id"), col("start_us"))
 
   /** q44: [[hourlyByType]] EXECUTED through the streaming engine — file
     * source over the events parquet, micro-batches, state store, memory
@@ -438,6 +432,23 @@ object StreamingOps {
   /** Stage a frame as ONE parquet file named `name.parquet` in `srcDir` —
     * the file-source feed step shared by the multi-feed streaming gates
     * (each drop() is one future micro-batch). */
+  /** Scratch scaffolding shared by the file-fed streaming gates
+    * (q46/q47/q49): a temp root with a `src/` feed directory, a
+    * [[stageFeed]] partial bound to them, and unconditional root deletion
+    * on EVERY exit path — the cleanup/feed protocol lives here once. The
+    * body receives (root, srcDir, drop) and must return an already-
+    * materialized frame (the root is deleted on return, so a lazy frame
+    * would read deleted files). */
+  private def withFeedDirs(prefix: String)(
+      body: (java.nio.file.Path, java.nio.file.Path,
+        (DataFrame, String) => Unit) => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    val srcDir = root.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    try body(root, srcDir, stageFeed(root, srcDir))
+    finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   private def stageFeed(scratch: java.nio.file.Path,
       srcDir: java.nio.file.Path)(df: DataFrame, name: String): Unit = {
     val tmp = scratch.resolve(s"tmp-$name")
@@ -452,13 +463,10 @@ object StreamingOps {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
-  def q46StreamRestart(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q46_")
-    val srcDir = root.resolve("src")
-    java.nio.file.Files.createDirectories(srcDir)
-    val outDir = root.resolve("out")
-    val cpDir = root.resolve("cp")
-    val result = try {
+  def q46StreamRestart(s: SparkSession, d: String): DataFrame =
+    withFeedDirs("graft_q46_") { (root, srcDir, drop) =>
+      val outDir = root.resolve("out")
+      val cpDir = root.resolve("cp")
       val all = graft.Tables.events(s, d)
         .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
@@ -467,8 +475,6 @@ object StreamingOps {
       val cut = lo + (hi - lo) / 2
 
       // one parquet file per feed so each phase sees exactly one new file
-      val drop = stageFeed(root, srcDir) _
-
       withGateStreamSession(s) { ns =>
         def runOnce(): Unit = {
           val q = hourlyByType(readEventStream(ns, srcDir.toString))
@@ -491,9 +497,7 @@ object StreamingOps {
           ns.read.parquet(outDir.toString)
             .filter(col("event_type") =!= "flush"))
       }
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-    result.orderBy(col("bucket_us"), col("event_type"))
-  }
+    }.orderBy(col("bucket_us"), col("event_type"))
 
   /** q47: streaming CDC upsert via foreachBatch — the lakehouse ingest
     * shape: a change stream (upserts + deletes keyed on c_custkey, the
@@ -513,13 +517,10 @@ object StreamingOps {
     * At scale the per-batch merge is one key shuffle (broadcast when the
     * batch is small — the common CDC case) plus a parallel snapshot
     * write; generations pair with Compact for file sizing. */
-  def q47StreamUpsert(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q47_")
-    val srcDir = root.resolve("src")
-    java.nio.file.Files.createDirectories(srcDir)
-    val snapRoot = root.resolve("snap")
-    val cpDir = root.resolve("cp")
-    val result = try {
+  def q47StreamUpsert(s: SparkSession, d: String): DataFrame =
+    withFeedDirs("graft_q47_") { (root, srcDir, drop) =>
+      val snapRoot = root.resolve("snap")
+      val cpDir = root.resolve("cp")
       val base = graft.Tables.customer(s, d)
       // e5's changeset: key%10==3 upserts (+1000 balance), %10==1
       // re-keyed inserts, %10==7 deletes — all keys distinct
@@ -532,7 +533,6 @@ object StreamingOps {
       val deletes = base.filter(col("c_custkey") % 10 === 7)
         .withColumn("_deleted", lit(true))
       val changes = upserts.unionByName(inserts).unionByName(deletes)
-      val drop = stageFeed(root, srcDir) _
 
       @volatile var current: Option[String] = None
       val q = s.readStream.schema(changes.schema).parquet(srcDir.toString)
@@ -558,9 +558,7 @@ object StreamingOps {
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("c_custkey")).as("n_keys"),
             sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal")))
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-    result
-  }
+    }
 
   /** Gate entries: batch sessionization (the streaming op's semantics
     * twin, DuckDB-verifiable) and the four streaming-EXECUTED queries
