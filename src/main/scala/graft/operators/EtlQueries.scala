@@ -593,6 +593,36 @@ object EtlQueries {
       dir, order = Seq(col("source")))
   }
 
+  // ------------------------------------------------------- e16_dpp
+  /** Dynamic partition pruning through the gate: a priority-partitioned
+    * fact table joined to a FILTERED dimension on the partition column.
+    * The dim's surviving values are unknown at plan time, so static
+    * pruning cannot apply; DPP injects the broadcast build side's values
+    * into the fact scan's PartitionFilters at runtime
+    * (`dynamicpruningexpression`), reading only the matching partition
+    * directories — at 100 TB, the join optimization that turns a
+    * full-fact scan into a scan of the few partitions the dim selects.
+    * `dpp_ok` pins the executed plan (the dynamic filter must be
+    * present); the totals are oracle-checked against the untouched
+    * parquet. (Catalyst ALSO infers the dim's startsWith through the
+    * join constraint here — belt and braces; the gate requires the
+    * dynamic expression specifically, which survives when the filter is
+    * not statically inferable.) */
+  def e16Dpp(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e16")
+    val out = dir.resolve("orders").toString
+    orders(s, d).write.partitionBy("o_orderpriority").parquet(out)
+    val fact = s.read.parquet(out)
+    val dim = orders(s, d).select(col("o_orderpriority").as("p"))
+      .distinct().filter(col("p").startsWith("1"))
+    val joined = fact.join(broadcast(dim), col("o_orderpriority") === col("p"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_keys"))
+    val dpp = joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruning")
+    materializedThenClean(joined.withColumn("dpp_ok", lit(dpp)), dir)
+  }
+
   // ---------------------------------------------- e10_jdbc_partitioned
   /** Partitioned (parallel) JDBC ingest through the gate: load a bounded
     * orders slice into Derby, read it back via
@@ -633,6 +663,7 @@ object EtlQueries {
     "e13_zorder" -> e13Zorder,
     "e14_schema_evolution" -> e14SchemaEvolution,
     "e15_dynamic_overwrite" -> e15DynamicOverwrite,
+    "e16_dpp" -> e16Dpp,
     "e1_sink_roundtrip" -> e1SinkRoundtrip,
     "e2_jdbc_roundtrip" -> e2JdbcRoundtrip,
     "e3_jdbc_types" -> e3JdbcTypes,
@@ -661,6 +692,10 @@ object EtlQueries {
         |  CAST(COUNT(quality) AS BIGINT) AS n_gen2,
         |  MIN(quality) AS q_min, MAX(quality) AS q_max
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "e16_dpp" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, TRUE AS dpp_ok
+        |FROM orders WHERE o_orderpriority LIKE '1%'""".stripMargin,
     "e15_dynamic_overwrite" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) + CASE WHEN source = (SELECT min(source) FROM documents)

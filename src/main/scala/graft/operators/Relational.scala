@@ -514,7 +514,36 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(dec2(col("l_quantity"))).as("qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  // --------------------------------------------------- q50_agg_pushdown
+  /** Statistics-only aggregation: COUNT(*)/MIN/MAX answered from parquet
+    * FOOTER statistics via DataSource-V2 aggregate pushdown — the scan
+    * reads row-group metadata, not rows. At 100 TB this is the difference
+    * between a metadata operation and a full table scan for the most
+    * common monitoring queries. Runs in a child session because the
+    * pushdown needs the V2 parquet path (`useV1SourceList=""`) and
+    * `parquet.aggregatePushdown=true`, neither of which should leak to
+    * the other gates (V1 is the default path everything else is audited
+    * on). `pushdown_ok` is computed from the executed plan — the scan
+    * must carry `PushedAggregation: [COUNT(*), MIN(..), MAX(..)]` — so a
+    * conf or plan regression that silently falls back to a row scan flips
+    * the gate red while the values (oracle-checked) stay correct. */
+  def q50AggPushdown(s: SparkSession, d: String): DataFrame = {
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.sources.useV1SourceList", "")
+    ns.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val agg = lineitem(ns, d).agg(
+      expr("count(*)").as("n_rows"),
+      min(col("l_orderkey")).as("min_key"),
+      max(col("l_orderkey")).as("max_key"))
+    val pushed = {
+      val p = agg.queryExecution.executedPlan.toString
+      p.contains("PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]")
+    }
+    agg.withColumn("pushdown_ok", lit(pushed))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_agg_pushdown" -> q50AggPushdown,
     "q25_recursive_cte" -> q25RecursiveCte,
     "q26_string_agg" -> q26StringAgg,
     "q29_lateral" -> q29Lateral,
@@ -551,6 +580,10 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q50_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key, TRUE AS pushdown_ok
+        |FROM lineitem""".stripMargin,
     "q25_recursive_cte" -> monthSpineSql.format("orders"),
     "q29_lateral" ->
       """SELECT c_custkey, c_name, t.max_price, t.n
