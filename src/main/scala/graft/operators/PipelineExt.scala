@@ -317,6 +317,36 @@ object PipelineExt {
       .orderBy(col("source"), col("rn"))
   }
 
+  // ---------------------------------------------- t17_weighted_sample
+  /** Deterministic quality-weighted downsampling with Horvitz-Thompson
+    * reweighting — the "keep the good stuff, but stay unbiased" corpus
+    * step: each document survives with probability p proportional to a
+    * quality signal (length here, capped at 1), and survivors carry
+    * `sample_weight = 1/p` so any downstream weighted statistic is an
+    * unbiased estimate over the full corpus. The coin flip is
+    * u = md5(doc_id:salt)/2^32 — t11/t13's portable hash, never rand() —
+    * so the sample is reproducible under reruns, repartitioning, and
+    * incremental arrivals, and the oracle recomputes the identical
+    * decisions in SQL. Re-rolls version the salt, never a seed.
+    *
+    * Scale posture: pure per-row expressions, zero shuffles beyond the
+    * presentation sort; at 100 TB this runs entirely map-side inside the
+    * scan. p-floor note: documents with p below a serving floor would get
+    * unbounded weights — a production variant clamps p from below too
+    * (the min here is n_chars/400 with n_chars ≥ 48, so 1/p ≤ ~8.3). */
+  def t17WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = (conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":ws1"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)).as("u")
+    val p = least(lit(1.0), col("n_chars").cast("double") / lit(400.0)).as("p")
+    documents(s, d)
+      .select(col("doc_id"), col("source"), u, p)
+      .filter(col("u") < col("p"))
+      .select(col("doc_id"), col("source"), col("p"),
+        (lit(1.0) / col("p")).as("sample_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d7_dup_clusters" -> d7DupClusters,
     "d12_dup_clusters_star" -> d12DupClustersStar,
@@ -324,7 +354,8 @@ object PipelineExt {
     "t8_token_mix" -> t8TokenMix,
     "t15_token_mix_hierarchical" -> t15TokenMixHierarchical,
     "t11_split" -> t11Split,
-    "t13_stratified_sample" -> t13StratifiedSample
+    "t13_stratified_sample" -> t13StratifiedSample,
+    "t17_weighted_sample" -> t17WeightedSample
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -386,6 +417,15 @@ object PipelineExt {
         |       WHEN bucket < 95 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t17_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ws1'), 1, 8)) AS BIGINT)
+        |      AS DOUBLE) / 4294967296.0 AS u,
+        |    least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS p
+        |  FROM documents)
+        |SELECT doc_id, source, p, 1.0 / p AS sample_weight
+        |FROM t WHERE u < p
+        |ORDER BY doc_id""".stripMargin,
     "t13_stratified_sample" ->
       """WITH h AS (SELECT source, doc_id,
         |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv

@@ -201,7 +201,7 @@ object StreamingOps {
       broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
       col("user_id") === col("c_custkey"), "left_outer")
       .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("c_mktsegment").as("segment"))
+        col("event_type"), col("value"), col("c_mktsegment").as("segment"))
 
   final case class Event(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
   final case class SessionState(start_us: Long, last_us: Long, n: Long)
@@ -560,10 +560,36 @@ object StreamingOps {
             sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal")))
     }
 
+  /** q51: stream-static enrichment ([[enrichWithCustomers]]) EXECUTED
+    * through the streaming engine — the canonical "events × dimension
+    * snapshot" ingest shape, gated: a file-source event stream joins the
+    * broadcast customer dimension per micro-batch, and a downstream
+    * per-(segment, event_type) aggregation lands in a memory sink for
+    * the DuckDB compare. Complete mode for q44's reason (finite source);
+    * the sink holds segments × event types — model-sized. The join
+    * itself is STATELESS (no watermark, no state store): each batch
+    * joins against the freshly-resolved static side, which is exactly
+    * why a dim refresh is picked up without a restart, and why the
+    * stream side never shuffles — the 100 TB/day ingest-enrichment
+    * pattern. StreamingSpec separately pins row preservation of the
+    * left join; this gates the values end-to-end. */
+  def q51StreamEnrich(s: SparkSession, d: String): DataFrame = {
+    runGateStream(s, d, "graft_q51_") { (ns, stage, sink) =>
+      enrichWithCustomers(readEventStream(ns, stage),
+          graft.Tables.customer(ns, d))
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Relational.dec2(col("value"))).cast("double").as("total_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+    }.orderBy(col("segment"), col("event_type"))
+  }
+
   /** Gate entries: batch sessionization (the streaming op's semantics
-    * twin, DuckDB-verifiable) and the four streaming-EXECUTED queries
+    * twin, DuckDB-verifiable) and the streaming-EXECUTED queries
     * (windowed aggregation q44, stream-stream interval join q45,
-    * checkpoint kill-resume q46, foreachBatch CDC upsert q47). */
+    * checkpoint kill-resume q46, foreachBatch CDC upsert q47, session
+    * windows q49, stream-static enrichment q51). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
     "q48_session_window" -> q48SessionWindow,
@@ -571,7 +597,8 @@ object StreamingOps {
     "q44_stream_hourly" -> q44StreamHourly,
     "q45_stream_interval_join" -> q45StreamIntervalJoin,
     "q46_stream_restart" -> q46StreamRestart,
-    "q47_stream_upsert" -> q47StreamUpsert
+    "q47_stream_upsert" -> q47StreamUpsert,
+    "q51_stream_enrich" -> q51StreamEnrich
   )
 
   // same `diff > gap` islands as q21 — session_window MERGES events at
@@ -640,6 +667,15 @@ object StreamingOps {
         |  COUNT(DISTINCT c_custkey) AS n_keys,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
         |FROM merged""".stripMargin,
+    // batch semantics of the stream-static left join + aggregation: the
+    // per-micro-batch broadcast joins must sum to the one-shot batch join
+    "q51_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q45_stream_interval_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
         |    FROM events)

@@ -40,6 +40,49 @@ class SplitSampleSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
   }
 
+  test("t17: weighted sample decisions are per-row pure and weights are exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = PipelineExt.t17WeightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length < docs.size,
+      "sample should keep some but not all documents")
+    // recompute every decision locally: u = first 32 md5 bits of
+    // "id:ws1" as a uniform, p = min(1, n_chars/400), keep iff u < p —
+    // and the emitted weight must be exactly 1/p (Horvitz-Thompson)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"$id:ws1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expected = docs.collect { case (id, nc)
+      if u(id) < math.min(1.0, nc.toDouble / 400.0) => id }.toSet
+    assert(got.map(_._1).toSet == expected,
+      "sample membership must equal the locally recomputed hash decisions")
+    got.foreach { case (id, p, w) =>
+      assert(p == math.min(1.0, docs(id).toDouble / 400.0), s"doc $id p drift")
+      assert(w == 1.0 / p, s"doc $id weight != 1/p")
+    }
+    // membership is a pure function of the row: restricting the corpus to
+    // one source must not change which of its documents survive
+    val keep = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source")).head.getString(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-t17")
+    try {
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("source") === keep)
+        .write.parquet(dir.resolve("documents.parquet").toString)
+      val restricted = PipelineExt.t17WeightedSample(spark, dir.toString)
+        .collect().map(_.getLong(0)).toSet
+      val fullKeep = PipelineExt.t17WeightedSample(spark, sf)
+        .filter(col("source") === keep).collect().map(_.getLong(0)).toSet
+      assert(restricted == fullKeep,
+        "a document's sampling decision must not depend on the rest of the corpus")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("t13: sample membership survives corpus growth (only k-boundary churn)") {
     // removing documents from OTHER strata must not change a stratum's
     // sample; within a stratum, dropping a non-sampled doc keeps the
