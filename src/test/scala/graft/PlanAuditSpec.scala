@@ -150,6 +150,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t11 must not shuffle on any key:\n$p")
   }
 
+  test("t17 weighted sample is scan-shaped: no hash shuffle, only the presentation sort") {
+    // keep/weight decisions are pure per-row expressions — at 100 TB this
+    // must run entirely map-side inside the scan
+    val p = plan(operators.PipelineExt.t17WeightedSample(spark, sf))
+    assert(!p.contains("hashpartitioning"),
+      s"t17 must not shuffle on any key:\n$p")
+  }
+
   test("d10 bloom decontamination: might_contain pre-filter feeds a shuffle verify join") {
     // at toy SF the optimizer may (correctly) turn the verify join into a
     // broadcast from size stats; the audit asks what d10 DECLARES, so
