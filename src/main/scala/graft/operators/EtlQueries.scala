@@ -623,6 +623,61 @@ object EtlQueries {
     materializedThenClean(joined.withColumn("dpp_ok", lit(dpp)), dir)
   }
 
+  // ---------------------------------------------- e17_incremental_agg
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * every long-running pipeline needs at 100 TB: yesterday's aggregate
+    * persists as a PARTIAL-aggregate snapshot (count/sum/min/max per
+    * group — the algebraic form, so it merges), today's delta aggregates
+    * alone, and the refresh is `(snapshot ∪ delta-agg) GROUP BY key`
+    * re-aggregated — sum of sums, sum of counts, min of mins, max of
+    * maxes, avg recomposed as total/count at the END (never avg of
+    * avgs). History is NEVER rescanned: the refresh reads the snapshot
+    * (group-cardinality-sized, not data-sized) plus only the delta rows,
+    * and the gate pins both structurally — exactly one scan of the
+    * events source in the merged plan, with the delta predicate pushed
+    * to it (`incremental_ok`). The oracle recomputes from ALL rows: the
+    * algebraic merge must be indistinguishable from a full recompute.
+    * Non-algebraic aggregates (median, exact distinct) need sketches —
+    * q23's territory — or a recompute; that boundary is the design
+    * point of keeping snapshots in partial form. */
+  def e17IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val dir = scratchDir("graft-e17")
+    val snap = dir.resolve("snap").toString
+    val ev = events(s, d)
+      .select(col("event_type"), col("value"), col("ts_ns"))
+    // model-sized driver scalar (two longs) — do NOT copy this pattern
+    // for row data; it only bounds the synthetic base/delta split
+    val mm = ev.agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(Relational.dec2(col("value"))).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    // "yesterday": base rows aggregated once, snapshot persisted partial
+    partial(ev.filter(col("ts_ns") <= cut)).write.parquet(snap)
+    // "today": only the delta slice is aggregated; the merge re-aggregates
+    // the union of two partial tables — no base row is read again
+    val merged = s.read.parquet(snap)
+      .unionByName(partial(ev.filter(col("ts_ns") > cut)))
+      .groupBy(col("event_type")).agg(
+        sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+      .select(col("event_type"), col("n"),
+        col("sv").cast("double").as("total_value"),
+        (col("sv").cast("double") / col("n")).as("avg_value"),
+        col("min_value"), col("max_value"))
+    val plan = merged.queryExecution.executedPlan.toString
+    // the delta predicate pushes through the ts→ts_ns rename, so the
+    // scan's PushedFilters may name either the physical or aliased column
+    val incrementalOk =
+      "events\\.parquet".r.findAllIn(plan).size == 1 &&
+        plan.contains("GreaterThan(ts")
+    materializedThenClean(
+      merged.withColumn("incremental_ok", lit(incrementalOk)),
+      dir, Seq(col("event_type")))
+  }
+
   // ---------------------------------------------- e10_jdbc_partitioned
   /** Partitioned (parallel) JDBC ingest through the gate: load a bounded
     * orders slice into Derby, read it back via
@@ -671,7 +726,8 @@ object EtlQueries {
     "e5_merge" -> e5Merge,
     "e6_partitioned" -> e6Partitioned,
     "e7_bucketed" -> e7Bucketed,
-    "e10_jdbc_partitioned" -> e10JdbcPartitioned
+    "e10_jdbc_partitioned" -> e10JdbcPartitioned,
+    "e17_incremental_agg" -> e17IncrementalAgg
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -692,6 +748,15 @@ object EtlQueries {
         |  CAST(COUNT(quality) AS BIGINT) AS n_gen2,
         |  MIN(quality) AS q_min, MAX(quality) AS q_max
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    // full recompute over ALL rows: the snapshot-plus-delta algebraic
+    // merge must be indistinguishable from rescanning history
+    "e17_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  TRUE AS incremental_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e16_dpp" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, TRUE AS dpp_ok
