@@ -585,11 +585,41 @@ object StreamingOps {
     }.orderBy(col("segment"), col("event_type"))
   }
 
+  /** q52: [[userTotalsTws]] EXECUTED through the streaming engine — the
+    * next-gen arbitrary-state API (`transformWithState`, RocksDB-backed
+    * state) gated against the batch group-by oracle. Update mode is the
+    * API's output contract here (one refreshed total per touched user
+    * per micro-batch), so the memory sink accumulates row VERSIONS; the
+    * read-back keeps each user's final accumulation via max — valid
+    * because both totals are monotone (n_events only grows, last_us
+    * only advances). The sink holds users × batches rows — bounded by
+    * the key cardinality, not event volume (q44's model-sized
+    * justification). The RocksDB provider override is gate-scoped in
+    * the isolated child session, same as the other streaming confs. */
+  def q52StreamUserTotals(s: SparkSession, d: String): DataFrame =
+    runGateStream(s, d, "graft_q52_") { (ns, stage, sink) =>
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ns.implicits._
+      val ev = readEventStream(ns, stage)
+        .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+          col("user_id"), col("event_type"))
+        .as[Event]
+      userTotalsTws(ev).toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update())
+    }
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("last_us")).as("last_us"))
+      .orderBy(col("user_id"))
+
   /** Gate entries: batch sessionization (the streaming op's semantics
     * twin, DuckDB-verifiable) and the streaming-EXECUTED queries
     * (windowed aggregation q44, stream-stream interval join q45,
     * checkpoint kill-resume q46, foreachBatch CDC upsert q47, session
-    * windows q49, stream-static enrichment q51). */
+    * windows q49, stream-static enrichment q51, transformWithState
+    * user totals q52). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
     "q48_session_window" -> q48SessionWindow,
@@ -598,7 +628,8 @@ object StreamingOps {
     "q45_stream_interval_join" -> q45StreamIntervalJoin,
     "q46_stream_restart" -> q46StreamRestart,
     "q47_stream_upsert" -> q47StreamUpsert,
-    "q51_stream_enrich" -> q51StreamEnrich
+    "q51_stream_enrich" -> q51StreamEnrich,
+    "q52_stream_user_totals" -> q52StreamUserTotals
   )
 
   // same `diff > gap` islands as q21 — session_window MERGES events at
@@ -667,6 +698,13 @@ object StreamingOps {
         |  COUNT(DISTINCT c_custkey) AS n_keys,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
         |FROM merged""".stripMargin,
+    // the transformWithState totals must converge to the batch group-by
+    // (µs truncation policy: last_us = epoch_us(ts) = ts_ns div 1000)
+    "q52_stream_user_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  MAX(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // batch semantics of the stream-static left join + aggregation: the
     // per-micro-batch broadcast joins must sum to the one-shot batch join
     "q51_stream_enrich" ->
