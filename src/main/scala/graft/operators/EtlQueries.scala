@@ -640,6 +640,28 @@ object EtlQueries {
     * Non-algebraic aggregates (median, exact distinct) need sketches —
     * q23's territory — or a recompute; that boundary is the design
     * point of keeping snapshots in partial form. */
+  /** The algebraic partial form: count/sum/min/max per group — exactly
+    * what a persisted aggregate snapshot stores so it can merge. */
+  private[graft] def e17Partial(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(Relational.dec2(col("value"))).as("sv"),
+      min(col("value")).as("mn"), max(col("value")).as("mx"))
+
+  /** Re-aggregate a union of partial tables into the final surface —
+    * sum of sums/counts, min of mins, max of maxes, avg recomposed at
+    * the end. Merging any split of the data through this (including a
+    * degenerate empty side) must equal the one-shot aggregate. */
+  private[graft] def e17Merge(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("event_type")).agg(
+        sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+      .select(col("event_type"), col("n"),
+        col("sv").cast("double").as("total_value"),
+        (col("sv").cast("double") / col("n")).as("avg_value"),
+        col("min_value"), col("max_value"))
+
   def e17IncrementalAgg(s: SparkSession, d: String): DataFrame = {
     val dir = scratchDir("graft-e17")
     val snap = dir.resolve("snap").toString
@@ -649,24 +671,12 @@ object EtlQueries {
     // for row data; it only bounds the synthetic base/delta split
     val mm = ev.agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
     val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
-    def partial(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type")).agg(
-        count(lit(1)).as("n"),
-        sum(Relational.dec2(col("value"))).as("sv"),
-        min(col("value")).as("mn"), max(col("value")).as("mx"))
     // "yesterday": base rows aggregated once, snapshot persisted partial
-    partial(ev.filter(col("ts_ns") <= cut)).write.parquet(snap)
+    e17Partial(ev.filter(col("ts_ns") <= cut)).write.parquet(snap)
     // "today": only the delta slice is aggregated; the merge re-aggregates
     // the union of two partial tables — no base row is read again
-    val merged = s.read.parquet(snap)
-      .unionByName(partial(ev.filter(col("ts_ns") > cut)))
-      .groupBy(col("event_type")).agg(
-        sum(col("n")).as("n"), sum(col("sv")).as("sv"),
-        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
-      .select(col("event_type"), col("n"),
-        col("sv").cast("double").as("total_value"),
-        (col("sv").cast("double") / col("n")).as("avg_value"),
-        col("min_value"), col("max_value"))
+    val merged = e17Merge(s.read.parquet(snap)
+      .unionByName(e17Partial(ev.filter(col("ts_ns") > cut))))
     val plan = merged.queryExecution.executedPlan.toString
     // the delta predicate pushes through the ts→ts_ns rename, so the
     // scan's PushedFilters may name either the physical or aliased column

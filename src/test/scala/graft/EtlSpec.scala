@@ -454,4 +454,24 @@ class EtlSpec extends AnyFunSuite {
       s"jdbc:derby:memory:drv${System.nanoTime()};create=true").close()
     assert(Cli.listDrivers().exists(_.toLowerCase.contains("derby")))
   }
+
+  test("e17: merging an empty delta partial is a no-op refresh") {
+    // the degenerate refresh every scheduled pipeline eventually hits:
+    // no new rows arrived. snapshot ∪ partial(∅) re-aggregated must be
+    // row-identical to the one-shot aggregate — empty groups contribute
+    // nothing, and no group's n/sv/min/max moves
+    import graft.operators.EtlQueries
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("ts_ns"))
+    val snapshot = EtlQueries.e17Partial(ev)
+    val emptyDelta = EtlQueries.e17Partial(ev.filter(lit(false)))
+    assert(emptyDelta.count() == 0)
+    val refreshed = EtlQueries.e17Merge(snapshot.unionByName(emptyDelta))
+      .orderBy(col("event_type")).collect()
+    val oneShot = EtlQueries.e17Merge(snapshot)
+      .orderBy(col("event_type")).collect()
+    assert(refreshed.sameElements(oneShot),
+      "an empty delta must not change any group's totals")
+    assert(refreshed.nonEmpty)
+  }
 }
