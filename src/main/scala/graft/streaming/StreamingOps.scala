@@ -122,9 +122,13 @@ object StreamingOps {
     * alone and EVICTS a key's state once the watermark passes it, so
     * state is bounded — plain dropDuplicates(key) would grow forever. */
   def dedupStream(stream: DataFrame, keyCol: String, watermark: String = "10 minutes"): DataFrame =
+    dedupStream(stream, Seq(keyCol), watermark)
+
+  /** Composite-key form: the state fingerprint covers every key column. */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     stream
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   final case class UserTotals(user_id: Long, n_events: Long, last_us: Long)
 
@@ -614,12 +618,30 @@ object StreamingOps {
         max(col("last_us")).as("last_us"))
       .orderBy(col("user_id"))
 
+  /** q53: [[dedupStream]] EXECUTED through the streaming engine — the
+    * in-flight ingest dedup (d1's streaming twin) gated. The stream
+    * drops duplicate (user_id, event_type) arrivals inside the
+    * watermark horizon; the gate emits ONLY the key columns because
+    * WHICH physical row survives a within-batch tie is partition-order
+    * dependent (not oracle-stable), while the surviving key SET is
+    * exactly the distinct set — which DuckDB recomputes. State is one
+    * fingerprint per live key, watermark-evicted; append mode because
+    * a key emits exactly once on first arrival. */
+  def q53StreamDedup(s: SparkSession, d: String): DataFrame =
+    runGateStream(s, d, "graft_q53_") { (ns, stage, sink) =>
+      dedupStream(readEventStream(ns, stage),
+          Seq("user_id", "event_type"), "10 minutes")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+    }.orderBy(col("user_id"), col("event_type"))
+
   /** Gate entries: batch sessionization (the streaming op's semantics
     * twin, DuckDB-verifiable) and the streaming-EXECUTED queries
     * (windowed aggregation q44, stream-stream interval join q45,
     * checkpoint kill-resume q46, foreachBatch CDC upsert q47, session
     * windows q49, stream-static enrichment q51, transformWithState
-    * user totals q52). */
+    * user totals q52, watermark-bounded dedup q53). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
     "q48_session_window" -> q48SessionWindow,
@@ -629,7 +651,8 @@ object StreamingOps {
     "q46_stream_restart" -> q46StreamRestart,
     "q47_stream_upsert" -> q47StreamUpsert,
     "q51_stream_enrich" -> q51StreamEnrich,
-    "q52_stream_user_totals" -> q52StreamUserTotals
+    "q52_stream_user_totals" -> q52StreamUserTotals,
+    "q53_stream_dedup" -> q53StreamDedup
   )
 
   // same `diff > gap` islands as q21 — session_window MERGES events at
@@ -698,6 +721,12 @@ object StreamingOps {
         |  COUNT(DISTINCT c_custkey) AS n_keys,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
         |FROM merged""".stripMargin,
+    // the streamed first-arrival dedup's surviving KEY SET is exactly
+    // the distinct pair set (which row survives is not oracle-stable;
+    // the key projection is)
+    "q53_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     // the transformWithState totals must converge to the batch group-by
     // (µs truncation policy: last_us = epoch_us(ts) = ts_ns div 1000)
     "q52_stream_user_totals" ->
