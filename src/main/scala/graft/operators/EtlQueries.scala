@@ -688,6 +688,42 @@ object EtlQueries {
       dir, Seq(col("event_type")))
   }
 
+  // ---------------------------------------------- e18_runtime_bloom_join
+  /** Optimizer-INJECTED runtime bloom-filter join (Catalyst's
+    * InjectRuntimeFilter): a shuffle join between a big fact and a
+    * selectively-filtered dim gets a bloom filter built from the dim's
+    * surviving join keys and applied to the FACT SCAN SIDE before its
+    * shuffle — rows that cannot match are dropped before they are ever
+    * exchanged. At 100 TB this is the shuffle-volume optimization that
+    * DPP (e16) cannot provide when the fact table is not partitioned on
+    * the join key; together they cover both layouts. Unlike d10 (which
+    * builds its bloom filter BY HAND for decontamination), e18 writes a
+    * plain join and requires the OPTIMIZER to inject the filter — the
+    * gate pins `might_contain` in the optimized plan of a query whose
+    * author never mentioned bloom filters. Runs in a child session:
+    * the application-side scan threshold must drop to 0 to trigger at
+    * test SF (the default 10 GB gate is exactly right in production and
+    * would leave the rule dormant here), and broadcast is disabled so
+    * the join actually shuffles (a broadcast join needs no runtime
+    * filter — the rule correctly declines it). */
+  def e18RuntimeBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = lineitem(ns, d)
+      .select(col("l_partkey"), col("l_extendedprice"))
+    val dim = part(ns, d).filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("l_extendedprice"))).cast("double").as("total_price"))
+    val bloomOk = joined.queryExecution.optimizedPlan.toString
+      .contains("might_contain")
+    joined.withColumn("bloom_ok", lit(bloomOk))
+  }
+
   // ---------------------------------------------- e10_jdbc_partitioned
   /** Partitioned (parallel) JDBC ingest through the gate: load a bounded
     * orders slice into Derby, read it back via
@@ -737,7 +773,8 @@ object EtlQueries {
     "e6_partitioned" -> e6Partitioned,
     "e7_bucketed" -> e7Bucketed,
     "e10_jdbc_partitioned" -> e10JdbcPartitioned,
-    "e17_incremental_agg" -> e17IncrementalAgg
+    "e17_incremental_agg" -> e17IncrementalAgg,
+    "e18_runtime_bloom_join" -> e18RuntimeBloomJoin
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -767,6 +804,12 @@ object EtlQueries {
         |  MIN(value) AS min_value, MAX(value) AS max_value,
         |  TRUE AS incremental_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e18_runtime_bloom_join" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  TRUE AS bloom_ok
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#13'""".stripMargin,
     "e16_dpp" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys, TRUE AS dpp_ok
