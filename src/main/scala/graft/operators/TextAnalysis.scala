@@ -182,7 +182,65 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
       .limit(20)
 
+  // ------------------------------------------------------------ t18_bm25
+  /** BM25 keyword retrieval over the corpus — the search/ranking primitive
+    * a training-data pipeline uses for targeted corpus slicing ("pull the
+    * top documents about X for inspection / eval-set mining"). Fixed query
+    * terms, k1 = 1.2, b = 0.75, top-10 by score with a doc_id tiebreak.
+    *
+    * EXACT-ARITHMETIC VARIANT: both factors of the classic formula are
+    * rational in integer corpus statistics, so the whole score is computed
+    * in scaled integer (micro) units — `ln` is replaced by the raw
+    * Robertson–Spärck-Jones odds idf (N − df + ½)/(df + ½), i.e. the
+    * quantity BM25 takes the log OF. The log is monotone, so rankings for
+    * a single term are identical and multi-term scores are a documented
+    * deviation (odds-weighted instead of log-odds-weighted). The payoff:
+    * no floating-point `ln`/division anywhere, so Spark and DuckDB agree
+    * bit-for-bit and the gate hash-checks — the same determinism-over-
+    * transcendentals trade t11/t13/t17 make for hashes.
+    *
+    * With k1 = 6/5 and b = 3/4, multiplying the tf factor through by 10·T
+    * (T = total corpus tokens) gives
+    *   tfpart_micro = 10⁶·22·tf·T div (10·T·tf + 3·T + 9·len·N)
+    *   idf_micro    = 10⁶·(2N − 2df + 1) div (2df + 1)
+    *   term_score   = idf_micro·tfpart_micro div 10⁶
+    * All intermediates fit comfortably in signed 64-bit at gate scale
+    * (bounds in the spec); at petabyte scale the same formula runs in
+    * DECIMAL(38,0) unchanged.
+    *
+    * Scale posture: ONE exploded scan of the corpus, aggregated per doc
+    * with the per-term tfs as conditional counts (map-side combine), then
+    * a single-row corpus aggregate broadcast back — no per-term scans, no
+    * join on the token table, and the top-k is a TakeOrdered, never a
+    * global sort. */
+  def t18Bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("join", "spark", "dup")
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(col("text"), "[^A-Za-z0-9]+")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(col("doc_id"), lower(col("raw")).as("tok"))
+    val docAggs = count(lit(1)).as("len") +:
+      terms.map(t => sum((col("tok") === t).cast("long")).as(s"tf_$t"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(docAggs.head, docAggs.tail: _*)
+    val corpusAggs = count(lit(1)).as("nd") +:
+      sum(col("len")).as("tt") +:
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val corpus = perDoc.agg(corpusAggs.head, corpusAggs.tail: _*)
+    val termScore = terms.map { t =>
+      expr(s"((2*nd - 2*df_$t + 1) * 1000000 div (2*df_$t + 1)) * " +
+        s"((22000000 * tf_$t * tt) div (10*tt*tf_$t + 3*tt + 9*len*nd)) " +
+        "div 1000000")
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), termScore.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_bm25" -> t18Bm25,
     "t12_quality_percentile" -> t12QualityPercentile,
     "t14_ngram_blocklist" -> t14NgramBlocklist,
     "t1_tokens" -> t1Tokens,
@@ -194,6 +252,35 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t18_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(t.tok) AS tok
+        |  FROM documents, UNNEST(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS len,
+        |    COUNT(*) FILTER (tok = 'join') AS tf_join,
+        |    COUNT(*) FILTER (tok = 'spark') AS tf_spark,
+        |    COUNT(*) FILTER (tok = 'dup') AS tf_dup
+        |  FROM toks GROUP BY doc_id),
+        |corpus AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(len) AS BIGINT) AS tt,
+        |    COUNT(*) FILTER (tf_join > 0) AS df_join,
+        |    COUNT(*) FILTER (tf_spark > 0) AS df_spark,
+        |    COUNT(*) FILTER (tf_dup > 0) AS df_dup
+        |  FROM perdoc),
+        |scored AS (
+        |  SELECT doc_id, CAST(
+        |      ((2*nd - 2*df_join + 1) * 1000000 // (2*df_join + 1))
+        |        * ((22000000 * tf_join * tt) // (10*tt*tf_join + 3*tt + 9*len*nd)) // 1000000
+        |    + ((2*nd - 2*df_spark + 1) * 1000000 // (2*df_spark + 1))
+        |        * ((22000000 * tf_spark * tt) // (10*tt*tf_spark + 3*tt + 9*len*nd)) // 1000000
+        |    + ((2*nd - 2*df_dup + 1) * 1000000 // (2*df_dup + 1))
+        |        * ((22000000 * tf_dup * tt) // (10*tt*tf_dup + 3*tt + 9*len*nd)) // 1000000
+        |    AS BIGINT) AS score
+        |  FROM perdoc, corpus)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "t14_ngram_blocklist" ->
       """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
         |  FROM documents),
