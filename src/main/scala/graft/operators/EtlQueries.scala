@@ -724,6 +724,40 @@ object EtlQueries {
     joined.withColumn("bloom_ok", lit(bloomOk))
   }
 
+  // ------------------------------------------------------- e19_scd2
+  /** Slowly-changing-dimension Type 2 build — the dimension-history table
+    * every warehouse derives from a change log: one row per (key, value
+    * run) with [effective_from, effective_to) validity and an is_current
+    * flag on the open run. Built declaratively from the full change log:
+    * (1) collapse to one deterministic daily snapshot value per key
+    * (max attr per key-day); (2) keep only CHANGE points — rows whose
+    * lag() differs; (3) effective_to = lead(effective_from) over the
+    * surviving change points, NULL marking the current version. Gated on
+    * a deterministic key slice so the output stays inspection-sized; the
+    * oracle replays the identical window pipeline in SQL.
+    *
+    * Scale posture: one shuffle on the dimension key (all three window
+    * steps share the same partitioning, so Catalyst plans a single
+    * exchange + sort reused by both window operators), map-side combine
+    * on the snapshot aggregate, and no self-joins — the lag/lead idiom
+    * replaces the O(n²) "next row per row" correlated subquery. */
+  def e19Scd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = orders(s, d).filter(col("o_custkey") % 100 === 1)
+      .groupBy(col("o_custkey").as("cust"), col("o_orderdate").as("dt"))
+      .agg(max(col("o_orderpriority")).as("attr"))
+    val byCust = Window.partitionBy("cust").orderBy("dt")
+    val changes = snap
+      .withColumn("prev", lag(col("attr"), 1).over(byCust))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+    changes
+      .withColumn("effective_to", lead(col("dt"), 1).over(byCust))
+      .select(col("cust"), col("attr"),
+        col("dt").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+      .orderBy(col("cust"), col("effective_from"))
+  }
+
   // ---------------------------------------------- e10_jdbc_partitioned
   /** Partitioned (parallel) JDBC ingest through the gate: load a bounded
     * orders slice into Derby, read it back via
@@ -774,7 +808,8 @@ object EtlQueries {
     "e7_bucketed" -> e7Bucketed,
     "e10_jdbc_partitioned" -> e10JdbcPartitioned,
     "e17_incremental_agg" -> e17IncrementalAgg,
-    "e18_runtime_bloom_join" -> e18RuntimeBloomJoin
+    "e18_runtime_bloom_join" -> e18RuntimeBloomJoin,
+    "e19_scd2" -> e19Scd2
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -804,6 +839,24 @@ object EtlQueries {
         |  MIN(value) AS min_value, MAX(value) AS max_value,
         |  TRUE AS incremental_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e19_scd2" ->
+      """WITH snap AS (
+        |  SELECT o_custkey AS cust, o_orderdate AS dt,
+        |    max(o_orderpriority) AS attr
+        |  FROM orders WHERE o_custkey % 100 = 1 GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT cust, dt, attr FROM (
+        |    SELECT cust, dt, attr,
+        |      lag(attr) OVER (PARTITION BY cust ORDER BY dt) AS prev
+        |    FROM snap)
+        |  WHERE prev IS NULL OR prev <> attr),
+        |scd AS (
+        |  SELECT cust, attr, dt AS effective_from,
+        |    lead(dt) OVER (PARTITION BY cust ORDER BY dt) AS effective_to
+        |  FROM ch)
+        |SELECT cust, attr, effective_from, effective_to,
+        |  (effective_to IS NULL) AS is_current
+        |FROM scd ORDER BY cust, effective_from""".stripMargin,
     "e18_runtime_bloom_join" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
