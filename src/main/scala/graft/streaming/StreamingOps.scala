@@ -636,6 +636,63 @@ object StreamingOps {
         .outputMode(OutputMode.Append())
     }.orderBy(col("user_id"), col("event_type"))
 
+  /** q54: the watermarked stream-stream LEFT OUTER join EXECUTED through
+    * the engine — q45's inner join answers "which errors had a purchase
+    * nearby"; the outer join answers the operationally harder "which
+    * errors had NONE", and that null-extension is a fundamentally
+    * stateful act in streaming: an unmatched left row emits only when
+    * the watermark proves no counterpart can still arrive (state
+    * eviction time), not when it is read. The gate feeds the events
+    * table plus one far-future sentinel row PER SIDE — the two sides
+    * watermark independently after their event-type filters, and the
+    * global watermark is the MIN of the two, so flushing only one side
+    * would hold every pending null-emission hostage. Sentinel rows carry
+    * user_id −1 and are filtered from the readback (they also join each
+    * other — same user, same instant — which the same filter drops).
+    * Unmatched rows emit pur_id −1 rather than NULL so both engines sort
+    * identically (ASC NULL placement differs between Spark and DuckDB).
+    * State is bounded to watermark + interval per side, same as q45. */
+  def q54StreamLeftOuterJoin(s: SparkSession, d: String): DataFrame =
+    withFeedDirs("graft_q54_") { (root, srcDir, drop) =>
+      val all = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val hi = all.agg(max(col("ts"))).head.getLong(0)
+      withGateStreamSession(s) { ns =>
+        drop(all, "feed")
+        drop(ns.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(
+              -2L, hi + 3L * 3600 * 1000000000L, -1L, "error", 0.0, null),
+            org.apache.spark.sql.Row(
+              -3L, hi + 3L * 3600 * 1000000000L, -1L, "purchase", 0.0, null)),
+          eventSchema), "flush")
+        val ev = readEventStream(ns, srcDir.toString)
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+            col("ts").as("e_ts"))
+          .withWatermark("e_ts", "20 minutes")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "20 minutes")
+        val joined = e.join(p,
+          col("e_user") === col("p_user") &&
+            col("p_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("p_ts") <= col("e_ts") + expr("INTERVAL 10 MINUTES"),
+          "left_outer")
+          .select(col("err_id"), coalesce(col("pur_id"), lit(-1L)).as("pur_id"),
+            col("e_user").as("user_id"))
+        val sink = "graft_q54_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+        try graft.operators.CacheScope.localCheckpoint(
+          ns.table(sink).filter(col("user_id") >= 0))
+        finally { if (ns.catalog.tableExists(sink)) ns.catalog.dropTempView(sink) }
+      }
+    }.orderBy(col("err_id"), col("pur_id"))
+
   /** Gate entries: batch sessionization (the streaming op's semantics
     * twin, DuckDB-verifiable) and the streaming-EXECUTED queries
     * (windowed aggregation q44, stream-stream interval join q45,
@@ -652,7 +709,8 @@ object StreamingOps {
     "q47_stream_upsert" -> q47StreamUpsert,
     "q51_stream_enrich" -> q51StreamEnrich,
     "q52_stream_user_totals" -> q52StreamUserTotals,
-    "q53_stream_dedup" -> q53StreamDedup
+    "q53_stream_dedup" -> q53StreamDedup,
+    "q54_stream_left_outer_join" -> q54StreamLeftOuterJoin
   )
 
   // same `diff > gap` islands as q21 — session_window MERGES events at
@@ -743,6 +801,17 @@ object StreamingOps {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q45's oracle left-outer'd: unmatched errors surface as pur_id = -1
+    // (COALESCE on both engines — NULL sort placement is not portable)
+    "q54_stream_left_outer_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
+        |    FROM events)
+        |SELECT e.event_id AS err_id, COALESCE(p.event_id, -1) AS pur_id,
+        |  e.user_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND abs(e.t_us - p.t_us) <= 600000000
+        |ORDER BY err_id, pur_id""".stripMargin,
     "q45_stream_interval_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
         |    FROM events)
