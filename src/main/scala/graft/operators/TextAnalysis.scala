@@ -239,7 +239,36 @@ object TextAnalysis {
       .limit(10)
   }
 
+  // ---------------------------------------------------------- t19_profile
+  /** One-pass column profiling — the `ANALYZE`-style corpus QA step every
+    * ingest runs before training on new data: per column, null count,
+    * exact distinct count, and total string-cast length (a type-agnostic
+    * volume proxy). ONE scan computes every column's statistics as a
+    * single wide aggregate (map-side partial on all 16 measures at once),
+    * then `stack` unpivots the 1-row result to a row per column — the
+    * orientation flip costs nothing because it happens after aggregation,
+    * on one row. The exact distincts expand the aggregate buffer 5-way
+    * (Spark's multi-distinct Expand) — the honest cost of exactness; the
+    * sketch-based alternative at extreme cardinality is q23's
+    * approx_count_distinct territory. */
+  def t19Profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"c_$c"),
+      countDistinct(col(c)).as(s"d_$c"),
+      sum(length(col(c).cast("string")).cast("long")).as(s"l_$c")))
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows - c_$c, d_$c, l_$c").mkString(", ")
+    documents(s, d).agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, sum_len)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("sum_len"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_profile" -> t19Profile,
     "t18_bm25" -> t18Bm25,
     "t12_quality_percentile" -> t12QualityPercentile,
     "t14_ngram_blocklist" -> t14NgramBlocklist,
@@ -252,6 +281,27 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t19_profile" ->
+      """WITH s AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(doc_id) AS c1, COUNT(DISTINCT doc_id) AS d1,
+        |    SUM(length(CAST(doc_id AS VARCHAR))) AS l1,
+        |  COUNT(lang) AS c2, COUNT(DISTINCT lang) AS d2,
+        |    SUM(length(CAST(lang AS VARCHAR))) AS l2,
+        |  COUNT(n_chars) AS c3, COUNT(DISTINCT n_chars) AS d3,
+        |    SUM(length(CAST(n_chars AS VARCHAR))) AS l3,
+        |  COUNT(source) AS c4, COUNT(DISTINCT source) AS d4,
+        |    SUM(length(CAST(source AS VARCHAR))) AS l4,
+        |  COUNT(text) AS c5, COUNT(DISTINCT text) AS d5,
+        |    SUM(length(CAST(text AS VARCHAR))) AS l5
+        |FROM documents)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, sum_len FROM (
+        |  SELECT 'doc_id' AS col_name, n_rows, n_rows - c1 AS n_nulls,
+        |    d1 AS n_distinct, CAST(l1 AS BIGINT) AS sum_len FROM s
+        |  UNION ALL SELECT 'lang', n_rows, n_rows - c2, d2, CAST(l2 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'n_chars', n_rows, n_rows - c3, d3, CAST(l3 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'source', n_rows, n_rows - c4, d4, CAST(l4 AS BIGINT) FROM s
+        |  UNION ALL SELECT 'text', n_rows, n_rows - c5, d5, CAST(l5 AS BIGINT) FROM s)
+        |ORDER BY col_name""".stripMargin,
     "t18_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(t.tok) AS tok
