@@ -267,7 +267,53 @@ object TextAnalysis {
       .orderBy(col("col_name"))
   }
 
+  // ------------------------------------------------------- t20_bigram_lm
+  /** Bigram language-model quality scoring — the CCNet-style "how
+    * corpus-typical is this document" filter: train bigram/unigram counts
+    * on the corpus in-flight, then score each document by its average
+    * conditional bigram probability p(w2|w1) = B(w1 w2)/U(w1). Documents
+    * full of corpus-typical word transitions score high; boilerplate with
+    * unusual transitions scores low. Probabilities are kept as EXACT
+    * integer micro units ((10⁶·B) div U — B ≤ U by construction, so each
+    * term ≤ 10⁶) instead of summed log-probabilities: `ln` on two engines
+    * is not bit-portable, integer division is — t18's
+    * determinism-over-transcendentals trade, which also swaps the
+    * geometric mean for an arithmetic one (a documented deviation; both
+    * are monotone quality signals).
+    *
+    * Scale posture: one exploded pass builds per-doc-pair tfs, the count
+    * tables aggregate map-side (vocab-bounded, not corpus-bounded), and
+    * scoring joins tf AGGREGATES to counts — per distinct (doc, pair),
+    * never per occurrence. All joins are keyed equi-joins; nothing
+    * touches the driver. */
+  def t20BigramLm(s: SparkSession, d: String): DataFrame = {
+    val arr = expr(
+      "filter(transform(split(text, '[^A-Za-z0-9]+'), x -> lower(x)), x -> x <> '')")
+    val docs = documents(s, d).select(col("doc_id"), arr.as("w"))
+    val flat = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val uniCounts = docs.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    val pairCounts = flat.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("bc"))
+    val tf = flat.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(pairCounts, Seq("w1", "w2"))
+      .join(uniCounts, col("w1") === col("tok"))
+      .withColumn("micro", expr("(1000000 * bc) div uc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
+        expr("sum_micro div n_bigrams").as("avg_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_bigram_lm" -> t20BigramLm,
     "t19_profile" -> t19Profile,
     "t18_bm25" -> t18Bm25,
     "t12_quality_percentile" -> t12QualityPercentile,
@@ -281,6 +327,27 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t20_bigram_lm" ->
+      """WITH arr AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> lower(x)),
+        |    x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS g
+        |  FROM arr WHERE len(w) >= 2),
+        |flat AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+        |uc AS (SELECT tok, COUNT(*) AS uc
+        |  FROM (SELECT unnest(w) AS tok FROM arr) GROUP BY tok),
+        |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM flat GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM flat GROUP BY 1, 2, 3),
+        |j AS (SELECT t.doc_id, t.tf, ((1000000 * b.bc) // u.uc) AS micro
+        |  FROM tf t JOIN bc b USING (w1, w2) JOIN uc u ON t.w1 = u.tok)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(tf * micro) AS BIGINT) AS sum_micro,
+        |  CAST(SUM(tf * micro) // SUM(tf) AS BIGINT) AS avg_micro
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t19_profile" ->
       """WITH s AS (SELECT COUNT(*) AS n_rows,
         |  COUNT(doc_id) AS c1, COUNT(DISTINCT doc_id) AS d1,
