@@ -736,16 +736,26 @@ object EtlQueries {
     * a deterministic key slice so the output stays inspection-sized; the
     * oracle replays the identical window pipeline in SQL.
     *
-    * Scale posture: one shuffle on the dimension key (all three window
-    * steps share the same partitioning, so Catalyst plans a single
-    * exchange + sort reused by both window operators), map-side combine
-    * on the snapshot aggregate, and no self-joins — the lag/lead idiom
-    * replaces the O(n²) "next row per row" correlated subquery. */
+    * Scale posture: ONE shuffle for the whole build. The explicit
+    * repartition on the key alone satisfies every downstream
+    * distribution requirement — hashpartitioning(cust) is a subset of
+    * the snapshot aggregate's (cust, dt) clustering AND exactly both
+    * windows' partitioning — so Catalyst plans a single exchange whose
+    * output the aggregate and both window operators all reuse
+    * (PlanAuditSpec pins exchange count = 1). The trade: the snapshot
+    * aggregate runs post-shuffle without a map-side partial stage —
+    * right for change logs, whose (key, day) groups are near-singleton
+    * rows where partial aggregation saves nothing but the extra
+    * exchange would move the table twice. No self-joins — the lag/lead
+    * idiom replaces the O(n²) "next row per row" correlated subquery. */
   def e19Scd2(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val snap = orders(s, d).filter(col("o_custkey") % 100 === 1)
-      .groupBy(col("o_custkey").as("cust"), col("o_orderdate").as("dt"))
-      .agg(max(col("o_orderpriority")).as("attr"))
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("dt"),
+        col("o_orderpriority").as("pri"))
+      .repartition(col("cust"))
+      .groupBy(col("cust"), col("dt"))
+      .agg(max(col("pri")).as("attr"))
     val byCust = Window.partitionBy("cust").orderBy("dt")
     val changes = snap
       .withColumn("prev", lag(col("attr"), 1).over(byCust))

@@ -92,9 +92,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // BNLJ is acceptable only with a provably bounded build side: the
     // 1-row GateChecks verdict, q16's 1-row scalar-subquery broadcast,
     // and s1/s3's MaxQueries-limited query set
+    // t18's BNLJ build side is a single-row corpus-statistics aggregate
     val boundedBnlj = Set("q16_subquery", "s1_ann_brute", "s3_ann_ivf",
       "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
-      "q23_approx", "t4_fingerprint")
+      "q23_approx", "t4_fingerprint", "t18_bm25")
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing
     val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")
@@ -204,6 +205,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("isFinalPlan=true"), "AQE must have finalized")
     assert(p.contains("skew=true"),
       s"runtime skew split did not trigger:\n$p")
+  }
+
+  test("e19 SCD2: snapshot aggregate and both windows share ONE key exchange") {
+    // the explicit repartition(cust) satisfies the aggregate's (cust, dt)
+    // clustering and both windows' partitioning — a second hash exchange
+    // means the pipeline re-shuffles the change log at 100 TB
+    val p = plan(operators.EtlQueries.e19Scd2(spark, sf))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"aggregate + lag/lead must reuse one key exchange:\n$p")
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(p).size
+    // + the final presentation sort's range exchange; nothing more
+    assert(exchanges <= 2, s"unexpected extra exchange:\n$p")
+  }
+
+  test("e18: the runtime bloom filter is optimizer-injected, and declined for broadcast joins") {
+    import org.apache.spark.sql.functions.col
+    // injection case is gated in e18 itself (bloom_ok); here pin the
+    // negative: with broadcast allowed, InjectRuntimeFilter correctly
+    // declines (a broadcast join's build side already prunes the probe)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val fact = graft.Tables.lineitem(ns, sf).select(col("l_partkey"), col("l_extendedprice"))
+    val dim = graft.Tables.part(ns, sf).filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val broadcastPlan = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      .queryExecution.optimizedPlan.toString
+    assert(!broadcastPlan.contains("might_contain"),
+      s"bloom filter should not be injected for a broadcastable join:\n$broadcastPlan")
   }
 
   test("t12 percentiles aggregate partially before the source shuffle") {
