@@ -347,7 +347,45 @@ object PipelineExt {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------- d14_snapshot_diff
+  /** Dataset snapshot diff — the drift audit run between two versions of
+    * a corpus before retraining ("what changed since the last crawl?"):
+    * rows present only in the new snapshot are `added`, only in the old
+    * `removed`, in both with a differing payload `changed`, else
+    * `unchanged`, rolled up per source. The two snapshots are derived
+    * deterministically from the documents table (old = doc_id % 5 ≠ 0,
+    * new = doc_id % 7 ≠ 0 with every third doc re-scored +10 chars — a
+    * synthetic re-crawl), so the oracle recomputes the same diff from
+    * the untouched parquet.
+    *
+    * Scale posture: ONE full-outer shuffle join keyed on the row id —
+    * the categorization is pure row-local expression work on the joined
+    * row, and the per-(source, status) rollup aggregates map-side. No
+    * driver collection, no anti-join double-pass (a FULL OUTER join
+    * yields added/removed/changed in one exchange; the common
+    * anti+anti+inner idiom scans both snapshots three times). */
+  def d14SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val old = base.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source").as("o_source"),
+        col("n_chars").as("o_chars"), lit(1).as("o_present"))
+    val nw = base.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("n_source"),
+        (col("n_chars") + when(col("doc_id") % 3 === 0, 10L).otherwise(0L))
+          .as("n_chars2"), lit(1).as("n_present"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("o_present").isNull, "added")
+          .when(col("n_present").isNull, "removed")
+          .when(col("o_chars") =!= col("n_chars2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(coalesce(col("o_source"), col("n_source")).as("src"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("src"), col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_snapshot_diff" -> d14SnapshotDiff,
     "d7_dup_clusters" -> d7DupClusters,
     "d12_dup_clusters_star" -> d12DupClustersStar,
     "t7_redact_pii" -> t7RedactPii,
@@ -359,6 +397,20 @@ object PipelineExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d14_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |n AS (SELECT doc_id, source,
+        |    n_chars + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END AS n_chars2
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT COALESCE(o.source, n.source) AS src,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.n_chars <> n.n_chars2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // transitive closure via recursive CTE over the same d3 pair semantics;
     // cluster id = min reachable doc id
     "d7_dup_clusters" ->

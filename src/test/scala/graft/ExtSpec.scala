@@ -36,6 +36,25 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 snapshot diff: categories reconcile with snapshot cardinalities") {
+    val rows = PipelineExt.d14SnapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def total(status: String) =
+      rows.collect { case ((_, s), n) if s == status => n }.sum
+    // recompute the two snapshot sizes straight from the raw table
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val oldN = docs.count(_ % 5 != 0).toLong
+    val newN = docs.count(_ % 7 != 0).toLong
+    // every old row is removed/changed/unchanged; every new row is
+    // added/changed/unchanged — the diff must tile both snapshots exactly
+    assert(total("removed") + total("changed") + total("unchanged") == oldN)
+    assert(total("added") + total("changed") + total("unchanged") == newN)
+    // changed = rows in both snapshots whose doc_id % 3 == 0 (the +10 rescore)
+    val changedTruth = docs.count(d => d % 5 != 0 && d % 7 != 0 && d % 3 == 0).toLong
+    assert(total("changed") == changedTruth)
+  }
+
   test("d12 star contraction and d7 label propagation agree exactly") {
     val d7 = PipelineExt.d7DupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
