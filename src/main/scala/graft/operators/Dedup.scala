@@ -321,6 +321,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------ d15_source_overlap
+  /** Cross-source duplicate overlap matrix — the corpus-composition audit
+    * run before mixing sources into a training set ("how much of source A
+    * is already in source B?"): for every unordered source pair, the
+    * number of distinct normalized documents (d2's sorted-word-set key)
+    * present in both. High overlap means double-counting under naive
+    * mixture weights; disjoint sources compose cleanly.
+    *
+    * Scale posture: one distinct on slim (source, 64-bit key) rows — the
+    * key is hashed scan-side (xxhash64 + length, d13's argument) so the
+    * shuffle never carries document text — then a self-equi-join on the
+    * key. Per-key fan-out is bounded by the number of SOURCES carrying
+    * that key (never by corpus size), and real pipelines have hundreds of
+    * sources at most, so the join output is linear in distinct keys. */
+  def d15SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val norm = array_join(array_sort(array_distinct(toks)), " ")
+    val k = documents(s, d)
+      .select(col("source"), xxhash64(norm).as("k1"), length(norm).as("k2"))
+      .distinct()
+    val a = k.select(col("source").as("src_a"), col("k1"), col("k2"))
+    val b = k.select(col("source").as("src_b"),
+      col("k1").as("k1b"), col("k2").as("k2b"))
+    a.join(b, col("k1") === col("k1b") && col("k2") === col("k2b") &&
+        col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ----------------------------------------------- d6_embedding_neardup
   /** Embedding-cosine near-dup, blocked on the label column (the ANN-bucket
     * stand-in): exact in-order double accumulation so DuckDB reproduces the
@@ -349,7 +378,8 @@ object Dedup {
     "d5_simhash_dup" -> d5SimhashDup,
     "d6_embedding_neardup" -> d6EmbeddingNearDup,
     "d11_incremental_dedup" -> d11IncrementalDedup,
-    "d13_canonicalize" -> d13Canonicalize
+    "d13_canonicalize" -> d13Canonicalize,
+    "d15_source_overlap" -> d15SourceOverlap
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -393,6 +423,16 @@ object Dedup {
         |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
         |    / len(list_distinct(list_cat(a.w, b.w))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    // joins on the raw normalized key where the Spark side joins its
+    // 64-bit hash — collision-equivalent (d13's accepted argument)
+    "d15_source_overlap" ->
+      """WITH k AS (SELECT DISTINCT source,
+        |    array_to_string(list_sort(list_distinct(
+        |      string_split_regex(trim(text), '\s+'))), ' ') AS key
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |FROM k a JOIN k b ON a.key = b.key AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d6_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -312,7 +312,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------- t21_chunk_sliding
+  /** Sliding-window text chunking — the RAG/context-window prep step that
+    * splits each document into fixed-size token windows with overlap
+    * (50-token chunks, stride 40 → 10 tokens shared between neighbors, so
+    * no retrieval boundary loses cross-chunk context). Emits one row per
+    * chunk with its 1-based token offset, length, and an md5 of the chunk
+    * text (the content column both engines can hash identically; m4 is
+    * the binary-payload cousin, this is the token-aligned text path).
+    *
+    * Scale posture: pure per-row work — tokenize once, explode a
+    * chunk-index sequence of length ⌈(n−C)/S⌉+1, slice from the already
+    * materialized token array. No shuffle at all except the output
+    * ORDER BY; the explode fan-out is ~n/S rows per doc, linear in corpus
+    * tokens, and never leaves the input partition. */
+  def t21ChunkSliding(s: SparkSession, d: String): DataFrame = {
+    val C = 50
+    val S = 40
+    documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("i", explode(sequence(lit(0L),
+        when(col("n") <= C, lit(0L))
+          .otherwise(ceil((col("n") - C) / lit(S.toDouble))))))
+      .select(col("doc_id"), col("i").as("chunk_id"),
+        (col("i") * S + 1).as("start_tok"),
+        least(lit(C.toLong), col("n") - col("i") * S).as("n_toks"),
+        md5(array_join(slice(col("toks"), (col("i") * S + 1).cast("int"),
+          least(lit(C), (col("n") - col("i") * S)).cast("int")), " "))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_chunk_sliding" -> t21ChunkSliding,
     "t20_bigram_lm" -> t20BigramLm,
     "t19_profile" -> t19Profile,
     "t18_bm25" -> t18Bm25,
@@ -327,6 +360,24 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same C=50/S=40 windows; DuckDB's scalar range() is exclusive-end so
+    // the chunk count is 1 + ceil((n-C)/S); list slices are 1-based
+    // inclusive like Spark's slice(start, length) once rewritten
+    "t21_chunk_sliding" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        |x AS (SELECT doc_id, toks, n,
+        |    unnest(range(0, 1 + CASE WHEN n <= 50 THEN 0
+        |      ELSE CAST(CEIL((n - 50) / 40.0) AS BIGINT) END)) AS i
+        |  FROM m)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(i * 40 + 1 AS BIGINT) AS start_tok,
+        |  CAST(LEAST(50, n - i * 40) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(
+        |    toks[(i * 40 + 1):(i * 40 + LEAST(50, n - i * 40))], ' '))
+        |    AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     "t20_bigram_lm" ->
       """WITH arr AS (
         |  SELECT doc_id, list_filter(list_transform(

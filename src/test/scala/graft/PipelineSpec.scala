@@ -56,6 +56,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d15 source overlap: pair counts match a brute-force recount") {
+    val got = Dedup.d15SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // truth: normalized key -> distinct sources, then every unordered pair
+    val bySrcKey = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        array_join(array_sort(array_distinct(
+          split(trim(col("text")), "\\s+"))), " ").as("key"))
+      .collect().map(r => (r.getString(0), r.getString(1))).distinct
+    val truth = bySrcKey.groupBy(_._2).values.flatMap { g =>
+      val srcs = g.map(_._1).sorted
+      for (i <- srcs.indices; j <- (i + 1) until srcs.length)
+        yield (srcs(i), srcs(j))
+    }.groupBy(identity).map { case (p, occ) => p -> occ.size.toLong }
+    assert(got == truth, s"diff: ${(got.toSet diff truth.toSet).take(3)} / " +
+      s"${(truth.toSet diff got.toSet).take(3)}")
+    assert(got.nonEmpty, "testdata must contain cross-source duplicates")
+  }
+
+  test("t21 chunking: windows tile each document with stride 40 and exact md5s") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val chunks = graft.operators.TextAnalysis.t21ChunkSliding(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    assert(chunks.keySet == docs.keySet, "every document must be chunked")
+    docs.foreach { case (id, toks) =>
+      val n = toks.length
+      val cs = chunks(id).sortBy(_._2)
+      val expected = if (n <= 50) 1 else math.ceil((n - 50) / 40.0).toInt + 1
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks, want $expected")
+      cs.zipWithIndex.foreach { case ((_, cid, start, len, hash), idx) =>
+        assert(cid == idx && start == idx * 40L + 1)
+        assert(len == math.min(50L, n - idx * 40L))
+        assert(hash == md5hex(
+          toks.slice(idx * 40, idx * 40 + len.toInt).mkString(" ")))
+      }
+      // the final window must reach the last token: nothing is dropped
+      val (_, _, lastStart, lastLen, _) = cs.last
+      assert(lastStart + lastLen - 1 == n, s"doc $id tail uncovered")
+    }
+  }
+
   test("t14 blocklist: top grams ordered (n desc, gram), counts match a recount") {
     val rows = graft.operators.TextAnalysis.t14NgramBlocklist(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
