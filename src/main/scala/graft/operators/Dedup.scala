@@ -370,7 +370,102 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // ------------------------------------------------ d16_semantic_dedup
+  /** SemDeDup-style semantic near-dup: embedding-cosine pairs at θ ≥ 0.4
+    * blocked by the LEARNED k-means clusters of the persisted IVF index —
+    * d6 without its label column. d6's blocking needs a curated label;
+    * real crawl corpora have none, so the semantic-dedup recipe clusters
+    * first and compares only within clusters (SemDeDup — PAPERS.md). The
+    * candidate surface is the index's own inverted lists, so dedup rides
+    * the same artifact ANN serving uses; candidates are rescored with the
+    * exact native-kernel cosine, making precision exact by construction —
+    * only recall (a true pair straddling a cluster boundary) is
+    * approximate, and it is gated below.
+    *
+    * Scale posture: the pairwise surface is bounded per cluster (K
+    * shuffle-free parquet partitions of the corpus); nothing else is
+    * quadratic. At 100 TB the knob is IvfIndex.K (K ~ √n keeps cluster
+    * blocks √n-sized); the shape is unchanged. */
+  def d16Found(s: SparkSession, d: String): DataFrame = {
+    val model = IvfIndex.loadModel(s, IvfIndex.ensure(s, d))
+    val ds = IvfIndex.dists(model)
+    // top-P cluster ids by squared distance: cutoff = P-th smallest dist,
+    // assignment = every cluster at or under it (ties may exceed P —
+    // deterministic and recall-safe). Pure per-row expression work off the
+    // broadcast K-row model; the corpus scans once.
+    val cutoff = element_at(array_sort(ds), D16Probes)
+    val assigned = filter(sequence(lit(0), lit(IvfIndex.K - 1)),
+      i => element_at(ds, i + 1) <= cutoff)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm2(col("embedding")).as("n2"),
+        explode(assigned).as("c"))
+    val a = e.select(col("c"), col("vec_id").as("a_id"),
+      col("embedding").as("va"), col("n2").as("na"))
+    val b = e.select(col("c").as("cb"), col("vec_id").as("b_id"),
+      col("embedding").as("vb"), col("n2").as("nb"))
+    val cos = VectorOps.dot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+    a.join(b, col("c") === col("cb") && col("a_id") < col("b_id"))
+      // a pair sharing several probed clusters meets the join up to P
+      // times: rescore and threshold FIRST (cheap codegen'd dot per
+      // occurrence, deterministic per pair), so the dedup shuffle carries
+      // only the slim surviving (a_id, b_id, cos) rows — deduping before
+      // the rescore would shuffle both embedding vectors per candidate
+      // (measured 8 s vs 1 s at sf0.1)
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
+      .filter(col("cos") >= D16Theta)
+      .dropDuplicates("a_id", "b_id")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Multi-probe width: each vector joins its P nearest clusters, so a
+    * true pair is missed only when the two P-sets are disjoint. Candidate
+    * volume is ~P²/K of brute force — the knob pair (P fixed small, K
+    * grown with corpus) keeps the block quadratic bounded at scale. */
+  private val D16Probes = 4
+
+  private val D16Theta = 0.4
+  /** Measured floor (NOTES trend table; re-measure via `graft.tools
+    * .Measure` before touching): slice recall 1.00/0.93 at sf0.01/sf0.1
+    * with P=4 probes (full-pair recall 0.98/0.97), floor = measured −
+    * ~20 pts. */
+  private val D16Floor = 0.70
+
+  /** The gate's truth slice: exact cos ≥ θ pairs INCIDENT to the 64
+    * deterministic probe vectors (s1's broadcast bound) — linear in corpus
+    * size, the same bounded-truth shape the s2/s3 recall gates use. An
+    * all-pairs twin would be quadratic, which GateChecks forbids; the
+    * offline Measure tool reports recall against BOTH this slice and the
+    * full pair set at test SFs. */
+  def d16TruthSlice(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(Similarity.MaxQueries)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pv"),
+        col("n2").as("pn"))
+    val cos = VectorOps.dot(col("pv"), col("embedding")) /
+      sqrt(col("pn") * col("n2"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("p_id"))
+      .filter(cos >= D16Theta)
+      .select(least(col("p_id"), col("vec_id")).as("a_id"),
+        greatest(col("p_id"), col("vec_id")).as("b_id"))
+      .distinct()
+  }
+
+  /** The gated query: recall over the truth slice ≥ floor, or zero rows. */
+  def d16SemanticDedup(s: SparkSession, d: String): DataFrame =
+    GateChecks.requireCached(d16Found(s, d), f =>
+      d16TruthSlice(s, d)
+        .join(f.select(col("a_id"), col("b_id"), lit(1).as("hit")),
+          Seq("a_id", "b_id"), "left_outer")
+        .agg((count(lit(1)) === 0 ||
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= D16Floor)
+          .as("gate_ok")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_semantic_dedup" -> ((s, d) => d16SemanticDedup(s, d)),
     "d1_dedup_exact" -> d1DedupExact,
     "d2_dedup_normalized" -> d2DedupNormalized,
     "d3_ngram_jaccard" -> d3NgramJaccard,

@@ -78,6 +78,31 @@ object Measure {
       println(s"s4 max approx-rank of a true top-5 member: ${trueRanks.max} " +
         s"(rescore window 32; matched ${trueRanks.length}/${brute.size})")
 
+    // d16 semantic-dedup recall: against the gate's own bounded truth
+    // slice (what the floor enforces) AND the full all-pairs truth (only
+    // computable offline at test SFs — quadratic). A gap between the two
+    // would mean the probe slice is unrepresentative of the corpus.
+    {
+      val found = Dedup.d16Found(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val slice = Dedup.d16TruthSlice(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val cos = graft.functions.VectorOps.dot(col("va"), col("vb")) /
+        sqrt(graft.functions.VectorOps.norm2(col("va")) *
+          graft.functions.VectorOps.norm2(col("vb")))
+      val full = a.join(b, col("a_id") < col("b_id"))
+        .filter(cos >= 0.4).select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def rec(t: Set[(Long, Long)]) =
+        if (t.isEmpty) 1.0 else found.intersect(t).size.toDouble / t.size
+      println(f"d16 recall vs gate slice: ${rec(slice)}%.4f (${found.intersect(slice).size}/${slice.size}); " +
+        f"vs full pairs: ${rec(full)}%.4f (${found.intersect(full).size}/${full.size})")
+    }
+
     // SimHash banding recall by hamming band: the SAME truth builder the
     // d5 gate uses (Dedup.d5Truth), so what Measure reports and what the
     // gate enforces are definitionally one population.

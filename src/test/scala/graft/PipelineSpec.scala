@@ -148,6 +148,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 semantic dedup: exact precision, recall >= 0.7 vs all-pairs truth") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val cos = graft.functions.VectorOps.dot(col("va"), col("vb")) /
+      sqrt(graft.functions.VectorOps.norm2(col("va")) *
+        graft.functions.VectorOps.norm2(col("vb")))
+    val truth = a.join(b, col("a_id") < col("b_id")).filter(cos >= 0.4)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.d16SemanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.nonEmpty, "gate self-check must pass at test SF")
+    // candidates are exact-rescored: no false positives, ever
+    assert(found.subsetOf(truth), s"false positives: ${found.diff(truth).take(3)}")
+    if (truth.nonEmpty) {
+      val recall = found.intersect(truth).size.toDouble / truth.size
+      assert(recall >= 0.7, s"recall $recall (truth=${truth.size}, found=${found.size})")
+    }
+  }
+
   test("ann-LSH results are a subset of brute-force candidates with decent recall") {
     val brute = Similarity.s1AnnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -93,9 +93,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row GateChecks verdict, q16's 1-row scalar-subquery broadcast,
     // and s1/s3's MaxQueries-limited query set
     // t18's BNLJ build side is a single-row corpus-statistics aggregate
+    // d16's two BNLJs are the 64-probe truth-slice broadcast (s1's bound)
+    // and the 1-row GateChecks verdict
     val boundedBnlj = Set("q16_subquery", "s1_ann_brute", "s3_ann_ivf",
       "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
-      "q23_approx", "t4_fingerprint", "t18_bm25")
+      "q23_approx", "t4_fingerprint", "t18_bm25", "d16_semantic_dedup")
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing
     val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")
