@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -154,7 +154,73 @@ object RelationalExt {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  // ------------------------------------------------------ q55_funnel
+  /** Ordered conversion funnel view → click → purchase: stage N counts
+    * users whose earliest stage-N event STRICTLY follows their stage-(N−1)
+    * entry time — the product-analytics primitive (who saw, then clicked,
+    * then bought, in that order). Emits per-stage user counts plus the
+    * summed view→stage lag so conversion latency rides along; all
+    * arithmetic is integer micros (`ts_ns div 1000`, matching DuckDB's
+    * micros-truncated read of the nanos column) so the oracle matches
+    * exactly.
+    *
+    * Scale posture: three groupBy-min aggregates and two joins, ALL keyed
+    * on user_id — partial aggregation collapses each user's events
+    * map-side, the per-stage frames are one slim row per qualifying user,
+    * and AQE reuses the user_id partitioning across the chain. Nothing
+    * scans events more than the three type-filtered passes (one per
+    * stage), each pushed down to the parquet scan. */
+  def q55Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("t_view"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t_click"), min(col("t_view")).as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") > col("t_click"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t_purchase"), min(col("t_view")).as("t_view"))
+    def stage(name: String, df: DataFrame, lag: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(lag), lit(0L)).as("sum_lag_us"))
+        .select(lit(name).as("stage"), col("n_users"), col("sum_lag_us"))
+    stage("1_view", v, lit(0L))
+      .unionByName(stage("2_click", c, col("t_click") - col("t_view")))
+      .unionByName(stage("3_purchase", p, col("t_purchase") - col("t_view")))
+      .orderBy(col("stage"))
+  }
+
+  // --------------------------------------------------- q56_retention
+  /** Weekly cohort retention: users are cohorted by their FIRST event's
+    * epoch day; each later event marks its user active in week
+    * (day − day₀) div 7 of that cohort. The classic growth triangle —
+    * n_active per (cohort day, week index) — in pure integer day/week
+    * arithmetic on both engines.
+    *
+    * Scale posture: one groupBy-min per user for the cohort anchor, one
+    * join back keyed on user_id, then a distinct + count keyed on
+    * (cohort, week, user) — every shuffle key contains user_id or the
+    * (cohort, week) rollup of it, aggregated map-side first. */
+  def q56Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      expr("ts_ns div 1000 div 86400000000").as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+    ev.join(cohorts, Seq("user_id"))
+      .select(col("day0"), expr("(day - day0) div 7").as("week"), col("user_id"))
+      .distinct()
+      .groupBy(col("day0"), col("week"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("day0"), col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_funnel" -> q55Funnel,
+    "q56_retention" -> q56Retention,
     "q43_latest_per_key" -> q43LatestPerKey,
     "q38_full_outer" -> q38FullOuter,
     "q39_stats_battery" -> q39StatsBattery,
@@ -164,6 +230,30 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q55_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(us) AS t_click, MIN(t_view) AS t_view
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(us) AS t_purchase, MIN(c.t_view) AS t_view
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t_click GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+        |  CAST(0 AS BIGINT) AS sum_lag_us FROM v
+        |UNION ALL SELECT '2_click', COUNT(*),
+        |  CAST(COALESCE(SUM(t_click - t_view), 0) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*),
+        |  CAST(COALESCE(SUM(t_purchase - t_view), 0) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
+    "q56_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |    FROM events),
+        |c AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY 1)
+        |SELECT day0, (day - day0) // 7 AS week, COUNT(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q38_full_outer" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
         |    FROM orders GROUP BY 1),

@@ -55,6 +55,44 @@ class ExtSpec extends AnyFunSuite {
     assert(total("changed") == changedTruth)
   }
 
+  test("q55 funnel: stages are monotone and match an in-memory replay") {
+    val rows = RelationalExt.q55Funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val Seq(v, c, p) = Seq("1_view", "2_click", "3_purchase").map(rows(_)._1)
+    assert(v >= c && c >= p, s"funnel must narrow: $v >= $c >= $p")
+    // replay the stage logic per user from the raw events
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts_ns div 1000 as us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val truth = ev.values.flatMap { es =>
+      def minAfter(tpe: String, after: Long) = {
+        val ts = es.filter(e => e._2 == tpe && e._3 > after).map(_._3)
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      for (tv <- minAfter("view", Long.MinValue))
+        yield (tv, minAfter("click", tv).map(tc => (tc, minAfter("purchase", tc))))
+    }.toSeq
+    assert(v == truth.size)
+    val clicks = truth.flatMap(_._2)
+    assert(c == clicks.size)
+    val purchases = clicks.flatMap(_._2)
+    assert(p == purchases.size)
+    assert(rows("2_click")._2 ==
+      truth.flatMap(t => t._2.map(_._1 - t._1)).sum)
+  }
+
+  test("q56 retention: week-0 actives per cohort sum to the user population") {
+    val rows = RelationalExt.q56Retention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every user is active in week 0 of their own cohort, exactly once
+    val week0 = rows.filter(_._2 == 0L).map(_._3).sum
+    val users = graft.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(week0 == users, s"week-0 total $week0 != $users users")
+    rows.foreach { case (_, w, n) => assert(w >= 0 && n > 0) }
+  }
+
   test("d12 star contraction and d7 label propagation agree exactly") {
     val d7 = PipelineExt.d7DupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
