@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev aid: print the executed plan of named gate queries —
+  * `sbt "runMain graft.tools.PlanDump q55_funnel d15_source_overlap"`.
+  * The audit loop is: dump the plan here, decide what property makes it
+  * scale, pin that property in PlanAuditSpec. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    for (n <- args) {
+      println(s"===== $n")
+      println(graft.SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString.take(6000))
+    }
+    spark.stop()
+  }
+}

@@ -88,6 +88,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected a single window exchange:\n$p")
   }
 
+  test("d14 snapshot diff: ONE full-outer join, text column never read") {
+    val p = plan(operators.PipelineExt.d14SnapshotDiff(spark, sf))
+    assert(p.split("FullOuter").length - 1 == 1,
+      s"diff must be a single full-outer join, not anti+anti+inner:\n$p")
+    assert(!p.contains("text"), "snapshot diff reads 3 slim columns, never the payload")
+  }
+
+  test("t21 chunking: pure per-row work — no shuffle before the output sort") {
+    val p = plan(operators.TextAnalysis.t21ChunkSliding(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle (explode+slice are row-local):\n$p")
+    assert(p.contains("Generate explode"), "the chunk-index fan-out is a Generate")
+  }
+
+  test("d15 source overlap: self-join keys on the 64-bit hash, not document text") {
+    val p = plan(Dedup.d15SourceOverlap(spark, sf))
+    assert("""Join \[k1#\d""".r.findFirstIn(p).isDefined,
+      s"join must be keyed on the hashed key pair:\n${p.take(1500)}")
+    // the distinct collapses each (source, key) BEFORE the join: no raw
+    // text column crosses an exchange
+    assert(!"(?s)Exchange [^\\n]*text#".r.findFirstIn(p).isDefined,
+      "document text must never be a shuffle column")
+  }
+
+  test("q55 funnel: per-stage type filters reach the scan; shuffles key on user_id") {
+    val p = plan(operators.RelationalExt.q55Funnel(spark, sf))
+    Seq("view", "click", "purchase").foreach(t =>
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"stage filter for '$t' must be pushed to the parquet scan"))
+    // every wide shuffle is the per-user aggregate; the only others are
+    // the three 1-row SinglePartition stage rollups
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashEx == Set("user_id"), s"unexpected shuffle keys $hashEx:\n${p.take(1200)}")
+  }
+
+  test("q56 retention: scan pruned to (ts, user_id); cohort anchor aggregates map-side") {
+    val p = plan(operators.RelationalExt.q56Retention(spark, sf))
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
+      "retention reads two columns of the event log")
+    assert(p.contains("partial_min"), "the cohort anchor must combine map-side")
+  }
+
   test("NO gate query plans a cartesian product; nested-loop joins only where bounded") {
     // BNLJ is acceptable only with a provably bounded build side: the
     // 1-row GateChecks verdict, q16's 1-row scalar-subquery broadcast,
