@@ -350,6 +350,59 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // ----------------------------------------------- d17_substring_dedup
+  /** Exact substring-level dedup — the span-level complement of the
+    * doc-level operators above: maximal word spans of length >= K that
+    * occur in MORE THAN ONE document. Single-node corpus dedup builds a
+    * suffix array for this (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"); the distributed shape replaces it
+    * with a linear K-gram fingerprint pipeline:
+    *
+    *   1. one pass builds every K-gram start per doc with array ops —
+    *      no self-join, no explode-then-rejoin of token rows;
+    *   2. one shuffle groups grams to find cross-doc repeats, where
+    *      `min(doc_id) != max(doc_id)` is the fully partial-aggregatable
+    *      ">= 2 distinct docs" test (no distinct-count expansion);
+    *   3. a semi join marks each doc's duplicated gram starts;
+    *   4. a per-doc window merges adjacent starts into maximal spans
+    *      (gaps-and-islands — a run of duplicated starts p..q covers
+    *      words [p, q+K-1]).
+    *
+    * Shuffles are keyed on the 64-bit gram hash (collision-equivalent to
+    * the gram text — d13's accepted argument; the oracle groups the raw
+    * gram) and on doc_id; every stage is linear in total token count.
+    * All-integer output, so the hash compare is exact. */
+  def d17SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 8
+    val toksDf = documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= K) // shorter docs cannot contain a K-gram
+    // struct-of-(pos, gram-hash) built in one transform; sequence() is
+    // guarded non-negative by the length filter above
+    val grams = toksDf
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $K), " +
+          s"i -> struct(i AS pos, xxhash64(array_join(slice(w, i + 1, $K), ' ')) AS gh))")).as("g"))
+      .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gh").as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .select(col("gh"))
+    val marked = grams.join(dup, Seq("gh"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk", when(col("pos") === col("prev") + 1, 0L).otherwise(1L))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (K - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + K).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   // ----------------------------------------------- d6_embedding_neardup
   /** Embedding-cosine near-dup, blocked on the label column (the ANN-bucket
     * stand-in): exact in-order double accumulation so DuckDB reproduces the
@@ -474,10 +527,28 @@ object Dedup {
     "d6_embedding_neardup" -> d6EmbeddingNearDup,
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "d13_canonicalize" -> d13Canonicalize,
-    "d15_source_overlap" -> d15SourceOverlap
+    "d15_source_overlap" -> d15SourceOverlap,
+    "d17_substring_dedup" -> d17SubstringDedup
   )
 
   val oracleSql: Map[String, String] = Map(
+    // groups the raw gram text where the Spark side groups its 64-bit
+    // hash — collision-equivalent (d13's accepted argument)
+    "d17_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |grams AS (SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 7)) AS i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |marked AS (SELECT g.doc_id, g.pos FROM grams g SEMI JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |    SUM(CASE WHEN pos = prev + 1 THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM marked))
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |       MAX(pos) - MIN(pos) + 8 AS span_len
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     // groups on the raw normalized key — the Spark side's 64-bit hash of
     // it is collision-equivalent; divergence would fail the hash compare
     "d13_canonicalize" ->

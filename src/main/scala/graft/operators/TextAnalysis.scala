@@ -344,7 +344,80 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // ----------------------------------------------------- t22_bpe_train
+  /** Distributed BPE tokenizer merge training (Sennrich et al. 2016,
+    * marker-free variant: initial symbols are single characters and
+    * merges never cross a word boundary). The corpus collapses to a
+    * (word, count) vocabulary in ONE shuffle; at 100 TB that table is
+    * still a distributed Dataset, so each merge round is a map-side-
+    * combined pair-count aggregate over it — never a driver iteration.
+    * Only the single argmax row is collected per round (model-sized,
+    * like the IVF centroids — do not copy this pattern for row data);
+    * the winning pair is applied as a leftmost-non-overlapping fold
+    * over the symbol arrays (higher-order `aggregate`, no UDF), and
+    * each round's vocabulary is localCheckpoint'ed so the plan stays
+    * flat and earlier rounds are never recomputed (d7's technique).
+    * Pair counts are overlapping-adjacent (a run "aaa" counts (a,a)
+    * twice — the convention both engines implement identically); ties
+    * break on (count DESC, a, b) so the merge sequence is
+    * deterministic. All counts are exact integers. */
+  def t22BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t22Train(s, d)._1
+      .toDF("merge_round", "sym_a", "sym_b", "merged", "pair_count")
+      .orderBy(col("merge_round"))
+  }
+
+  /** Spec hook: the vocabulary Dataset as it stands after the final merge
+    * round — its lineage must be the checkpoint, not the corpus scan. */
+  private[graft] def t22VocabAfterTraining(s: SparkSession, d: String): DataFrame =
+    t22Train(s, d)._2
+
+  private def t22Train(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val rounds = 6
+    // [a-z]+ filter keeps the oracle's delimiter representation safe
+    // (symbols can then never contain '|'); the synthetic corpus is
+    // all-lowercase already, so both engines filter identically
+    val vocab0 = documents(s, d)
+      .select(explode(tokens).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("s"))
+    var vocab = vocab0.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = vocab
+        .where(size(col("s")) >= 2) // guards sequence() against negatives
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(s) - 2), " +
+            "i -> struct(element_at(s, i + 1) AS a, element_at(s, i + 2) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()(0) // exactly one argmax row per round — model-sized
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      val m = a + b
+      merges += ((r, a, b, m, c))
+      // leftmost non-overlapping merge of (a,b) -> m as a fold; get() is
+      // 0-based and null-safe, so the empty-accumulator probe is legal
+      // under ANSI mode (element_at(-1) on [] would throw)
+      val fold = aggregate(
+        col("s"),
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(x))))
+      vocab = vocab.withColumn("s", fold).localCheckpoint()
+    }
+    (merges.toSeq, vocab)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bpe_train" -> t22BpeTrain,
     "t21_chunk_sliding" -> t21ChunkSliding,
     "t20_bigram_lm" -> t20BigramLm,
     "t19_profile" -> t19Profile,
@@ -359,7 +432,46 @@ object TextAnalysis {
     "t6_pipeline" -> t6Pipeline
   )
 
+  /** t22's oracle unrolls the merge loop: each round re-counts adjacent
+    * pairs and applies the winning merge via replace() on a DOUBLE-
+    * delimited symbol string ('||a||b||'): a match '|a||b|' consumes one
+    * delimiter from each side, leaving one, so consecutive merge sites
+    * still match within the same leftmost non-overlapping scan — the
+    * identical convention to the Spark fold. MATERIALIZED pins each CTE
+    * to evaluate once; default inlining re-expands the round chain
+    * exponentially (each round references the previous one five times). */
+  private def t22OracleSql: String = {
+    val rounds = 6
+    val sb = new StringBuilder(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  WHERE word SIMILAR TO '[a-z]+' GROUP BY word),
+        |r0 AS MATERIALIZED (SELECT cnt, '||' || array_to_string(list_transform(
+        |    range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), '||') || '||' AS repr
+        |  FROM w0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |p$r AS MATERIALIZED (SELECT s[CAST(i+1 AS INT)] AS a, s[CAST(i+2 AS INT)] AS b,
+        |    CAST(SUM(cnt) AS BIGINT) AS c
+        |  FROM (SELECT cnt, string_split(trim(repr, '|'), '||') AS s FROM r$p),
+        |       LATERAL (SELECT unnest(range(0, len(s) - 1)) AS i) GROUP BY 1, 2),
+        |t$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+        |r$r AS MATERIALIZED (SELECT cnt, replace(repr,
+        |    '|' || (SELECT a FROM t$r) || '||' || (SELECT b FROM t$r) || '|',
+        |    '|' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || '|') AS repr FROM r$p)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (")
+    sb.append((1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS merge_round, a AS sym_a, b AS sym_b, " +
+        s"a||b AS merged, c AS pair_count FROM t$r").mkString(" UNION ALL "))
+    sb.append(") ORDER BY merge_round")
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t22_bpe_train" -> t22OracleSql,
     // same C=50/S=40 windows; DuckDB's scalar range() is exclusive-end so
     // the chunk count is 1 + ceil((n-C)/S); list slices are 1-based
     // inclusive like Spark's slice(start, length) once rewritten
