@@ -380,11 +380,14 @@ object Dedup {
       .where(size(col("w")) >= K) // shorter docs cannot contain a K-gram
     // struct-of-(pos, gram-hash) built in one transform; sequence() is
     // guarded non-negative by the length filter above
-    val grams = toksDf
+    // the gram stage feeds both the dup-test aggregate and the semi
+    // join's probe side — cache it once (released per-query by the
+    // runner via CacheScope) instead of recomputing scan+transform twice
+    val grams = CacheScope.persist(toksDf
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $K), " +
           s"i -> struct(i AS pos, xxhash64(array_join(slice(w, i + 1, $K), ' ')) AS gh))")).as("g"))
-      .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gh").as("gh"))
+      .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gh").as("gh")))
     val dup = grams.groupBy(col("gh"))
       .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .where(col("lo") =!= col("hi"))
