@@ -323,8 +323,11 @@ object Cli {
         r.load()
       case (None, Some(dir)) =>
         // parquet TIMESTAMP(NANOS) columns surface as epoch-nanos longs —
-        // same policy as TypeMapping (Spark tops out at micros)
+        // same policy as TypeMapping (Spark tops out at micros); MICROS
+        // columns surface as TimestampType with the raw stored value
+        // (NTZ inference off), matching Tables.events' sniffing contract
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         Files.list(Paths.get(dir)).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .foreach { p =>

@@ -665,21 +665,34 @@ object EtlQueries {
   def e17IncrementalAgg(s: SparkSession, d: String): DataFrame = {
     val dir = scratchDir("graft-e17")
     val snap = dir.resolve("snap").toString
-    val ev = events(s, d)
-      .select(col("event_type"), col("value"), col("ts_ns"))
+    // The cut predicate must sit on the STORED time column so it reaches the
+    // parquet scan's PushedFilters: `ts_ns` on the legacy nanos-long
+    // encoding, `ts` on the micros-timestamp encoding (the other one is
+    // computed by the loader and would filter post-scan). The merge totals
+    // are cut-invariant (base + delta covers every row wherever the cut
+    // lands), so only the pushdown shape depends on this choice.
+    val evAll = events(s, d) // also sets the parquet reader confs
+    val legacyNanos = s.read.parquet(s"$d/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val ev = evAll.select(col("event_type"), col("value"), col("ts"), col("ts_ns"))
     // model-sized driver scalar (two longs) — do NOT copy this pattern
     // for row data; it only bounds the synthetic base/delta split
     val mm = ev.agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
-    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val cutNs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val (basePred, deltaPred) =
+      if (legacyNanos) (col("ts_ns") <= cutNs, col("ts_ns") > cutNs)
+      else {
+        val cutTs = timestamp_micros(lit(cutNs / 1000L))
+        (col("ts") <= cutTs, col("ts") > cutTs)
+      }
     // "yesterday": base rows aggregated once, snapshot persisted partial
-    e17Partial(ev.filter(col("ts_ns") <= cut)).write.parquet(snap)
+    e17Partial(ev.filter(basePred)).write.parquet(snap)
     // "today": only the delta slice is aggregated; the merge re-aggregates
     // the union of two partial tables — no base row is read again
     val merged = e17Merge(s.read.parquet(snap)
-      .unionByName(e17Partial(ev.filter(col("ts_ns") > cut))))
+      .unionByName(e17Partial(ev.filter(deltaPred))))
     val plan = merged.queryExecution.executedPlan.toString
-    // the delta predicate pushes through the ts→ts_ns rename, so the
-    // scan's PushedFilters may name either the physical or aliased column
+    // matches GreaterThan(ts… and GreaterThan(ts_ns… alike
     val incrementalOk =
       "events\\.parquet".r.findAllIn(plan).size == 1 &&
         plan.contains("GreaterThan(ts")

@@ -19,8 +19,13 @@ import graft.operators.Relational
   */
 object StreamingOps {
 
-  /** Events schema as the stream source sees it (ts arrives as epoch-nanos
-    * long, the TypeMapping nano policy). */
+  /** Schema for FABRICATED feed frames (sentinel flush rows and the staged
+    * `Tables.events` re-dump, both of which carry `ts` as epoch-nanos long).
+    * This is NOT the schema of the driver's raw `events.parquet` — that
+    * file's `ts` encoding varies by testdata generation, so
+    * [[readEventStream]] sniffs the actual staged files instead of forcing
+    * a type (forcing LongType onto a TIMESTAMP(MICROS) column silently
+    * reads micros as "nanos", shrinking event time 1000×). */
   val eventSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -95,12 +100,23 @@ object StreamingOps {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
   }
 
-  /** File-source stream over a directory of event parquet files. */
+  /** File-source stream over a directory of event parquet files.
+    *
+    * The file source requires an explicit schema, but the feed's `ts`
+    * encoding varies (staged nanos-long feeds vs the driver's raw
+    * TIMESTAMP(MICROS) file — see [[eventSchema]]), so the schema comes
+    * from a one-off batch footer read of the same directory and
+    * [[graft.Tables.normalizeEventTs]] maps whichever encoding arrived to
+    * the (`ts_ns` nanos-long, `ts` micros-timestamp) contract. The batch
+    * sniff reads only footers (schema resolution, no data scan) — a real
+    * deployment does the same once at stream definition time, not
+    * per micro-batch. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val feedSchema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(feedSchema).parquet(dir))
   }
 
   /** Tumbling 1-hour windows per event type with a 10-minute watermark —

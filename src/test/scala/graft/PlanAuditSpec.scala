@@ -126,8 +126,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q56 retention: scan pruned to (ts, user_id); cohort anchor aggregates map-side") {
     val p = plan(operators.RelationalExt.q56Retention(spark, sf))
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"),
-      "retention reads two columns of the event log")
+    // ts is bigint (legacy nanos encoding) or timestamp (micros encoding);
+    // either way the scan reads exactly these two columns
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>") ||
+      p.contains("ReadSchema: struct<ts:timestamp,user_id:bigint>"),
+      s"retention reads two columns of the event log:\n${p.take(1200)}")
     assert(p.contains("partial_min"), "the cohort anchor must combine map-side")
   }
 
