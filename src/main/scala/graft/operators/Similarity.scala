@@ -68,6 +68,25 @@ object Similarity {
         s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
       .orderBy(col("q_id"), col("rank"))
 
+  /** s2's candidate stage alone — the part whose plan shape carries the
+    * 100 TB claim, exposed so LshSpec can audit it: both sides read the
+    * PERSISTED bucketed band table ([[LshIndex.bandedTable]], bucketed on
+    * the (i, v) join key at build time), so the equi join plans with ZERO
+    * exchanges — the corpus is never shuffled per probe. The merge hint
+    * pins the sort-merge shape the bucketing pays for (at toy SF the
+    * optimizer would broadcast the query side, hiding the layout's value
+    * from the audit; at scale the query side is unbounded and SMJ over
+    * co-bucketed sides is the honest plan). */
+  private[graft] def s2Candidates(s: SparkSession, d: String): DataFrame = {
+    val corpus = LshIndex.bandedTable(s, LshIndex.ensure(s, d))
+    val q = corpus.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("n2").as("qn2"), col("i").as("qi"), col("v").as("qvalue"))
+    corpus.hint("merge").join(q,
+      col("i") === col("qi") && col("v") === col("qvalue") &&
+        col("vec_id") =!= col("q_id"))
+  }
+
   /** s2's pure search path (candidate generation + exact rescoring),
     * separate from the gate so the plan can be audited: the candidate
     * join must stay keyed on (band, bucket) — the gate's bounded
@@ -75,21 +94,14 @@ object Similarity {
     * excluded from that audit.
     *
     * Since round 7 the signatures come from the PERSISTED [[LshIndex]]
-    * (sign-once/probe-many): every execution reads (vec_id, embedding,
-    * n2, sig) from the index parquet and derives band values by bit ops —
-    * no hyperplane product and no raw-embeddings scan on the probe path
-    * (LshSpec pins both). Both join sides read the index: the query side
-    * is the same table filtered to query vectors. */
+    * (sign-once/probe-many): no hyperplane product and no raw-embeddings
+    * scan on the probe path (LshSpec pins both). Since round 8 the probe
+    * reads the BUCKETED banded table, so candidate generation adds no
+    * exchange at all ([[s2Candidates]]); the only remaining shuffles are
+    * the candidate dedup and the per-query top-k — both proportional to
+    * candidate volume, not corpus size. */
   private[graft] def s2Found(s: SparkSession, d: String): DataFrame = {
-    val banded = LshIndex.banded(
-      LshIndex.signatures(s, LshIndex.ensure(s, d)))
-    val q = banded.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("n2").as("qn2"), col("i").as("qi"), col("v").as("qvalue"))
-    val cand = banded.join(q,
-        col("i") === col("qi") && col("v") === col("qvalue") &&
-          col("vec_id") =!= col("q_id"))
-      .dropDuplicates("q_id", "vec_id")
+    val cand = s2Candidates(s, d).dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))

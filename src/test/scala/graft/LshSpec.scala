@@ -54,45 +54,26 @@ class LshSpec extends AnyFunSuite {
       s"probe plan does not read the LSH index:\n$plan")
   }
 
-  test("bucketed banded table serves the candidate join with zero exchanges") {
-    // the documented cluster-scale serving layout, demonstrated: write the
-    // exploded band table BUCKETED on the join key (i, v) — e7's layout
-    // investment applied to ANN serving — and show the candidate join
-    // plans with NO shuffle on either side. (The s2 gate keeps the plain-
-    // parquet artifact because this catalog is session-scoped; this test
-    // is the proof the layout works when a catalog persists.)
-    import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-bkt")
-    spark.sql("DROP TABLE IF EXISTS graft_lsh_banded")
+  test("s2 SERVING path: candidate join over the persisted bucketed table, zero exchanges") {
+    // round-8 promotion of what was previously only a demonstration: the
+    // index build itself writes banded/ bucketed on (i, v), the probe
+    // re-registers it as an external CLUSTERED BY table, and the ACTUAL
+    // s2 candidate stage must plan with no shuffle on either side — the
+    // e7 layout investment applied to ANN serving.
+    LshIndex.ensure(spark, sf)
+    // static plan (AQE wraps everything in an adaptive leaf, hiding
+    // exchanges from collect — same rationale as e7)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      LshIndex.banded(LshIndex.signatures(spark, LshIndex.ensure(spark, sf)))
-        .write.format("parquet")
-        .bucketBy(8, "i", "v").sortBy("i", "v")
-        .option("path", dir.resolve("banded").toString)
-        .mode("overwrite").saveAsTable("graft_lsh_banded")
-      val corpus = spark.table("graft_lsh_banded")
-      val q = spark.table("graft_lsh_banded")
-        .filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("i").as("qi"), col("v").as("qv"))
-      // static plan (AQE wraps everything in an adaptive leaf, hiding
-      // exchanges from collect — same rationale as e7)
-      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        val joined = corpus.hint("merge").join(q,
-          col("i") === col("qi") && col("v") === col("qv") &&
-            col("vec_id") =!= col("q_id"))
-        val exchanges = joined.queryExecution.executedPlan.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-        }
-        assert(exchanges.isEmpty,
-          s"bucketed candidate join still shuffles:\n${joined.queryExecution.executedPlan}")
-        assert(joined.count() > 0, "candidate join must produce candidates")
-      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_lsh_banded")
-      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
-    }
+      val joined = Similarity.s2Candidates(spark, sf)
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed candidate join still shuffles:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0, "candidate join must produce candidates")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("gate query stays green on the persisted path (recall floor unchanged)") {
