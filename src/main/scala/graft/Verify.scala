@@ -18,6 +18,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // queries that THREW (analysis or execution): recorded in errors.json so
+    // the dump is self-contained — a consumer sees explicit error rows
+    // instead of silently-absent results (the round-7 failure mode, where 18
+    // erroring queries left no trace in the correctness artifact)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -25,6 +30,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = String.valueOf(e.getMessage).take(500)
       }
       // release intra-query caches so blocks don't pile up across queries
       finally graft.operators.CacheScope.releaseAll()
@@ -44,6 +50,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

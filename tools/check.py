@@ -34,13 +34,27 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # queries that THREW inside graft.Verify: explicit ERR rows so the
+    # report is self-contained (an erroring query must not read as merely
+    # absent — the round-7 under-count failure mode)
+    errors = {}
+    err_path = f"{out_dir}/errors.json"
+    if os.path.exists(err_path):
+        errors = json.load(open(err_path))
     n_pass = n_fail = n_skip = 0
+    for name in sorted(errors):
+        if only and name not in only:
+            continue
+        print(f"ERR  {name}: {errors[name].splitlines()[0][:160]}")
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
         if only and name not in only:
             continue
+        if name in errors:   # already reported as ERR; a leftover output
+            continue         # dir from an earlier run must not double-count
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet output")
@@ -78,7 +92,8 @@ def main():
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only"
+          + (f" ({len(errors)} errored in Verify)" if errors else ""))
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
