@@ -49,6 +49,47 @@ class TestDataContractSpec extends AnyFunSuite {
     }
   }
 
+  test("every table's column types match the pinned contract the operators compile against") {
+    // The full schema fingerprint of the current testdata generation. A
+    // driver-side regen that changes any column's physical type fails HERE
+    // with the table and column named, instead of surfacing as dozens of
+    // analysis errors (events.ts) or silently-wrong kernels (embeddings
+    // switching to double would bypass the float dot kernels). Timestamps
+    // are pinned under the loaders' reader policy (NTZ inference off →
+    // TimestampType carrying the raw stored micros).
+    val expected = Map(
+      "region" -> "r_regionkey INT,r_name STRING",
+      "nation" -> "n_nationkey INT,n_name STRING,n_regionkey INT",
+      "customer" -> ("c_custkey BIGINT,c_name STRING,c_nationkey INT," +
+        "c_acctbal DOUBLE,c_mktsegment STRING"),
+      "supplier" -> "s_suppkey BIGINT,s_name STRING,s_nationkey INT,s_acctbal DOUBLE",
+      "part" -> ("p_partkey BIGINT,p_name STRING,p_brand STRING,p_type STRING," +
+        "p_size INT,p_retailprice DOUBLE"),
+      "orders" -> ("o_orderkey BIGINT,o_custkey BIGINT,o_orderstatus STRING," +
+        "o_totalprice DOUBLE,o_orderdate TIMESTAMP,o_orderpriority STRING"),
+      "lineitem" -> ("l_orderkey BIGINT,l_partkey BIGINT,l_suppkey BIGINT," +
+        "l_linenumber INT,l_quantity DOUBLE,l_extendedprice DOUBLE," +
+        "l_discount DOUBLE,l_tax DOUBLE,l_returnflag STRING,l_linestatus STRING," +
+        "l_shipdate TIMESTAMP"),
+      // events via the NORMALIZED loader contract (raw encoding varies)
+      "events" -> ("event_id BIGINT,ts_ns BIGINT,user_id BIGINT," +
+        "event_type STRING,value DOUBLE,props STRING,ts TIMESTAMP"),
+      "documents" -> "doc_id BIGINT,text STRING,lang STRING,source STRING,n_chars BIGINT",
+      "embeddings" -> "vec_id BIGINT,embedding ARRAY<FLOAT>,label INT")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    for (d <- sfDirs; t <- tables
+        if java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/$t.parquet"))) {
+      val df = if (t == "events") Tables.events(spark, d) else Tables.t(spark, d, t)
+      val got = df.schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(",")
+      assert(got == expected(t),
+        s"$d/$t.parquet schema drifted:\n  got      $got\n  expected ${expected(t)}\n" +
+          "— the driver regenerated testdata with new column types; " +
+          "update the loaders/kernels that consume this table, then this pin")
+    }
+  }
+
   test("events loader contract holds on the actual testdata at every scale factor") {
     for (d <- sfDirs if java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$d/events.parquet"))) {
