@@ -383,7 +383,9 @@ object TextAnalysis {
       .select(explode(tokens).as("word"))
       .where(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), expr(
+      // `word` rides along untouched: t22's pair counts ignore it, and it is
+      // what makes the trained vocabulary a word→encoding MAP for t23
+      .select(col("word"), col("cnt"), expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("s"))
     var vocab = vocab0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -416,8 +418,43 @@ object TextAnalysis {
     (merges.toSeq, vocab)
   }
 
+  // ----------------------------------------------------- t23_bpe_encode
+  /** Apply the t22-trained merges to ENCODE the corpus — the other half of
+    * the tokenizer lifecycle (train once, encode every shard). The trained
+    * vocabulary after the final merge round IS the word→encoding map (one
+    * row per distinct word), so encoding a document is a vocabulary-sized
+    * dimension join against the corpus tokens — never a re-fold per
+    * occurrence: at 100 TB the vocab side is millions of rows (broadcast
+    * or shuffle-keyed dim join) while the fold ran once per DISTINCT word
+    * at train time. Emits per document the matching-word count, total
+    * encoded symbol count (the "tokens this doc costs under the trained
+    * tokenizer" number t5 approximates with a regex), and an md5 over the
+    * in-order encoded text, which pins symbol boundaries exactly.
+    * Intra-doc order is restored from posexplode positions before
+    * hashing. */
+  def t23BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val vocab = t22VocabAfterTraining(s, d)
+      .select(col("word"), array_join(col("s"), "||").as("enc"),
+        size(col("s")).cast("long").as("ns"))
+    val words = documents(s, d)
+      .select(col("doc_id"), posexplode(tokens))
+      .toDF("doc_id", "pos", "word")
+      .where(col("word").rlike("^[a-z]+$"))
+    words.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ns")).as("n_syms"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          x => x.getField("enc")), " ")).as("enc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_bpe_train" -> t22BpeTrain,
+    "t23_bpe_encode" -> t23BpeEncode,
+    "t24_postings_topk" -> ((s, d) =>
+      PostingsIndex.topK(s, d, Seq("join", "spark", "dup"), 10)),
     "t21_chunk_sliding" -> t21ChunkSliding,
     "t20_bigram_lm" -> t20BigramLm,
     "t19_profile" -> t19Profile,
@@ -440,14 +477,20 @@ object TextAnalysis {
     * identical convention to the Spark fold. MATERIALIZED pins each CTE
     * to evaluate once; default inlining re-expands the round chain
     * exponentially (each round references the previous one five times). */
-  private def t22OracleSql: String = {
-    val rounds = 6
+  /** The shared DuckDB BPE-training CTE chain (w0, r0..r6 with the merge
+    * winners t1..t6): the double-pipe repr ('||a||b||') makes string
+    * `replace` EXACTLY the leftmost-non-overlapping fold Spark applies —
+    * each match consumes its trailing '|' but the doubled delimiter leaves
+    * one behind, so back-to-back merges still fire ("a a a a" → "aa aa",
+    * not "aa a a"). `word` rides through every round so r6 doubles as the
+    * word→encoding map t23 joins against. */
+  private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder(
       """WITH w0 AS MATERIALIZED (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |  WHERE word SIMILAR TO '[a-z]+' GROUP BY word),
-        |r0 AS MATERIALIZED (SELECT cnt, '||' || array_to_string(list_transform(
+        |r0 AS MATERIALIZED (SELECT word, cnt, '||' || array_to_string(list_transform(
         |    range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), '||') || '||' AS repr
         |  FROM w0)""".stripMargin)
     for (r <- 1 to rounds) {
@@ -458,10 +501,16 @@ object TextAnalysis {
         |  FROM (SELECT cnt, string_split(trim(repr, '|'), '||') AS s FROM r$p),
         |       LATERAL (SELECT unnest(range(0, len(s) - 1)) AS i) GROUP BY 1, 2),
         |t$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
-        |r$r AS MATERIALIZED (SELECT cnt, replace(repr,
+        |r$r AS MATERIALIZED (SELECT word, cnt, replace(repr,
         |    '|' || (SELECT a FROM t$r) || '||' || (SELECT b FROM t$r) || '|',
         |    '|' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || '|') AS repr FROM r$p)""".stripMargin)
     }
+    sb.toString
+  }
+
+  private def t22OracleSql: String = {
+    val rounds = 6
+    val sb = new StringBuilder(bpeCtes(rounds))
     sb.append("\nSELECT * FROM (")
     sb.append((1 to rounds).map(r =>
       s"SELECT CAST($r AS INT) AS merge_round, a AS sym_a, b AS sym_b, " +
@@ -469,6 +518,53 @@ object TextAnalysis {
     sb.append(") ORDER BY merge_round")
     sb.toString
   }
+
+  private val t18OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(t.tok) AS tok
+      |  FROM documents, UNNEST(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS t(tok)
+      |  WHERE t.tok <> ''),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS len,
+      |    COUNT(*) FILTER (tok = 'join') AS tf_join,
+      |    COUNT(*) FILTER (tok = 'spark') AS tf_spark,
+      |    COUNT(*) FILTER (tok = 'dup') AS tf_dup
+      |  FROM toks GROUP BY doc_id),
+      |corpus AS (
+      |  SELECT COUNT(*) AS nd, CAST(SUM(len) AS BIGINT) AS tt,
+      |    COUNT(*) FILTER (tf_join > 0) AS df_join,
+      |    COUNT(*) FILTER (tf_spark > 0) AS df_spark,
+      |    COUNT(*) FILTER (tf_dup > 0) AS df_dup
+      |  FROM perdoc),
+      |scored AS (
+      |  SELECT doc_id, CAST(
+      |      ((2*nd - 2*df_join + 1) * 1000000 // (2*df_join + 1))
+      |        * ((22000000 * tf_join * tt) // (10*tt*tf_join + 3*tt + 9*len*nd)) // 1000000
+      |    + ((2*nd - 2*df_spark + 1) * 1000000 // (2*df_spark + 1))
+      |        * ((22000000 * tf_spark * tt) // (10*tt*tf_spark + 3*tt + 9*len*nd)) // 1000000
+      |    + ((2*nd - 2*df_dup + 1) * 1000000 // (2*df_dup + 1))
+      |        * ((22000000 * tf_dup * tt) // (10*tt*tf_dup + 3*tt + 9*len*nd)) // 1000000
+      |    AS BIGINT) AS score
+      |  FROM perdoc, corpus)
+      |SELECT doc_id, score FROM scored WHERE score > 0
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** t23's oracle: the same trained chain, then encode every document by
+    * joining its in-order [a-z]+ words to r6's word→repr map. */
+  private def t23OracleSql: String =
+    bpeCtes(6) + """,
+      |enc AS (SELECT word, trim(repr, '|') AS e,
+      |    CAST(len(string_split(trim(repr, '|'), '||')) AS BIGINT) AS ns FROM r6),
+      |dw0 AS (SELECT doc_id,
+      |    unnest([{'pos': i, 'word': w[i]} for i in range(1, len(w) + 1)]) AS u
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+      |dw AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM dw0
+      |  WHERE u.word SIMILAR TO '[a-z]+'),
+      |j AS (SELECT dw.doc_id, dw.pos, enc.e, enc.ns FROM dw JOIN enc USING (word))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(ns) AS BIGINT) AS n_syms,
+      |  md5(string_agg(e, ' ' ORDER BY pos)) AS enc_md5
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t22_bpe_train" -> t22OracleSql,
@@ -532,35 +628,12 @@ object TextAnalysis {
         |  UNION ALL SELECT 'source', n_rows, n_rows - c4, d4, CAST(l4 AS BIGINT) FROM s
         |  UNION ALL SELECT 'text', n_rows, n_rows - c5, d5, CAST(l5 AS BIGINT) FROM s)
         |ORDER BY col_name""".stripMargin,
-    "t18_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lower(t.tok) AS tok
-        |  FROM documents, UNNEST(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS t(tok)
-        |  WHERE t.tok <> ''),
-        |perdoc AS (
-        |  SELECT doc_id, COUNT(*) AS len,
-        |    COUNT(*) FILTER (tok = 'join') AS tf_join,
-        |    COUNT(*) FILTER (tok = 'spark') AS tf_spark,
-        |    COUNT(*) FILTER (tok = 'dup') AS tf_dup
-        |  FROM toks GROUP BY doc_id),
-        |corpus AS (
-        |  SELECT COUNT(*) AS nd, CAST(SUM(len) AS BIGINT) AS tt,
-        |    COUNT(*) FILTER (tf_join > 0) AS df_join,
-        |    COUNT(*) FILTER (tf_spark > 0) AS df_spark,
-        |    COUNT(*) FILTER (tf_dup > 0) AS df_dup
-        |  FROM perdoc),
-        |scored AS (
-        |  SELECT doc_id, CAST(
-        |      ((2*nd - 2*df_join + 1) * 1000000 // (2*df_join + 1))
-        |        * ((22000000 * tf_join * tt) // (10*tt*tf_join + 3*tt + 9*len*nd)) // 1000000
-        |    + ((2*nd - 2*df_spark + 1) * 1000000 // (2*df_spark + 1))
-        |        * ((22000000 * tf_spark * tt) // (10*tt*tf_spark + 3*tt + 9*len*nd)) // 1000000
-        |    + ((2*nd - 2*df_dup + 1) * 1000000 // (2*df_dup + 1))
-        |        * ((22000000 * tf_dup * tt) // (10*tt*tf_dup + 3*tt + 9*len*nd)) // 1000000
-        |    AS BIGINT) AS score
-        |  FROM perdoc, corpus)
-        |SELECT doc_id, score FROM scored WHERE score > 0
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "t18_bm25" -> t18OracleSql,
+    // t24 serves t18's query from the persisted postings index and is
+    // result-IDENTICAL by construction (same candidates, same integer
+    // formula), so it shares the oracle — the s1/s4 pattern
+    "t24_postings_topk" -> t18OracleSql,
+    "t23_bpe_encode" -> t23OracleSql,
     "t14_ngram_blocklist" ->
       """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
         |  FROM documents),

@@ -141,9 +141,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // t18's BNLJ build side is a single-row corpus-statistics aggregate
     // d16's two BNLJs are the 64-probe truth-slice broadcast (s1's bound)
     // and the 1-row GateChecks verdict
+    // t24's two BNLJs are the 1-row stats×pruned-term-list fold and the
+    // 1-row statsWide broadcast — both model-sized by construction
     val boundedBnlj = Set("q16_subquery", "s1_ann_brute", "s3_ann_ivf",
       "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
-      "q23_approx", "t4_fingerprint", "t18_bm25", "d16_semantic_dedup")
+      "q23_approx", "t4_fingerprint", "t18_bm25", "d16_semantic_dedup",
+      "t24_postings_topk")
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing
     val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")

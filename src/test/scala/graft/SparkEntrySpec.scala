@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 134 queries / 127 oracles") {
-    assert(SparkEntry.queries.size == 134,
+  test("registry counts match the documented 136 queries / 129 oracles") {
+    assert(SparkEntry.queries.size == 136,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 127,
+    assert(SparkEntry.oracleSql.size == 129,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
