@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      // parquet reader policy pinned at session build so timestamp
+      // dtypes never depend on whether an events load ran first
+      // (Tables.events also sets these lazily for ad-hoc sessions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     // single-node bench: spill/shuffle scratch on tmpfs when available —
     // a machine-level IO knob (a real cluster provisions fast local disks

@@ -282,6 +282,11 @@ object Cli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // parquet reader policy pinned at session build so timestamp
+      // dtypes never depend on whether an events load ran first
+      // (Tables.events also sets these lazily for ad-hoc sessions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // applied at context start so -q silences startup logging too

@@ -36,6 +36,11 @@ object Measure {
       .appName("graft-measure")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // parquet reader policy pinned at session build so timestamp
+      // dtypes never depend on whether an events load ran first
+      // (Tables.events also sets these lazily for ad-hoc sessions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
