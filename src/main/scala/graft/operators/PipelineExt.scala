@@ -317,6 +317,34 @@ object PipelineExt {
       .orderBy(col("source"), col("rn"))
   }
 
+  // ------------------------------------------------ t25_epoch_shuffle
+  /** Deterministic epoch shuffle — the training-order randomization step:
+    * every document gets a position key from an epoch-versioned md5 hash,
+    * shards by that key, and is ordered within its shard — the layout a
+    * training job reads sequentially. Epoch in the hash (":e7"), never a
+    * re-seed: next epoch is a different permutation from the SAME
+    * expression, reproducible forever (the t11 versioning rule applied to
+    * ordering). Scale posture: ONE hash-keyed exchange (the shard
+    * partition) + in-partition sort — exactly the physical write path of
+    * an epoch-shuffled shard set (repartition on shard, sortWithin on the
+    * key); the hash is uniform so shards are balanced by construction,
+    * no skew handling needed. rand() could never be oracle-checked;
+    * hash order is bit-portable (the t11/t13/t17 pattern). */
+  def t25EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val epoch = 7
+    val shards = 8
+    val hv = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(s":e$epoch"))), 1, 8), 16, 10)
+      .cast("long").as("hv")
+    val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), hv)
+      .withColumn("shard", col("hv") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   // ---------------------------------------------- t17_weighted_sample
   /** Deterministic quality-weighted downsampling with Horvitz-Thompson
     * reweighting — the "keep the good stuff, but stay unbiased" corpus
@@ -393,6 +421,7 @@ object PipelineExt {
     "t15_token_mix_hierarchical" -> t15TokenMixHierarchical,
     "t11_split" -> t11Split,
     "t13_stratified_sample" -> t13StratifiedSample,
+    "t25_epoch_shuffle" -> t25EpochShuffle,
     "t17_weighted_sample" -> t17WeightedSample
   )
 
@@ -478,6 +507,15 @@ object PipelineExt {
         |SELECT doc_id, source, p, 1.0 / p AS sample_weight
         |FROM t WHERE u < p
         |ORDER BY doc_id""".stripMargin,
+    "t25_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':e7'), 1, 8)) AS BIGINT) AS hv
+        |  FROM documents),
+        |s AS (SELECT doc_id, hv, hv % 8 AS shard FROM h)
+        |SELECT shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos,
+        |  doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "t13_stratified_sample" ->
       """WITH h AS (SELECT source, doc_id,
         |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 136 queries / 129 oracles") {
-    assert(SparkEntry.queries.size == 136,
+  test("registry counts match the documented 137 queries / 130 oracles") {
+    assert(SparkEntry.queries.size == 137,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 129,
+    assert(SparkEntry.oracleSql.size == 130,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
