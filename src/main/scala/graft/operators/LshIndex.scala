@@ -104,8 +104,13 @@ object LshIndex {
     * reads of this table on (i, v) plans with zero exchanges. */
   def bandedTable(s: SparkSession, dir: Path): DataFrame = {
     val loc = dir.resolve("banded").toAbsolutePath
-    val name = "graft_lsh_banded_" +
-      (scala.util.hashing.MurmurHash3.stringHash(loc.toString) & 0x7fffffff)
+    // md5 prefix, not a 32-bit hash: a name collision across locations
+    // would silently serve the WRONG corpus's table; 48 bits of location
+    // fingerprint puts that beyond reach for any plausible index count
+    val name = "graft_lsh_banded_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(loc.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
     if (!s.catalog.tableExists(name)) {
       val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
       s.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl) USING PARQUET " +
