@@ -450,7 +450,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- t26_novelty
+  /** Cross-corpus n-gram novelty scoring — the freshness signal of a
+    * crawl-curation pipeline: per document, what fraction of its DISTINCT
+    * word 3-grams appears here FIRST (corpus-wide first occurrence by
+    * doc_id — the deterministic arrival-order proxy; a production run
+    * keys first occurrence on crawl timestamp the same way)? Boilerplate
+    * and syndicated content score near 0; original text scores near 10⁶.
+    * The ratio is exact integer ppm (micro-units rule), so the compare is
+    * bit-portable.
+    *
+    * Scale posture: linear in total token count — one distinct pass keyed
+    * on (doc, gram-hash), one fully map-side-combinable groupBy-min on
+    * the gram hash, one gram-keyed semi-shaped join back, one doc-keyed
+    * rollup. No quadratic stage, no driver data. Grams shuffle as 64-bit
+    * hashes (collision-equivalent to the gram text — d13's accepted
+    * argument; the oracle groups the raw gram). */
+  def t26Novelty(s: SparkSession, d: String): DataFrame = {
+    val K = 3
+    val grams = documents(s, d)
+      .select(col("doc_id"), tokens.as("w"))
+      .where(size(col("w")) >= K) // shorter docs have no K-gram
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $K), " +
+          s"i -> xxhash64(array_join(slice(w, i + 1, $K), ' ')))")).as("gh"))
+      .distinct()
+    val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("1000000 * n_novel div n_grams").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_novelty" -> t26Novelty,
     "t22_bpe_train" -> t22BpeTrain,
     "t23_bpe_encode" -> t23BpeEncode,
     "t24_postings_topk" -> ((s, d) =>
@@ -568,6 +604,23 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "t22_bpe_train" -> t22OracleSql,
+    // groups the raw gram text where the Spark side groups its 64-bit
+    // hash — collision-equivalent (d13's accepted argument)
+    "t26_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 2)) AS i)
+        |  WHERE len(w) >= 3),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        |per_doc AS (SELECT g.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_novel,
+        |  CAST((1000000 * n_novel) // n_grams AS BIGINT) AS novelty_ppm
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
     // same C=50/S=40 windows; DuckDB's scalar range() is exclusive-end so
     // the chunk count is 1 + ceil((n-C)/S); list slices are 1-based
     // inclusive like Spark's slice(start, length) once rewritten

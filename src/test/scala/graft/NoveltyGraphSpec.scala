@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{PipelineExt, TextAnalysis}
+
+/** Exact-twin specs for the round-8 session additions: t26 n-gram novelty
+  * scoring and d18 link-graph PageRank. Each twin recomputes the full
+  * answer with an independent pure-Scala implementation on sf0.001 and
+  * demands bit-identical results (the SpanBpeSpec pattern). */
+class NoveltyGraphSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("t26: pure-Scala first-occurrence twin reproduces every row exactly") {
+    val K = 3
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, text) =>
+      val w = text.trim.split("\\s+")
+      val grams =
+        if (w.length < K) Set.empty[String]
+        else (0 to w.length - K).map(i => w.slice(i, i + K).mkString(" ")).toSet
+      (id, grams)
+    }.filter(_._2.nonEmpty)
+    val firstDoc = perDoc.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, occ) => g -> occ.map(_._2).min }
+    val expected = perDoc.map { case (id, gs) =>
+      val n = gs.size.toLong
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      (id, n, novel, 1000000L * novel / n)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.t26Novelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty, "sf0.001 corpus must produce novelty rows")
+    assert(got == expected, "operator rows must equal the brute-force twin")
+    // the signal must actually discriminate: near-dup corpora contain both
+    // fully-novel docs and docs dominated by repeated content
+    assert(got.exists(_._4 == 1000000L), "some doc should be fully novel")
+    assert(got.exists(_._4 < 500000L), "some doc should be mostly repeated")
+  }
+}
