@@ -186,6 +186,60 @@ object PipelineExt {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------- d18_pagerank
+  /** Link-graph authority scoring — fixed-iteration PageRank in EXACT
+    * integer micro-units, the primitive behind domain-authority corpus
+    * weighting (rank crawl domains by who links/copies from whom, then
+    * weight or filter documents by source authority). The graph here is
+    * the order-flow bipartite graph (customer → supplier via
+    * orders ⋈ lineitem, distinct pairs); the algorithm never looks at
+    * what the nodes mean.
+    *
+    * Semantics: every node starts at 1,000,000 µ-rank; each of the 5
+    * rounds sets rank' = 150000 + (850000 · Σ_in(rank ÷ outdeg)) ÷ 10⁶
+    * with INTEGER floor division at both ÷ sites — all values are
+    * non-negative, so Spark's `div` and the oracle's `//` agree exactly
+    * and the compare is bit-portable (the micro-units rule). Sink nodes
+    * (suppliers) leak their mass — standard damped PageRank-with-leak,
+    * deterministic; a fixed iteration count, not a convergence test, so
+    * the oracle can unroll the same 5 rounds as chained CTEs. At
+    * web-graph scale (10⁹ nodes) the 850000·Σ product approaches int64
+    * range — production shifts to per-node mass normalization (ranks sum
+    * to 10⁶ TOTAL) under the identical loop shape.
+    *
+    * Scale posture: edges ⋈ outdeg is pre-joined ONCE and checkpointed;
+    * each round is one src-keyed equi-join + one map-side-combinable
+    * groupBy-sum on dst + one node-keyed left join — the d7 shuffle
+    * discipline, linear in |E| per round, rounds fixed. Each round
+    * rebases on an eager localCheckpoint so the plan shape stays
+    * constant and codegen compiles once. */
+  def d18Pagerank(s: SparkSession, d: String): DataFrame = {
+    val iters = 5
+    val edges = orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = CacheScope.localCheckpoint(edges.join(outdeg, Seq("src")))
+    val nodes = CacheScope.localCheckpoint(
+      ew.select(col("src").as("node")).union(ew.select(col("dst"))).distinct())
+
+    var ranks = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = CacheScope.localCheckpoint(
+        nodes.join(contrib, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            expr("150000 + (850000 * coalesce(m, CAST(0 AS BIGINT))) div 1000000")
+              .as("pr")))
+    }
+    ranks.orderBy(col("node"))
+  }
+
   // -------------------------------------------------------- t7_redact_pii
   /** PII redaction: emails, IPv4s, and phone-shaped numbers replaced with
     * typed placeholders, plus per-kind match counts from the original
@@ -414,6 +468,7 @@ object PipelineExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_snapshot_diff" -> d14SnapshotDiff,
+    "d18_pagerank" -> d18Pagerank,
     "d7_dup_clusters" -> d7DupClusters,
     "d12_dup_clusters_star" -> d12DupClustersStar,
     "t7_redact_pii" -> t7RedactPii,
@@ -425,7 +480,31 @@ object PipelineExt {
     "t17_weighted_sample" -> t17WeightedSample
   )
 
+  /** d18's oracle unrolls the 5 fixed rounds as chained CTEs (r0 → r5) —
+    * an aggregation per round is not expressible in a recursive CTE, and
+    * a fixed iteration count needs no recursion. Both ÷ sites use `//`
+    * (floor) on non-negative values = Spark's `div`; DuckDB's SUM
+    * returns HUGEINT, so every round's rank is cast back to BIGINT. */
+  private val d18OracleSql: String = {
+    val step = (i: Int) =>
+      s"""r${i + 1} AS (SELECT n.node,
+         |    CAST(150000 + (850000 * COALESCE(s.m, 0)) // 1000000 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT ew.dst, SUM(r.pr // ew.outdeg) AS m
+         |    FROM ew JOIN r$i r ON r.node = ew.src GROUP BY ew.dst) s
+         |  ON n.node = s.dst)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+       |${(0 until 5).map(step).mkString(",\n")}
+       |SELECT node, pr FROM r5 ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d18_pagerank" -> d18OracleSql,
     "d14_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, source, n_chars FROM documents
         |  WHERE doc_id % 5 <> 0),

@@ -37,4 +37,30 @@ class NoveltyGraphSpec extends AnyFunSuite {
     assert(got.exists(_._4 == 1000000L), "some doc should be fully novel")
     assert(got.exists(_._4 < 500000L), "some doc should be mostly repeated")
   }
+
+  test("d18: pure-Scala integer PageRank twin reproduces every rank exactly") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey").collect()
+      .flatMap(r => o.get(r.getLong(0)).map(c => (s"c$c", s"s${r.getLong(1)}")))
+      .distinct
+    val outdeg = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.length.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / outdeg(src) }.sum
+      }
+      pr = nodes.map(n => n -> (150000L + 850000L * in.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    val expected = nodes.map(n => (n, pr(n))).toSeq
+    val got = PipelineExt.d18Pagerank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, "operator ranks must equal the integer twin")
+    // authority must concentrate: suppliers receive all customer mass, so
+    // the max-ranked node is a supplier well above the 150000 floor
+    val top = got.maxBy(_._2)
+    assert(top._1.startsWith("s") && top._2 > 1000000L,
+      s"expected a high-authority supplier at the top, got $top")
+  }
 }

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 138 queries / 131 oracles") {
-    assert(SparkEntry.queries.size == 138,
+  test("registry counts match the documented 139 queries / 132 oracles") {
+    assert(SparkEntry.queries.size == 139,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 131,
+    assert(SparkEntry.oracleSql.size == 132,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
