@@ -349,6 +349,47 @@ object PipelineExt {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------ t27_split_leakage
+  /** Train→eval n-gram leakage audit — the check run AFTER t11's split
+    * and BEFORE training: for every validation/test document, what
+    * fraction of its distinct word 3-grams also occurs in some TRAIN
+    * document? High leakage means the eval set can't measure
+    * generalization (d8 decontaminates against an external eval set;
+    * this audits the internal split itself). Ratio in exact integer ppm
+    * (micro-units rule) so the compare is bit-portable.
+    *
+    * Scale posture: linear — one distinct pass keyed on (doc, gram
+    * hash), one gram-keyed join of eval grams against the distinct
+    * train-gram set (the train side is the big one and is never
+    * collected or broadcast — shuffle-keyed on the 64-bit gram hash,
+    * collision-equivalent to the gram text, d13's accepted argument),
+    * one doc-keyed rollup. Split assignment is t11's portable md5
+    * bucket, recomputed per row — no join against a split table. */
+  def t27SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val K = 3
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    val grams = documents(s, d)
+      .select(col("doc_id"), bucket, split(trim(col("text")), "\\s+").as("w"))
+      .where(size(col("w")) >= K)
+      .select(col("doc_id"), col("bucket"), explode(expr(
+        s"transform(sequence(0, size(w) - $K), " +
+          s"i -> xxhash64(array_join(slice(w, i + 1, $K), ' ')))")).as("gh"))
+      .distinct()
+    val trainGrams = grams.filter(col("bucket") < 90).select(col("gh")).distinct()
+      .withColumn("in_train", lit(1L))
+    grams.filter(col("bucket") >= 90)
+      .join(trainGrams, Seq("gh"), "left_outer")
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("in_train"), lit(0L))).as("n_leaked"))
+      .select(col("doc_id"),
+        when(col("bucket") < 95, "validation").otherwise("test").as("split"),
+        col("n_grams"), col("n_leaked"),
+        expr("1000000 * n_leaked div n_grams").as("leak_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------- t13_stratified_sample
   /** Deterministic stratified sampling: k documents per source, selected
     * by md5-hash order — uniformly "random" yet fully reproducible, the
@@ -475,6 +516,7 @@ object PipelineExt {
     "t8_token_mix" -> t8TokenMix,
     "t15_token_mix_hierarchical" -> t15TokenMixHierarchical,
     "t11_split" -> t11Split,
+    "t27_split_leakage" -> t27SplitLeakage,
     "t13_stratified_sample" -> t13StratifiedSample,
     "t25_epoch_shuffle" -> t25EpochShuffle,
     "t17_weighted_sample" -> t17WeightedSample
@@ -568,6 +610,29 @@ object PipelineExt {
         |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
         |  len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // groups the raw gram text where the Spark side groups its 64-bit
+    // hash — collision-equivalent (d13's accepted argument)
+    "t27_split_leakage" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |      AS bucket,
+        |    string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, bucket, array_to_string(w[i+1:i+3], ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(range(0, len(w) - 2)) AS i)
+        |  WHERE len(w) >= 3),
+        |tr AS (SELECT DISTINCT gram FROM g WHERE bucket < 90),
+        |ev AS (SELECT g.doc_id, g.bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_leaked
+        |  FROM g LEFT JOIN tr ON g.gram = tr.gram WHERE g.bucket >= 90
+        |  GROUP BY g.doc_id, g.bucket)
+        |SELECT doc_id,
+        |  CASE WHEN bucket < 95 THEN 'validation' ELSE 'test' END AS split,
+        |  n_grams, n_leaked,
+        |  CAST((1000000 * n_leaked) // n_grams AS BIGINT) AS leak_ppm
+        |FROM ev ORDER BY doc_id""".stripMargin,
     "t11_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket

@@ -239,11 +239,101 @@ object Similarity {
         s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
       .orderBy(col("q_id"), col("rank"))
 
+  // ----------------------------------------------------------- s5_ann_pq
+  /** PQ candidates rescored exactly; window sized from the measured worst
+    * approx-rank of a true top-5 member (see NOTES.md — re-measure via
+    * [[graft.tools.Measure]] before shrinking). PQ at M=8×Ks=16 is a 32×
+    * compression — far coarser than SQ8's 4× — so its margin is wider
+    * than s4's and the window is correspondingly larger. */
+  private[graft] val PqRescore = 64
+
+  /** The full PQ approximate ranking (uncut), exposed for Measure's
+    * margin report — the s4ApproxRanked pattern. Each query precomputes
+    * its ADC lookup table ONCE (pre-broadcast projection); each corpus
+    * code then costs M array lookups, and the scan reads the 32×-smaller
+    * code table, never the raw embeddings. */
+  private[graft] def s5ApproxRanked(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.QuantizeFunctions
+    val dir = PqIndex.ensure(s, d)
+    val books = PqIndex.loadBooksFlat(s, dir)
+    val codes = PqIndex.codes(s, dir)
+    val q = embeddings(s, d).filter(isQuery)
+      .orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        VectorOps.norm2(col("embedding")).as("qn2"),
+        QuantizeFunctions.pqLut(col("embedding"), books,
+          PqIndex.Ks, PqIndex.SubDim).as("lut"))
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("vec_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn2"),
+        QuantizeFunctions.pqLutScore(col("lut"), col("code"), PqIndex.Ks).as("adot"))
+      .withColumn("arank", row_number().over(wApprox))
+  }
+
+  private[graft] def s5Found(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cand = s5ApproxRanked(s, d)
+      .filter(col("arank") <= PqRescore)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn2"))
+    val full = e.select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
+    full.join(broadcast(cand), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Product-quantized ANN through the gate: 32×-compressed candidate
+    * generation (persisted [[PqIndex]]), exact top-k after rescoring.
+    * Gated on the shared recall floor like the rest of the ANN family. */
+  def s5AnnPq(s: SparkSession, d: String): DataFrame =
+    GateChecks.requireRecall(s5Found(s, d),
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
+      .orderBy(col("q_id"), col("rank"))
+
+  // ----------------------------------------------------- s6_ann_filtered
+  /** Filtered similarity search — top-k under a metadata predicate (here:
+    * same label as the query), the "vector search with a WHERE clause"
+    * every retrieval stack needs. The predicate turns the cross join into
+    * a label-KEYED equi-join: candidates are only ever generated inside
+    * the query's label block, so work is Σ|block|·|queries in block|, not
+    * |corpus|×|queries| — the predicate prunes BEFORE scoring, which is
+    * the entire point of filtered ANN (post-filtering a global top-k
+    * under-fills results when the filter is selective). Exact, so fully
+    * oracle-checked; at 100 TB the corpus side shuffles once on label
+    * (or is already label-partitioned on disk) and per-label skew is the
+    * t8 hierarchical story. */
+  def s6AnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    val q = e.filter(isQuery).orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("embedding").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
+    e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("label"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> s1AnnBrute,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
-    "s4_ann_sq8" -> s4AnnSq8
+    "s4_ann_sq8" -> s4AnnSq8,
+    "s5_ann_pq" -> s5AnnPq,
+    "s6_ann_filtered" -> s6AnnFiltered
   )
 
   /** Shared by s1 and s4: s4's rescore window is sized so the exact top-k
@@ -272,6 +362,21 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "s1_ann_brute" -> ExactTopKOracle,
-    "s4_ann_sq8" -> ExactTopKOracle
+    "s4_ann_sq8" -> ExactTopKOracle,
+    "s6_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label, v AS qv FROM e WHERE vec_id % 50 = 0
+        |      ORDER BY vec_id LIMIT 64),
+        |scored AS (
+        |  SELECT q.q_id, e.label, e.vec_id,
+        |    list_dot_product(q.qv, e.v)
+        |      / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)) AS cos
+        |  FROM e JOIN q ON e.label = q.label WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, label, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, label, rank, vec_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }

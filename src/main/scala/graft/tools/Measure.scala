@@ -65,6 +65,7 @@ object Measure {
     annRecall("s2_ann_lsh", Similarity.s2Found(spark, d))
     annRecall("s3_ann_ivf", Similarity.s3Probe(spark, d))
     annRecall("s4_ann_sq8", Similarity.s4Found(spark, d))
+    annRecall("s5_ann_pq", Similarity.s5Found(spark, d))
 
     // s4 rescore-window margin: the worst approximate rank of any TRUE
     // top-5 member. Sq8Rescore (32) is justified iff this stays well
@@ -82,6 +83,20 @@ object Measure {
     if (trueRanks.nonEmpty)
       println(s"s4 max approx-rank of a true top-5 member: ${trueRanks.max} " +
         s"(rescore window 32; matched ${trueRanks.length}/${brute.size})")
+
+    // s5 margin, same protocol: worst PQ approx-rank of a true top-5
+    // member vs PqRescore — PQ is 32× compression so the margin is the
+    // number that decides whether s5 can share s1's exact oracle.
+    val pqRanks = {
+      import spark.implicits._
+      val truePairs = brute.toSeq.toDF("q_id", "vec_id")
+      Similarity.s5ApproxRanked(spark, d)
+        .join(org.apache.spark.sql.functions.broadcast(truePairs), Seq("q_id", "vec_id"))
+        .select(col("arank")).collect().map(_.getInt(0))
+    }
+    if (pqRanks.nonEmpty)
+      println(s"s5 max approx-rank of a true top-5 member: ${pqRanks.max} " +
+        s"(rescore window ${Similarity.PqRescore}; matched ${pqRanks.length}/${brute.size})")
 
     // d16 semantic-dedup recall: against the gate's own bounded truth
     // slice (what the floor enforces) AND the full all-pairs truth (only

@@ -63,4 +63,34 @@ class NoveltyGraphSpec extends AnyFunSuite {
     assert(top._1.startsWith("s") && top._2 > 1000000L,
       s"expected a high-authority supplier at the top, got $top")
   }
+
+  test("t27: pure-Scala split-leakage twin reproduces every row exactly") {
+    val K = 3
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, text) =>
+      val w = text.trim.split("\\s+")
+      val grams =
+        if (w.length < K) Set.empty[String]
+        else (0 to w.length - K).map(i => w.slice(i, i + K).mkString(" ")).toSet
+      (id, bucket(id), grams)
+    }.filter(_._3.nonEmpty)
+    val trainGrams = perDoc.filter(_._2 < 90).flatMap(_._3).toSet
+    val expected = perDoc.filter(_._2 >= 90).map { case (id, b, gs) =>
+      val leaked = gs.count(trainGrams).toLong
+      (id, if (b < 95) "validation" else "test",
+        gs.size.toLong, leaked, 1000000L * leaked / gs.size)
+    }.sortBy(_._1).toSeq
+    val got = PipelineExt.t27SplitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty, "the 10% eval slice must be non-empty at sf0.001")
+    assert(got == expected, "operator rows must equal the brute-force twin")
+  }
 }

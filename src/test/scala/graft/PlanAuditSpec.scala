@@ -145,8 +145,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row statsWide broadcast — both model-sized by construction
     val boundedBnlj = Set("q16_subquery", "s1_ann_brute", "s3_ann_ivf",
       "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
-      "q23_approx", "t4_fingerprint", "t18_bm25", "d16_semantic_dedup",
-      "t24_postings_topk")
+      "s5_ann_pq", "q23_approx", "t4_fingerprint", "t18_bm25",
+      "d16_semantic_dedup", "t24_postings_topk")
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing
     val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")
@@ -186,6 +186,27 @@ class PlanAuditSpec extends AnyFunSuite {
     // loose contains("sq8") vacuously true even after a UDF regression
     assert(p.contains("sq8adcdot") || p.contains("Sq8AdcDot"),
       s"quantized scoring kernel missing from the plan:\n$p")
+  }
+
+  test("s5 PQ ANN: bounded broadcast, LUT on the query side, score kernel in codegen") {
+    val p = plan(Similarity.s5ApproxRanked(spark, sf))
+    assert(p.contains(s"limit=${Similarity.MaxQueries}"),
+      s"query-side limit must bound the broadcast:\n$p")
+    // the M-lookup scoring kernel must be a native expression in the
+    // scan-side projection (same no-vacuous-contains rule as s4)
+    assert(p.contains("pqlutscore") || p.contains("PqLutScore"),
+      s"PQ scoring kernel missing from the plan:\n$p")
+    // the LUT builds ONCE per query row on the broadcast side, never per
+    // candidate pair: it must not appear above the join
+    val afterJoin = p.split("BroadcastNestedLoopJoin").head
+    assert(!afterJoin.toLowerCase.contains("pqlut("),
+      s"LUT must be computed below the broadcast, not per pair:\n$p")
+  }
+
+  test("s6 filtered ANN is a label-KEYED join, never a cross join") {
+    val p = plan(Similarity.s6AnnFiltered(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the metadata predicate must key the join — pre-filter, not post-filter:\n$p")
   }
 
   test("s2 LSH candidate join is an equi join on (band, bucket), never nested-loop") {
