@@ -70,6 +70,7 @@ object Bench {
     val s4Build = timedBuild(graft.operators.Sq8Index.ensure(spark, sfDir))
     val t24Build = timedBuild(graft.operators.PostingsIndex.ensure(spark, sfDir))
     val s5Build = timedBuild(graft.operators.PqIndex.ensure(spark, sfDir))
+    val s7Build = timedBuild(graft.operators.IvfPqIndex.ensure(spark, sfDir))
 
     // warm-then-time per query at the TARGET SF — the same protocol as the
     // DuckDB baseline (tools/duckbench.py runs each query once untimed,
@@ -151,7 +152,7 @@ object Bench {
     }
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""bench-index {"s2_build":${fmt(s2Build, 3)},"s3_build":${fmt(s3Build, 3)},"s4_build":${fmt(s4Build, 3)},"t24_build":${fmt(t24Build, 3)},"s5_build":${fmt(s5Build, 3)}}""")
+    println(s"""bench-index {"s2_build":${fmt(s2Build, 3)},"s3_build":${fmt(s3Build, 3)},"s4_build":${fmt(s4Build, 3)},"t24_build":${fmt(t24Build, 3)},"s5_build":${fmt(s5Build, 3)},"s7_build":${fmt(s7Build, 3)}}""")
     println(s"""bench-full {"total":$total,"queries":$full}""")
     // If even precision 1 overflows the budget, drop the per-query map —
     // a parseable total beats an unparseable detail line.

@@ -127,6 +127,14 @@ object PqIndex {
       .orderBy(col("m"), col("c")).collect()
       .flatMap(_.getSeq[Double](2)).toSeq
 
+  /** The nested [m][c] codebook model — the shape [[codeCol]] consumes
+    * (used by IvfPqIndex to re-encode under the SAME trained books). */
+  def loadBooks(s: SparkSession, dir: Path): Array[Array[Array[Double]]] = {
+    val rows = s.read.parquet(dir.resolve("codebooks").toString)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    Array.tabulate(M)(m => Array.tabulate(Ks)(c => rows((m, c))))
+  }
+
   /** The persisted code table: (vec_id, code array<tinyint>). */
   def codes(s: SparkSession, dir: Path): DataFrame =
     s.read.parquet(dir.resolve("codes").toString)

@@ -297,6 +297,71 @@ object Similarity {
         s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
       .orderBy(col("q_id"), col("rank"))
 
+  // ------------------------------------------------------ s7_ann_ivfpq
+  /** The composite probe: IVF pruning AND PQ-compressed scoring at once
+    * ([[IvfPqIndex]]). s3's probe shape — rank centroids per query,
+    * static-prune to the probed list partitions — but the pruned lists
+    * hold 16-byte PQ codes, scored via the per-query ADC lookup table
+    * in a cluster-KEYED join (each query only scores its own probed
+    * lists — no nested-loop anywhere on this path), then the top
+    * [[PqRescore]] per query rescore exactly. The three persisted
+    * artifacts (coarse centroids, PQ codebooks, coded lists) rebuild
+    * from one corpus fingerprint, so they can never silently mix
+    * generations. */
+  def s7Probe(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.QuantizeFunctions
+    val dir = IvfPqIndex.ensure(s, d)
+    val ivfModel = IvfIndex.loadModel(s, IvfIndex.ensure(s, d))
+    val books = PqIndex.loadBooksFlat(s, PqIndex.ensure(s, d))
+    // bounded query side: LUT + centroid ranking computed once per query
+    // row (pre-explode), checkpointed so the probed-cluster collect and
+    // the probe join share one evaluation (the s3Probe pattern)
+    val probes = CacheScope.localCheckpoint(
+      embeddings(s, d).filter(isQuery)
+        .orderBy(col("vec_id")).limit(MaxQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          VectorOps.norm2(col("embedding")).as("qn2"),
+          QuantizeFunctions.pqLut(col("embedding"), books,
+            PqIndex.Ks, PqIndex.SubDim).as("lut"),
+          explode(slice(array_sort(zip_with(IvfIndex.dists(ivfModel),
+            sequence(lit(0), lit(IvfIndex.K - 1)),
+            (dist, idx) => struct(dist.as("d"), idx.as("i")))), 1, IvfPqIndex.NProbe))
+            .as("probe"))
+        .select(col("q_id"), col("qv"), col("qn2"), col("lut"),
+          col("probe.i").as("qc")))
+    val probed = probes.select(col("qc")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val listed = IvfPqIndex.lists(s, dir, probed)
+
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("vec_id"))
+    // every vector lives in exactly one list and probe targets are
+    // distinct per query, so (q_id, vec_id) pairs are already unique
+    val cand = listed.join(probes,
+        col("c") === col("qc") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn2"),
+        QuantizeFunctions.pqLutScore(col("lut"), col("code"), PqIndex.Ks).as("adot"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= PqRescore)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn2"))
+    val full = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
+    full.join(broadcast(cand), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** IVF-PQ ANN through the gate — the family recall floor applies. */
+  def s7AnnIvfPq(s: SparkSession, d: String): DataFrame =
+    GateChecks.requireRecall(s7Probe(s, d),
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
+      .orderBy(col("q_id"), col("rank"))
+
   // ----------------------------------------------------- s6_ann_filtered
   /** Filtered similarity search — top-k under a metadata predicate (here:
     * same label as the query), the "vector search with a WHERE clause"
@@ -333,7 +398,8 @@ object Similarity {
     "s3_ann_ivf" -> s3AnnIvf,
     "s4_ann_sq8" -> s4AnnSq8,
     "s5_ann_pq" -> s5AnnPq,
-    "s6_ann_filtered" -> s6AnnFiltered
+    "s6_ann_filtered" -> s6AnnFiltered,
+    "s7_ann_ivfpq" -> s7AnnIvfPq
   )
 
   /** Shared by s1 and s4: s4's rescore window is sized so the exact top-k

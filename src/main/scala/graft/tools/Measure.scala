@@ -66,6 +66,7 @@ object Measure {
     annRecall("s3_ann_ivf", Similarity.s3Probe(spark, d))
     annRecall("s4_ann_sq8", Similarity.s4Found(spark, d))
     annRecall("s5_ann_pq", Similarity.s5Found(spark, d))
+    annRecall("s7_ann_ivfpq", Similarity.s7Probe(spark, d))
 
     // s4 rescore-window margin: the worst approximate rank of any TRUE
     // top-5 member. Sq8Rescore (32) is justified iff this stays well

@@ -145,7 +145,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row statsWide broadcast — both model-sized by construction
     val boundedBnlj = Set("q16_subquery", "s1_ann_brute", "s3_ann_ivf",
       "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
-      "s5_ann_pq", "q23_approx", "t4_fingerprint", "t18_bm25",
+      "s5_ann_pq", "s7_ann_ivfpq", "q23_approx", "t4_fingerprint", "t18_bm25",
       "d16_semantic_dedup", "t24_postings_topk")
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing

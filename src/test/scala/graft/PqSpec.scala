@@ -77,6 +77,29 @@ class PqSpec extends AnyFunSuite {
       s"only the bounded query side may read raw embeddings (found $embedScans):\n$plan")
   }
 
+  test("s7 IVF-PQ probe: partition-pruned coded lists, keyed candidate join, no full-corpus scan") {
+    import graft.operators.IvfPqIndex
+    IvfPqIndex.ensure(spark, sf)
+    val probe = Similarity.s7Probe(spark, sf)
+    val plan = probe.queryExecution.executedPlan.toString
+    // probe I/O: the coded-lists scan must carry the static cluster-id
+    // partition filter — I/O is O(probed lists), never O(corpus)
+    assert(plan.contains("graft-ivfpq"), s"probe must read the coded lists:\n$plan")
+    assert("PartitionFilters: \\[[^]]*c#".r.findFirstIn(plan).isDefined,
+      s"cluster-id partition pruning missing from the lists scan:\n$plan")
+    // candidate generation is KEYED on cluster id (each query scores only
+    // its probed lists) — never a nested-loop over the corpus
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ candidates must never be a cross product:\n$plan")
+    // the ADC kernel scores codes natively
+    assert(plan.contains("pqlutscore") || plan.contains("PqLutScore"),
+      s"PQ scoring kernel missing:\n$plan")
+    // results: exact top-5 per query after rescoring
+    val rows = probe.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+  }
+
   test("s5 gated query passes its recall gate and matches the s1 output schema") {
     val s5 = Similarity.s5AnnPq(spark, sf)
     val rows = s5.collect()
