@@ -813,7 +813,72 @@ object EtlQueries {
           (countDistinct(col("pid")) >= 2).as("parallel_ok")))
     }
 
+  // ---------------------------------------------- e20_jdbc_incremental
+  /** Watermark-incremental JDBC ingest — "only rows since the last run",
+    * the production extension every scheduled user of the reference's
+    * one-shot query→parquet pull builds themselves (the reference scopes
+    * each pull with query parameters — SURVEY §3.1, src/main.rs `query`;
+    * this gate closes the loop with lake-derived state). Two pull cycles
+    * against a LIVE Derby source:
+    *
+    *   1. seed the source with the low-id 3/4 of the slice; pull ALL;
+    *      lake := pull. The watermark is then read from the LAKE, not
+    *      kept in memory — restart-safe by construction (a crashed run
+    *      re-derives it from what actually landed).
+    *   2. the remaining 1/4 lands in the source; pull with
+    *      `WHERE "id" > watermark` INSIDE the JDBC query — the source
+    *      scans only the delta, which is the entire point at production
+    *      scale (the history partition of the source DB is never
+    *      re-read); append to the lake.
+    *
+    * In-gate verdicts: the delta pull returned EXACTLY the inserted
+    * rows (count + every id above the watermark) — a silent full
+    * re-read or a dropped row fails the gate — and the final lake
+    * equals the whole slice (the DuckDB oracle recomputes it from the
+    * untouched parquet). The only driver-side value is the 1-row
+    * watermark — model-sized state, the e6 collect rule. */
+  def e20JdbcIncremental(s: SparkSession, d: String): DataFrame =
+    withDerby("graftinc") { url =>
+      val all = orders(s, d).orderBy(col("o_orderkey")).limit(2000)
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+          col("o_totalprice").as("price"))
+      val total = all.count()
+      val seedN = (total * 3 / 4).toInt
+      val seed = all.orderBy(col("id")).limit(seedN)
+      JdbcSink.insert(seed, url, "orders_inc", batchRows = 500)
+
+      val lakeRoot = java.nio.file.Files.createTempDirectory("graft-e20-lake")
+      val lake = lakeRoot.resolve("orders").toString
+      try {
+        def pull(where: String) = s.read.format("jdbc").option("url", url)
+          .option("query",
+            s"""SELECT "id", "cust", "price" FROM orders_inc$where""").load()
+        pull("").write.mode("overwrite").parquet(lake)
+        val wm = s.read.parquet(lake).agg(max(col("id"))).head.getLong(0)
+
+        JdbcSink.insert(all.filter(col("id") > wm), url, "orders_inc",
+          batchRows = 500)
+        val (delta, freeDelta) = CacheScope.localCheckpointReleasable(
+          pull(s""" WHERE "id" > $wm"""))
+        val deltaOk = delta.count() == total - seedN &&
+          delta.agg(min(col("id"))).head.getLong(0) > wm
+        delta.write.mode("append").parquet(lake)
+        freeDelta()
+
+        // eager checkpoint so the temp lake can be deleted on exit
+        CacheScope.localCheckpoint(
+          s.read.parquet(lake)
+            .select(col("id"), col("cust"), Relational.dec2(col("price")).as("p"))
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("cust")).as("n_custs"),
+              sum(col("p")).cast("double").as("total_price"),
+              lit(deltaOk).as("delta_ok"),
+              lit(wm > 0L).as("watermark_ok")))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(lakeRoot.toFile)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_jdbc_incremental" -> e20JdbcIncremental,
     "e8_jsonl_roundtrip" -> e8JsonlRoundtrip,
     "e9_csv_roundtrip" -> e9CsvRoundtrip,
     "e11_orc_roundtrip" -> e11OrcRoundtrip,
@@ -954,6 +1019,14 @@ object EtlQueries {
         |  COUNT(DISTINCT c_custkey) AS n_keys,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
         |FROM merged""".stripMargin,
+    "e20_jdbc_incremental" ->
+      """WITH src AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  TRUE AS delta_ok,
+        |  TRUE AS watermark_ok
+        |FROM src""".stripMargin,
     "e10_jdbc_partitioned" ->
       """WITH src AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)
         |SELECT COUNT(*) AS n_rows,

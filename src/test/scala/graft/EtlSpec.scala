@@ -474,4 +474,18 @@ class EtlSpec extends AnyFunSuite {
       "an empty delta must not change any group's totals")
     assert(refreshed.nonEmpty)
   }
+
+  test("e20: incremental JDBC ingest — delta exact, watermark from the lake, totals whole") {
+    import graft.operators.EtlQueries
+    val r = EtlQueries.e20JdbcIncremental(spark, sf).head
+    // schema: n_rows, n_custs, total_price, delta_ok, watermark_ok
+    assert(r.getBoolean(3), "delta pull must return exactly the inserted rows, all above the watermark")
+    assert(r.getBoolean(4), "watermark must derive from the landed lake")
+    // the lake holds the WHOLE slice after both cycles: equal to the
+    // direct parquet-side aggregate of the same slice
+    val direct = Tables.orders(spark, sf).orderBy(col("o_orderkey")).limit(2000)
+      .agg(count(lit(1)), countDistinct(col("o_custkey"))).head
+    assert(r.getLong(0) == direct.getLong(0) && r.getLong(1) == direct.getLong(1),
+      s"lake totals ${(r.getLong(0), r.getLong(1))} != source ${(direct.getLong(0), direct.getLong(1))}")
+  }
 }

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 143 queries / 134 oracles") {
-    assert(SparkEntry.queries.size == 143,
+  test("registry counts match the documented 144 queries / 135 oracles") {
+    assert(SparkEntry.queries.size == 144,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 134,
+    assert(SparkEntry.oracleSql.size == 135,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
