@@ -57,6 +57,18 @@ object Cli {
       /** LOW:HIGH partition bounds; absent → one min/max probe derives them
         * ([[graft.sources.JdbcPartitioning.deriveBounds]]) */
       jdbcBounds: Option[(Long, Long)] = None,
+      /** watermark-incremental pull (the e20 operator at the CLI surface):
+        * wrap the query with `WHERE <col> > <watermark>` — the predicate
+        * ships INSIDE the source query, so a scheduled re-run reads only
+        * rows beyond the last pull. Column must be numeric + monotone
+        * (an id or epoch column). */
+      incrementalColumn: Option[String] = None,
+      /** watermark state file for --incremental-column: read before the
+        * pull (absent → full pull), atomically rewritten with the max
+        * pulled value after a successful write — restart-safe because a
+        * crashed run leaves the old watermark and the next run simply
+        * re-pulls the same delta. */
+      statePath: Option[String] = None,
       /** -1 = quiet, 0 = default, N = -v count (logging.rs:4-25 parity) */
       verbosity: Int = 0,
       /** --prompt (reference connection.rs:49-77, where it triggers the
@@ -98,6 +110,8 @@ object Cli {
         case "--jdbc-partition-column" :: v :: t => c = c.copy(jdbcPartitionColumn = Some(v)); t
         case "--jdbc-num-partitions" :: v :: t => c = c.copy(jdbcNumPartitions = Some(v.toInt)); t
         case "--jdbc-bounds" :: v :: t => c = c.copy(jdbcBounds = Some(parseBounds(v))); t
+        case "--incremental-column" :: v :: t => c = c.copy(incrementalColumn = Some(v)); t
+        case "--state-path" :: v :: t => c = c.copy(statePath = Some(v)); t
         case "--prompt" :: t => c = c.copy(promptPassword = true); t
         case ("-v" | "--verbose") :: t => c = c.copy(verbosity = c.verbosity.max(0) + 1); t
         case ("-q" | "--quiet") :: t => c = c.copy(verbosity = -1); t
@@ -206,7 +220,11 @@ object Cli {
       |  --prompt (ask for the password interactively),
       |  --jdbc-partition-column COL [--jdbc-num-partitions N] [--jdbc-bounds LO:HI]
       |    (parallel JDBC read: N concurrent range-partitioned cursors; bounds
-      |     auto-derived via one MIN/MAX probe when omitted)""".stripMargin
+      |     auto-derived via one MIN/MAX probe when omitted)
+      |  --incremental-column COL --state-path FILE
+      |    (scheduled-pull mode: wrap the query with COL > <watermark> and
+      |     atomically advance FILE to the max landed value — only rows since
+      |     the last run are read from the source)""".stripMargin
 
   /** `--prompt` resolution (reference interactive credentials,
     * src/main.rs connection opts): read the password from the console
@@ -304,7 +322,23 @@ object Cli {
     val spark = sparkOpt.getOrElse(session(conf.verbosity))
     spark.sparkContext.setLogLevel(logLevel(conf.verbosity))
     graft.functions.TimeKernels.registerAll(spark)
-    val sql = QueryParams.substitute(readQueryText(sqlArg), params.toSeq)
+    val baseSql = QueryParams.substitute(readQueryText(sqlArg), params.toSeq)
+    // watermark-incremental pull: wrap the (arbitrary) user query as a
+    // derived table and predicate on the monotone column — the WHERE
+    // ships inside the source query on the JDBC path, so the source
+    // scans only the delta (operators.EtlQueries.e20 is the gated twin
+    // of this surface)
+    val sql = conf.incrementalColumn match {
+      case Some(cname) =>
+        require(conf.statePath.isDefined,
+          "--incremental-column requires --state-path")
+        val wm = conf.statePath.map(Paths.get(_)).filter(Files.exists(_))
+          .map(p => new String(Files.readAllBytes(p), "UTF-8").trim)
+          .filter(_.nonEmpty)
+        wm.fold(baseSql)(w =>
+          s"SELECT * FROM ($baseSql) graft_inc WHERE $cname > $w")
+      case None => baseSql
+    }
     val df = (conf.connectionString, conf.tablesDir) match {
       case (Some(url), _) if conf.jdbcPartitionColumn.isDefined =>
         // parallel ingest: one result-set cursor per partition (SURVEY
@@ -352,7 +386,7 @@ object Cli {
         driverSupports64Bit = conf.driverSupports64Bit))
     val rows = BatchSizeLimit.effectiveRows(mapped.schema, conf.batchSizeRow, conf.batchSizeMemory)
     val (writerVersion, columnDictionary) = realizeEncodings(conf.columnEncodings)
-    ParquetSink.write(mapped, out, ParquetSink.Options(
+    val written = ParquetSink.write(mapped, out, ParquetSink.Options(
       compression = conf.columnCompressionDefault,
       compressionLevel = conf.columnCompressionLevel,
       batchRows = rows,
@@ -362,6 +396,30 @@ object Cli {
       noEmptyFile = conf.noEmptyFile,
       writerVersion = writerVersion,
       columnDictionary = columnDictionary))
+    // advance the watermark from what actually LANDED (not from the pull
+    // plan — a failed write must not move state), atomically: tmp +
+    // same-directory rename, the ParquetSink staging rule
+    conf.incrementalColumn.foreach { cname =>
+      if (written.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, max}
+        // the flag value is spelled for the SOURCE dialect (quoted for
+        // case-sensitive Derby/Postgres identifiers); the landed parquet
+        // column is the bare name
+        val bare = cname.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`")
+        val mx = spark.read.parquet(written.map(_.toString): _*)
+          .agg(max(col(bare))).head
+        if (!mx.isNullAt(0)) {
+          val stateP = Paths.get(conf.statePath.get).toAbsolutePath
+          val tmp = Files.createTempFile(stateP.getParent, ".graft-state", ".tmp")
+          Files.write(tmp, mx.get(0).toString.getBytes("UTF-8"))
+          Files.move(tmp, stateP,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
+    written
   }
 
   def runInsert(conf: Conf, sparkOpt: Option[SparkSession] = None): Unit = {

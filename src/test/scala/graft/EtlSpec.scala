@@ -163,6 +163,47 @@ class EtlSpec extends AnyFunSuite {
     assert(spark.read.parquet(files.map(_.toString): _*).count() == 6000)
   }
 
+  test("cli: --incremental-column pulls only the delta and atomically advances --state-path") {
+    import graft.sources.JdbcSink
+    val db = s"cliinc${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    try {
+      val src = Tables.orders(spark, sf).orderBy(col("o_orderkey")).limit(800)
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+      JdbcSink.insert(src.orderBy(col("id")).limit(600), url, "inc_src")
+      val dir = tmp()
+      val state = dir.resolve("wm.txt")
+      def run(out: String): Seq[java.nio.file.Path] = {
+        val (_, conf) = Cli.parse(Seq("query", "-c", url,
+          "--incremental-column", "\"id\"", "--state-path", state.toString,
+          dir.resolve(out).toString, """SELECT "id", "price" FROM inc_src"""))
+        Cli.runQuery(conf, Some(spark))
+      }
+      val first = run("pull1.par")
+      val ids1 = spark.read.parquet(first.map(_.toString): _*)
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(ids1.length == 600, "first run with no state is a full pull")
+      val wm = new String(java.nio.file.Files.readAllBytes(state), "UTF-8").trim.toLong
+      assert(wm == ids1.last, "state must hold the max landed id")
+
+      // 200 new rows land in the source; the second run must read ONLY them
+      JdbcSink.insert(src.filter(col("id") > wm), url, "inc_src")
+      val second = run("pull2.par")
+      val ids2 = spark.read.parquet(second.map(_.toString): _*)
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(ids2.length == 200, s"delta pull must be exactly the new rows, got ${ids2.length}")
+      assert(ids2.forall(_ > wm), "no re-read below the watermark")
+      assert((ids1 ++ ids2).toSet ==
+        src.select("id").collect().map(_.getLong(0)).toSet,
+        "two pulls must cover the whole source exactly")
+      val wm2 = new String(java.nio.file.Files.readAllBytes(state), "UTF-8").trim.toLong
+      assert(wm2 == ids2.last, "state must advance to the new max")
+    } finally {
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true"); () }
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("cli: unknown flags and subcommands fail with usage") {
     intercept[IllegalArgumentException](Cli.parse(Seq("query", "--bogus")))
     intercept[IllegalArgumentException](Cli.main(Array("frobnicate")))
