@@ -207,14 +207,26 @@ object PipelineExt {
     * range — production shifts to per-node mass normalization (ranks sum
     * to 10⁶ TOTAL) under the identical loop shape.
     *
-    * Scale posture: edges ⋈ outdeg is pre-joined ONCE and checkpointed;
-    * each round is one src-keyed equi-join + one map-side-combinable
-    * groupBy-sum on dst + one node-keyed left join — the d7 shuffle
-    * discipline, linear in |E| per round, rounds fixed. Each round
-    * rebases on an eager localCheckpoint so the plan shape stays
-    * constant and codegen compiles once. */
-  def d18Pagerank(s: SparkSession, d: String): DataFrame = {
-    val iters = 5
+    * Scale posture — the big side never shuffles after setup: edges ⋈
+    * outdeg is pre-joined ONCE and checkpointed; each round BROADCASTS
+    * the |V|-sized rank table into a broadcast-hash join (explicit, not
+    * an AQE-threshold accident — the spec pins it) and the groupBy(dst)
+    * sum partial-aggregates MAP-SIDE before its exchange, so
+    * per-iteration shuffle volume is O(|V| · partitions), never |E|
+    * (both properties pinned on the single-round plan in
+    * NoveltyGraphSpec). An exchange-free aggregate via a pre-
+    * repartition(dst) was tried and rejected: localCheckpoint does NOT
+    * preserve output partitioning (the round still re-exchanged), so
+    * the setup repartition was a pure extra |E| shuffle. At web-graph
+    * |V| (10⁹) the rank broadcast becomes the limit — there the same
+    * loop co-partitions ranks WITH edges on src and shuffles only ranks
+    * per round; the aggregation side is unchanged. Each round rebases
+    * on an eager localCheckpoint so the plan shape stays constant and
+    * codegen compiles once. */
+  /** One-time setup: the dst-partitioned weighted edge list and the node
+    * table, both checkpointed — exposed so the spec can audit a single
+    * round's physical plan against the shuffle claim above. */
+  private[graft] def d18Setup(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val edges = orders(s, d).select(col("o_custkey"), col("o_orderkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -225,18 +237,27 @@ object PipelineExt {
     val ew = CacheScope.localCheckpoint(edges.join(outdeg, Seq("src")))
     val nodes = CacheScope.localCheckpoint(
       ew.select(col("src").as("node")).union(ew.select(col("dst"))).distinct())
+    (ew, nodes)
+  }
 
+  /** One damped-update round (see scaladoc above for the shuffle claim). */
+  private[graft] def d18Round(ew: DataFrame, nodes: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = ew.join(broadcast(ranks), col("src") === col("node"))
+      .select(col("dst"), expr("pr div outdeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+    nodes.join(contrib, col("node") === col("dst"), "left_outer")
+      .select(col("node"),
+        expr("150000 + (850000 * coalesce(m, CAST(0 AS BIGINT))) div 1000000")
+          .as("pr"))
+  }
+
+  def d18Pagerank(s: SparkSession, d: String): DataFrame = {
+    val iters = 5
+    val (ew, nodes) = d18Setup(s, d)
     var ranks = nodes.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to iters) {
-      val contrib = ew.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("pr div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      ranks = CacheScope.localCheckpoint(
-        nodes.join(contrib, col("node") === col("dst"), "left_outer")
-          .select(col("node"),
-            expr("150000 + (850000 * coalesce(m, CAST(0 AS BIGINT))) div 1000000")
-              .as("pr")))
-    }
+    for (_ <- 1 to iters)
+      ranks = CacheScope.localCheckpoint(d18Round(ew, nodes, ranks))
     ranks.orderBy(col("node"))
   }
 

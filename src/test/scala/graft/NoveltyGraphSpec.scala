@@ -64,6 +64,18 @@ class NoveltyGraphSpec extends AnyFunSuite {
       s"expected a high-authority supplier at the top, got $top")
   }
 
+  test("d18: a round broadcasts ranks and combines contributions map-side") {
+    val (ew, nodes) = PipelineExt.d18Setup(spark, sf)
+    val ranks = nodes.withColumn("pr", org.apache.spark.sql.functions.lit(1000000L))
+    val p = PipelineExt.d18Round(ew, nodes, ranks)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"ranks must broadcast — the edge side never shuffles for the join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"contributions must partial-aggregate before the exchange — the " +
+        s"per-round shuffle is O(|V|·partitions), never |E|:\n$p")
+  }
+
   test("t27: pure-Scala split-leakage twin reproduces every row exactly") {
     val K = 3
     def bucket(id: Long): Long = {
