@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "dot_product", a => DotProduct(a.head, a(1)))
     fn(e, "jaccard_sorted", a => JaccardSorted(a.head, a(1)))
     fn(e, "minhash_buckets", a => MinHashBuckets(a.head, 32, 4))
+    fn(e, "zorder2", a => ZOrder2(a.head, a(1)))
+    fn(e, "sq8_adc_dot", a => Sq8AdcDot(a.head, a(1), a(2), a(3)))
+    fn(e, "pq_lut", a => PqLut(a.head, a(1), a(2), a(3)))
+    fn(e, "pq_lut_score", a => PqLutScore(a.head, a(1), a(2)))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

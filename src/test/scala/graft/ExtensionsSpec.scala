@@ -30,5 +30,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getDouble(4) == 9.0)
       row.getLong(5) // simhash evaluates
     }
+    locally {
+      val row = spark.sql(
+        """SELECT zorder2(1, 2) AS z,
+          |  sq8_adc_dot(array(CAST(2.0 AS FLOAT)), array(CAST(-128 AS TINYINT)),
+          |    array(CAST(0.5 AS DOUBLE)), array(CAST(0.0 AS DOUBLE))) AS adc,
+          |  pq_lut_score(
+          |    pq_lut(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |      array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE),
+          |            CAST(5.0 AS DOUBLE), CAST(6.0 AS DOUBLE)), 2, 2),
+          |    array(CAST(1 AS TINYINT)), 2) AS pq
+          |""".stripMargin).collect().head
+      // zorder2(0b01, 0b10) interleaves to 0b0110 = 6
+      assert(row.getLong(0) == 6L)
+      // code −128 → level 0 → dequantizes to lo=0.5; 2.0 · 0.5 = 1.0
+      assert(row.getDouble(1) == 1.0)
+      // one subspace (m=0), code 1 → centroid (5,6): 1·5 + 2·6 = 17
+      assert(row.getDouble(2) == 17.0)
+    }
   }
 }
