@@ -120,13 +120,68 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // ------------------------------------------------- m5_content_store
+  /** Content-addressed storage audit — the dedup-storage plan of a
+    * multimodal lake: payloads keyed by digest, stored ONCE per distinct
+    * digest no matter how many dataset generations reference them. Two
+    * derived generations (g1 = doc_id % 5 ≠ 0 — the d14 snapshot
+    * convention; g2 = all docs) stand in for the re-crawl that re-ships
+    * mostly-unchanged media. Per source: reference count, distinct-blob
+    * count, naive bytes (every reference stored) vs content-addressed
+    * bytes (each digest once), and the saving — all exact integers.
+    *
+    * Scale posture: one groupBy (source, digest) with map-side combine —
+    * payload bytes themselves never shuffle (only digest + length leave
+    * the scan) — then a per-source rollup of the model-sized digest
+    * groups. The digest stands in for payload equality (the d13
+    * collision argument; the oracle groups the raw text). */
+  def m5ContentStore(s: SparkSession, d: String): DataFrame = {
+    // join-free: derive source alongside the payload in one scan
+    val base = documents(s, d).select(col("doc_id"), col("source"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val gens = base.filter(col("doc_id") % 5 =!= 0).union(base)
+    gens
+      .select(col("source"), sha2(col("payload"), 256).as("digest"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("source"), col("digest"))
+      .agg(count(lit(1)).as("refs"), first(col("n_bytes")).as("n_bytes"))
+      .groupBy(col("source"))
+      .agg(sum(col("refs")).as("n_blobs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("refs") * col("n_bytes")).as("bytes_naive"),
+        sum(col("n_bytes")).as("bytes_stored"))
+      .select(col("source"), col("n_blobs"), col("n_unique"),
+        col("bytes_naive"), col("bytes_stored"),
+        (col("bytes_naive") - col("bytes_stored")).as("bytes_saved"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m2_features" -> m2Features,
-    "m3_frame_sample" -> m3FrameSample
+    "m3_frame_sample" -> m3FrameSample,
+    "m5_content_store" -> m5ContentStore
   )
 
   val oracleSql: Map[String, String] = Map(
+    // groups the raw text where the Spark side groups its sha-256 digest —
+    // collision-equivalent (d13's accepted argument)
+    "m5_content_store" ->
+      """WITH base AS (SELECT doc_id, source, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |gens AS (SELECT * FROM base WHERE doc_id % 5 <> 0
+        |  UNION ALL SELECT * FROM base),
+        |per_digest AS (SELECT source, text,
+        |    CAST(COUNT(*) AS BIGINT) AS refs, MIN(n_bytes) AS n_bytes
+        |  FROM gens GROUP BY source, text)
+        |SELECT source,
+        |  CAST(SUM(refs) AS BIGINT) AS n_blobs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(refs * n_bytes) AS BIGINT) AS bytes_naive,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS bytes_stored,
+        |  CAST(SUM(refs * n_bytes) - SUM(n_bytes) AS BIGINT) AS bytes_saved
+        |FROM per_digest GROUP BY source ORDER BY source""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -461,6 +461,40 @@ object PipelineExt {
       .orderBy(col("shard"), col("pos"))
   }
 
+  // ---------------------------------------------- t28_curriculum
+  /** Curriculum data ordering — quality-staged training order: every
+    * document gets a per-source quality DECILE (ntile over an exact
+    * integer quality signal, doc_id tiebreak pinning the cut), and the
+    * global curriculum position reads highest-quality deciles first with
+    * a deterministic hash shuffle WITHIN each decile (t25's versioned-
+    * hash rule — reproducible, never rand()). The output is the read
+    * order of a quality-curriculum training run (clean data first,
+    * tail-quality later), with the decile kept so a trainer can also
+    * re-weight or truncate by stage.
+    *
+    * Scale posture: one source-keyed window for the decile, then t25's
+    * sharded layout — shard = hash % S, position ordered by (decile,
+    * hash) WITHIN each shard — so no global single-partition window
+    * ever exists; each trainer reads its shard sequentially and still
+    * sees clean-data-first order. */
+  def t28Curriculum(s: SparkSession, d: String): DataFrame = {
+    val shards = 8
+    val wq = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val hv = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":cur1"))), 1, 8), 16, 10)
+      .cast("long").as("hv")
+    val wPos = Window.partitionBy(col("shard"))
+      .orderBy(col("decile"), col("hv"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), hv)
+      .withColumn("decile", ntile(10).over(wq).cast("long"))
+      .withColumn("shard", col("hv") % shards)
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select(col("shard"), col("pos"), col("decile"), col("source"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   // ---------------------------------------------- t17_weighted_sample
   /** Deterministic quality-weighted downsampling with Horvitz-Thompson
     * reweighting — the "keep the good stuff, but stay unbiased" corpus
@@ -538,6 +572,7 @@ object PipelineExt {
     "t15_token_mix_hierarchical" -> t15TokenMixHierarchical,
     "t11_split" -> t11Split,
     "t27_split_leakage" -> t27SplitLeakage,
+    "t28_curriculum" -> t28Curriculum,
     "t13_stratified_sample" -> t13StratifiedSample,
     "t25_epoch_shuffle" -> t25EpochShuffle,
     "t17_weighted_sample" -> t17WeightedSample
@@ -631,6 +666,19 @@ object PipelineExt {
         |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
         |  len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t28_curriculum" ->
+      """WITH q AS (SELECT doc_id, source, n_chars,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':cur1'), 1, 8)) AS BIGINT)
+        |      AS hv,
+        |    CAST(NTILE(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS decile
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, decile, hv, hv % 8 AS shard FROM q)
+        |SELECT shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY decile, hv, doc_id) AS BIGINT)
+        |    AS pos,
+        |  decile, source, doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
     // groups the raw gram text where the Spark side groups its 64-bit
     // hash — collision-equivalent (d13's accepted argument)
     "t27_split_leakage" ->

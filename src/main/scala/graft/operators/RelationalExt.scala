@@ -218,7 +218,34 @@ object RelationalExt {
       .orderBy(col("day0"), col("week"))
   }
 
+  // ------------------------------------------------- q57_event_paths
+  /** Order-1 sequential pattern mining over the event log: per user,
+    * events ordered by exact event time (event_id tiebreak — within-ts
+    * order must be pinned or transition counts are nondeterministic),
+    * adjacent pairs become (prev_type → event_type) transitions, counted
+    * globally — the Markov-transition matrix behind funnel discovery and
+    * session-model features (q55 checks ONE known path; this one finds
+    * them all).
+    *
+    * Scale posture: one user-keyed window (lag) + one map-side-combined
+    * count over at most |event types|² groups. The window's per-user
+    * partition is bounded by per-user event counts — the q21 skew story
+    * applies if one user dominates. */
+  def q57EventPaths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_event_paths" -> q57EventPaths,
     "q55_funnel" -> q55Funnel,
     "q56_retention" -> q56Retention,
     "q43_latest_per_key" -> q43LatestPerKey,
@@ -247,6 +274,14 @@ object RelationalExt {
         |UNION ALL SELECT '3_purchase', COUNT(*),
         |  CAST(COALESCE(SUM(t_purchase - t_view), 0) AS BIGINT) FROM p
         |ORDER BY stage""".stripMargin,
+    "q57_event_paths" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q56_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
         |    FROM events),

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 144 queries / 135 oracles") {
-    assert(SparkEntry.queries.size == 144,
+  test("registry counts match the documented 147 queries / 138 oracles") {
+    assert(SparkEntry.queries.size == 147,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 135,
+    assert(SparkEntry.oracleSql.size == 138,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
