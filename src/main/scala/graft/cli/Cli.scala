@@ -332,6 +332,12 @@ object Cli {
       case Some(cname) =>
         require(conf.statePath.isDefined,
           "--incremental-column requires --state-path")
+        // stdout output returns no file paths, so the watermark could
+        // never advance — every scheduled run would silently re-pull the
+        // whole source; refuse instead
+        require(out != "-",
+          "--incremental-column cannot write to stdout ('-'): the " +
+            "watermark advances from the landed parquet files")
         val wm = conf.statePath.map(Paths.get(_)).filter(Files.exists(_))
           .map(p => new String(Files.readAllBytes(p), "UTF-8").trim)
           .filter(_.nonEmpty)

@@ -45,7 +45,7 @@ object IvfIndex {
   /** Bump when the on-disk layout or training recipe changes: the version
     * is part of the index path, so stale indexes from older code are
     * simply never found. */
-  private val FormatVersion = "v2"
+  private[operators] val FormatVersion = "v2"
 
   // ------------------------------------------------------------ quantizer
 

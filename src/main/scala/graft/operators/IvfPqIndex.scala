@@ -36,10 +36,16 @@ object IvfPqIndex {
   val NProbe = 8
   private val FormatVersion = "v1"
 
+  /** The composite key embeds BOTH sub-indexes' format versions and
+    * shape knobs: a recipe bump in either (IvfIndex centroid training,
+    * PqIndex codebooks, K/M/Ks changes) must miss this directory too, or
+    * fresh models would silently score stale coded lists — the exact
+    * generation mix the header rules out. */
   def indexDir(d: String): Path = IndexLifecycle.keyedDir(
     "SPARK_GRAFT_IVFPQ_DIR", "graft-ivfpq",
     Paths.get(d).resolve("embeddings.parquet"),
-    s"$FormatVersion-k${IvfIndex.K}-m${PqIndex.M}")
+    s"$FormatVersion-ivf${IvfIndex.FormatVersion}k${IvfIndex.K}" +
+      s"-pq${PqIndex.FormatVersion}m${PqIndex.M}ks${PqIndex.Ks}")
 
   def ensure(s: SparkSession, d: String): Path =
     IndexLifecycle.ensureBuilt(indexDir(d)) { staging =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -358,11 +358,16 @@ object PipelineExt {
     * expressions, no shuffle except the presentation sort; portable: the
     * oracle recomputes the identical md5 buckets in SQL. To re-roll a
     * split, version the key (md5(concat(id, ':v2'))), don't re-seed. */
+  /** t11's split bucket (md5 of the doc id, first 32 bits, mod 100) —
+    * ONE definition shared with t27's leakage audit: the audit must
+    * interrogate exactly the split t11 assigns, never a drifted copy. */
+  private def splitBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+
   def t11Split(s: SparkSession, d: String): DataFrame = {
-    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100).as("bucket")
     documents(s, d)
-      .select(col("doc_id"), bucket)
+      .select(col("doc_id"), splitBucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "validation")
@@ -388,14 +393,11 @@ object PipelineExt {
     * bucket, recomputed per row — no join against a split table. */
   def t27SplitLeakage(s: SparkSession, d: String): DataFrame = {
     val K = 3
-    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100).as("bucket")
     val grams = documents(s, d)
-      .select(col("doc_id"), bucket, split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), splitBucket.as("bucket"), TextAnalysis.tokens.as("w"))
       .where(size(col("w")) >= K)
-      .select(col("doc_id"), col("bucket"), explode(expr(
-        s"transform(sequence(0, size(w) - $K), " +
-          s"i -> xxhash64(array_join(slice(w, i + 1, $K), ' ')))")).as("gh"))
+      .select(col("doc_id"), col("bucket"),
+        explode(TextAnalysis.gramHashes(col("w"), K)).as("gh"))
       .distinct()
     val trainGrams = grams.filter(col("bucket") < 90).select(col("gh")).distinct()
       .withColumn("in_train", lit(1L))

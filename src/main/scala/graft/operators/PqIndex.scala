@@ -12,12 +12,12 @@ import graft.functions.VectorOps
   * split of s5 (the Sq8Index lifecycle applied to PQ — Jégou et al.,
   * PAPERS.md).
   *
-  * The 64-dim vector splits into [[M]]=8 contiguous 8-dim subvectors;
+  * The 64-dim vector splits into [[M]]=16 contiguous 4-dim subvectors;
   * each subspace trains its own [[Ks]]=16-centroid codebook (seeds by
   * deterministic hash rank, [[LloydPasses]] refinement — the IvfIndex
   * recipe per subspace, all M subspaces refined in ONE corpus pass per
   * Lloyd round via a position-exploded mean). A vector's code is then
-  * M bytes — 32× smaller than float32 storage (8 vs 256 bytes), vs
+  * M bytes — 16× smaller than float32 storage (16 vs 256 bytes), vs
   * SQ8's 4×. Artifacts:
   *
   *   codebooks/  M·Ks rows (m, c, centroid array<double>)   ≈ 8 KB
@@ -49,7 +49,7 @@ object PqIndex {
     * the test corpora; production PQ uses 256 under the identical shape. */
   val Ks = 16
   val LloydPasses = 2
-  private val FormatVersion = "v2"
+  private[operators] val FormatVersion = "v2"
 
   // ------------------------------------------------------------ quantizer
 

@@ -233,8 +233,12 @@ object RelationalExt {
     * applies if one user dominates. */
   def q57EventPaths(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // micros (ts_ns div 1000), not raw nanos: the oracle orders by
+    // epoch_us(ts), and on a TIMESTAMP(NANOS)-encoded generation a
+    // same-micro nano difference would flip the tiebreak to event_id on
+    // one side only — the repo-wide q41/q43/q55 convention
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns"), col("event_id"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
     events(s, d)
       .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))

@@ -240,11 +240,13 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
 
   // ----------------------------------------------------------- s5_ann_pq
-  /** PQ candidates rescored exactly; window sized from the measured worst
-    * approx-rank of a true top-5 member (see NOTES.md — re-measure via
-    * [[graft.tools.Measure]] before shrinking). PQ at M=8×Ks=16 is a 32×
-    * compression — far coarser than SQ8's 4× — so its margin is wider
-    * than s4's and the window is correspondingly larger. */
+  /** PQ candidates rescored exactly. Unlike s4, the window does NOT
+    * cover the measured worst approx-rank of a true top-5 member (94/565
+    * at sf0.01/sf0.1 — NOTES.md), so s5 is genuinely approximate: it
+    * gates on the 0.60 family recall floor, never on s1's exact oracle.
+    * 64 is the measured recall/cost point for the M=16×Ks=16 shape
+    * (16× compression, coarser than SQ8's 4×); re-measure via
+    * [[graft.tools.Measure]] before changing it. */
   private[graft] val PqRescore = 64
 
   /** The full PQ approximate ranking (uncut), exposed for Measure's

@@ -14,6 +14,14 @@ object TextAnalysis {
 
   private[operators] def tokens: Column = split(trim(col("text")), "\\s+")
 
+  /** 64-bit hashes of every word K-gram start in token array `w` — the
+    * shared gram kernel of t26/t27 (collision-equivalent to the gram
+    * text, d13's accepted argument; oracles group the raw gram). Guard
+    * `size(w) >= k` upstream: sequence() rejects a negative length. */
+  private[operators] def gramHashes(w: Column, k: Int): Column =
+    transform(sequence(lit(0), size(w) - lit(k)),
+      i => xxhash64(array_join(slice(w, i + lit(1), lit(k)), " ")))
+
   // ----------------------------------------------------------- t1_tokens
   /** Token counting: whitespace tokenization, total + distinct counts. */
   def t1Tokens(s: SparkSession, d: String): DataFrame =
@@ -471,9 +479,7 @@ object TextAnalysis {
     val grams = documents(s, d)
       .select(col("doc_id"), tokens.as("w"))
       .where(size(col("w")) >= K) // shorter docs have no K-gram
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $K), " +
-          s"i -> xxhash64(array_join(slice(w, i + 1, $K), ' ')))")).as("gh"))
+      .select(col("doc_id"), explode(gramHashes(col("w"), K)).as("gh"))
       .distinct()
     val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, Seq("gh"))

@@ -67,8 +67,11 @@ class PqSpec extends AnyFunSuite {
 
   test("probe plan reads only the code table: no training scan, no encode") {
     PqIndex.ensure(spark, sf)
+    // no 'pq' substring fallback: the scoring kernel's own name would
+    // match it even after a regression to inline re-encoding (the s4
+    // no-vacuous-contains rule) — the persisted dir name is the claim
     val plan = Similarity.s5ApproxRanked(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("graft-pq") || plan.toLowerCase.contains("pq"),
+    assert(plan.contains("graft-pq"),
       s"ranking must read the persisted code table:\n$plan")
     assert(!plan.contains("posexplode"),
       s"Lloyd mean derivation must not appear on the probe path:\n$plan")
