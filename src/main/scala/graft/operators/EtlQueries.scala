@@ -877,8 +877,67 @@ object EtlQueries {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(lakeRoot.toFile)
     }
 
+  // ------------------------------------------------- e21_expectations
+  /** Declarative data-quality expectations audit (the Deequ shape): a
+    * fixed check suite — completeness, key uniqueness, value-domain
+    * membership, referential integrity, numeric range, cross-column
+    * consistency, composition share — evaluated in ONE wide aggregate
+    * per table, emitted as (check, good, total, metric_ppm,
+    * threshold_ppm, pass) verdict rows. Metrics are exact integer ppm
+    * (`(good * 1000000) div total`, non-negative, so Spark's `div` and
+    * DuckDB's `//` agree bit-for-bit — the micro-units rule); the
+    * docs_en_share check is deliberately below its 50% threshold so the
+    * gate exercises a FAILING verdict row, not just the all-green path.
+    *
+    * Scale posture: one scan per audited table no matter how many
+    * checks that table carries (the wide-aggregate fusion is the whole
+    * point — N checks must not become N scans at 100 TB), every
+    * aggregate partial-aggregates map-side, and the referential check
+    * is a broadcast anti-join against the dimension (never a fact-side
+    * shuffle). The verdict table is model-sized: checks × 1 row. */
+  def e21Expectations(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).agg(
+      count(lit(1)).as("o_n"),
+      count(col("o_custkey")).as("o_ck"),
+      countDistinct(col("o_orderkey")).as("o_ok"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("o_st"))
+    val orph = orders(s, d).select(col("o_custkey"))
+      .join(broadcast(customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("o_orph"))
+    val l = lineitem(s, d).agg(
+      count(lit(1)).as("l_n"),
+      sum(when(col("l_quantity").between(1, 50), 1L).otherwise(0L))
+        .as("l_q"))
+    val doc = documents(s, d).agg(
+      count(lit(1)).as("doc_n"),
+      sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
+        .as("doc_len"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("doc_en"))
+    // 1-row × 1-row crossJoins (the t18 bounded-BNLJ pattern), then one
+    // stack to verdict rows — the only driver-visible data is the suite
+    o.crossJoin(orph).crossJoin(l).crossJoin(doc)
+      .select(expr(
+        """stack(7,
+          |  'orders_custkey_complete', o_ck,        o_n,   1000000L,
+          |  'orders_orderkey_unique',  o_ok,        o_n,   1000000L,
+          |  'orders_status_domain',    o_st,        o_n,   1000000L,
+          |  'orders_custkey_ri',       o_n - o_orph, o_n,  1000000L,
+          |  'lineitem_qty_range',      l_q,         l_n,   1000000L,
+          |  'docs_len_consistent',     doc_len,     doc_n, 1000000L,
+          |  'docs_en_share',           doc_en,      doc_n, 500000L)
+          |  AS (check_name, good, total, threshold_ppm)""".stripMargin))
+      .withColumn("metric_ppm", expr("(good * 1000000) div total"))
+      .select(col("check_name"), col("good"), col("total"),
+        col("metric_ppm"), col("threshold_ppm"),
+        (col("metric_ppm") >= col("threshold_ppm")).as("pass"))
+      .orderBy(col("check_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e20_jdbc_incremental" -> e20JdbcIncremental,
+    "e21_expectations" -> e21Expectations,
     "e8_jsonl_roundtrip" -> e8JsonlRoundtrip,
     "e9_csv_roundtrip" -> e9CsvRoundtrip,
     "e11_orc_roundtrip" -> e11OrcRoundtrip,
@@ -1027,6 +1086,37 @@ object EtlQueries {
         |  TRUE AS delta_ok,
         |  TRUE AS watermark_ok
         |FROM src""".stripMargin,
+    "e21_expectations" ->
+      """WITH o AS (SELECT COUNT(*) AS n, COUNT(o_custkey) AS ck,
+        |    COUNT(DISTINCT o_orderkey) AS ok,
+        |    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS st
+        |  FROM orders),
+        |orph AS (SELECT COUNT(*) AS orphans FROM orders
+        |  LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_custkey IS NULL),
+        |l AS (SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS q
+        |  FROM lineitem),
+        |doc AS (SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS lenok,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en
+        |  FROM documents),
+        |checks AS (
+        |  SELECT 'orders_custkey_complete' AS check_name, ck AS good,
+        |    n AS total, 1000000 AS threshold_ppm FROM o
+        |  UNION ALL SELECT 'orders_orderkey_unique', ok, n, 1000000 FROM o
+        |  UNION ALL SELECT 'orders_status_domain', st, n, 1000000 FROM o
+        |  UNION ALL SELECT 'orders_custkey_ri', o.n - orph.orphans, o.n,
+        |    1000000 FROM o, orph
+        |  UNION ALL SELECT 'lineitem_qty_range', q, n, 1000000 FROM l
+        |  UNION ALL SELECT 'docs_len_consistent', lenok, n, 1000000 FROM doc
+        |  UNION ALL SELECT 'docs_en_share', en, n, 500000 FROM doc)
+        |SELECT check_name, CAST(good AS BIGINT) AS good,
+        |  CAST(total AS BIGINT) AS total,
+        |  CAST((good * 1000000) // total AS BIGINT) AS metric_ppm,
+        |  CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+        |  (good * 1000000) // total >= threshold_ppm AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
     "e10_jdbc_partitioned" ->
       """WITH src AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)
         |SELECT COUNT(*) AS n_rows,

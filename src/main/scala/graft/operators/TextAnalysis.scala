@@ -491,7 +491,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- t29_zipf_coverage
+  /** Zipf vocabulary-coverage curve: term frequencies → the top-50 terms
+    * by (freq desc, word) with rank and CUMULATIVE corpus coverage in
+    * exact integer ppm — the "how many vocabulary entries cover X% of
+    * the corpus" statistic that sizes tokenizer vocabularies and
+    * stopword lists (the head of the rank-frequency plot, where Zipf
+    * fit is judged).
+    *
+    * Scale posture: one explode + one word-keyed groupBy with map-side
+    * combine builds the term-frequency table ONCE (localCheckpoint —
+    * both the top-50 and the corpus total derive from it, never a
+    * second corpus scan); the global top-50 is orderBy+limit = a
+    * distributed TakeOrdered heap, NEVER a full vocabulary sort; the
+    * cumulative window then runs over exactly 50 rows (the
+    * single-partition window is bounded by the limit, not by data
+    * size), with the 1-row total riding along via the t18
+    * bounded-BNLJ crossJoin. */
+  def t29ZipfCoverage(s: SparkSession, d: String): DataFrame = {
+    val tf = CacheScope.localCheckpoint(
+      documents(s, d).select(explode(tokens).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val top = tf.orderBy(col("freq").desc, col("word")).limit(50)
+    val total = tf.agg(sum(col("freq")).as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("word"))
+    top.crossJoin(total)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("rank"), col("word"), col("freq"),
+        expr("(cum_freq * 1000000) div total_tokens").as("coverage_ppm"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_zipf_coverage" -> t29ZipfCoverage,
     "t26_novelty" -> t26Novelty,
     "t22_bpe_train" -> t22BpeTrain,
     "t23_bpe_encode" -> t23BpeEncode,
@@ -609,6 +645,18 @@ object TextAnalysis {
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t29_zipf_coverage" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+        |tot AS (SELECT SUM(freq) AS total_tokens FROM tf),
+        |top AS (SELECT word, freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+        |  FROM tf ORDER BY freq DESC, word LIMIT 50)
+        |SELECT rank, word, CAST(freq AS BIGINT) AS freq,
+        |  CAST((SUM(freq) OVER (ORDER BY rank) * 1000000) // total_tokens
+        |    AS BIGINT) AS coverage_ppm
+        |FROM top, tot ORDER BY rank""".stripMargin,
     "t22_bpe_train" -> t22OracleSql,
     // groups the raw gram text where the Spark side groups its 64-bit
     // hash — collision-equivalent (d13's accepted argument)

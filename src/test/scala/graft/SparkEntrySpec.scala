@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 147 queries / 138 oracles") {
-    assert(SparkEntry.queries.size == 147,
+  test("registry counts match the documented 149 queries / 140 oracles") {
+    assert(SparkEntry.queries.size == 149,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 138,
+    assert(SparkEntry.oracleSql.size == 140,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
