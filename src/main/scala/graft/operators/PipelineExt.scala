@@ -261,6 +261,90 @@ object PipelineExt {
     ranks.orderBy(col("node"))
   }
 
+  // ---------------------------------------------- d19_lpa_communities
+  /** Synchronous label-propagation communities over the d18 order-flow
+    * graph (Raghavan et al. 2007) — the third classic graph-curation
+    * primitive next to connected components (d7/d12, "what is
+    * reachable") and PageRank (d18, "what is authoritative"): LPA
+    * answers "what clusters together", the domain-grouping signal a
+    * corpus curator uses to cap per-community sampling. Three
+    * SYNCHRONOUS rounds — a fixed iteration count, not a modularity
+    * test — so the oracle unrolls the same rounds as chained CTEs
+    * (d18's argument). Every step is deterministic: each node adopts
+    * the most frequent label among its neighbors INCLUDING ITSELF
+    * (the self-vote breaks the two-coloring oscillation synchronous
+    * LPA exhibits on bipartite graphs), ties broken toward the
+    * lexicographically LARGEST label via a struct max — the identical
+    * (count, label) order the oracle's `ROW_NUMBER … ORDER BY c DESC,
+    * label DESC` realizes.
+    *
+    * Scale posture — d18's discipline on an undirected graph: the
+    * symmetrized edge list (2|E| + |V| self-votes) is checkpointed
+    * ONCE; each round BROADCASTS the |V|-sized label table (explicit),
+    * the vote count partial-aggregates map-side on (node, label), and
+    * the arg-max is a second keyed aggregate over the already-reduced
+    * vote table (≤ distinct (node, label) pairs, never |E| rows into
+    * an exchange). At web-graph |V| the label broadcast flips to the
+    * same ranks-co-partitioned-with-edges shape d18 documents. */
+  /** One-time setup for d19: the symmetrized-plus-self-vote edge list and
+    * initial self-labels — exposed so the spec can audit a single round's
+    * physical plan against the shuffle claim above (the d18Setup twin). */
+  private[graft] def d19Setup(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (ew, nodes) = d18Setup(s, d)
+    val ed = CacheScope.localCheckpoint(
+      ew.select(col("src"), col("dst"))
+        .union(ew.select(col("dst").as("src"), col("src").as("dst")))
+        .union(nodes.select(col("node").as("src"), col("node").as("dst"))))
+    (ed, nodes.withColumn("label", col("node")))
+  }
+
+  /** One synchronous LPA round (see scaladoc above for the shuffle claim). */
+  private[graft] def d19Round(ed: DataFrame, labels: DataFrame): DataFrame =
+    ed.join(broadcast(labels), col("node") === col("src"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("c"), col("label"))).as("m"))
+      .select(col("dst").as("node"), col("m.label").as("label"))
+
+  def d19LpaCommunities(s: SparkSession, d: String): DataFrame = {
+    val rounds = 3
+    val (ed, labels0) = d19Setup(s, d)
+    var labels = labels0
+    for (_ <- 1 to rounds)
+      labels = CacheScope.localCheckpoint(d19Round(ed, labels))
+    labels.select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
+
+  // --------------------------------------------------- d20_dedup_full
+  /** The end-to-end near-dedup capstone — the pipeline a user actually
+    * runs to dedup a corpus, composed from the gated building blocks:
+    * exact-Jaccard duplicate pairs (d3 semantics, θ=0.8 within source
+    * blocks) → connected components (d7's pointer-jumped min-label
+    * kernel) → one canonical SURVIVOR per cluster (largest n_chars,
+    * doc_id tiebreak — d13's provenance-rank shape) → a per-document
+    * verdict over the WHOLE corpus: (doc_id, cluster_id, is_kept),
+    * singletons forming their own kept cluster. Downstream training
+    * reads `WHERE is_kept`; the full table is the audit trail.
+    *
+    * Scale posture: inherits each stage's posture (blocked pair join,
+    * keyed CC shuffles, and the survivor pick is ONE window over
+    * cluster-keyed partitions); the corpus-wide left join against the
+    * cluster table is keyed on doc_id. Nothing here is new machinery —
+    * that is the point: the capstone proves the pieces COMPOSE without
+    * a driver-side seam. */
+  def d20DedupFull(s: SparkSession, d: String): DataFrame = {
+    val clusters = d7DupClusters(s, d)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- t7_redact_pii
   /** PII redaction: emails, IPv4s, and phone-shaped numbers replaced with
     * typed placeholders, plus per-kind match counts from the original
@@ -567,6 +651,8 @@ object PipelineExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d14_snapshot_diff" -> d14SnapshotDiff,
     "d18_pagerank" -> d18Pagerank,
+    "d19_lpa_communities" -> d19LpaCommunities,
+    "d20_dedup_full" -> d20DedupFull,
     "d7_dup_clusters" -> d7DupClusters,
     "d12_dup_clusters_star" -> d12DupClustersStar,
     "t7_redact_pii" -> t7RedactPii,
@@ -603,8 +689,57 @@ object PipelineExt {
        |SELECT node, pr FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** d19's oracle unrolls the 3 synchronous LPA rounds as chained CTEs
+    * (the d18 argument — a per-round aggregate is not expressible inside
+    * a recursive CTE). The `ROW_NUMBER … ORDER BY c DESC, label DESC`
+    * arg-max realizes exactly the Spark side's max(struct(c, label)). */
+  private val d19OracleSql: String = {
+    val step = (i: Int) =>
+      s"""l${i + 1} AS (SELECT node, label FROM (
+         |    SELECT ed.dst AS node, l.label, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY ed.dst
+         |        ORDER BY COUNT(*) DESC, l.label DESC) AS rn
+         |    FROM ed JOIN l$i l ON l.node = ed.src
+         |    GROUP BY ed.dst, l.label) WHERE rn = 1)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |n AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+       |  UNION ALL SELECT node, node FROM n),
+       |l0 AS (SELECT node, node AS label FROM n),
+       |${(0 until 3).map(step).mkString(",\n")}
+       |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "d18_pagerank" -> d18OracleSql,
+    "d19_lpa_communities" -> d19OracleSql,
+    // d20 extends d7's transitive-closure oracle with the survivor pick:
+    // same pair semantics, then one window per cluster over ALL documents
+    "d20_dedup_full" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(a.w, b.w))) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clusters AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |alld AS (SELECT d.doc_id,
+        |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+        |  FROM documents d LEFT JOIN clusters c USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id) = 1 AS is_kept
+        |FROM alld ORDER BY doc_id""".stripMargin,
     "d14_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, source, n_chars FROM documents
         |  WHERE doc_id % 5 <> 0),

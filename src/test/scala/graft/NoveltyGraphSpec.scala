@@ -105,4 +105,67 @@ class NoveltyGraphSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the 10% eval slice must be non-empty at sf0.001")
     assert(got == expected, "operator rows must equal the brute-force twin")
   }
+
+  test("d19: a round broadcasts labels and combines votes map-side") {
+    val (ed, labels0) = PipelineExt.d19Setup(spark, sf)
+    val p = PipelineExt.d19Round(ed, labels0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"labels must broadcast — the edge side never shuffles for the join:\n$p")
+    assert(p.contains("partial_count"),
+      s"votes must partial-aggregate on (node, label) before the exchange:\n$p")
+  }
+
+  test("d19: pure-Scala synchronous-LPA twin reproduces every community exactly") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey").collect()
+      .flatMap(r => o.get(r.getLong(0)).map(c => (s"c$c", s"s${r.getLong(1)}")))
+      .distinct
+    val nodes = (base.map(_._1) ++ base.map(_._2)).distinct.sorted
+    // symmetrized + self-vote, the operator's exact edge multiset
+    val ed = base ++ base.map(e => (e._2, e._1)) ++ nodes.map(n => (n, n))
+    var label = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val votes = ed.groupBy(_._2).map { case (dst, es) =>
+        val counts = es.groupBy(e => label(e._1))
+          .map { case (l, v) => (l, v.size) }
+        // max count, then lexicographically LARGEST label — the struct max
+        dst -> counts.maxBy { case (l, c) => (c, l) }._1
+      }
+      label = nodes.map(n => n -> votes(n)).toMap
+    }
+    val expected = nodes.map(n => (n, label(n))).toSeq
+    val got = PipelineExt.d19LpaCommunities(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == expected, "communities must equal the synchronous twin")
+    // the propagation must actually coarsen: fewer communities than nodes
+    val nComm = got.map(_._2).distinct.length
+    assert(nComm < nodes.length,
+      s"LPA should merge some nodes ($nComm communities / ${nodes.length} nodes)")
+  }
+
+  test("d20: capstone composes clusters and survivor pick consistently") {
+    val clusters = PipelineExt.d7DupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nchars = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = PipelineExt.d20DedupFull(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // every document appears exactly once
+    assert(got.map(_._1).toSet == nchars.keySet, "verdict must cover the corpus")
+    // cluster assignment = d7's on paired docs, self for singletons
+    got.foreach { case (id, cid, _) =>
+      assert(cid == clusters.getOrElse(id, id), s"doc $id cluster $cid") }
+    // exactly one survivor per cluster, and it is the largest (tie: min id)
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._3)
+      assert(kept.size == 1, s"cluster $cid has ${kept.size} survivors")
+      val best = members.map(_._1).minBy(id => (-nchars(id), id))
+      assert(kept.head._1 == best,
+        s"cluster $cid kept ${kept.head._1}, expected $best")
+    }
+    // the corpus actually contains near-dup clusters to collapse
+    assert(got.exists(!_._3), "some document must be dropped at sf0.001")
+  }
 }

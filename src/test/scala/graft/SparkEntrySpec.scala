@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 149 queries / 140 oracles") {
-    assert(SparkEntry.queries.size == 149,
+  test("registry counts match the documented 151 queries / 142 oracles") {
+    assert(SparkEntry.queries.size == 151,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 140,
+    assert(SparkEntry.oracleSql.size == 142,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
