@@ -394,7 +394,57 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------- s8_maxsim
+  private val MaxSimSub = 4   // token sub-vectors per embedding
+  private val MaxSimWidth = 16 // dims per sub-vector (4 × 16 = 64)
+
+  /** Multi-vector ("late interaction", the ColBERT serving shape)
+    * retrieval: each embedding is viewed as [[MaxSimSub]] token
+    * sub-vectors of [[MaxSimWidth]] dims; score(q, doc) = Σ over query
+    * sub-vectors of the MAX cosine against any doc sub-vector — the
+    * MaxSim operator. Exact top-k per query, fully oracle-checked: the
+    * sub-vector derivation is synthetic (the corpus stores one embedding
+    * per doc, so slicing stands in for per-token encoder output), but
+    * the scoring algebra, per-slice norm precompute, and serving plan
+    * are the real thing.
+    *
+    * Scale posture — s1's discipline, multiplied out: slices and slice
+    * norms are computed ON THE SCAN (never per pair), the 64-query side
+    * broadcasts (bounded by [[MaxQueries]]), and scoring is 16 codegen'd
+    * dot kernels + 4 greatest() folds inside one projection — no
+    * intermediate explosion of (vec, slice) rows, no corpus shuffle.
+    * At real multi-vector scale the candidate step moves to
+    * per-sub-vector ANN (the s2/s3 indexes applied per slice, candidates
+    * unioned) feeding THIS exact MaxSim rescore — the standard ColBERT
+    * split; this gate is that rescore, exact over the whole corpus. */
+  def s8Maxsim(s: SparkSession, d: String): DataFrame = {
+    val e0 = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val withSlices = (0 until MaxSimSub).foldLeft(e0) { (df, i) =>
+      df.withColumn(s"s$i", slice(col("embedding"), i * MaxSimWidth + 1, MaxSimWidth))
+        .withColumn(s"n$i", VectorOps.norm2(col(s"s$i")))
+    }.drop("embedding")
+    val q = withSlices.filter(isQuery).orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id") +: (0 until MaxSimSub).flatMap(i =>
+        Seq(col(s"s$i").as(s"qs$i"), col(s"n$i").as(s"qn$i"))): _*)
+    val score = (0 until MaxSimSub).map { i =>
+      greatest((0 until MaxSimSub).map { j =>
+        VectorOps.dot(col(s"qs$i"), col(s"s$j")) /
+          sqrt(col(s"qn$i") * col(s"n$j"))
+      }: _*)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    withSlices.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_maxsim" -> s8Maxsim,
     "s1_ann_brute" -> s1AnnBrute,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
@@ -428,7 +478,36 @@ object Similarity {
         |SELECT q_id, rank, vec_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** s8's oracle spells out the same 16 cosine terms and 4 GREATEST folds
+    * in the same left-to-right order as the Spark expression, over the
+    * same DOUBLE[] slices — float-exact on both engines. */
+  private val MaxSimOracle: String = {
+    def cos(i: Int, j: Int) =
+      s"list_dot_product(q$i, s$j) / sqrt(list_dot_product(q$i, q$i) * " +
+        s"list_dot_product(s$j, s$j))"
+    val score = (0 until MaxSimSub).map(i =>
+      s"GREATEST(${(0 until MaxSimSub).map(j => cos(i, j)).mkString(", ")})")
+      .mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v[1:16] AS s0, v[17:32] AS s1, v[33:48] AS s2,
+       |    v[49:64] AS s3 FROM e),
+       |q AS (SELECT vec_id AS q_id, s0 AS q0, s1 AS q1, s2 AS q2, s3 AS q3
+       |  FROM s WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+       |scored AS (
+       |  SELECT q.q_id, s.vec_id,
+       |    $score AS score
+       |  FROM s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+       |      AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, score FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "s8_maxsim" -> MaxSimOracle,
     "s1_ann_brute" -> ExactTopKOracle,
     "s4_ann_sq8" -> ExactTopKOracle,
     "s6_ann_filtered" ->

@@ -149,7 +149,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
       "s5_ann_pq", "s7_ann_ivfpq", "q23_approx", "t4_fingerprint", "t18_bm25",
       "d16_semantic_dedup", "t24_postings_topk", "e21_expectations",
-      "t29_zipf_coverage")
+      "t29_zipf_coverage", "s8_maxsim")
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing
     val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")

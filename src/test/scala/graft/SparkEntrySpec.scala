@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 151 queries / 142 oracles") {
-    assert(SparkEntry.queries.size == 151,
+  test("registry counts match the documented 152 queries / 143 oracles") {
+    assert(SparkEntry.queries.size == 152,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 142,
+    assert(SparkEntry.oracleSql.size == 143,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
