@@ -156,14 +156,73 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------- m6_chunk_overlap
+  /** Chunk-level content-overlap audit — m4's payload chunking meeting
+    * m5's content addressing: each document's payload is cut into fixed
+    * 16-char chunks, each chunk digested (md5), and same-source document
+    * pairs sharing ANY chunk digest are reported with their exact
+    * chunk-Jaccard in integer ppm. This is the chunked-CAS dedup signal
+    * (how much of B is literally A?) that drives delta-storage and
+    * copy-paste provenance at blob-store scale — complementary to d3's
+    * token-level Jaccard, which tolerates reflow; chunk identity demands
+    * byte-exact runs.
+    *
+    * Chunking is per CHARACTER here, not per byte — the Spark side could
+    * slice the binary payload directly, but DuckDB cannot substring a
+    * BLOB, and a gate's chunking must be replicable by its oracle
+    * (collision-equivalent semantics either way; a production byte
+    * chunker swaps one expression). Scale posture: the digest arrays are
+    * computed ON the scan (one codegen'd transform, payload never leaves
+    * its partition); only (doc_id, source, digests) enter the
+    * source-blocked pair join — the d3 blocking rule — and at real blob
+    * counts the block key extends with a digest MinHash band exactly as
+    * d4 documents. */
+  def m6ChunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val chunk = 16
+    val c = documents(s, d)
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), col("source"),
+        array_distinct(expr(
+          s"""transform(sequence(0,
+             |  CAST(ceil(length(text) / $chunk.0) AS INT) - 1),
+             |  i -> md5(substring(text, i * $chunk + 1, $chunk)))"""
+            .stripMargin)).as("dg"))
+    val a = c.select(col("source"), col("doc_id").as("a_id"), col("dg").as("a_dg"))
+    val b = c.select(col("source"), col("doc_id").as("b_id"), col("dg").as("b_dg"))
+    a.join(b, Seq("source")).where(col("a_id") < col("b_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_dg"), col("b_dg"))).cast("long"))
+      .where(col("n_common") > 0)
+      .withColumn("n_union",
+        (size(col("a_dg")) + size(col("b_dg"))).cast("long") - col("n_common"))
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"),
+        expr("(1000000 * n_common) div n_union").as("sim_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m2_features" -> m2Features,
     "m3_frame_sample" -> m3FrameSample,
-    "m5_content_store" -> m5ContentStore
+    "m5_content_store" -> m5ContentStore,
+    "m6_chunk_overlap" -> m6ChunkOverlap
   )
 
   val oracleSql: Map[String, String] = Map(
+    "m6_chunk_overlap" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    list_distinct([md5(substring(text, i * 16 + 1, 16))
+        |      FOR i IN range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))])
+        |      AS dg
+        |  FROM documents WHERE length(text) >= 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.dg, b.dg)) AS BIGINT) AS n_common,
+        |    CAST(len(a.dg) + len(b.dg) - len(list_intersect(a.dg, b.dg))
+        |      AS BIGINT) AS n_union
+        |  FROM c a JOIN c b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, n_common, n_union,
+        |  CAST((1000000 * n_common) // n_union AS BIGINT) AS sim_ppm
+        |FROM p WHERE n_common > 0 ORDER BY a_id, b_id""".stripMargin,
     // groups the raw text where the Spark side groups its sha-256 digest —
     // collision-equivalent (d13's accepted argument)
     "m5_content_store" ->

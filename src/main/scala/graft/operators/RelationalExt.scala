@@ -248,7 +248,38 @@ object RelationalExt {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  // ---------------------------------------------------- q58_gap_fill
+  /** Forward-fill (LOCF — last observation carried forward) gap-filling
+    * over the event stream: only 'purchase' events carry an observed
+    * `value`; every event row is annotated with the most recent purchase
+    * value at or before it for the same user (NULL until the user's
+    * first purchase). The sensor-reading/price-series idiom, realized as
+    * a single IGNORE NULLS running window — no self-join, no as-of join
+    * against a carried table.
+    *
+    * One user-keyed shuffle; the fill itself is an in-partition running
+    * `last(…, ignoreNulls)` over (micros, event_id) order — the q57
+    * ordering convention, portable across events-ts encodings. Scale:
+    * identical to any per-user window (q7/q8); a pathologically hot user
+    * would salt exactly as q22 documents. */
+  def q58GapFill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"), col("event_type"), col("value"))
+      .withColumn("filled_value",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("us"), col("event_type"),
+        col("filled_value"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_gap_fill" -> q58GapFill,
     "q57_event_paths" -> q57EventPaths,
     "q55_funnel" -> q55Funnel,
     "q56_retention" -> q56Retention,
@@ -261,6 +292,16 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q58_gap_fill" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    value FROM events)
+        |SELECT user_id, event_id, us, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM e ORDER BY user_id, us, event_id""".stripMargin,
     "q55_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, MIN(us) AS t_view FROM e
