@@ -55,6 +55,19 @@ class AuditZipfSpec extends AnyFunSuite {
     assert(got.exists(!_._6), "docs_en_share is designed to fail its 50% bar")
   }
 
+  test("e21: referential check is a broadcast anti-join; t29 top-50 is a TakeOrdered") {
+    val pe = EtlQueries.e21Expectations(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pe.contains("BroadcastHashJoin") && pe.contains("LeftAnti"),
+      s"the RI check must broadcast the dimension into an anti-join — " +
+        s"never shuffle the fact side:\n$pe")
+    val pt = TextAnalysis.t29ZipfCoverage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pt.contains("TakeOrderedAndProject"),
+      s"the top-50 must be a distributed TakeOrdered heap, not a global " +
+        s"vocabulary sort:\n$pt")
+  }
+
   test("t29: pure-Scala Zipf twin reproduces rank, freq, and coverage") {
     val words = Tables.documents(spark, sf).select("text").collect()
       .flatMap(_.getString(0).trim.split("\\s+"))
