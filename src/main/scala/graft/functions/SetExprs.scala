@@ -27,6 +27,39 @@ object SetKernels {
     }
     inter.toDouble / (na + nb - inter)
   }
+
+  /** |A ∩ B| of two SORTED deduplicated long arrays — the same merge walk
+    * as [[jaccardSorted]], surfaced as a count for consumers that report
+    * exact integer overlap (m6's chunk audit). */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** intersect_count_sorted(array<long>, array<long>) → long. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetKernels.intersectCountSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetKernels$$.MODULE$$.intersectCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** jaccard_sorted(array<long>, array<long>) → double. */

@@ -877,6 +877,58 @@ object EtlQueries {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(lakeRoot.toFile)
     }
 
+  // ------------------------------------------------ e22_aqe_skew_join
+  /** AQE skew-join splitting, gated on the OPTIMIZER path — the runtime
+    * complement to q22's hand-salted aggregation exactly as e18 (injected
+    * bloom join) complements d10's hand-built bloom pre-pass: the query
+    * never mentions skew handling; OptimizeSkewedJoin must detect the
+    * hot key's oversized shuffle partition at RUNTIME and split it. A
+    * derived hot key routes 40% of lineitem onto one supplier, the join
+    * is forced to sort-merge (both broadcast thresholds off — the dim
+    * would otherwise broadcast and there'd be no shuffle to skew), and
+    * the child session lowers the skew thresholds so the hot partition
+    * qualifies at test SF, the e18/e16 scaling convention. `skew_ok`
+    * pins `skew=true` in the POST-EXECUTION adaptive plan — AQE marks
+    * the SortMergeJoin only after the runtime stats arrive, so the gate
+    * executes the model-sized aggregate first (≤ |nation| rows).
+    *
+    * At 100 TB this is the mechanism that saves a straggler-bound join
+    * when salting wasn't designed in: the hot partition splits into
+    * advisory-sized chunks, the dim side replicates per chunk. */
+  def e22AqeSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.adaptive.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ns.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+    ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // the skew split works at MAP-output granularity (split specs are
+    // (startMapIndex, endMapIndex) ranges), and the single-row-group
+    // testdata file yields exactly ONE map task — un-splittable however
+    // skewed. The explicit repartition fans the fact side out to 8 maps;
+    // a production scan has thousands of maps and skips this step.
+    val fact = lineitem(ns, d).repartition(8).select(
+      expr("CASE WHEN l_suppkey % 10 < 4 THEN CAST(1 AS BIGINT) " +
+        "ELSE l_suppkey END").as("k"),
+      col("l_quantity"))
+    val dim = supplier(ns, d).select(col("s_suppkey").as("k"), col("s_nationkey"))
+    val agg = fact.join(dim, Seq("k"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy(col("s_nationkey"))
+    // collect() runs agg's OWN QueryExecution (count() would build a new
+    // one), so the adaptive plan inspected below is the executed, final
+    // one — model-sized result, ≤ |nation| rows
+    val rows = agg.collect()
+    val skewOk = rows.nonEmpty &&
+      agg.queryExecution.executedPlan.toString.contains("skew=true")
+    agg.withColumn("skew_ok", lit(skewOk))
+  }
+
   // ------------------------------------------------- e21_expectations
   /** Declarative data-quality expectations audit (the Deequ shape): a
     * fixed check suite — completeness, key uniqueness, value-domain
@@ -938,6 +990,7 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e20_jdbc_incremental" -> e20JdbcIncremental,
     "e21_expectations" -> e21Expectations,
+    "e22_aqe_skew_join" -> e22AqeSkewJoin,
     "e8_jsonl_roundtrip" -> e8JsonlRoundtrip,
     "e9_csv_roundtrip" -> e9CsvRoundtrip,
     "e11_orc_roundtrip" -> e11OrcRoundtrip,
@@ -1086,6 +1139,15 @@ object EtlQueries {
         |  TRUE AS delta_ok,
         |  TRUE AS watermark_ok
         |FROM src""".stripMargin,
+    "e22_aqe_skew_join" ->
+      """WITH f AS (SELECT CASE WHEN l_suppkey % 10 < 4 THEN 1
+        |    ELSE l_suppkey END AS k, l_quantity FROM lineitem),
+        |j AS (SELECT s_nationkey, l_quantity
+        |  FROM f JOIN supplier ON k = s_suppkey)
+        |SELECT s_nationkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+        |  TRUE AS skew_ok
+        |FROM j GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "e21_expectations" ->
       """WITH o AS (SELECT COUNT(*) AS n, COUNT(o_custkey) AS ck,
         |    COUNT(DISTINCT o_orderkey) AS ok,

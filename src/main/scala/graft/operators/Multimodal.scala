@@ -171,27 +171,35 @@ object Multimodal {
     * slice the binary payload directly, but DuckDB cannot substring a
     * BLOB, and a gate's chunking must be replicable by its oracle
     * (collision-equivalent semantics either way; a production byte
-    * chunker swaps one expression). Scale posture: the digest arrays are
-    * computed ON the scan (one codegen'd transform, payload never leaves
-    * its partition); only (doc_id, source, digests) enter the
-    * source-blocked pair join — the d3 blocking rule — and at real blob
-    * counts the block key extends with a digest MinHash band exactly as
-    * d4 documents. */
+    * chunker swaps one expression). Chunks are interned to 64-bit hashes
+    * and SORTED on the scan — the d3 discipline — so the per-pair
+    * overlap is one O(n+m) merge walk
+    * ([[graft.functions.IntersectCountSorted]]); the oracle intersects
+    * the raw chunk text, collision-equivalent (d13's accepted argument).
+    * Scale posture: the digest arrays are computed ON the scan (one
+    * codegen'd transform, payload never leaves its partition); only
+    * (doc_id, source, digests) enter the source-blocked pair join — the
+    * d3 blocking rule — and at real blob counts the block key extends
+    * with a digest MinHash band exactly as d4 documents. */
   def m6ChunkOverlap(s: SparkSession, d: String): DataFrame = {
     val chunk = 16
     val c = documents(s, d)
       .where(length(col("text")) >= 1)
       .select(col("doc_id"), col("source"),
-        array_distinct(expr(
+        array_sort(array_distinct(expr(
           s"""transform(sequence(0,
              |  CAST(ceil(length(text) / $chunk.0) AS INT) - 1),
-             |  i -> md5(substring(text, i * $chunk + 1, $chunk)))"""
-            .stripMargin)).as("dg"))
+             |  i -> xxhash64(substring(text, i * $chunk + 1, $chunk)))"""
+            .stripMargin))).as("dg"))
     val a = c.select(col("source"), col("doc_id").as("a_id"), col("dg").as("a_dg"))
     val b = c.select(col("source"), col("doc_id").as("b_id"), col("dg").as("b_dg"))
+    val nCommon = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.IntersectCountSorted(
+        GraftBridge.expression(col("a_dg")), GraftBridge.expression(col("b_dg"))))
+    }
     a.join(b, Seq("source")).where(col("a_id") < col("b_id"))
-      .withColumn("n_common",
-        size(array_intersect(col("a_dg"), col("b_dg"))).cast("long"))
+      .withColumn("n_common", nCommon)
       .where(col("n_common") > 0)
       .withColumn("n_union",
         (size(col("a_dg")) + size(col("b_dg"))).cast("long") - col("n_common"))
@@ -209,9 +217,11 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // intersects the raw chunk text where the Spark side intersects its
+    // 64-bit chunk hashes — collision-equivalent (d13's accepted argument)
     "m6_chunk_overlap" ->
       """WITH c AS (SELECT doc_id, source,
-        |    list_distinct([md5(substring(text, i * 16 + 1, 16))
+        |    list_distinct([substring(text, i * 16 + 1, 16)
         |      FOR i IN range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))])
         |      AS dg
         |  FROM documents WHERE length(text) >= 1),

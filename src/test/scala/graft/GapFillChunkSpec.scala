@@ -35,14 +35,10 @@ class GapFillChunkSpec extends AnyFunSuite {
   test("m6: pure-Scala chunk-digest twin reproduces every overlap pair") {
     val chunk = 16
     def digests(text: String): Set[String] = {
-      // code-POINT chunking (Spark/DuckDB substring semantics), then md5
-      // over the chunk's UTF-8 bytes — the exact kernel both engines run
+      // code-POINT chunking (Spark/DuckDB substring semantics); raw chunk
+      // identity — collision-equivalent to the operator's 64-bit interning
       val cps = text.codePoints().toArray
-      val md = java.security.MessageDigest.getInstance("MD5")
-      cps.grouped(chunk).map { g =>
-        val s0 = new String(g, 0, g.length)
-        md.digest(s0.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-      }.toSet
+      cps.grouped(chunk).map(g => new String(g, 0, g.length)).toSet
     }
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
