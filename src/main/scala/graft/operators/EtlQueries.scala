@@ -922,11 +922,15 @@ object EtlQueries {
       .orderBy(col("s_nationkey"))
     // collect() runs agg's OWN QueryExecution (count() would build a new
     // one), so the adaptive plan inspected below is the executed, final
-    // one — model-sized result, ≤ |nation| rows
+    // one — model-sized result, ≤ |nation| rows. The collected rows are
+    // returned as a local DataFrame so the gate's one execution is also
+    // the one the driver writes — the join never runs twice.
     val rows = agg.collect()
     val skewOk = rows.nonEmpty &&
       agg.queryExecution.executedPlan.toString.contains("skew=true")
-    agg.withColumn("skew_ok", lit(skewOk))
+    ns.createDataFrame(
+        java.util.Arrays.asList(rows: _*), agg.schema)
+      .withColumn("skew_ok", lit(skewOk))
   }
 
   // ------------------------------------------------- e21_expectations
