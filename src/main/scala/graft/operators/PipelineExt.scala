@@ -648,7 +648,66 @@ object PipelineExt {
       .orderBy(col("src"), col("status"))
   }
 
+  // ---------------------------------------------- d21_triangle_count
+  /** Per-node triangle participation over the part co-purchase graph —
+    * the fourth classic graph-curation primitive next to components
+    * (d7/d12), PageRank (d18) and LPA (d19): triangle density separates
+    * organically-linked content from link-farm/boilerplate cliques
+    * (clustering-coefficient spam signals). The graph: parts are nodes,
+    * an edge connects two parts bought in the same order (distinct
+    * pairs); the algorithm never looks at what the nodes mean.
+    *
+    * Algorithm — degree-ordered edge orientation (the MapReduce
+    * triangle-enumeration discipline of Cohen 2009 / Suri-Vassilvitskii
+    * 2011): rank every node by (degree, id), orient each undirected edge
+    * from lower to higher rank, then count directed paths x→y, x→z
+    * (y<z) closed by an x-independent edge y→z. Orientation makes the
+    * enumeration EXACT-once (each triangle materializes exactly one
+    * (x,y,z) with x<y<z) and bounds the wedge blow-up: out-degree under
+    * degree-ordering is O(√|E|), so the wedge join emits O(|E|^{3/2})
+    * rows worst-case instead of Σdeg² — the difference between a star
+    * node exploding the plan and not.
+    *
+    * Scale posture: the rank table is |V|-sized (vocabulary-of-parts,
+    * orders of magnitude below |E|) → checkpointed once and BROADCAST
+    * into both orientation joins; its builder uses a global row_number
+    * window — a single-partition sort of |V| rows, bounded by the node
+    * count, never |E| (at web-graph |V| the same orientation works off
+    * the raw (deg, id) tuple compare with no numbering pass). The
+    * oriented edge list is checkpointed once and drives both sides of
+    * the wedge join (shuffle keyed on the wedge apex x) and the closing
+    * probe (shuffle keyed on the (y,z) pair) — two bounded exchanges,
+    * nothing keyed on a skewed endpoint thanks to the orientation. */
+  def d21TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = pairs.select(col("u").as("x")).union(pairs.select(col("v")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val rk = CacheScope.localCheckpoint(deg.select(col("x"),
+      row_number().over(Window.orderBy(col("deg"), col("x"))).as("rid")))
+    val e = CacheScope.localCheckpoint(pairs
+      .join(broadcast(rk).as("ru"), col("u") === col("ru.x"))
+      .join(broadcast(rk).as("rv"), col("v") === col("rv.x"))
+      .select(least(col("ru.rid"), col("rv.rid")).as("s"),
+        greatest(col("ru.rid"), col("rv.rid")).as("t")))
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+    val tri = wedges.join(e.as("e3"),
+        col("y") === col("e3.s") && col("z") === col("e3.t"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("nrid"))
+      .groupBy(col("nrid")).agg(count(lit(1)).as("n_triangles"))
+      .join(broadcast(rk), col("nrid") === col("rid"))
+      .select(col("x").as("node"), col("n_triangles"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_triangle_count" -> d21TriangleCount,
     "d14_snapshot_diff" -> d14SnapshotDiff,
     "d18_pagerank" -> d18Pagerank,
     "d19_lpa_communities" -> d19LpaCommunities,
@@ -712,6 +771,26 @@ object PipelineExt {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same degree-ordered orientation: rid by ROW_NUMBER over (deg, x),
+    // wedge join on the apex, closing probe on the (y,z) pair, and the
+    // 3-way participation unpivot as a UNION ALL
+    "d21_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pr AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |nd AS (SELECT x, COUNT(*) AS deg FROM
+        |  (SELECT u AS x FROM pr UNION ALL SELECT v FROM pr) GROUP BY x),
+        |rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY deg, x) AS rid FROM nd),
+        |e AS (SELECT LEAST(ru.rid, rv.rid) AS s, GREATEST(ru.rid, rv.rid) AS t
+        |  FROM pr JOIN rk ru ON pr.u = ru.x JOIN rk rv ON pr.v = rv.x),
+        |tri AS (SELECT e1.s AS x, e1.t AS y, e2.t AS z
+        |  FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t
+        |  JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t),
+        |part AS (SELECT x AS nrid FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT rk.x AS node, COUNT(*) AS n_triangles
+        |FROM part JOIN rk ON part.nrid = rk.rid
+        |GROUP BY rk.x ORDER BY node""".stripMargin,
     "d18_pagerank" -> d18OracleSql,
     "d19_lpa_communities" -> d19OracleSql,
     // d20 extends d7's transitive-closure oracle with the survivor pick:

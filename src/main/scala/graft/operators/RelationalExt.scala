@@ -278,7 +278,39 @@ object RelationalExt {
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
+  // ------------------------------------------------- q60_dist_window
+  /** Distribution-window battery — percent_rank, cume_dist and
+    * nth_value, the three window classes q7 (rank), q8 (running
+    * frames), q31 (RANGE) and q32 (lag/ntile) don't yet cover:
+    * per-priority price percentile position of each March-1995 order
+    * plus the partition's runner-up key. Ratio fns are double-valued;
+    * the orderBy is made UNIQUE by the (price, key) tiebreak, so
+    * (rank−1)/(n−1) and rank/n are single IEEE divisions of identical
+    * small ints on both engines — bit-equal without the micro-units
+    * detour (the RelationalExt float rule). nth_value carries an
+    * explicit ROWS frame so neither engine's default-frame choice is
+    * load-bearing; it is null until the partition's second row arrives,
+    * same convention both sides. Scale: one priority-keyed window
+    * shuffle after a pushed-down date filter — identical posture to
+    * q7; 5 coarse partitions would salt per q22 only if a single
+    * priority outgrew an executor, which a month-sliced scan never
+    * does. */
+  def q60DistWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995 &&
+        month(col("o_orderdate")) === 3)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wf))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_dist_window" -> q60DistWindow,
     "q58_gap_fill" -> q58GapFill,
     "q57_event_paths" -> q57EventPaths,
     "q55_funnel" -> q55Funnel,
@@ -292,6 +324,17 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q60_dist_window" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 3
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
     "q58_gap_fill" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
         |    value FROM events)

@@ -526,7 +526,64 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  // ------------------------------------------------- t30_heavy_hitters
+  /** EXACT corpus heavy hitters (every token with frequency > N/k,
+    * k = 100) via the two-pass summary pattern — the scalable form of
+    * "which tokens dominate the corpus" that sizes stopword lists and
+    * spots boilerplate contamination without ever shuffling the full
+    * token stream.
+    *
+    * Pass 1 runs a Misra-Gries(k) summary PER PARTITION inside
+    * `mapPartitions` (genuine per-partition imperative state — the
+    * documented last-resort case): k counters, decrement-all on
+    * overflow. The per-partition guarantee — any token with local
+    * frequency > n_p/k survives its partition's summary — lifts to the
+    * union by pigeonhole: if a token's global frequency F > N/k, then
+    * f_p > n_p/k must hold in at least one partition (otherwise
+    * F = Σf_p ≤ Σn_p/k = N/k), so the union of per-partition survivor
+    * keys is a SUPERSET of the true heavy hitters no matter how rows
+    * were partitioned. Pass 2 makes the final answer exact and
+    * partition-independent: broadcast the bounded candidate set
+    * (≤ partitions·k keys), semi-join the token scan against it, and
+    * count only candidates — so the output equals the plain
+    * `GROUP BY token HAVING count(*)·k > N` the oracle runs, while the
+    * exchange carries only candidate-matching tokens instead of the
+    * whole corpus vocabulary. The threshold compare stays in integer
+    * arithmetic (`cnt·k > N`, never a division) so both engines agree
+    * bit-for-bit. At 100 TB the candidate set is still partitions·k
+    * keys — the only full-corpus costs are two scans, and pass 1's
+    * summary is why that beats one-pass groupBy(token): the vocabulary
+    * of a web corpus is billions of keys, the heavy-hitter output is
+    * hundreds. */
+  def t30HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 100
+    def toks = documents(s, d).select(explode(tokens).as("token"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < k => m.update(t, 1L)
+          case None => // decrement-all: the Misra-Gries eviction step
+            val dead = List.newBuilder[String]
+            m.foreachEntry((key, c) => if (c == 1L) dead += key else m.update(key, c - 1))
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(total) // 1-row total: bounded BNLJ (t18's vetted shape)
+      .where(col("cnt") * lit(k.toLong) > col("n"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_heavy_hitters" -> t30HeavyHitters,
     "t29_zipf_coverage" -> t29ZipfCoverage,
     "t26_novelty" -> t26Novelty,
     "t22_bpe_train" -> t22BpeTrain,
@@ -645,6 +702,13 @@ object TextAnalysis {
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "t30_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT token, COUNT(*) AS cnt FROM toks, tot
+        |GROUP BY token, n HAVING COUNT(*) * 100 > n
+        |ORDER BY token""".stripMargin,
     "t29_zipf_coverage" ->
       """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         |  FROM documents),

@@ -709,6 +709,61 @@ object StreamingOps {
       }
     }.orderBy(col("err_id"), col("pur_id"))
 
+  /** q59: CHAINED streaming window aggregations — two stateful
+    * aggregations in one query (15-minute counts per event type, then
+    * hourly totals/max/bucket-count OVER those counts), the multi-level
+    * rollup shape (minute → hour → day dashboards) that needed two
+    * separate jobs with an intermediate topic before Spark 3.4's
+    * multiple-stateful-operator support. Append mode is mandatory for
+    * chaining: level 1 emits each 15-minute window exactly once when
+    * the watermark finalizes it, so level 2 aggregates final values
+    * only — which is exactly why the result equals the oracle's plain
+    * two-level GROUP BY. 15 divides 60 and both levels are
+    * epoch-aligned, so every 15-minute window nests in one hour window
+    * and hour assignment is unambiguous.
+    *
+    * Append mode on a finite source never finalizes the last windows
+    * (q46's argument), so the feed carries a flush sentinel 3 hours past
+    * the data: every real window on BOTH levels finalizes; the
+    * sentinel's own windows never emit (nothing later advances the
+    * watermark) and are filtered defensively on read-back. Scale: state
+    * at level 1 is (15-min windows × types) inside the watermark
+    * horizon, level 2 is hours × types — both model-sized, both evicted
+    * by the propagated watermark; the exchange between levels carries
+    * pre-aggregated buckets, never events. */
+  def q59StreamChainedAgg(s: SparkSession, d: String): DataFrame =
+    withFeedDirs("graft_q59_") { (root, srcDir, drop) =>
+      val all = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val hi = all.agg(max(col("ts"))).head().getLong(0)
+      drop(all, "h1")
+      withGateStreamSession(s) { ns =>
+        drop(ns.createDataFrame(
+          java.util.Collections.singletonList(org.apache.spark.sql.Row(
+            -1L, hi + 3L * 3600 * 1000000000L, -1L, "flush", 0.0, null)),
+          eventSchema), "h2")
+        val l1 = readEventStream(ns, srcDir.toString)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val l2 = l1
+          .groupBy(window(col("window"), "1 hour"), col("event_type"))
+          .agg(sum(col("n")).as("total_n"), max(col("n")).as("max_15m"),
+            count(lit(1)).as("n_buckets"))
+          .select(unix_micros(col("window.start")).as("hour_us"),
+            col("event_type"), col("total_n"), col("max_15m"),
+            col("n_buckets"))
+        val sink = "graft_q59_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = l2.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append()).start()
+        try q.processAllAvailable() finally q.stop()
+        try graft.operators.CacheScope.localCheckpoint(
+          ns.table(sink).filter(col("event_type") =!= "flush"))
+        finally { if (ns.catalog.tableExists(sink)) ns.catalog.dropTempView(sink) }
+      }
+    }.orderBy(col("hour_us"), col("event_type"))
+
   /** Gate entries: batch sessionization (the streaming op's semantics
     * twin, DuckDB-verifiable) and the streaming-EXECUTED queries
     * (windowed aggregation q44, stream-stream interval join q45,
@@ -726,7 +781,8 @@ object StreamingOps {
     "q51_stream_enrich" -> q51StreamEnrich,
     "q52_stream_user_totals" -> q52StreamUserTotals,
     "q53_stream_dedup" -> q53StreamDedup,
-    "q54_stream_left_outer_join" -> q54StreamLeftOuterJoin
+    "q54_stream_left_outer_join" -> q54StreamLeftOuterJoin,
+    "q59_stream_chained_agg" -> q59StreamChainedAgg
   )
 
   // same `diff > gap` islands as q21 — session_window MERGES events at
@@ -752,6 +808,17 @@ object StreamingOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the two-level rollup in exact micros arithmetic: 15-min buckets,
+    // then hour buckets over the bucket aggregates — append-mode chained
+    // windows must land on exactly this plain batch result
+    "q59_stream_chained_agg" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 900000000) * 900000000 AS b15_us,
+        |    event_type FROM events),
+        |l1 AS (SELECT b15_us, event_type, COUNT(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT (b15_us // 3600000000) * 3600000000 AS hour_us, event_type,
+        |  CAST(SUM(n) AS BIGINT) AS total_n, CAST(MAX(n) AS BIGINT) AS max_15m,
+        |  COUNT(*) AS n_buckets
+        |FROM l1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q48_session_window" -> SessionWindowOracle,
     "q49_stream_session" -> SessionWindowOracle,
     // identical to q20's oracle: the streaming execution must land on the
