@@ -28,6 +28,28 @@ object SetKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** A ∩ B of two SORTED deduplicated long arrays as a sorted array — the
+    * [[intersectCountSorted]] walk materializing the common ELEMENTS, for
+    * consumers that need the members and not just the count (d21 credits
+    * every closing triangle corner). One bounded allocation per call, no
+    * per-element hash probes. */
+  def intersectSorted(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](if (na < nb) na else nb)
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { out(k) = x; k += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
   /** |A ∩ B| of two SORTED deduplicated long arrays — the same merge walk
     * as [[jaccardSorted]], surfaced as a count for consumers that report
     * exact integer overlap (m6's chunk audit). */
@@ -58,6 +80,20 @@ case class IntersectCountSorted(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.SetKernels$$.MODULE$$.intersectCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** intersect_sorted(array<long>, array<long>) → sorted array<long>. */
+case class IntersectSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetKernels.intersectSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetKernels$$.MODULE$$.intersectSorted($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -674,10 +674,22 @@ object PipelineExt {
     * window — a single-partition sort of |V| rows, bounded by the node
     * count, never |E| (at web-graph |V| the same orientation works off
     * the raw (deg, id) tuple compare with no numbering pass). The
-    * oriented edge list is checkpointed once and drives both sides of
-    * the wedge join (shuffle keyed on the wedge apex x) and the closing
-    * probe (shuffle keyed on the (y,z) pair) — two bounded exchanges,
-    * nothing keyed on a skewed endpoint thanks to the orientation. */
+    * enumeration itself NEVER materializes wedges into an exchange: a
+    * wedge-then-probe join shape measured 41M shuffled wedge rows at
+    * sf0.1 (6.3 s, the suite maximum) where the compact form here runs
+    * the same Σ-min-degree intersection work in-place. The oriented
+    * adjacency table (one array row per node, Σ lengths = |E| exactly —
+    * ~10 MB at sf0.1) BROADCASTS into two map-side joins against the
+    * edge list; each edge (x,y) intersects N⁺(x) ∩ N⁺(y), which by the
+    * orientation yields exactly the triangles whose two lowest corners
+    * are that edge — exact-once, no dedup. Per-node credits (x and y
+    * get the intersection size, every closing z gets 1) explode from
+    * ONE projection, so the only exchanges in the whole plan are the
+    * pair-distinct, the adjacency build, and the final |V|-bounded
+    * aggregate; the explode is #triangles rows, not #wedges.
+    * Beyond-broadcast edge lists flip the two adjacency joins to
+    * shuffle joins on x/y — the intersection kernel and the credit
+    * algebra are unchanged. */
   def d21TriangleCount(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -686,21 +698,39 @@ object PipelineExt {
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
     val deg = pairs.select(col("u").as("x")).union(pairs.select(col("v")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // rid as LONG: the merge-walk intersection kernel reads long arrays
+    // (an int-typed rank would make getLong read garbage lanes)
     val rk = CacheScope.localCheckpoint(deg.select(col("x"),
-      row_number().over(Window.orderBy(col("deg"), col("x"))).as("rid")))
+      row_number().over(Window.orderBy(col("deg"), col("x")))
+        .cast("long").as("rid")))
     val e = CacheScope.localCheckpoint(pairs
       .join(broadcast(rk).as("ru"), col("u") === col("ru.x"))
       .join(broadcast(rk).as("rv"), col("v") === col("rv.x"))
       .select(least(col("ru.rid"), col("rv.rid")).as("s"),
         greatest(col("ru.rid"), col("rv.rid")).as("t")))
-    val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
-    val tri = wedges.join(e.as("e3"),
-        col("y") === col("e3.s") && col("z") === col("e3.t"))
-      .select(col("x"), col("y"), col("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("nrid"))
-      .groupBy(col("nrid")).agg(count(lit(1)).as("n_triangles"))
+    // sort ONCE per node so every per-edge intersection is the allocation-
+    // free merge walk (graft.functions.IntersectSorted), not a per-row
+    // hash-set build — m6's kernel family, here returning the members
+    val adj = e.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    import org.apache.spark.sql.GraftBridge
+    val inter = GraftBridge.column(graft.functions.IntersectSorted(
+      GraftBridge.expression(col("ns")), GraftBridge.expression(col("nt"))))
+    val scored = e
+      .join(broadcast(adj.select(col("s").as("an"), col("nbrs").as("ns"))),
+        col("s") === col("an"))
+      .join(broadcast(adj.select(col("s").as("bn"), col("nbrs").as("nt"))),
+        col("t") === col("bn"))
+      .select(col("s"), col("t"), inter.as("zs"))
+      .withColumn("cnt", size(col("zs")).cast("long"))
+      .filter(col("cnt") > 0)
+    val credits = scored.select(explode(concat(
+        array(struct(col("s").as("nrid"), col("cnt").as("c")),
+          struct(col("t").as("nrid"), col("cnt").as("c"))),
+        transform(col("zs"),
+          z => struct(z.as("nrid"), lit(1L).as("c"))))).as("cr"))
+      .select(col("cr.nrid").as("nrid"), col("cr.c").as("c"))
+    credits.groupBy(col("nrid")).agg(sum(col("c")).as("n_triangles"))
       .join(broadcast(rk), col("nrid") === col("rid"))
       .select(col("x").as("node"), col("n_triangles"))
       .orderBy(col("node"))

@@ -309,7 +309,69 @@ object RelationalExt {
       .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
   }
 
+  // ------------------------------------------------ q61_not_in_nulls
+  /** NOT IN over a NULLABLE subquery column — the three-valued-logic
+    * anti join q13 (null-free left_anti) deliberately does not cover:
+    * per ANSI, one NULL in the subquery makes every non-match UNKNOWN
+    * and empties the result, so the engine cannot plan a plain
+    * hash anti join. The projected key here is statically nullable (a
+    * data-dependent CASE Catalyst cannot fold away) but never null at
+    * runtime, which pins the interesting plan — Spark's single-column
+    * null-aware anti join (NAAJ, a broadcast hash join variant that
+    * tracks the "saw a null" flag instead of falling back to the
+    * O(n·m) BroadcastNestedLoopJoin pre-3.1 engines used) — while
+    * keeping the result a non-degenerate customer complement that both
+    * engines' identical 3VL semantics agree on.
+    *
+    * Scale: the build side is the filtered urgent-order key list —
+    * broadcastable after pushdown; the probe side streams. A
+    * beyond-broadcast build side would rewrite to d10's bloom pre-pass
+    * + shuffle-verify shape; the semantics (and this oracle) stay
+    * fixed. */
+  def q61NotInNulls(s: SparkSession, d: String): DataFrame =
+    TempViews.withViews(s,
+      "cust_naaj" -> customer(s, d),
+      "ord_naaj" -> orders(s, d)) { v =>
+      s.sql(
+        s"""SELECT c_custkey, c_name
+           |FROM ${v("cust_naaj")}
+           |WHERE c_custkey NOT IN (
+           |  SELECT CASE WHEN o_totalprice > 0 THEN o_custkey END
+           |  FROM ${v("ord_naaj")} WHERE o_orderpriority = '1-URGENT')
+           |ORDER BY c_custkey""".stripMargin)
+    }
+
+  // --------------------------------------------- q62_running_distinct
+  /** Running DISTINCT count over an event stream — "how many distinct
+    * event types has this user produced so far" at every event, the
+    * engagement-breadth signal. Spark's window aggregates reject
+    * DISTINCT, so the native realization is `size(collect_set)` over
+    * the running ROWS frame: ONE user-keyed shuffle, one sort, and
+    * per-row state bounded by the distinct-value count of the tracked
+    * column (the 4-value type alphabet here — set growth is data
+    * cardinality, not row count). For a HIGH-cardinality tracked column
+    * (distinct items, not types) the same result comes from the
+    * two-window first-occurrence idiom — `row_number() = 1` per
+    * (user, item) summed over the user's running frame — which holds
+    * O(1) per row but pays a second exchange; this gate pins the
+    * bounded-alphabet single-shuffle form and documents the switch
+    * point. The oracle runs DuckDB's windowed COUNT(DISTINCT …)
+    * directly — both engines land on the same integer counts. */
+  def q62RunningDistinct(s: SparkSession, d: String): DataFrame = {
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"), col("event_type"))
+      .withColumn("n_types_seen",
+        size(collect_set(col("event_type")).over(wRun)).cast("long"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_running_distinct" -> q62RunningDistinct,
+    "q61_not_in_nulls" -> q61NotInNulls,
     "q60_dist_window" -> q60DistWindow,
     "q58_gap_fill" -> q58GapFill,
     "q57_event_paths" -> q57EventPaths,
@@ -324,6 +386,23 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q62_running_distinct" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events)
+        |SELECT user_id, event_id, us, event_type,
+        |  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+        |FROM e ORDER BY user_id, us, event_id""".stripMargin,
+    // identical ANSI 3VL NOT IN — DuckDB plans its own null-aware mark
+    // join over the same nullable CASE projection
+    "q61_not_in_nulls" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice > 0 THEN o_custkey END
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "q60_dist_window" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  percent_rank() OVER w AS pct_rank,

@@ -443,7 +443,54 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ------------------------------------------------- s9_ann_hamming
+  /** Binary-embedding retrieval — sign-threshold each 64-dim float
+    * vector into a 64-bit code (bit i set iff component i > 0) and
+    * serve nearest-neighbor queries by Hamming distance over the codes:
+    * the "binary hashing" serving shape (ITQ/sign-random-projection
+    * family) where a 16× smaller corpus representation turns distance
+    * into two XOR+popcount ops. Every step is INTEGER arithmetic, so
+    * unlike the float-cosine family this ANN variant is fully
+    * oracle-checkable bit-for-bit — ties in the small 0..64 distance
+    * range are broken by vec_id on both engines.
+    *
+    * The code packs as two 32-bit halves (lo = components 0–31,
+    * hi = 32–63): bit 63 of a single int64 would be the sign bit, which
+    * a SUM-of-shifts build overflows on either engine; two halves keep
+    * every intermediate positive and portable. Codes are built ON THE
+    * SCAN by a fold over the vector (`aggregate`, codegen'd — no UDF),
+    * then the bounded query set (s1's MaxQueries contract) broadcasts
+    * into a one-pass popcount scan: no corpus shuffle, 16 bytes per
+    * corpus vector in flight instead of 256. At index scale the same
+    * codes drop into s2's band-bucket layout (split the 64 bits into
+    * bands, exact-match bucket join, Hamming-rescore) for sub-linear
+    * serving; the brute-force popcount scan here is the exact baseline
+    * that recall gates would measure against. */
+  def s9AnnHamming(s: SparkSession, d: String): DataFrame = {
+    def half(off: Int) = expr(
+      s"aggregate(sequence($off, ${off + 31}), 0L, (acc, i) -> acc + " +
+        s"IF(element_at(embedding, CAST(i + 1 AS INT)) > CAST(0 AS FLOAT), " +
+        s"shiftleft(1L, CAST(i - $off AS INT)), 0L))")
+    val c = embeddings(s, d).select(col("vec_id"),
+      half(0).as("code_lo"), half(32).as("code_hi"))
+    val q = c.filter(isQuery)
+      .orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id"), col("code_lo").as("ql"),
+        col("code_hi").as("qh"))
+    val ham = (bit_count(col("code_lo").bitwiseXOR(col("ql"))) +
+      bit_count(col("code_hi").bitwiseXOR(col("qh")))).cast("long")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ham"), col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), ham.as("ham"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("ham"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_ann_hamming" -> s9AnnHamming,
     "s8_maxsim" -> s8Maxsim,
     "s1_ann_brute" -> s1AnnBrute,
     "s2_ann_lsh" -> s2AnnLsh,
@@ -507,6 +554,30 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the identical two-half sign-threshold pack (a lateral index range
+    // replaces Spark's fold) and the same XOR+popcount distance — all
+    // integers, so this ANN oracle compares bit-for-bit
+    "s9_ann_hamming" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |u AS (SELECT vec_id, i, embedding[CAST(i + 1 AS INT)] AS val
+        |  FROM e, range(0, 64) t(i)),
+        |c AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN val > 0 AND i < 32
+        |      THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS code_lo,
+        |    CAST(SUM(CASE WHEN val > 0 AND i >= 32
+        |      THEN 1::BIGINT << CAST(i - 32 AS INT) ELSE 0 END) AS BIGINT) AS code_hi
+        |  FROM u GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, code_lo AS ql, code_hi AS qh FROM c
+        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+        |scored AS (SELECT q.q_id, c.vec_id,
+        |    CAST(bit_count(xor(c.code_lo, q.ql))
+        |      + bit_count(xor(c.code_hi, q.qh)) AS BIGINT) AS ham
+        |  FROM c, q WHERE c.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, ham,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, ham FROM ranked
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s8_maxsim" -> MaxSimOracle,
     "s1_ann_brute" -> ExactTopKOracle,
     "s4_ann_sq8" -> ExactTopKOracle,

@@ -582,7 +582,53 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  // ------------------------------------------------- t31_source_drift
+  /** Per-source distribution drift: total-variation distance between
+    * each source's token distribution and the whole-corpus distribution,
+    * in EXACT integer ppm — the "did this crawl slice change character"
+    * monitor a corpus pipeline runs per ingest. TV = ½·Σ_w |p_w|s −
+    * p_w|corpus| needs the terms for corpus words ABSENT from the
+    * source, which naïvely means a |sources|×|vocab| expansion; the
+    * identity Σ_absent p_w = TotalP − Σ_present p_w folds those terms
+    * into two scalars, so the plan only ever touches (source, word)
+    * pairs that EXIST. Probabilities are floor-divided ppm
+    * (`tf·10⁶ div T`) — both engines run the identical integer
+    * arithmetic, so the compare is bit-portable even though floor loses
+    * sub-ppm mass (the micro-units rule; the loss cancels nothing —
+    * it's applied identically on both sides of every |·|).
+    *
+    * Scale posture: one explode feeds ONE (source, word)-keyed
+    * aggregate (map-side combined) that is checkpointed and reused
+    * three ways — per-source totals, corpus term frequencies, and the
+    * scoring join — so the corpus is scanned once and the word-keyed
+    * scoring join moves only the distinct-pair table, never token
+    * instances. The per-source totals table is |sources|-sized and
+    * broadcasts; p_w rides the word-keyed join. */
+  def t31SourceDrift(s: SparkSession, d: String): DataFrame = {
+    val sw = CacheScope.localCheckpoint(
+      documents(s, d).select(col("source"), explode(tokens).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("tf_sw")))
+    val ts = sw.groupBy(col("source"))
+      .agg(sum(col("tf_sw")).as("t_s"), count(lit(1)).as("vocab"))
+    val wt = sw.groupBy(col("word")).agg(sum(col("tf_sw")).as("tf_w"))
+    val tot = wt.agg(sum(col("tf_w")).as("t"))
+    val pw = CacheScope.localCheckpoint(
+      wt.crossJoin(tot).select(col("word"), expr("tf_w * 1000000 div t").as("p_w")))
+    val totalP = pw.agg(sum(col("p_w")).as("total_p"))
+    sw.join(broadcast(ts), Seq("source"))
+      .join(pw, Seq("word"))
+      .select(col("source"), col("t_s"), col("vocab"),
+        expr("abs(tf_sw * 1000000 div t_s - p_w)").as("adiff"), col("p_w"))
+      .groupBy(col("source"), col("t_s"), col("vocab"))
+      .agg(sum(col("adiff")).as("sum_abs"), sum(col("p_w")).as("sum_present"))
+      .crossJoin(totalP) // 1-row total: bounded BNLJ (t18's vetted shape)
+      .select(col("source"), col("t_s").as("n_tokens"), col("vocab"),
+        expr("(sum_abs + (total_p - sum_present)) div 2").as("tv_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_source_drift" -> t31SourceDrift,
     "t30_heavy_hitters" -> t30HeavyHitters,
     "t29_zipf_coverage" -> t29ZipfCoverage,
     "t26_novelty" -> t26Novelty,
@@ -702,6 +748,26 @@ object TextAnalysis {
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // identical floor-div ppm arithmetic and the same absent-mass
+    // identity (TotalP − Σ_present) — every op integer, bit-portable
+    "t31_source_drift" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+        |sw AS (SELECT source, word, COUNT(*) AS tf_sw FROM toks GROUP BY 1, 2),
+        |ts AS (SELECT source, CAST(SUM(tf_sw) AS BIGINT) AS t_s,
+        |    COUNT(*) AS vocab FROM sw GROUP BY 1),
+        |wt AS (SELECT word, CAST(SUM(tf_sw) AS BIGINT) AS tf_w FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tf_w) AS BIGINT) AS t FROM wt),
+        |pw AS (SELECT word, (tf_w * 1000000) // t AS p_w FROM wt, tot),
+        |tp AS (SELECT CAST(SUM(p_w) AS BIGINT) AS total_p FROM pw),
+        |sc AS (SELECT sw.source, ts.t_s, ts.vocab,
+        |    ABS((sw.tf_sw * 1000000) // ts.t_s - pw.p_w) AS adiff, pw.p_w
+        |  FROM sw JOIN ts USING (source) JOIN pw USING (word)),
+        |ag AS (SELECT source, t_s, vocab, CAST(SUM(adiff) AS BIGINT) AS sum_abs,
+        |    CAST(SUM(p_w) AS BIGINT) AS sum_present FROM sc GROUP BY 1, 2, 3)
+        |SELECT source, t_s AS n_tokens, vocab,
+        |  CAST((sum_abs + (total_p - sum_present)) // 2 AS BIGINT) AS tv_ppm
+        |FROM ag, tp ORDER BY source""".stripMargin,
     "t30_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
         |  FROM documents),

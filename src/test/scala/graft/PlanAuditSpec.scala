@@ -144,12 +144,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // t24's two BNLJs are the 1-row stats×pruned-term-list fold and the
     // 1-row statsWide broadcast — both model-sized by construction
     // e21's BNLJs chain 1-row per-table audit aggregates; t29's is the
-    // 1-row corpus-total broadcast under the 50-row top list
+    // 1-row corpus-total broadcast under the 50-row top list; t30's and
+    // t31's are the same 1-row corpus-total ride-along (t18's shape)
     val boundedBnlj = Set("q16_subquery", "s1_ann_brute", "s3_ann_ivf",
       "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
       "s5_ann_pq", "s7_ann_ivfpq", "q23_approx", "t4_fingerprint", "t18_bm25",
       "d16_semantic_dedup", "t24_postings_topk", "e21_expectations",
-      "t29_zipf_coverage", "s8_maxsim")
+      "t29_zipf_coverage", "s8_maxsim", "t30_heavy_hitters",
+      "t31_source_drift", "s9_ann_hamming") // s9 = s1's bounded query cross
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing
     val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 155 queries / 146 oracles") {
-    assert(SparkEntry.queries.size == 155,
+  test("registry counts match the documented 163 queries / 154 oracles") {
+    assert(SparkEntry.queries.size == 163,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 146,
+    assert(SparkEntry.oracleSql.size == 154,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{PipelineExt, RelationalExt, TextAnalysis}
+import graft.operators.{PipelineExt, RelationalExt, Similarity, TextAnalysis}
 
 /** Exact-twin specs for the round-8 tail additions: t30 two-pass heavy
   * hitters, d21 degree-oriented triangle counting, q60 distribution
@@ -92,6 +92,28 @@ class TriangleHitterSpec extends AnyFunSuite {
     assert(got == expected, "oriented enumeration must equal the twin")
   }
 
+  test("IntersectSorted kernel: members, empty, disjoint, and type safety") {
+    import org.apache.spark.sql.functions.{col => c, expr}
+    import org.apache.spark.sql.GraftBridge
+    val df = spark.createDataFrame(Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L, 6L), Seq(5L, 7L))
+    )).toDF("a", "b")
+    val inter = GraftBridge.column(graft.functions.IntersectSorted(
+      GraftBridge.expression(c("a")), GraftBridge.expression(c("b"))))
+    val got = df.select(inter.as("i")).collect().map(_.getSeq[Long](0).toList)
+    assert(got.toList == List(List(3L, 9L), Nil, Nil))
+    // the kernel reads LONG lanes: an int array input must be rejected at
+    // analysis/codegen, not silently read as garbage (the d21 rid bug)
+    val ints = spark.createDataFrame(Seq((Seq(1, 2), Seq(2, 3)))).toDF("a", "b")
+    val bad = ints.select(GraftBridge.column(graft.functions.IntersectSorted(
+      GraftBridge.expression(c("a")), GraftBridge.expression(c("b")))).as("i"))
+    val r = scala.util.Try(bad.collect().map(_.getSeq[Long](0).toList).toList)
+    assert(r.isFailure || r.get == List(List(2L)),
+      s"int-typed arrays must either fail or intersect correctly, got $r")
+  }
+
   test("d21: both orientation joins broadcast the rank table") {
     val p = PipelineExt.d21TriangleCount(spark, sf)
       .queryExecution.executedPlan.toString
@@ -141,5 +163,112 @@ class TriangleHitterSpec extends AnyFunSuite {
     // the chaining must be real: some hour aggregates >1 fifteen-minute
     // bucket, otherwise level 2 degenerates to a rename of level 1
     assert(got.exists(_._5 > 1L), "some hour must contain multiple buckets")
+  }
+
+  test("s9: pure-Scala sign-threshold popcount twin reproduces every row") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def code(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) if (v(i) > 0f) lo += 1L << i
+      for (i <- 32 until 64) if (v(i) > 0f) hi += 1L << (i - 32)
+      (lo, hi)
+    }
+    val codes = vecs.map { case (id, v) => (id, code(v)) }
+    val qs = codes.filter(_._1 % 50 == 0).sortBy(_._1).take(64)
+    val expected = qs.flatMap { case (qid, (ql, qh)) =>
+      codes.filter(_._1 != qid).map { case (id, (lo, hi)) =>
+        (qid, id, (java.lang.Long.bitCount(lo ^ ql) +
+          java.lang.Long.bitCount(hi ^ qh)).toLong)
+      }.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((q, id, ham), i) => (q, (i + 1).toLong, id, ham) }
+    }.toSeq
+    val got = Similarity.s9AnnHamming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "hamming top-k must equal the popcount twin")
+  }
+
+  test("t31: pure-Scala integer TV-distance twin reproduces every row") {
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").map((r.getString(0), _)))
+    val sw = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tS = sw.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vocab = sw.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val wt = sw.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val t = wt.values.sum
+    val pw = wt.view.mapValues(c => c * 1000000L / t).toMap
+    val totalP = pw.values.sum
+    val expected = tS.keys.toSeq.sorted.map { src =>
+      val present = sw.collect { case ((s0, w), c) if s0 == src => (w, c) }
+      val sumAbs = present.map { case (w, c) =>
+        math.abs(c * 1000000L / tS(src) - pw(w))
+      }.sum
+      val sumPresent = present.map { case (w, _) => pw(w) }.sum
+      (src, tS(src), vocab(src), (sumAbs + (totalP - sumPresent)) / 2)
+    }
+    val got = TextAnalysis.t31SourceDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "TV drift must equal the integer twin")
+    // drift must discriminate: sources are not all identical distributions
+    assert(got.map(_._4).distinct.size > 1, "sources should differ in drift")
+  }
+
+  test("q61: NAAJ complement equals the anti-join twin; a real NULL " +
+    "empties the result under 3VL") {
+    val urgent = Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expected = Tables.customer(spark, sf).select("c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filterNot(t => urgent(t._1)).sortBy(_._1).toSeq
+    val got = RelationalExt.q61NotInNulls(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "the null-free run must equal the plain complement")
+    // the plan must be the single-column null-aware anti join, not a
+    // nested-loop fallback
+    val plan = RelationalExt.q61NotInNulls(spark, sf)
+      .queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec prints the isNullAwareAntiJoin flag as a bare
+    // trailing `true` after the build side; a nested-loop fallback would
+    // print BroadcastNestedLoopJoin instead
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"expected the single-column null-aware anti join in the plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN must not fall back to the nested-loop join:\n$plan")
+    // 3VL: one NULL in the subquery collapses the complement to zero rows
+    val withNull = operators.TempViews.withViews(spark,
+      "cust_naaj" -> Tables.customer(spark, sf),
+      "ord_naaj" -> Tables.orders(spark, sf)) { v =>
+      spark.sql(
+        s"""SELECT c_custkey FROM ${v("cust_naaj")}
+           |WHERE c_custkey NOT IN (
+           |  SELECT CASE WHEN o_totalprice > 1e18 THEN o_custkey END
+           |  FROM ${v("ord_naaj")})""".stripMargin)
+    }
+    assert(withNull.count() == 0L,
+      "NOT IN over a null-bearing subquery must be empty under ANSI 3VL")
+  }
+
+  test("q62: pure-Scala running-distinct twin reproduces every row") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(t => (t._3, t._2))
+      val seen = scala.collection.mutable.Set.empty[String]
+      sorted.map { case (u, id, us, ty) =>
+        seen += ty; (u, id, us, ty, seen.size.toLong)
+      }
+    }.sortBy(t => (t._1, t._3, t._2))
+    val got = RelationalExt.q62RunningDistinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "running distinct must equal the set twin")
+    assert(got.exists(_._5 > 1L), "some user must reach >1 distinct type")
   }
 }
