@@ -991,7 +991,41 @@ object EtlQueries {
       .orderBy(col("check_name"))
   }
 
+  // ------------------------------------------------------ e23_observe
+  /** Observed-metrics audit — `Dataset.observe` (the CollectMetrics
+    * node): audit aggregates ride INSIDE an existing pass — computed by
+    * accumulators as rows stream through the plan — so a production
+    * write gets its row-count/total reconciliation figures for FREE,
+    * with no second scan of the data (e21 audits with a dedicated
+    * aggregate pass; this is the zero-extra-cost sibling a 100 TB
+    * pipeline attaches to every sink job). The gate executes a filtered
+    * pass over lineitem whose OWN output is discarded, then surfaces
+    * the observation row as the result; the oracle recomputes the same
+    * aggregates with a plain GROUP-less query — the metrics must equal
+    * a real aggregation exactly (decimal-exact sum, the oracle float
+    * rule). Metrics land on the executed QueryExecution's
+    * observedMetrics map — the driver-side hook a metrics exporter
+    * subscribes to via QueryExecutionListener in production. */
+  def e23Observe(s: SparkSession, d: String): DataFrame = {
+    val passed = lineitem(s, d)
+      .filter(col("l_quantity") > 10)
+      .observe("audit",
+        count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+    // drive the pass itself (a real job would be writing these rows);
+    // the observation materializes as a side effect of execution
+    passed.queryExecution.toRdd.count()
+    val row = passed.queryExecution.observedMetrics("audit")
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Collections.singletonList(row)),
+      row.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_observe" -> e23Observe,
     "e20_jdbc_incremental" -> e20JdbcIncremental,
     "e21_expectations" -> e21Expectations,
     "e22_aqe_skew_join" -> e22AqeSkewJoin,
@@ -1017,6 +1051,13 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the observed metrics must equal a real aggregation over the same
+    // filtered pass — bit-exact via the decimal-sum float rule
+    "e23_observe" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_quantity > 10""".stripMargin,
     // e8/e9 read what THEY wrote; the oracle reads the untouched parquet —
     // equality (including per-column null counts) proves the round trip
     // lossless. One shared constant: the two gates stay equally strong.

@@ -369,7 +369,61 @@ object RelationalExt {
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
+  // --------------------------------------------- q63_sliding_window
+  /** SLIDING (hopping) time windows — `window(ts, 1 hour, 15 minutes)`:
+    * every event lands in exactly windowDuration/slide = 4 overlapping
+    * hour buckets, the smoothing aggregation dashboards use where
+    * tumbling windows (q20) jitter at bucket edges. Spark expands the
+    * window assignment inline on the scan (a 4-row generator per event,
+    * no self-join); the oracle realizes the identical assignment as an
+    * explicit ×4 lateral range — both engines agree because 15 divides
+    * 60, so each window start is `floor(us/15min)·15min − i·15min` for
+    * i in 0..3, epoch-aligned on both sides. One (window × type)-keyed
+    * exchange with map-side partial aggregation; the 4× row expansion
+    * happens inside the scan stage and pre-aggregates before
+    * shuffling, so the exchange carries window-bucket aggregates —
+    * 4× the tumbling q20 volume but still model-sized, never 4× the
+    * events. */
+  def q63SlidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("start_us"), col("event_type"))
+
+  // --------------------------------------------- q64_null_semantics
+  /** ANSI NULL-semantics battery over one derived key (every 7th event's
+    * user masked to NULL): NULL forms its own GROUP BY group, COUNT(*)
+    * counts it while COUNT(k) skips it, COALESCE fills it, and — the
+    * operator this gate exists for — the NULL-SAFE equality join
+    * (`<=>` / IS NOT DISTINCT FROM): unlike `=`, null-safe equality is
+    * a legal EQUI-join key, so the self-reconciliation join hashes on
+    * the key (one NULL bucket matching itself exactly once) instead of
+    * degenerating to a nested loop, and unlike q61's NOT IN there is
+    * no three-valued trap — the dimension-reconciliation idiom for
+    * snapshots whose business key is nullable. Scale: group first
+    * (|keys|-sized), then self-join the aggregate — the join input is
+    * model-sized; joining the raw rows null-safely would cross-match
+    * every masked row (|nulls|² blow-up), which is why the aggregate
+    * goes first. */
+  def q64NullSemantics(s: SparkSession, d: String): DataFrame = {
+    val g = events(s, d)
+      .select(when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(col("user_id")).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), count(col("k")).as("n_nonnull"))
+    g.as("x").join(g.as("y"), col("x.k") <=> col("y.k"))
+      .select(coalesce(col("x.k"), lit(-1L)).as("k_filled"),
+        col("x.n_rows").as("n_rows"), col("x.n_nonnull").as("n_nonnull"),
+        col("y.n_rows").as("n_rows_selfjoin"))
+      .orderBy(col("k_filled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_sliding_window" -> q63SlidingWindow,
+    "q64_null_semantics" -> q64NullSemantics,
     "q62_running_distinct" -> q62RunningDistinct,
     "q61_not_in_nulls" -> q61NotInNulls,
     "q60_dist_window" -> q60DistWindow,
@@ -386,6 +440,26 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the ×4 lateral range realizes exactly Spark's sliding-window
+    // assignment: start = floor(us/15min)·15min − i·15min, i ∈ 0..3 —
+    // every shifted start covers the event because 15 divides 60
+    "q63_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+        |    CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |w AS (SELECT ((us // 900000000) - i) * 900000000 AS start_us,
+        |    event_type, v FROM e, range(0, 4) t(i))
+        |SELECT start_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q64_null_semantics" ->
+      """WITH b AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+        |    ELSE user_id END AS k FROM events),
+        |g AS (SELECT k, COUNT(*) AS n_rows, COUNT(k) AS n_nonnull
+        |  FROM b GROUP BY k)
+        |SELECT COALESCE(x.k, -1) AS k_filled, x.n_rows, x.n_nonnull,
+        |  y.n_rows AS n_rows_selfjoin
+        |FROM g x JOIN g y ON x.k IS NOT DISTINCT FROM y.k
+        |ORDER BY k_filled""".stripMargin,
     "q62_running_distinct" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
         |  FROM events)

@@ -252,6 +252,62 @@ class TriangleHitterSpec extends AnyFunSuite {
       "NOT IN over a null-bearing subquery must be empty under ANSI 3VL")
   }
 
+  test("q63: pure-Scala 4-window sliding assignment twin reproduces rows") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("ts_ns div 1000 as us", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val contrib = evs.flatMap { case (us, ty, v) =>
+      val base = us / 900000000L * 900000000L
+      (0 to 3).map(i => ((base - i * 900000000L, ty),
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    }
+    val expected = contrib.groupBy(_._1).map { case ((start, ty), g) =>
+      (start, ty, g.length.toLong, g.map(_._2).sum.toDouble)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = RelationalExt.q63SlidingWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "sliding windows must equal the ×4 twin")
+    // every event must appear in exactly 4 windows
+    assert(got.map(_._3).sum == 4L * evs.length)
+  }
+
+  test("q64: null group, count(*) vs count(k), and the null-safe self-join") {
+    val ks = Tables.events(spark, sf).select("event_id", "user_id").collect()
+      .map(r => if (r.getLong(0) % 7 == 0) None else Some(r.getLong(1)))
+    val expected = ks.groupBy(identity).map { case (k, g) =>
+      (k.getOrElse(-1L), g.length.toLong,
+        if (k.isEmpty) 0L else g.length.toLong, g.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = RelationalExt.q64NullSemantics(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(t => t._1 == -1L && t._3 == 0L),
+      "the NULL group must exist, counted by * and skipped by count(k)")
+    // the null-safe join must be an equi hash join, not a nested loop
+    val plan = RelationalExt.q64NullSemantics(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"<=> must plan as an equi-join key:\n$plan")
+  }
+
+  test("e23: observed metrics equal the direct aggregate twin") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._2 > 10)
+    val expected = (rows.length.toLong,
+      rows.map(t => BigDecimal(t._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble,
+      rows.map(_._1).min, rows.map(_._1).max)
+    val got = operators.EtlQueries.e23Observe(spark, sf).collect().toSeq
+    assert(got.size == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)) == expected,
+      "observe() metrics must equal the real aggregation")
+  }
+
   test("q62: pure-Scala running-distinct twin reproduces every row") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "event_type")
