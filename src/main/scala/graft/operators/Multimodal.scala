@@ -213,10 +213,56 @@ object Multimodal {
     "m2_features" -> m2Features,
     "m3_frame_sample" -> m3FrameSample,
     "m5_content_store" -> m5ContentStore,
-    "m6_chunk_overlap" -> m6ChunkOverlap
+    "m6_chunk_overlap" -> m6ChunkOverlap,
+    "m7_shard_manifest" -> m7ShardManifest
   )
 
+  // ------------------------------------------------ m7_shard_manifest
+  /** WebDataset-style shard manifest: assign every payload a (shard,
+    * byte-offset) slot in per-source sequential-fill shards with a 16 KiB
+    * byte budget — the manifest a multimodal training loader consumes
+    * (tar-shard readers want contiguous samples; the manifest IS the
+    * index). Assignment is the writer's sequential-fill convention: an
+    * item belongs to the shard its START offset falls in
+    * (`prev_bytes div budget`), items may straddle the boundary — the
+    * same rule on both engines, so the manifest is bit-portable.
+    *
+    * Scale posture: the running byte total is a window PARTITIONED BY
+    * source (one writer per source — exactly how parallel shard writers
+    * deploy), so no global single-partition sort exists; a source is one
+    * task's worth of manifest rows, and a pathologically hot source
+    * would shard its id-space first (t8's hierarchical split). The
+    * payload BYTES never move — the manifest derives from octet_length
+    * on the scan; the actual tar packing consumes the manifest
+    * partition-locally. */
+  def m7ShardManifest(s: SparkSession, d: String): DataFrame = {
+    val budget = 16384L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .withColumn("prev", sum(col("n_bytes")).over(w) - col("n_bytes"))
+      .select(col("doc_id"), col("source"), col("n_bytes"),
+        expr(s"prev div $budget").as("shard_seq"),
+        expr(s"prev % $budget").as("offset"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "m7_shard_manifest" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_bytes,
+        |    SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+        |      AS prev FROM b)
+        |SELECT doc_id, source, n_bytes,
+        |  prev // 16384 AS shard_seq, prev % 16384 AS offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     // intersects the raw chunk text where the Spark side intersects its
     // 64-bit chunk hashes — collision-equivalent (d13's accepted argument)
     "m6_chunk_overlap" ->

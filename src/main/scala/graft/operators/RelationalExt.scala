@@ -421,7 +421,82 @@ object RelationalExt {
       .orderBy(col("k_filled"))
   }
 
+  // ------------------------------------------------- q65_setops_all
+  /** BAG-semantics set operations — INTERSECT ALL / EXCEPT ALL, the
+    * multiplicity-preserving family q10's set-semantics trio doesn't
+    * cover: "how many of this customer's H1 orders exceed their H2
+    * orders" is a multiset difference, and collapsing to DISTINCT
+    * first (q10's shape) destroys the count. Catalyst plans both as a
+    * count-aggregate + replication Generate — one shuffle keyed on the
+    * value, per-key state two counts, output re-expanded to
+    * min/excess multiplicity — never a row-by-row anti join; the gate
+    * tags both results and unions them so one frame pins both
+    * operators. Scale: identical posture to any keyed aggregate; the
+    * replication factor is bounded by observed multiplicities. */
+  def q65SetopsAll(s: SparkSession, d: String): DataFrame = {
+    def custs(lo: String, hi: String): DataFrame =
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .select(col("o_custkey"))
+    val a = custs("1995-01-01 00:00:00", "1995-07-01 00:00:00")
+    val b = custs("1995-07-01 00:00:00", "1996-01-01 00:00:00")
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  // --------------------------------------------------- q66_typed_agg
+  /** The TYPED Dataset aggregation path — a custom
+    * `Aggregator[IN, BUF, OUT]` over `groupByKey`, the compile-time-safe
+    * API the DataFrame gates deliberately don't exercise: the buffer is
+    * a (count, exact java BigDecimal sum) pair carried through Spark's
+    * Decimal encoder, so partial aggregation, merge and codegen'd
+    * serialization all run through the typed encoder machinery while
+    * the ARITHMETIC stays the engine's decimal-exact dec2 convention
+    * (valueOf(double).setScale(2, HALF_UP) is bit-identical to the
+    * `CAST(x AS DECIMAL(12,2))` both engines run elsewhere — the
+    * oracle float rule). Semantically equal to q1's DataFrame
+    * aggregate; the gate exists because a library consumer choosing
+    * `Dataset[T]` must land on identical numbers. Scale: same one
+    * map-side-combined keyed exchange as q1 — typed buffers partial-
+    * aggregate before the shuffle exactly like untyped ones. */
+  private object QtySumAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Double), (Long, java.math.BigDecimal), (Long, Double)] {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    override def zero: (Long, JBD) = (0L, JBD.ZERO)
+    override def reduce(b: (Long, JBD), a: (String, Double)): (Long, JBD) =
+      (b._1 + 1, b._2.add(JBD.valueOf(a._2).setScale(2, RM.HALF_UP)))
+    override def merge(x: (Long, JBD), y: (Long, JBD)): (Long, JBD) =
+      (x._1 + y._1, x._2.add(y._2))
+    override def finish(b: (Long, JBD)): (Long, Double) =
+      (b._1, b._2.doubleValue)
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.DECIMAL)
+    override def outputEncoder =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble)
+  }
+
+  def q66TypedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(QtySumAgg.toColumn)
+      .map { case (flag, (n, sum)) => (flag, n, sum) }
+      .toDF("l_returnflag", "n", "sum_qty")
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_typed_agg" -> q66TypedAgg,
+    "q65_setops_all" -> q65SetopsAll,
     "q63_sliding_window" -> q63SlidingWindow,
     "q64_null_semantics" -> q64NullSemantics,
     "q62_running_distinct" -> q62RunningDistinct,
@@ -440,6 +515,23 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q66_typed_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q65_setops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01'),
+        |b AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01')
+        |SELECT o_custkey, 'except_all' AS op
+        |  FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'intersect_all' AS op
+        |  FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+        |ORDER BY op, o_custkey""".stripMargin,
     // the ×4 lateral range realizes exactly Spark's sliding-window
     // assignment: start = floor(us/15min)·15min − i·15min, i ∈ 0..3 —
     // every shifted start covers the event because 15 divides 60

@@ -764,6 +764,28 @@ object StreamingOps {
       }
     }.orderBy(col("hour_us"), col("event_type"))
 
+  /** q67: SLIDING windows through the streaming engine — q63's batch
+    * hopping aggregation (1-hour windows on a 15-minute hop, each event
+    * in exactly 4 buckets) executed as a stream; the batch/streaming
+    * twin pair argument of q20/q44 applied to the overlapping-window
+    * family. Complete mode (single stateful aggregation) needs no flush
+    * sentinel; state is (4× the tumbling window count) × types — still
+    * model-sized, watermark-evicted on an infinite feed. Shares q63's
+    * DuckDB oracle verbatim: the engine route must not change a single
+    * aggregate. */
+  def q67StreamSliding(s: SparkSession, d: String): DataFrame =
+    runGateStream(s, d, "graft_q67_") { (ns, stage, sink) =>
+      readEventStream(ns, stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(Relational.dec2(col("value"))).cast("double").as("total_value"))
+        .select(unix_micros(col("window.start")).as("start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete())
+    }.orderBy(col("start_us"), col("event_type"))
+
   /** Gate entries: batch sessionization (the streaming op's semantics
     * twin, DuckDB-verifiable) and the streaming-EXECUTED queries
     * (windowed aggregation q44, stream-stream interval join q45,
@@ -782,7 +804,8 @@ object StreamingOps {
     "q52_stream_user_totals" -> q52StreamUserTotals,
     "q53_stream_dedup" -> q53StreamDedup,
     "q54_stream_left_outer_join" -> q54StreamLeftOuterJoin,
-    "q59_stream_chained_agg" -> q59StreamChainedAgg
+    "q59_stream_chained_agg" -> q59StreamChainedAgg,
+    "q67_stream_sliding" -> q67StreamSliding
   )
 
   // same `diff > gap` islands as q21 — session_window MERGES events at
@@ -808,6 +831,16 @@ object StreamingOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q63's sliding-window oracle verbatim — the streaming execution
+    // must land on the identical hopping aggregates
+    "q67_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+        |    CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |w AS (SELECT ((us // 900000000) - i) * 900000000 AS start_us,
+        |    event_type, v FROM e, range(0, 4) t(i))
+        |SELECT start_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the two-level rollup in exact micros arithmetic: 15-min buckets,
     // then hour buckets over the bucket aggregates — append-mode chained
     // windows must land on exactly this plain batch result

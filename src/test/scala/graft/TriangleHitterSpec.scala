@@ -308,6 +308,74 @@ class TriangleHitterSpec extends AnyFunSuite {
       "observe() metrics must equal the real aggregation")
   }
 
+  test("q65: pure-Scala multiset twin reproduces EXCEPT ALL / INTERSECT ALL") {
+    val od = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS STRING) AS d").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = od.filter(t => t._2 >= "1995-01-01" && t._2 < "1995-07-01").map(_._1)
+    val b = od.filter(t => t._2 >= "1995-07-01" && t._2 < "1996-01-01").map(_._1)
+    val ca = a.groupBy(identity).view.mapValues(_.length).toMap
+    val cb = b.groupBy(identity).view.mapValues(_.length).toMap
+      .withDefaultValue(0)
+    val exceptAll = ca.toSeq.flatMap { case (k, n) =>
+      Seq.fill(math.max(0, n - cb(k)))((k, "except_all")) }
+    val intersectAll = ca.toSeq.flatMap { case (k, n) =>
+      Seq.fill(math.min(n, cb(k)))((k, "intersect_all")) }
+    val expected = (exceptAll ++ intersectAll).sortBy(t => (t._2, t._1))
+    val got = RelationalExt.q65SetopsAll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "bag set-ops must preserve multiplicity exactly")
+    // multiplicity must be real: some key must appear twice in one op
+    assert(got.groupBy(identity).values.exists(_.size > 1),
+      "some customer should carry multiplicity > 1")
+  }
+
+  test("m7: pure-Scala sequential-fill twin reproduces the shard manifest") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).getBytes("UTF-8").length.toLong))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      var cum = 0L
+      g.sortBy(_._1).map { case (id, _, n) =>
+        val prev = cum; cum += n
+        (id, src, n, prev / 16384L, prev % 16384L)
+      }
+    }.sortBy(t => (t._2, t._1))
+    val got = operators.Multimodal.m7ShardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "manifest must equal the sequential-fill twin")
+  }
+
+  test("q66: the typed Aggregator path equals the DataFrame dec2 aggregate") {
+    import org.apache.spark.sql.functions.{col => c, count, lit, sum}
+    val untyped = Tables.lineitem(spark, sf)
+      .groupBy(c("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(operators.Relational.dec2(c("l_quantity")))
+          .cast("double").as("sum_qty"))
+      .orderBy(c("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val typed = operators.RelationalExt.q66TypedAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(typed.nonEmpty)
+    assert(typed == untyped,
+      "Dataset[T] Aggregator must be bit-identical to the DataFrame path")
+  }
+
+  test("q67: streaming sliding windows equal the batch q63 result") {
+    val batch = RelationalExt.q63SlidingWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val streamed = streaming.StreamingOps.q67StreamSliding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "the engine-executed hopping aggregation must equal the batch twin")
+  }
+
   test("q62: pure-Scala running-distinct twin reproduces every row") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "event_type")
