@@ -520,7 +520,53 @@ object Dedup {
           sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= D16Floor)
           .as("gate_ok")))
 
+  // ------------------------------------------------- d22_containment
+  /** CONTAINMENT near-dup detection — |A∩B| / min(|A|,|B|): the
+    * asymmetric-duplication semantic Jaccard (d3) structurally misses.
+    * A short document wholly embedded in a long one (a quoted article,
+    * a page plus boilerplate, a truncated crawl of the same content)
+    * has Jaccard ≈ |A|/|B| — arbitrarily low — while its containment is
+    * ≈ 1; corpus dedup that only thresholds Jaccard keeps both copies.
+    * The gate reports exactly the pairs Jaccard LOSES: containment
+    * ≥ 0.9 AND Jaccard < 0.8, both compares in integer
+    * cross-multiplication (inter·10 ≥ min·9; inter·10 < union·8) and
+    * the ratio in floor-div ppm — bit-portable, no floats.
+    *
+    * Scale posture: d3's interning discipline (distinct token hashes
+    * sorted once on the scan, per-pair cost one O(n+m) merge walk —
+    * `IntersectCountSorted`) under m6's source-blocked pair join.
+    * d3's PPJoin length-ratio prefilter is deliberately ABSENT: length
+    * asymmetry is the signal here, not prunable noise — the honest
+    * prefilter for containment is a prefix-token or MinHash-band block
+    * (d4's machinery) once per-source pair counts outgrow a task. */
+  def d22Containment(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+    val a = docs.select(col("doc_id").as("a_id"), col("source"),
+      col("w").as("wa"), col("nw").as("na"))
+    val b = docs.select(col("doc_id").as("b_id"), col("source").as("src_b"),
+      col("w").as("wb"), col("nw").as("nb"))
+    val inter = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.IntersectCountSorted(
+        GraftBridge.expression(col("wa")), GraftBridge.expression(col("wb"))))
+    }
+    a.join(b, col("source") === col("src_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        inter.as("inter"))
+      .withColumn("mn", least(col("na"), col("nb")))
+      .filter(col("mn") > 0 &&
+        col("inter") * 10 >= col("mn") * 9 &&
+        col("inter") * 10 < (col("na") + col("nb") - col("inter")) * 8)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"),
+        expr("1000000 * inter div mn").as("containment_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_containment" -> d22Containment,
     "d16_semantic_dedup" -> ((s, d) => d16SemanticDedup(s, d)),
     "d1_dedup_exact" -> d1DedupExact,
     "d2_dedup_normalized" -> d2DedupNormalized,
@@ -535,6 +581,23 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // groups raw word lists where the Spark side interns 64-bit hashes —
+    // collision-equivalent (d13's accepted argument); identical integer
+    // cross-multiplied thresholds and floor-div ppm
+    "d22_containment" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(a.w) AS BIGINT) AS na, CAST(len(b.w) AS BIGINT) AS nb,
+        |    CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, na, nb, inter,
+        |  CAST((1000000 * inter) // LEAST(na, nb) AS BIGINT) AS containment_ppm
+        |FROM p
+        |WHERE LEAST(na, nb) > 0 AND inter * 10 >= LEAST(na, nb) * 9
+        |  AND inter * 10 < (na + nb - inter) * 8
+        |ORDER BY a_id, b_id""".stripMargin,
     // groups the raw gram text where the Spark side groups its 64-bit
     // hash — collision-equivalent (d13's accepted argument)
     "d17_substring_dedup" ->

@@ -376,6 +376,31 @@ class TriangleHitterSpec extends AnyFunSuite {
       "the engine-executed hopping aggregation must equal the batch twin")
   }
 
+  test("d22: pure-Scala containment twin reproduces the Jaccard-missed set") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").distinct.toSet))
+    val expected = (for {
+      (aId, src, wa) <- docs
+      (bId, srcB, wb) <- docs
+      if src == srcB && aId < bId
+      na = wa.size.toLong; nb = wb.size.toLong
+      inter = (wa & wb).size.toLong
+      mn = math.min(na, nb)
+      if mn > 0 && inter * 10 >= mn * 9 && inter * 10 < (na + nb - inter) * 8
+    } yield (aId, bId, na, nb, inter, 1000000L * inter / mn))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val got = operators.Dedup.d22Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty, "the corpus must contain containment-only dups")
+    assert(got == expected, "containment pairs must equal the set twin")
+    // every reported pair is one Jaccard (d3) would MISS by construction
+    // (jac < 0.8 in-filter) while being ≥90% contained
+    assert(got.forall(_._6 >= 900000L))
+  }
+
   test("q62: pure-Scala running-distinct twin reproduces every row") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "event_type")
