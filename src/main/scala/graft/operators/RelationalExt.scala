@@ -494,7 +494,36 @@ object RelationalExt {
       .orderBy(col("l_returnflag"))
   }
 
+  // -------------------------------------------- q68_correlated_scalar
+  /** CORRELATED scalar subqueries in the SELECT list — per-nation
+    * customer count and account-balance maximum, each phrased as a
+    * subquery referencing the outer row. q16 covers the uncorrelated
+    * scalar (one value broadcast everywhere); the correlated form is a
+    * different optimizer job entirely: Catalyst DECORRELATES each
+    * subquery into an aggregate-then-LEFT-OUTER-join on the correlation
+    * key (missing keys → NULL, COALESCE'd to the ANSI COUNT()=0
+    * convention), so the plan a user wrote as "run a query per row"
+    * executes as two keyed aggregates + two broadcast joins — O(rows),
+    * never O(rows × subquery). The gate coalesces the count explicitly
+    * so both engines pin the empty-group convention. Scale: the outer
+    * side streams; each decorrelated aggregate shuffles only the
+    * dimension-keyed aggregate rows. */
+  def q68CorrelatedScalar(s: SparkSession, d: String): DataFrame =
+    TempViews.withViews(s,
+      "nat_cs" -> nation(s, d),
+      "cust_cs" -> customer(s, d)) { v =>
+      s.sql(
+        s"""SELECT n_nationkey, n_name,
+           |  COALESCE((SELECT COUNT(*) FROM ${v("cust_cs")} c
+           |    WHERE c.c_nationkey = n.n_nationkey), 0) AS n_custs,
+           |  (SELECT MAX(c_acctbal) FROM ${v("cust_cs")} c
+           |    WHERE c.c_nationkey = n.n_nationkey) AS max_bal
+           |FROM ${v("nat_cs")} n
+           |ORDER BY n_nationkey""".stripMargin)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_correlated_scalar" -> q68CorrelatedScalar,
     "q66_typed_agg" -> q66TypedAgg,
     "q65_setops_all" -> q65SetopsAll,
     "q63_sliding_window" -> q63SlidingWindow,
@@ -515,6 +544,14 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q68_correlated_scalar" ->
+      """SELECT n_nationkey, n_name,
+        |  COALESCE((SELECT COUNT(*) FROM customer c
+        |    WHERE c.c_nationkey = n.n_nationkey), 0) AS n_custs,
+        |  (SELECT MAX(c_acctbal) FROM customer c
+        |    WHERE c.c_nationkey = n.n_nationkey) AS max_bal
+        |FROM nation n
+        |ORDER BY n_nationkey""".stripMargin,
     "q66_typed_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

@@ -401,6 +401,28 @@ class TriangleHitterSpec extends AnyFunSuite {
     assert(got.forall(_._6 >= 900000L))
   }
 
+  test("q68: correlated scalar subqueries decorrelate and match the twin") {
+    val custs = Tables.customer(spark, sf).select("c_nationkey", "c_acctbal")
+      .collect().map(r => (r.getInt(0).toLong, r.getDouble(1)))
+    val byNation = custs.groupBy(_._1)
+    val got = RelationalExt.q68CorrelatedScalar(spark, sf).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (nk, _, n, mx) =>
+      val g = byNation.getOrElse(nk, Array.empty[(Long, Double)])
+      assert(n == g.length.toLong, s"nation $nk count")
+      assert(mx == (if (g.isEmpty) None else Some(g.map(_._2).max)),
+        s"nation $nk max")
+    }
+    // decorrelated: the per-row subqueries must have become joins — no
+    // cartesian/nested-loop execution of the inner query per outer row
+    val plan = RelationalExt.q68CorrelatedScalar(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Join"), s"expected decorrelated joins:\n$plan")
+  }
+
   test("q62: pure-Scala running-distinct twin reproduces every row") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "event_type")
