@@ -38,8 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "fnv64", a => Fnv64(a.head))
     fn(e, "min_kgram_hash", a => MinKgramHash(a.head))
     fn(e, "simhash64", a => SimHash64(a.head))
+    fn(e, "cdc_boundaries", a => CdcBoundaries(a.head))
     fn(e, "dot_product", a => DotProduct(a.head, a(1)))
     fn(e, "jaccard_sorted", a => JaccardSorted(a.head, a(1)))
+    fn(e, "intersect_count_sorted", a => IntersectCountSorted(a.head, a(1)))
+    fn(e, "intersect_sorted", a => IntersectSorted(a.head, a(1)))
     fn(e, "minhash_buckets", a => MinHashBuckets(a.head, 32, 4))
     fn(e, "zorder2", a => ZOrder2(a.head, a(1)))
     fn(e, "sq8_adc_dot", a => Sq8AdcDot(a.head, a(1), a(2), a(3)))

@@ -51,6 +51,33 @@ object TextHash {
     min
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** CDC boundary positions (see [[CdcBoundaries]]): character windows of
+    * width 8, boundary iff the md5 16-bit prefix ≡ 0 (mod 16). Windows are
+    * CHARACTER-based (String.substring) because the portable oracle rule
+    * is `substr(text, i, 8)` — SQL substr counts characters, not bytes. */
+  def cdcBoundaries(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < 8) return ArrayData.toArrayData(Array.empty[Long])
+    val md = md5Local.get()
+    val out = new Array[Long](n - 7)
+    var k = 0
+    var i = 1
+    while (i <= n - 7) {
+      md.reset()
+      val digest = md.digest(str.substring(i - 1, i + 7).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val prefix = ((digest(0) & 0xff) << 8) | (digest(1) & 0xff)
+      if (prefix % 16 == 0) { out(k) = i.toLong; k += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
   /** 64-bit SimHash over a token array: per-token FNV-1a votes each bit up
     * or down; the sign of each tally is the output bit. Near-duplicate docs
     * differ in few bits (hamming distance). */
@@ -112,6 +139,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def nullSafeEval(v: Any): Any = TextHash.simhash64(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash$$.MODULE$$.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text → sorted array<long> of content-defined chunk boundary CHARACTER
+  * positions (1-based): position i is a boundary iff the first 16 bits of
+  * md5(utf8(substr(text, i, 8))) ≡ 0 (mod 16) — bit-identical to the
+  * portable SQL spelling `conv(substr(md5(substr(text,i,8)),1,4),16,10) %
+  * 16` both engines run in m8's oracle, at a fraction of its cost: one
+  * thread-local MessageDigest reused across rows, one window encode per
+  * position, no per-step Column allocations. A production CDC deployment
+  * swaps the md5 window rule for a Gear/Rabin ROLLING hash here without
+  * touching the operator's plan (the rule is an implementation detail of
+  * this expression). */
+case class CdcBoundaries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHash.cdcBoundaries(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash$$.MODULE$$.cdcBoundaries($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

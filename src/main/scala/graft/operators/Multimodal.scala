@@ -208,13 +208,52 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // ------------------------------------------------ m8_cdc_chunking
+  /** CONTENT-DEFINED chunking — the Rabin/FastCDC family m4's
+    * fixed-size chunking deliberately isn't: boundaries are declared
+    * wherever a rolling window's hash hits `h % 16 == 0`, so inserting
+    * one byte shifts only the chunks around the edit instead of
+    * re-chunking the whole payload — the property that makes
+    * storage-level dedup (m5) survive small edits. The window hash is
+    * the PORTABLE md5-hex-prefix idiom (t11's trick: 4 hex chars →
+    * conv base 16 → 16-bit int) rather than a real Gear/Rabin rolling
+    * hash, so the oracle lands on the identical boundary set — the
+    * boundary-selection ALGEBRA (expected chunk ≈ 16 bytes at
+    * divisor 16, count/position invariants) is what's gated; a
+    * production deployment swaps in a Gear hash as a native expression
+    * (TextHash's family) without touching the plan.
+    *
+    * Scale posture: entirely scan-shaped — per-document transform/
+    * filter/aggregate over the in-row text, no exchange except the
+    * presentation sort; documents chunk independently, which is the
+    * whole point of CDC at 100 TB. */
+  def m8CdcChunking(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bpos", {
+        import org.apache.spark.sql.GraftBridge
+        // native kernel ≡ the SQL spelling
+        // filter(transform(sequence(1, len-7), i -> IF(conv(substr(md5(
+        //   substr(text,i,8)),1,4),16,10) % 16 = 0, i, NULL)), notNull) —
+        // same boundaries, one MessageDigest reused instead of a Column
+        // expression tree per position (5.1 s → ~1 s at sf0.1)
+        GraftBridge.column(graft.functions.CdcBoundaries(
+          GraftBridge.expression(col("text"))))
+      })
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("bpos")).cast("long").as("n_boundaries"),
+        (size(col("bpos")) + 1).cast("long").as("n_chunks"),
+        expr("aggregate(bpos, 0L, (a, x) -> a + x)").as("bpos_sum"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_cdc_chunking" -> m8CdcChunking,
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m2_features" -> m2Features,
     "m3_frame_sample" -> m3FrameSample,
     "m5_content_store" -> m5ContentStore,
     "m6_chunk_overlap" -> m6ChunkOverlap,
-    "m7_shard_manifest" -> m7ShardManifest
+    "m7_shard_manifest" -> m7ShardManifest,
   )
 
   // ------------------------------------------------ m7_shard_manifest
@@ -252,6 +291,19 @@ object Multimodal {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // identical md5-hex-prefix boundary rule via the '0x'||hex cast —
+    // both engines must declare the same boundary positions
+    "m8_cdc_chunking" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(bpos) AS BIGINT) AS n_boundaries,
+        |  CAST(len(bpos) + 1 AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(list_sum(bpos), 0) AS BIGINT) AS bpos_sum
+        |FROM (SELECT doc_id, text,
+        |  [CAST(i AS BIGINT) FOR i IN range(1, greatest(length(text) - 6, 1))
+        |   IF CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 4)
+        |     AS BIGINT) % 16 = 0] AS bpos
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "m7_shard_manifest" ->
       """WITH b AS (SELECT doc_id, source,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -522,7 +522,32 @@ object RelationalExt {
            |ORDER BY n_nationkey""".stripMargin)
     }
 
+  // -------------------------------------------------- q69_pivot_native
+  /** The NATIVE pivot API — `groupBy().pivot(col, values).agg(…)`, the
+    * relational operator q19's manual CASE-WHEN spelling deliberately
+    * avoids: Catalyst plans it through PivotFirst (one aggregation pass,
+    * per-group fixed-width slots — no per-value scan). The value list is
+    * PINNED: omitting it makes Spark run an eager DISTINCT scan at plan
+    * time to discover columns — an extra pass a 100 TB job must never
+    * pay, and non-deterministic output schema besides (the documented
+    * production rule this gate encodes). Empty cells surface as NULL
+    * from PivotFirst and are coalesced to the COUNT()=0 convention so
+    * both engines agree. One keyed exchange, map-side combined —
+    * identical movement to q19; the APIs must land on identical
+    * numbers. */
+  def q69PivotNative(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+        types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_pivot_native" -> q69PivotNative,
     "q68_correlated_scalar" -> q68CorrelatedScalar,
     "q66_typed_agg" -> q66TypedAgg,
     "q65_setops_all" -> q65SetopsAll,
@@ -544,6 +569,14 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q69_pivot_native" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q68_correlated_scalar" ->
       """SELECT n_nationkey, n_name,
         |  COALESCE((SELECT COUNT(*) FROM customer c

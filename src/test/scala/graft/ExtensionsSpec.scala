@@ -48,5 +48,15 @@ class ExtensionsSpec extends AnyFunSuite {
       // one subspace (m=0), code 1 → centroid (5,6): 1·5 + 2·6 = 17
       assert(row.getDouble(2) == 17.0)
     }
+    locally {
+      val row = spark.sql(
+        """SELECT jaccard_sorted(array(1L, 3L), array(3L, 5L)) AS j,
+          |  intersect_count_sorted(array(1L, 3L, 9L), array(3L, 9L, 11L)) AS ic,
+          |  intersect_sorted(array(1L, 3L, 9L), array(3L, 9L, 11L)) AS is
+          |""".stripMargin).collect().head
+      assert(row.getDouble(0) == 1.0 / 3.0)
+      assert(row.getLong(1) == 2L)
+      assert(row.getSeq[Long](2).toList == List(3L, 9L))
+    }
   }
 }

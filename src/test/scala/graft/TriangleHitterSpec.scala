@@ -423,6 +423,66 @@ class TriangleHitterSpec extends AnyFunSuite {
     assert(plan.contains("Join"), s"expected decorrelated joins:\n$plan")
   }
 
+  test("q69: the native pivot API equals the manual CASE twin exactly") {
+    val evs = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val expected = evs.groupBy(_._1).toSeq.map { case (u, g) =>
+      val c = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+        .withDefaultValue(0L)
+      (u, types.map(c))
+    }.sortBy(_._1)
+    val got = RelationalExt.q69PivotNative(spark, sf).collect()
+      .map(r => (r.getLong(0), (1 to 5).map(r.getLong).toSeq)).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "pivot cells must equal the per-type counts")
+    // the NULL→0 coalesce path: a sparse frame (one type per user) must
+    // yield 0 — not null — in every other cell (sf0.001 is dense, so the
+    // empty-cell convention needs a synthetic probe)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, count, lit, col => cc}
+    val sparse = Seq((1L, "click"), (2L, "view")).toDF("user_id", "event_type")
+      .groupBy(cc("user_id")).pivot("event_type", types).agg(count(lit(1)))
+    val cells = sparse.select(cc("user_id") +:
+        types.map(t => coalesce(cc(s"`$t`"), lit(0L)).as(t)): _*)
+      .orderBy(cc("user_id")).collect()
+      .map(r => (1 to 5).map(r.getLong).toList).toList
+    assert(cells == List(List(1L, 0L, 0L, 0L, 0L), List(0L, 0L, 0L, 0L, 1L)))
+  }
+
+  test("m8: pure-Scala CDC boundary twin reproduces every row; edit " +
+    "locality holds") {
+    def boundaries(text: String): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (1 to text.length - 7).filter { i =>
+        val win = text.substring(i - 1, i - 1 + 8)
+        val hex = md.digest(win.getBytes("UTF-8")).take(2)
+          .map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % 16 == 0
+      }.map(_.toLong)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val b = if (text.length >= 8) boundaries(text) else Seq.empty[Long]
+      (id, text.length.toLong, b.size.toLong, b.size + 1L, b.sum)
+    }.sortBy(_._1).toSeq
+    val got = operators.Multimodal.m8CdcChunking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "CDC boundaries must equal the rolling twin")
+    // the CDC property: appending a suffix must not move EXISTING
+    // boundaries (only add new ones near the end) — fixed-size chunking
+    // (m4) has no such guarantee
+    val t = docs.maxBy(_._2.length)._2
+    val before = boundaries(t)
+    val after = boundaries(t + " appended tail content")
+    assert(before == after.take(before.length) &&
+      before.forall(after.contains),
+      "existing boundaries must be stable under an append-only edit")
+  }
+
   test("q62: pure-Scala running-distinct twin reproduces every row") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "event_type")
