@@ -546,7 +546,55 @@ object RelationalExt {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------- q70_outer_generators
+  /** OUTER generator semantics — `posexplode_outer`: exploding a
+    * per-document array of long tokens (≥8 chars, so many documents
+    * have NONE) while PRESERVING empty-array parents as (NULL, NULL)
+    * rows. The inner explode silently drops those documents — the
+    * classic row-loss bug in per-token pipelines that later join back
+    * to the document table and wonder where rows went; the outer
+    * variant is the join-safe spelling, and the ordinality column
+    * (pos) pins generator ORDER, which plain explode oracles can't.
+    * Scale: generators run inside the scan stage (Generate node, no
+    * exchange); output volume is Σ array lengths + the preserved
+    * parents. */
+  def q70OuterGenerators(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"),
+          t => length(t) >= 8).as("arr"))
+      .select(col("doc_id"), posexplode_outer(col("arr")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  // ---------------------------------------------- q71_typed_joinwith
+  /** The TYPED join — `Dataset.joinWith`, which returns PAIRS of whole
+    * objects instead of a flattened row (q66's argument applied to
+    * joins: a Dataset[T] consumer must land on identical numbers
+    * through the encoder machinery). The join itself is the same
+    * Catalyst broadcast-hash join as the DataFrame path — joinWith
+    * only changes the OUTPUT shape to (left, right) structs, and the
+    * follow-up typed map flattens them back, exercising
+    * serialize/deserialize boundaries around a join. Filter pushed
+    * to the scan; the small dimension broadcasts explicitly. */
+  def q71TypedJoinWith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+    o.joinWith(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .map { case ((ok, ck, tp), (_, name)) => (ok, ck, name, tp) }
+      .toDF("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_outer_generators" -> q70OuterGenerators,
+    "q71_typed_joinwith" -> q71TypedJoinWith,
     "q69_pivot_native" -> q69PivotNative,
     "q68_correlated_scalar" -> q68CorrelatedScalar,
     "q66_typed_agg" -> q66TypedAgg,
@@ -569,6 +617,25 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // outer unnest with ordinality: one unnest of list_zip(arr, range)
+    // (generate_subscripts is itself unnest-shaped in DuckDB and cannot
+    // pair with a second unnest), LEFT JOIN back to preserve empties
+    "q70_outer_generators" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'),
+        |    t -> length(t) >= 8) AS arr FROM documents),
+        |x AS (SELECT doc_id,
+        |    unnest(list_zip(arr, range(1, len(arr) + 1))) AS z FROM d),
+        |y AS (SELECT doc_id, CAST(z[2] AS BIGINT) - 1 AS pos,
+        |    CAST(z[1] AS VARCHAR) AS tok FROM x)
+        |SELECT d.doc_id, y.pos, y.tok
+        |FROM d LEFT JOIN y ON d.doc_id = y.doc_id
+        |ORDER BY d.doc_id, y.pos""".stripMargin,
+    "q71_typed_joinwith" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin,
     "q69_pivot_native" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,

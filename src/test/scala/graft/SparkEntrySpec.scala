@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 174 queries / 165 oracles") {
-    assert(SparkEntry.queries.size == 174,
+  test("registry counts match the documented 176 queries / 167 oracles") {
+    assert(SparkEntry.queries.size == 176,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 165,
+    assert(SparkEntry.oracleSql.size == 167,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }

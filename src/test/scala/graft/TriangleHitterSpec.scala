@@ -483,6 +483,39 @@ class TriangleHitterSpec extends AnyFunSuite {
       "existing boundaries must be stable under an append-only edit")
   }
 
+  test("q70: outer generator preserves empty-array parents; inner drops them") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").filter(_.length >= 8).toSeq))
+    val expected = docs.flatMap { case (id, ts) =>
+      if (ts.isEmpty) Seq((id, Option.empty[Long], Option.empty[String]))
+      else ts.zipWithIndex.map { case (t, i) => (id, Some(i.toLong), Some(t)) }
+    }.sortBy(t => (t._1, t._2.getOrElse(-1L))).toSeq
+    val got = RelationalExt.q70OuterGenerators(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSeq
+    assert(got == expected)
+    // the semantics this gate exists for: empty parents survive (and would
+    // be LOST by the inner explode)
+    assert(got.exists(_._2.isEmpty), "some document must have zero long tokens")
+    assert(got.map(_._1).distinct.length == docs.length,
+      "every document must survive the outer generator")
+  }
+
+  test("q71: typed joinWith equals the untyped join row-for-row") {
+    import org.apache.spark.sql.functions.{col => c}
+    val untyped = Tables.orders(spark, sf).filter(c("o_totalprice") > 400000.0)
+      .join(Tables.customer(spark, sf), c("o_custkey") === c("c_custkey"))
+      .select(c("o_orderkey"), c("o_custkey"), c("c_name"), c("o_totalprice"))
+      .orderBy(c("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    val typed = RelationalExt.q71TypedJoinWith(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(typed.nonEmpty)
+    assert(typed == untyped)
+  }
+
   test("q62: pure-Scala running-distinct twin reproduces every row") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "event_type")
