@@ -179,7 +179,31 @@ object TypeKernelQueries {
       .orderBy(col("p_partkey"))
   }
 
+  // ------------------------------------------------ k13_binary_codec
+  /** Binary↔text codec battery — base64 and hex transport encodings of
+    * the binary column plus both round trips proven in-row, the A14
+    * adjunct for pipelines that move blobs through text-only channels
+    * (JSONL sinks e8, JDBC text params D5, logs). Encodings are pinned
+    * to the portable spelling, and BOTH pins were found the hard way:
+    * Spark's base64 emits MIME \r\n line breaks every 76 chars (DuckDB
+    * emits one unbroken string — strip the breaks), and Spark's hex is
+    * lowercase where DuckDB's is UPPERCASE (uppercase here) — exactly
+    * the silent transport-format mismatches this gate exists to pin.
+    * Round-trip flags compare BINARY equality (decode∘encode = id),
+    * not string equality — a codec that normalizes would still fail.
+    * Scan-shaped, no exchange. */
+  def k13BinaryCodec(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        regexp_replace(base64(col("payload")), "[\\r\\n]", "").as("b64"),
+        upper(hex(col("payload"))).as("hx"),
+        (unbase64(base64(col("payload"))) === col("payload")).as("b64_rt"),
+        (unhex(hex(col("payload"))) === col("payload")).as("hex_rt"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k13_binary_codec" -> k13BinaryCodec,
     "k11_boolean" -> k11Boolean,
     "k12_unknown_text" -> k12UnknownText,
     "k1_decimal_cast" -> k1DecimalCast,
@@ -195,6 +219,13 @@ object TypeKernelQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k13_binary_codec" ->
+      """SELECT doc_id,
+        |  base64(encode(text)) AS b64,
+        |  hex(encode(text)) AS hx,
+        |  from_base64(base64(encode(text))) = encode(text) AS b64_rt,
+        |  unhex(hex(encode(text))) = encode(text) AS hex_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "k11_boolean" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 2 = 0 END AS bit_val,
