@@ -592,7 +592,73 @@ object RelationalExt {
       .orderBy(col("o_orderkey"))
   }
 
+  // ------------------------------------------------- q72_try_cast
+  /** Error-tolerant casts — `try_cast`/`try_element_at`, ANSI mode's
+    * escape hatch: under Spark 4's ANSI default a malformed cast THROWS
+    * (k-series gates pin that hard-error contract for silent-corruption
+    * paths); ingest code parsing dirty text wants NULL-on-failure
+    * instead, per value, without disabling ANSI globally. The battery
+    * parses the priority label three ways (whole string → NULL, leading
+    * digit → 1..5, as double → NULL) plus an out-of-bounds
+    * try_element_at — each lands on the identical TRY_CAST NULLs in
+    * DuckDB. Scan-shaped; the aggregate proves the NULL/value split is
+    * exact, not approximate. */
+  def q72TryCast(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderpriority"),
+        expr("try_cast(o_orderpriority AS INT)").as("whole_int"),
+        expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("lead_int"),
+        expr("try_cast(o_orderpriority AS DOUBLE)").as("as_double"),
+        expr("try_element_at(split(o_orderpriority, '-'), 9)").as("oob_elem"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count(col("whole_int")).as("n_whole_parsed"),
+        min(col("lead_int")).as("lead_min"),
+        max(col("lead_int")).as("lead_max"),
+        count(col("as_double")).as("n_double_parsed"),
+        count(col("oob_elem")).as("n_oob"))
+      .orderBy(col("o_orderpriority"))
+
+  // ----------------------------------------------- q73_salted_join
+  /** MANUAL salted join — the join-side sibling of q22's salted
+    * aggregation and the hand-built counterpart of e22's AQE skew
+    * split: a synthetic hot key (half of lineitem collapses onto
+    * bucket 0) would pin one reducer in a plain shuffle join, so the
+    * fact side salts its key with `pmod(hash(rowid), R)` and the
+    * dimension side REPLICATES ×R via an exploded sequence — every
+    * fact row meets its dimension row in exactly one salted partition,
+    * and the hot key's work spreads over R reducers. The join output
+    * re-aggregates per ORIGINAL key, proving result-identity with the
+    * unsalted plain join the oracle runs (salting must be
+    * plan-invisible in the answer). When AQE is available e22's
+    * runtime split is the first choice; manual salting is the tool
+    * when the skew is KNOWN and stable, the build side must not
+    * broadcast, or the engine lacks runtime splitting — and it
+    * composes with any join type, which AQE's split does not (outer
+    * sides pin). R=8: replication cost is R× the DIMENSION, never the
+    * fact. */
+  def q73SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val R = 8
+    val li = lineitem(s, d)
+      .select((when(col("l_orderkey") % 2 === 0, lit(0L))
+        .otherwise(col("l_suppkey") % 10)).as("k"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(R)))
+    val dim = supplier(s, d)
+      .filter(col("s_suppkey") < 10)
+      .select(col("s_suppkey").as("dk"), col("s_name"))
+      .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+    li.join(dim, col("k") === col("dk") && li("salt") === dim("salt"))
+      .groupBy(col("k"), col("s_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_try_cast" -> q72TryCast,
+    "q73_salted_join" -> q73SaltedJoin,
     "q70_outer_generators" -> q70OuterGenerators,
     "q71_typed_joinwith" -> q71TypedJoinWith,
     "q69_pivot_native" -> q69PivotNative,
@@ -617,6 +683,25 @@ object RelationalExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q72_try_cast" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  COUNT(TRY_CAST(o_orderpriority AS INT)) AS n_whole_parsed,
+        |  MIN(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS lead_min,
+        |  MAX(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS lead_max,
+        |  COUNT(TRY_CAST(o_orderpriority AS DOUBLE)) AS n_double_parsed,
+        |  COUNT(string_split(o_orderpriority, '-')[9]) AS n_oob
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the oracle runs the PLAIN unsalted join — salting must be
+    // result-invisible
+    "q73_salted_join" ->
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+        |    ELSE l_suppkey % 10 END AS k, l_quantity FROM lineitem),
+        |dim AS (SELECT s_suppkey AS dk, s_name FROM supplier
+        |  WHERE s_suppkey < 10)
+        |SELECT k, s_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM li JOIN dim ON k = dk
+        |GROUP BY k, s_name ORDER BY k""".stripMargin,
     // outer unnest with ordinality: one unnest of list_zip(arr, range)
     // (generate_subscripts is itself unnest-shaped in DuckDB and cannot
     // pair with a second unnest), LEFT JOIN back to preserve empties

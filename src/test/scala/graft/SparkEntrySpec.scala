@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 177 queries / 168 oracles") {
-    assert(SparkEntry.queries.size == 177,
+  test("registry counts match the documented 179 queries / 170 oracles") {
+    assert(SparkEntry.queries.size == 179,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 168,
+    assert(SparkEntry.oracleSql.size == 170,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }

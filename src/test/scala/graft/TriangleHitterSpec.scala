@@ -516,6 +516,49 @@ class TriangleHitterSpec extends AnyFunSuite {
     assert(typed == untyped)
   }
 
+  test("q73: salted join equals the plain join; exchange carries the salt") {
+    import org.apache.spark.sql.functions.{col => c, count, lit, sum}
+    val plain = Tables.lineitem(spark, sf)
+      .select((org.apache.spark.sql.functions.when(c("l_orderkey") % 2 === 0,
+        lit(0L)).otherwise(c("l_suppkey") % 10)).as("k"), c("l_quantity"))
+      .join(Tables.supplier(spark, sf).filter(c("s_suppkey") < 10)
+        .select(c("s_suppkey").as("dk"), c("s_name")), c("k") === c("dk"))
+      .groupBy(c("k"), c("s_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(operators.Relational.dec2(c("l_quantity")))
+          .cast("double").as("sum_qty"))
+      .orderBy(c("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val salted = RelationalExt.q73SaltedJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(salted.nonEmpty)
+    assert(salted == plain, "salting must be result-invisible")
+    // the join's exchange must be keyed on (k, salt) — the whole point:
+    // the hot key's rows spread over R salted partitions
+    val plan = RelationalExt.q73SaltedJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k#") || plan.contains("salt"),
+      s"expected a salted exchange in the plan:\n$plan")
+    assert(plan.toLowerCase.contains("salt"),
+      s"the salt must appear in the join keys:\n$plan")
+  }
+
+  test("q72: try_cast NULL-on-failure semantics match the hand count") {
+    val prios = Tables.orders(spark, sf).select("o_orderpriority").collect()
+      .map(_.getString(0))
+    val expected = prios.groupBy(identity).toSeq.map { case (p, g) =>
+      (p, g.length.toLong, 0L, p.substring(0, 1).toInt.toLong, 0L, 0L)
+    }.sortBy(_._1)
+    val got = RelationalExt.q72TryCast(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong,
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got.nonEmpty)
+    // whole-string and double parses must ALL fail (NULL), leading digit
+    // must all succeed, out-of-bounds element is always NULL
+    assert(got == expected,
+      "try_cast battery must split values/NULLs exactly as the twin")
+  }
+
   test("q62: pure-Scala running-distinct twin reproduces every row") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "ts_ns div 1000 as us", "event_type")
