@@ -70,9 +70,12 @@ object SetKernels {
   }
 }
 
-/** intersect_count_sorted(array<long>, array<long>) → long. */
+/** intersect_count_sorted(array<long>, array<long>) → long. Strict input
+  * typing (array<long> only): [[SetKernels]] reads raw long lanes out of
+  * UnsafeArrayData, so an array<int> argument would silently read garbage —
+  * ExpectsInputTypes turns the mistake into an AnalysisException instead. */
 case class IntersectCountSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.GraftBridge.ExpectsLongArrayPair {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
     SetKernels.intersectCountSorted(
@@ -84,9 +87,11 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** intersect_sorted(array<long>, array<long>) → sorted array<long>. */
+/** intersect_sorted(array<long>, array<long>) → sorted array<long>.
+  * Strict array<long> input typing for the same lane-safety reason as
+  * [[IntersectCountSorted]]. */
 case class IntersectSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.GraftBridge.ExpectsLongArrayPair {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any, b: Any): Any =
     SetKernels.intersectSorted(
@@ -98,8 +103,10 @@ case class IntersectSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** jaccard_sorted(array<long>, array<long>) → double. */
-case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+/** jaccard_sorted(array<long>, array<long>) → double. Strict array<long>
+  * input typing for the same lane-safety reason as [[IntersectCountSorted]]. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.GraftBridge.ExpectsLongArrayPair {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     SetKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -58,11 +58,20 @@ object TextHash {
 
   /** CDC boundary positions (see [[CdcBoundaries]]): character windows of
     * width 8, boundary iff the md5 16-bit prefix ≡ 0 (mod 16). Windows are
-    * CHARACTER-based (String.substring) because the portable oracle rule
-    * is `substr(text, i, 8)` — SQL substr counts characters, not bytes. */
+    * CODEPOINT-based because the portable oracle rule is
+    * `substr(text, i, 8)` — SQL substr and Spark's `length()` both count
+    * codepoints, not UTF-16 units, so a non-BMP character must occupy ONE
+    * window slot here too (java String.substring would split surrogate
+    * pairs and shift every boundary after the first astral char). */
   def cdcBoundaries(s: UTF8String): ArrayData = {
     val str = s.toString
-    val n = str.length
+    // offsets(c) = UTF-16 index where codepoint c starts; n = codepoints
+    val u16 = str.length
+    val offsets = new Array[Int](u16 + 1)
+    var n = 0
+    var u = 0
+    while (u < u16) { offsets(n) = u; n += 1; u += Character.charCount(str.codePointAt(u)) }
+    offsets(n) = u16
     if (n < 8) return ArrayData.toArrayData(Array.empty[Long])
     val md = md5Local.get()
     val out = new Array[Long](n - 7)
@@ -70,7 +79,8 @@ object TextHash {
     var i = 1
     while (i <= n - 7) {
       md.reset()
-      val digest = md.digest(str.substring(i - 1, i + 7).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val digest = md.digest(str.substring(offsets(i - 1), offsets(i + 7))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val prefix = ((digest(0) & 0xff) << 8) | (digest(1) & 0xff)
       if (prefix % 16 == 0) { out(k) = i.toLong; k += 1 }
       i += 1

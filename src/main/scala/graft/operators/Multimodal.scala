@@ -313,7 +313,8 @@ object Multimodal {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
         |      AS prev FROM b)
         |SELECT doc_id, source, n_bytes,
-        |  prev // 16384 AS shard_seq, prev % 16384 AS offset
+        |  CAST(prev // 16384 AS BIGINT) AS shard_seq,
+        |  CAST(prev % 16384 AS BIGINT) AS offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
     // intersects the raw chunk text where the Spark side intersects its
     // 64-bit chunk hashes — collision-equivalent (d13's accepted argument)

@@ -639,8 +639,11 @@ object RelationalExt {
     * fact. */
   def q73SaltedJoin(s: SparkSession, d: String): DataFrame = {
     val R = 8
+    // hot key = 1 — a REAL supplier key (TPC-H suppkeys start at 1), so
+    // the skewed half of lineitem survives the inner join and the salted
+    // partitions carry real work
     val li = lineitem(s, d)
-      .select((when(col("l_orderkey") % 2 === 0, lit(0L))
+      .select((when(col("l_orderkey") % 2 === 0, lit(1L))
         .otherwise(col("l_suppkey") % 10)).as("k"),
         col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
       .withColumn("salt",
@@ -649,7 +652,13 @@ object RelationalExt {
       .filter(col("s_suppkey") < 10)
       .select(col("s_suppkey").as("dk"), col("s_name"))
       .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
-    li.join(dim, col("k") === col("dk") && li("salt") === dim("salt"))
+    // SHUFFLE_HASH hint: the 72-row replicated dimension would otherwise
+    // auto-broadcast, which eliminates the shuffle entirely and makes the
+    // salt dead weight — the gate exists to exercise the SALTED SHUFFLE
+    // (at real scale the build side is too big to broadcast, which is the
+    // only situation where manual salting is the right tool)
+    li.join(dim.hint("shuffle_hash"),
+        col("k") === col("dk") && li("salt") === dim("salt"))
       .groupBy(col("k"), col("s_name"))
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
@@ -694,7 +703,7 @@ object RelationalExt {
     // the oracle runs the PLAIN unsalted join — salting must be
     // result-invisible
     "q73_salted_join" ->
-      """WITH li AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
         |    ELSE l_suppkey % 10 END AS k, l_quantity FROM lineitem),
         |dim AS (SELECT s_suppkey AS dk, s_name FROM supplier
         |  WHERE s_suppkey < 10)

@@ -770,7 +770,11 @@ object StreamingOps {
     * twin pair argument of q20/q44 applied to the overlapping-window
     * family. Complete mode (single stateful aggregation) needs no flush
     * sentinel; state is (4× the tumbling window count) × types — still
-    * model-sized, watermark-evicted on an infinite feed. Shares q63's
+    * model-sized. NOTE: Complete mode retains ALL window state forever
+    * (the watermark does not evict aggregation state in Complete); the
+    * bounded gate feed keeps this safe here, but an infinite deployment
+    * must switch to Append/Update mode, where the watermark does evict
+    * closed windows (the q44 pattern). Shares q63's
     * DuckDB oracle verbatim: the engine route must not change a single
     * aggregate. */
   def q67StreamSliding(s: SparkSession, d: String): DataFrame =

@@ -42,6 +42,16 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Strict (array<long>, array<long>) input contract for the SetKernels
+    * expressions — they read raw long lanes out of UnsafeArrayData, so a
+    * mistyped array<int> input must fail analysis, never be read as
+    * garbage lanes. Lives here because `AbstractDataType` (the
+    * ExpectsInputTypes member type) is `private[sql]`. */
+  trait ExpectsLongArrayPair extends catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[types.AbstractDataType] =
+      Seq(types.ArrayType(types.LongType), types.ArrayType(types.LongType))
+  }
+
   /** Apply an extensions installer's function registrations to a LIVE
     * session (normally they only take effect at session build time via
     * `spark.sql.extensions`). Used by tests and by hosts that receive an

@@ -104,14 +104,29 @@ class TriangleHitterSpec extends AnyFunSuite {
       GraftBridge.expression(c("a")), GraftBridge.expression(c("b"))))
     val got = df.select(inter.as("i")).collect().map(_.getSeq[Long](0).toList)
     assert(got.toList == List(List(3L, 9L), Nil, Nil))
-    // the kernel reads LONG lanes: an int array input must be rejected at
-    // analysis/codegen, not silently read as garbage (the d21 rid bug)
+    // the kernel reads LONG lanes: an int array input MUST be rejected at
+    // analysis (ExpectsInputTypes), never silently read as garbage lanes
     val ints = spark.createDataFrame(Seq((Seq(1, 2), Seq(2, 3)))).toDF("a", "b")
-    val bad = ints.select(GraftBridge.column(graft.functions.IntersectSorted(
-      GraftBridge.expression(c("a")), GraftBridge.expression(c("b")))).as("i"))
-    val r = scala.util.Try(bad.collect().map(_.getSeq[Long](0).toList).toList)
-    assert(r.isFailure || r.get == List(List(2L)),
-      s"int-typed arrays must either fail or intersect correctly, got $r")
+    val r = scala.util.Try {
+      ints.select(GraftBridge.column(graft.functions.IntersectSorted(
+        GraftBridge.expression(c("a")), GraftBridge.expression(c("b")))).as("i"))
+        .collect()
+    }
+    assert(r.isFailure,
+      s"array<int> input must fail analysis under ExpectsInputTypes, got $r")
+    // the SQL surface is equally strict (ANSI coercion does not widen
+    // array elements): int-literal arrays fail analysis with the typed
+    // mismatch, and explicit long literals work
+    GraftBridge.applyFunctionExtensions(spark, new GraftExtensions)
+    val sqlBad = scala.util.Try(spark
+      .sql("SELECT intersect_sorted(array(1, 3), array(3, 4)) AS i").collect())
+    assert(sqlBad.isFailure &&
+      sqlBad.failed.get.getMessage.contains("DATATYPE_MISMATCH"),
+      s"SQL int arrays must fail with the typed mismatch, got $sqlBad")
+    val sqlOk = spark
+      .sql("SELECT intersect_sorted(array(1L, 3L), array(3L, 4L)) AS i")
+      .collect().head.getSeq[Long](0).toList
+    assert(sqlOk == List(3L))
   }
 
   test("d21: both orientation joins broadcast the rank table") {
@@ -481,6 +496,27 @@ class TriangleHitterSpec extends AnyFunSuite {
     assert(before == after.take(before.length) &&
       before.forall(after.contains),
       "existing boundaries must be stable under an append-only edit")
+    // non-BMP: windows count CODEPOINTS (the oracle substr rule), so a
+    // surrogate pair occupies ONE slot — UTF-16 indexing would shift every
+    // boundary after the first astral char
+    def cpBoundaries(text: String): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (1 to cps.length - 7).filter { i =>
+        val d = md.digest(new String(cps, i - 1, 8).getBytes("UTF-8"))
+        (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 16 == 0
+      }.map(_.toLong)
+    }
+    val astral = (0 until 40).map(i => s"chunk$i😀data$i ").mkString
+    assert(cpBoundaries(astral) != boundaries(astral),
+      "discriminator: the UTF-16 twin must disagree on this input")
+    import org.apache.spark.sql.GraftBridge
+    val kernel = spark.createDataFrame(Seq(Tuple1(astral))).toDF("t")
+      .select(GraftBridge.column(graft.functions.CdcBoundaries(
+        GraftBridge.expression(col("t")))).as("b"))
+      .collect().head.getSeq[Long](0).toList
+    assert(kernel == cpBoundaries(astral).toList,
+      "cdc_boundaries must window by codepoint, not UTF-16 unit")
   }
 
   test("q70: outer generator preserves empty-array parents; inner drops them") {
@@ -520,7 +556,7 @@ class TriangleHitterSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{col => c, count, lit, sum}
     val plain = Tables.lineitem(spark, sf)
       .select((org.apache.spark.sql.functions.when(c("l_orderkey") % 2 === 0,
-        lit(0L)).otherwise(c("l_suppkey") % 10)).as("k"), c("l_quantity"))
+        lit(1L)).otherwise(c("l_suppkey") % 10)).as("k"), c("l_quantity"))
       .join(Tables.supplier(spark, sf).filter(c("s_suppkey") < 10)
         .select(c("s_suppkey").as("dk"), c("s_name")), c("k") === c("dk"))
       .groupBy(c("k"), c("s_name"))
@@ -533,14 +569,28 @@ class TriangleHitterSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(salted.nonEmpty)
     assert(salted == plain, "salting must be result-invisible")
-    // the join's exchange must be keyed on (k, salt) — the whole point:
-    // the hot key's rows spread over R salted partitions
+    // the hot key (1) must carry the skewed half of lineitem — the r8
+    // version collapsed onto key 0, which no supplier has, so the inner
+    // join silently dropped every skewed row and the gate proved nothing
+    val total = Tables.lineitem(spark, sf).count()
+    val hot = salted.filter(_._1 == 1L).map(_._3).sum
+    assert(hot >= total / 2,
+      s"hot key 1 must carry at least the skewed half ($hot of $total)")
+    // the join must be a SHUFFLED join whose exchange is keyed on
+    // (k, salt) — the whole point: the hot key's rows spread over R
+    // salted partitions. A broadcast join would have no shuffle and make
+    // the salt dead weight, so its absence is asserted too.
     val plan = RelationalExt.q73SaltedJoin(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(k#") || plan.contains("salt"),
-      s"expected a salted exchange in the plan:\n$plan")
-    assert(plan.toLowerCase.contains("salt"),
-      s"the salt must appear in the join keys:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled (non-broadcast) join:\n$plan")
+    val saltedExchange =
+      "hashpartitioning\\((?:k|dk)#\\d+L?, salt#\\d+".r
+        .findFirstIn(plan).isDefined
+    assert(saltedExchange,
+      s"expected an exchange hash-partitioned by (k, salt):\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the replicated dimension must not broadcast in this gate:\n$plan")
   }
 
   test("q72: try_cast NULL-on-failure semantics match the hand count") {
