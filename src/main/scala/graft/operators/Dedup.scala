@@ -534,26 +534,67 @@ object Dedup {
     *
     * Scale posture: d3's interning discipline (distinct token hashes
     * sorted once on the scan, per-pair cost one O(n+m) merge walk —
-    * `IntersectCountSorted`) under m6's source-blocked pair join.
-    * d3's PPJoin length-ratio prefilter is deliberately ABSENT: length
-    * asymmetry is the signal here, not prunable noise — the honest
-    * prefilter for containment is a prefix-token or MinHash-band block
-    * (d4's machinery) once per-source pair counts outgrow a task. */
+    * `IntersectCountSorted`) under m6's source-blocked pair join, with a
+    * PREFIX-TOKEN candidate block in front (Chaudhuri et al.'s SSJoin
+    * prefix filter, one-sided for the asymmetric threshold): a pair
+    * passing `inter·10 ≥ mn·9` has inter ≥ ⌈9·mn/10⌉, so at most
+    * ⌈9·mn/10⌉−1 < inter of the smaller doc's tokens can sit OUTSIDE any
+    * chosen (mn − ⌈9·mn/10⌉ + 1) = (⌊mn/10⌋+1)-subset — the smaller
+    * doc's sorted-hash prefix of that length must share a token with the
+    * larger doc. Candidate generation therefore joins each doc's
+    * ~10% prefix (probe side) against every doc's full token list
+    * (index side) on (source, token), smaller-by-(size, id) probing
+    * larger — LINEAR in corpus token count instead of quadratic in the
+    * source block, and LOSSLESS (pigeonhole, not probabilistic — unlike
+    * d4's MinHash bands, which would MISS asymmetric pairs because
+    * containment-high/Jaccard-low is exactly where minhash agreement
+    * dies). [[DedupIdentitySpec]] proves the banded form result-identical
+    * to the unfiltered pair join. At true scale the remaining lever is
+    * ordering token hashes by ascending document frequency so prefixes
+    * carry rare tokens; the numeric hash order used here is a uniform
+    * random order — unbiased, no DF side-computation. */
   def d22Containment(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = CacheScope.persist(d22Docs(s, d))
+    // probe: each doc's (⌊n/10⌋+1)-prefix of the sorted hash array — the
+    // potential SMALLER side of a pair; index: every token of every doc
+    val probe = docs.select(col("doc_id").as("p_id"), col("source"),
+        col("nw").as("pn"),
+        explode(expr("slice(w, 1, cast(nw div 10 as int) + 1)")).as("tok"))
+    val index = docs.select(col("doc_id").as("i_id"),
+      col("source").as("src_i"), col("nw").as("in_"),
+      explode(col("w")).as("tok_i"))
+    val cand = probe.join(index,
+        col("source") === col("src_i") && col("tok") === col("tok_i") &&
+          (col("pn") < col("in_") ||
+            (col("pn") === col("in_") && col("p_id") < col("i_id"))))
+      .select(least(col("p_id"), col("i_id")).as("a_id"),
+        greatest(col("p_id"), col("i_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    d22Verify(docs, cand)
+  }
+
+  /** Tokenized corpus shared by the serving path and the identity twin. */
+  private def d22Docs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), col("source"),
         array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
-    val a = docs.select(col("doc_id").as("a_id"), col("source"),
-      col("w").as("wa"), col("nw").as("na"))
-    val b = docs.select(col("doc_id").as("b_id"), col("source").as("src_b"),
-      col("w").as("wb"), col("nw").as("nb"))
+
+  /** Verify candidate id pairs: fetch both sorted hash arrays, one
+    * O(n+m) merge walk per pair, the gate's integer cross-multiplied
+    * thresholds — shared verbatim by both candidate generators so the
+    * identity proof isolates the BLOCKING step. */
+  private def d22Verify(docs: DataFrame, cand: DataFrame): DataFrame = {
     val inter = {
       import org.apache.spark.sql.GraftBridge
       GraftBridge.column(graft.functions.IntersectCountSorted(
         GraftBridge.expression(col("wa")), GraftBridge.expression(col("wb"))))
     }
-    a.join(b, col("source") === col("src_b") && col("a_id") < col("b_id"))
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("w").as("wa"),
+        col("nw").as("na")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("w").as("wb"),
+        col("nw").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"), col("na"), col("nb"),
         inter.as("inter"))
       .withColumn("mn", least(col("na"), col("nb")))
@@ -563,6 +604,19 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"),
         expr("1000000 * inter div mn").as("containment_ppm"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The identity twin: ALL same-source pairs, no prefix block — the
+    * round-9 serving form, kept test-only as the ground truth the banded
+    * path must reproduce exactly (the d10/e18 same-answer-better-plan
+    * pattern). Block-quadratic; never the serving path. */
+  private[graft] def d22ContainmentUnfiltered(s: SparkSession, d: String): DataFrame = {
+    val docs = d22Docs(s, d)
+    val cand = docs.select(col("doc_id").as("a_id"), col("source"))
+      .join(docs.select(col("doc_id").as("b_id"), col("source").as("src_b")),
+        col("source") === col("src_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    d22Verify(docs, cand)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -354,8 +354,9 @@ object RelationalExt {
     * two-window first-occurrence idiom — `row_number() = 1` per
     * (user, item) summed over the user's running frame — which holds
     * O(1) per row but pays a second exchange; this gate pins the
-    * bounded-alphabet single-shuffle form and documents the switch
-    * point. The oracle runs DuckDB's windowed COUNT(DISTINCT …)
+    * bounded-alphabet single-shuffle form, and
+    * [[q74RunningDistinctHicard]] gates the switch itself.
+    * The oracle runs DuckDB's windowed COUNT(DISTINCT …)
     * directly — both engines land on the same integer counts. */
   def q62RunningDistinct(s: SparkSession, d: String): DataFrame = {
     val wRun = Window.partitionBy(col("user_id"))
@@ -366,6 +367,39 @@ object RelationalExt {
         expr("ts_ns div 1000").as("us"), col("event_type"))
       .withColumn("n_types_seen",
         size(collect_set(col("event_type")).over(wRun)).cast("long"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  // ------------------------------------- q74_running_distinct_hicard
+  /** q62's documented HIGH-CARDINALITY switch, gated. When the tracked
+    * column's alphabet is unbounded (distinct items, not a 4-value type
+    * enum), `collect_set` over the running frame holds O(alphabet) state
+    * per row — the q62 form stops scaling. The two-window first-occurrence
+    * idiom holds O(1) per row instead: `row_number() = 1` per
+    * (user, item) marks each item's first appearance, and a running SUM of
+    * those marks over the user's frame IS the running distinct count —
+    * at the price of a second exchange (one keyed (user, item) for the
+    * first-occurrence ranking, one keyed user for the running sum). The
+    * tracked item here is `event_id % 997` — a 997-value alphabet, ~250×
+    * q62's, standing in for an unbounded id space while staying portable
+    * to the oracle (DuckDB computes the identical windowed
+    * COUNT(DISTINCT) directly). */
+  def q74RunningDistinctHicard(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"),
+        (col("event_id") % 997).as("item"))
+    val wFirst = Window.partitionBy(col("user_id"), col("item"))
+      .orderBy(col("us"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, lit(1L)).otherwise(lit(0L)))
+      .withColumn("n_items_seen", sum(col("first_seen")).over(wRun))
+      .select(col("user_id"), col("event_id"), col("us"), col("item"),
+        col("n_items_seen"))
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
@@ -677,6 +711,7 @@ object RelationalExt {
     "q63_sliding_window" -> q63SlidingWindow,
     "q64_null_semantics" -> q64NullSemantics,
     "q62_running_distinct" -> q62RunningDistinct,
+    "q74_running_distinct_hicard" -> q74RunningDistinctHicard,
     "q61_not_in_nulls" -> q61NotInNulls,
     "q60_dist_window" -> q60DistWindow,
     "q58_gap_fill" -> q58GapFill,
@@ -790,6 +825,17 @@ object RelationalExt {
         |  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
         |    ORDER BY us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+        |FROM e ORDER BY user_id, us, event_id""".stripMargin,
+    // DuckDB runs the windowed COUNT(DISTINCT) directly; the Spark twin
+    // realizes the same counts via the two-window first-occurrence idiom
+    "q74_running_distinct_hicard" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_id % 997 AS item
+        |  FROM events)
+        |SELECT user_id, event_id, us, item,
+        |  COUNT(DISTINCT item) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_items_seen
         |FROM e ORDER BY user_id, us, event_id""".stripMargin,
     // identical ANSI 3VL NOT IN — DuckDB plans its own null-aware mark
     // join over the same nullable CASE projection
