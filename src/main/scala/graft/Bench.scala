@@ -119,10 +119,20 @@ object Bench {
         graft.operators.CacheScope.releaseAll(blocking = true)
         if (ok) elapsed else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> times
     }
-    val failed = results.count(_._2 < 0)
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    // min estimates the noise-free cost (contention/GC only ever ADD time);
+    // spread = max/min of the same runs is the self-diagnosis: a high-spread
+    // query's round-over-round delta is machine weather until reproduced on
+    // an idle machine at low spread (the r9 d-pack false-regression lesson)
+    val mins: Seq[(String, Double)] = results.map { case (n, ts) =>
+      n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+    }
+    val spreads: Seq[(String, Double)] = results.collect {
+      case (n, ts) if !ts.contains(-1.0) && ts.min > 0 => n -> ts.max / ts.min
+    }
+    val failed = mins.count(_._2 < 0)
+    val total = mins.filter(_._2 >= 0).map(_._2).sum
     // The driver keeps only the LAST ~2000 chars of output; a full-precision
     // queries map for 80+ queries overflows that, truncating the line's
     // "{"metric" prefix and making it unparseable (BENCH_r01..r03 all show
@@ -139,26 +149,42 @@ object Bench {
     // keeps the full name for the colliders. bench-full above retains the
     // full-name, full-precision map for humans and logs.
     val shortNames: Map[String, String] = {
-      val pref = results.map { case (k, _) =>
+      val pref = mins.map { case (k, _) =>
         k -> "^[a-z]+\\d+".r.findFirstIn(k).getOrElse(k)
       }.toMap
       val counts = pref.values.groupBy(identity).view.mapValues(_.size).toMap
       pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }
     }
-    def line(qs: Seq[(String, Double)], prec: Int): String = {
-      val m = qs.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, prec) }
+    // spread in the contract: the global max plus the noisy tail (ratio ≥
+    // 1.5, worst 20) — enough for a round-over-round comparison to discount
+    // high-spread movers without re-investigating, small enough to fit the
+    // driver's tail budget next to the per-query min map
+    val spreadMax = spreads.map(_._2).maxOption.getOrElse(1.0)
+    val noisiest = spreads.filter(_._2 >= 1.5).sortBy(-_._2).take(20)
+    def spreadJson(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$m,"failed":$failed,"sf":"$sfDir"}"""
+    def line(prec: Int, withSpread: Boolean): String = {
+      val m = mins.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      val sp =
+        if (withSpread) s""","spread_max":${fmt(spreadMax, 1)},"spread":${spreadJson(noisiest)}"""
+        else s""","spread_max":${fmt(spreadMax, 1)}"""
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$m$sp,"failed":$failed,"sf":"$sfDir"}"""
     }
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val full = mins.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullSpread = spreads.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     println(s"""bench-index {"s2_build":${fmt(s2Build, 3)},"s3_build":${fmt(s3Build, 3)},"s4_build":${fmt(s4Build, 3)},"t24_build":${fmt(t24Build, 3)},"s5_build":${fmt(s5Build, 3)},"s7_build":${fmt(s7Build, 3)}}""")
-    println(s"""bench-full {"total":$total,"queries":$full}""")
-    // If even precision 1 overflows the budget, drop the per-query map —
+    println(s"""bench-full {"total":$total,"queries":$full,"spread":$fullSpread}""")
+    // If even precision 1 overflows the budget, drop the per-query maps —
     // a parseable total beats an unparseable detail line.
-    val contract = Seq(3, 2, 1).map(line(results, _)).find(_.length <= 1900)
+    val contract = (Seq(3, 2, 1).map(line(_, withSpread = true)) ++
+        Seq(1).map(line(_, withSpread = false)))
+      .find(_.length <= 1900)
       .getOrElse(
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","spread_max":${fmt(spreadMax, 1)},"failed":$failed,"sf":"$sfDir"}""")
     // Stop Spark BEFORE printing the contract so no executor/shutdown log
     // line can land after it — the driver's tail parse wants it last.
     spark.stop()
