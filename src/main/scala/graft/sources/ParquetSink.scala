@@ -178,20 +178,29 @@ object ParquetSink {
       else if (opts.rowGroupsPerFile > 0) parts.map(Seq(_))
       else Seq(parts)
 
+    // physical-format fidelity pass (FLBA(n) / TIME annotations — see
+    // [[PhysicalFormat]]): applied per FINAL file, after merge, before the
+    // destination rename — so a crash mid-rewrite never leaves a
+    // half-faithful file at the destination path
+    def fidelity(p: Path): Path = {
+      PhysicalFormat.rewrite(p, df.schema, opts.compression,
+        opts.compressionLevel, opts.writerVersion)
+      p
+    }
     val outputs: Seq[Path] =
       if (outPath == "-") {
-        val merged = mergeBin(df, binned.head, staging, opts)
+        val merged = fidelity(mergeBin(df, binned.head, staging, opts))
         Files.copy(merged, System.out)
         System.out.flush()
         Seq.empty
       } else if (binned.size <= 1) {
-        val merged = mergeBin(df, binned.headOption.getOrElse(Seq.empty), staging, opts)
+        val merged = fidelity(mergeBin(df, binned.headOption.getOrElse(Seq.empty), staging, opts))
         val dest = Paths.get(outPath)
         if (dest.getParent != null) Files.createDirectories(dest.getParent)
         Seq(move(merged, dest))
       } else {
         binned.zipWithIndex.map { case (bin, i) =>
-          val merged = mergeBin(df, bin, staging, opts)
+          val merged = fidelity(mergeBin(df, bin, staging, opts))
           val dest = Paths.get(suffixedPath(outPath, i + 1, opts.suffixLength))
           if (dest.getParent != null) Files.createDirectories(dest.getParent)
           move(merged, dest)

@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader, ParquetWriter}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+import org.apache.spark.sql.types.StructType
+import graft.functions.TypeMapping
+import scala.jdk.CollectionConverters._
+
+/** Physical-format fidelity pass for the two parquet annotations Spark's
+  * writer cannot emit (closing the last two signed-off deviations):
+  *
+  *  - BINARY(n) → FIXED_LEN_BYTE_ARRAY(n) (reference binary.rs:32-89).
+  *    Spark writes BinaryType as BYTE_ARRAY only; columns tagged
+  *    `graft.binary.fixedLength` are rewritten to physical FLBA(n), values
+  *    zero-padded to the declared width (ODBC fixed BINARY semantics: the
+  *    driver pads to n — a longer value is a contract violation and errors).
+  *  - TIME columns → parquet TIME(MILLIS|MICROS|NANOS, utc=false) logical
+  *    annotation on the same INT32/INT64 physical (reference time.rs:38-77,
+  *    `is_adjusted_to_u_t_c: false` at time.rs:47). Spark has no TIME type,
+  *    so the values travel as ints tagged `graft.time.unit`; the annotation
+  *    makes the FILE self-describing for non-graft readers.
+  *
+  * Mechanics: a driver-side streaming re-encode of the finished output file
+  * with parquet-mr's Group API — read each record, re-emit under the target
+  * MessageType, atomic same-directory rename. This runs once per FINAL
+  * output file on the CLI sink path (one file, or the split series), which
+  * is exactly the reference's own execution shape: its writer is a
+  * single-process stream too. The distributed write that produced the file
+  * stays Spark-native; only files whose schema carries a fidelity tag pay
+  * the extra pass, and the pass moves bytes once, never shuffles.
+  */
+object PhysicalFormat {
+
+  /** Does `schema` carry any tag the Spark writer cannot realize? */
+  def needed(schema: StructType): Boolean =
+    schema.fields.exists(f =>
+      f.metadata.contains(TypeMapping.FixedLenKey) ||
+        f.metadata.contains(TypeMapping.TimeUnitKey))
+
+  /** Rewrite `file` in place so tagged columns carry the faithful physical
+    * type / logical annotation. No-op when [[needed]] is false. */
+  def rewrite(file: Path, schema: StructType, compression: String,
+      compressionLevel: Option[Int], writerVersion: String): Unit = {
+    if (!needed(schema)) return
+    val conf = new Configuration()
+    compressionLevel.foreach(l =>
+      conf.setInt("parquet.compression.codec.zstd.level", l))
+    val hPath = new org.apache.hadoop.fs.Path(file.toString)
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+    try {
+      val srcSchema = org.apache.parquet.hadoop.ParquetFileReader
+        .open(HadoopInputFile.fromPath(hPath, conf)).getFooter
+        .getFileMetaData.getSchema
+      val target = targetType(srcSchema, schema)
+      val tmp = file.resolveSibling("." + file.getFileName.toString + ".fidelity")
+      Files.deleteIfExists(tmp)
+      val writer: ParquetWriter[Group] = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(tmp.toString), conf))
+        .withType(target)
+        .withConf(conf)
+        .withCompressionCodec(codec(compression))
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+        .withWriterVersion(
+          if (writerVersion == "v1") ParquetWriter.DEFAULT_WRITER_VERSION
+          else org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_2_0)
+        .build()
+      try {
+        val factory = new SimpleGroupFactory(target)
+        var g = reader.read()
+        while (g != null) {
+          writer.write(copyGroup(g, target, factory))
+          g = reader.read()
+        }
+      } finally writer.close()
+      Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING)
+    } finally reader.close()
+  }
+
+  /** The source file's MessageType with tagged fields replaced: FLBA(n) for
+    * fixed-width binary tags, TIME-annotated INT32/INT64 for time tags;
+    * every untagged field carried through untouched. */
+  private def targetType(src: MessageType, schema: StructType): MessageType = {
+    val fields: Seq[Type] = src.getFields.asScala.toSeq.map { f =>
+      val name = f.getName
+      schema.fields.find(_.name == name) match {
+        case Some(sf) if sf.metadata.contains(TypeMapping.FixedLenKey) =>
+          Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, f.getRepetition)
+            .length(sf.metadata.getLong(TypeMapping.FixedLenKey).toInt)
+            .named(name)
+        case Some(sf) if sf.metadata.contains(TypeMapping.TimeUnitKey) =>
+          val (unit, phys) = sf.metadata.getString(TypeMapping.TimeUnitKey) match {
+            case "millis" => (LogicalTypeAnnotation.TimeUnit.MILLIS, PrimitiveTypeName.INT32)
+            case "micros" => (LogicalTypeAnnotation.TimeUnit.MICROS, PrimitiveTypeName.INT64)
+            case other => (LogicalTypeAnnotation.TimeUnit.NANOS, PrimitiveTypeName.INT64)
+          }
+          Types.primitive(phys, f.getRepetition)
+            .as(LogicalTypeAnnotation.timeType(false, unit))
+            .named(name)
+        case _ => f
+      }
+    }
+    new MessageType(src.getName, fields.asJava)
+  }
+
+  /** Copy one flat record into the target schema, padding tagged binaries
+    * to their declared fixed width. The CLI schema surface is flat
+    * primitives (SURVEY §1.1: the reference rejects nested columns), so a
+    * per-field primitive copy is total. */
+  private def copyGroup(src: Group, target: MessageType,
+      factory: SimpleGroupFactory): Group = {
+    val out = factory.newGroup()
+    var i = 0
+    val n = target.getFieldCount
+    while (i < n) {
+      if (src.getFieldRepetitionCount(i) > 0) {
+        val t = target.getType(i).asPrimitiveType()
+        t.getPrimitiveTypeName match {
+          case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+            val raw = src.getBinary(i, 0).getBytes
+            val width = t.getTypeLength
+            require(raw.length <= width,
+              s"fixed BINARY($width) column '${t.getName}' received ${raw.length} bytes")
+            val padded =
+              if (raw.length == width) raw
+              else java.util.Arrays.copyOf(raw, width)
+            out.add(i, Binary.fromConstantByteArray(padded))
+          case PrimitiveTypeName.BINARY =>
+            out.add(i, src.getBinary(i, 0))
+          case PrimitiveTypeName.INT32 => out.add(i, src.getInteger(i, 0))
+          case PrimitiveTypeName.INT64 => out.add(i, src.getLong(i, 0))
+          case PrimitiveTypeName.BOOLEAN => out.add(i, src.getBoolean(i, 0))
+          case PrimitiveTypeName.FLOAT => out.add(i, src.getFloat(i, 0))
+          case PrimitiveTypeName.DOUBLE => out.add(i, src.getDouble(i, 0))
+          case PrimitiveTypeName.INT96 =>
+            throw new IllegalStateException(
+              "INT96 cannot appear: the sink always writes annotated INT64 timestamps")
+        }
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def codec(name: String): CompressionCodecName = name.toLowerCase match {
+    case "zstd" => CompressionCodecName.ZSTD
+    case "snappy" => CompressionCodecName.SNAPPY
+    case "gzip" => CompressionCodecName.GZIP
+    case "lz4" | "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+    case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+    case other => CompressionCodecName.ZSTD
+  }
+}

@@ -97,12 +97,10 @@ class FooterSpec extends AnyFunSuite {
     assert(primitive(out, "d128").getPrimitiveTypeName.toString == "FIXED_LEN_BYTE_ARRAY")
   }
 
-  test("BINARY(n) writes BYTE_ARRAY with declared width in metadata (documented non-goal)") {
-    // Spark's parquet writer has no FLBA path for BinaryType; the output
-    // matches the reference's --prefer-varbinary mode (binary.rs:32-89),
-    // which the reference itself added for Spark compatibility. The declared
-    // fixed width survives in field metadata (TypeMapping.FixedLenKey) for
-    // consumers that need it. See README "Known deviations".
+  test("BINARY(n) writes physical FIXED_LEN_BYTE_ARRAY(n), zero-padded (binary.rs:32-89)") {
+    // the PhysicalFormat fidelity pass closes the former deviation: a
+    // FixedLenKey-tagged BinaryType column lands as physical FLBA(n) like
+    // the reference; --prefer-varbinary (untagged) keeps BYTE_ARRAY
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import graft.functions.TypeMapping
@@ -111,11 +109,60 @@ class FooterSpec extends AnyFunSuite {
       TypeMapping.MappingOptions())
     assert(f.metadata.getLong(TypeMapping.FixedLenKey) == 5L)
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row("hello".getBytes: Any))),
+      spark.sparkContext.parallelize(Seq(Row("hello".getBytes: Any), Row("hi".getBytes: Any))),
       StructType(Seq(f)))
     val out = Files.createTempDirectory("graft-footer").resolve("bin.par")
     ParquetSink.write(df, out.toString, ParquetSink.Options())
-    assert(primitive(out, "b").getPrimitiveTypeName.toString == "BINARY")
+    val p = primitive(out, "b")
+    assert(p.getPrimitiveTypeName.toString == "FIXED_LEN_BYTE_ARRAY")
+    assert(p.getTypeLength == 5)
+    // values survive the re-encode; short values are zero-padded to width
+    // (ODBC fixed-BINARY semantics) — Spark reads FLBA back as BinaryType
+    val back = spark.read.parquet(out.toString).collect()
+      .map(_.getAs[Array[Byte]]("b").toSeq).sortBy(_.mkString)
+    assert(back.contains("hello".getBytes.toSeq))
+    assert(back.contains(("hi".getBytes ++ Array[Byte](0, 0, 0)).toSeq))
+
+    // --prefer-varbinary (reference main.rs:184-187): untagged → BYTE_ARRAY
+    val fv = TypeMapping.field(
+      TypeMapping.SourceColumn("b", TypeMapping.SqlBinary(5)),
+      TypeMapping.MappingOptions(preferVarbinary = true))
+    assert(!fv.metadata.contains(TypeMapping.FixedLenKey))
+    val outV = Files.createTempDirectory("graft-footer").resolve("varbin.par")
+    ParquetSink.write(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("hello".getBytes: Any))),
+        StructType(Seq(fv))),
+      outV.toString, ParquetSink.Options())
+    assert(primitive(outV, "b").getPrimitiveTypeName.toString == "BINARY")
+  }
+
+  test("TIME columns carry parquet TIME(unit, utc=false) annotations (time.rs:38-77)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.functions.TypeMapping
+    val fMs = TypeMapping.field(
+      TypeMapping.SourceColumn("t_ms", TypeMapping.SqlTime(3)), TypeMapping.MappingOptions())
+    val fUs = TypeMapping.field(
+      TypeMapping.SourceColumn("t_us", TypeMapping.SqlTime(6)), TypeMapping.MappingOptions())
+    val fNs = TypeMapping.field(
+      TypeMapping.SourceColumn("t_ns", TypeMapping.SqlTime(9)), TypeMapping.MappingOptions())
+    // 16:04:12.123 as millis / micros / nanos since midnight
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Int.box(57852123), Long.box(57852123456L), Long.box(57852123456789L)))),
+      StructType(Seq(fMs, fUs, fNs)))
+    val out = Files.createTempDirectory("graft-footer").resolve("time.par")
+    ParquetSink.write(df, out.toString, ParquetSink.Options())
+    val ms = primitive(out, "t_ms")
+    val us = primitive(out, "t_us")
+    val ns = primitive(out, "t_ns")
+    assert(ms.getPrimitiveTypeName.toString == "INT32" &&
+      ms.getLogicalTypeAnnotation.toString == "TIME(MILLIS,false)")
+    assert(us.getPrimitiveTypeName.toString == "INT64" &&
+      us.getLogicalTypeAnnotation.toString == "TIME(MICROS,false)")
+    assert(ns.getPrimitiveTypeName.toString == "INT64" &&
+      ns.getLogicalTypeAnnotation.toString == "TIME(NANOS,false)")
   }
 
   test("per-column dictionary encoding can be disabled (column-encoding parity)") {
