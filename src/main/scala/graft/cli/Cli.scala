@@ -202,6 +202,8 @@ object Cli {
       if (s.endsWith("gib")) (s.dropRight(3), 1L << 30)
       else if (s.endsWith("mib")) (s.dropRight(3), 1L << 20)
       else if (s.endsWith("kib")) (s.dropRight(3), 1L << 10)
+      // bare-byte suffix, e.g. "1B" (reference integration.rs:1640)
+      else if (s.endsWith("b")) (s.dropRight(1), 1L)
       else (s, 1L)
     (num.trim.toDouble * mult).toLong
   }
