@@ -94,10 +94,13 @@ object TextAnalysis {
   // ------------------------------------------------------ t4_fingerprint
   /** Content fingerprints via the native hash expressions: 64-bit FNV-1a,
     * winnowing-style min-k-gram rolling hash, and SimHash over tokens.
-    * Not DuckDB-expressible; instead the query carries an in-gate golden
-    * probe ([[GateChecks]]): the expressions are evaluated over literal
-    * inputs inside the query and compared against the spec-pinned FNV-1a
-    * constant and the interpreted-mode kernel values — kernel drift or a
+    * Oracle-checked since round 10: all three kernels are re-expressed in
+    * pure DuckDB SQL (list-lambda byte folds with HUGEINT mod-2^64
+    * arithmetic — see oracleSql) and hash-compare bit-exact. The in-gate
+    * golden probe ([[GateChecks]]) stays as defense-in-depth: the
+    * expressions are evaluated over literal inputs inside the query and
+    * compared against the spec-pinned FNV-1a constant and the
+    * interpreted-mode kernel values — kernel drift or a
     * codegen/interpreted divergence fails the query to zero rows. */
   def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.unsafe.types.UTF8String
@@ -748,6 +751,66 @@ object TextAnalysis {
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // t4's three fingerprint kernels reimplemented in pure DuckDB SQL:
+    // FNV-1a 64 is a byte fold (list_reduce over the hex-decoded UTF-8
+    // bytes with HUGEINT mod-2^64 wraparound), min-8-gram is the
+    // unsigned min of the same fold over every byte window, and SimHash
+    // folds per-token hashes into 64 bit votes — bit-exact against the
+    // native Catalyst kernels, signed via the 2^63 wrap to BIGINT. The
+    // in-gate golden probe stays as defense-in-depth (it catches
+    // codegen/interpreted drift, which the oracle alone would blame on
+    // either engine).
+    "t4_fingerprint" ->
+      """WITH raw AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n,
+        |    regexp_split_to_array(trim(text), '\s+') AS tok
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n, tok,
+        |    list_transform(range(1, n+1),
+        |      i -> (16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1]) - 1)
+        |           + (strpos('0123456789ABCDEF', hx[2*i:2*i]) - 1))::HUGEINT) AS bl
+        |  FROM raw),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(14695981039346656037::HUGEINT, bl),
+        |      (a, x) -> (xor(a, x) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS fnv_u,
+        |    CASE WHEN n < 8 THEN
+        |      list_reduce(list_prepend(14695981039346656037::HUGEINT, bl),
+        |        (a, x) -> (xor(a, x) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT)
+        |    ELSE
+        |      list_min(list_transform(range(1, n-7+1),
+        |        s -> list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |               list_slice(bl, s, s+7)),
+        |          (a, x) -> (xor(a, x) * 1099511628211::HUGEINT)
+        |                    % 18446744073709551616::HUGEINT)))
+        |    END AS mk_u,
+        |    (SELECT list_sum(list_transform(range(0, 64),
+        |        b -> CASE WHEN 2*list_sum(list_transform(hs,
+        |               v -> (v // (2::HUGEINT ^ b)::HUGEINT) % 2)) > nt
+        |             THEN (2::HUGEINT ^ b)::HUGEINT ELSE 0::HUGEINT END))
+        |     FROM (SELECT list_transform(tok, w ->
+        |            list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |              list_transform(range(1, octet_length(encode(w))+1),
+        |                i -> (16*(strpos('0123456789ABCDEF',
+        |                          hex(encode(w))[2*i-1:2*i-1]) - 1)
+        |                     + (strpos('0123456789ABCDEF',
+        |                          hex(encode(w))[2*i:2*i]) - 1))::HUGEINT)),
+        |              (a, x) -> (xor(a, x) * 1099511628211::HUGEINT)
+        |                        % 18446744073709551616::HUGEINT)) AS hs,
+        |           len(tok) AS nt) ) AS sh_u
+        |  FROM bytes)
+        |SELECT doc_id,
+        |  CAST(fnv_u - CASE WHEN fnv_u >= 9223372036854775808::HUGEINT
+        |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS fnv64,
+        |  CAST(mk_u - CASE WHEN mk_u >= 9223372036854775808::HUGEINT
+        |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS min_kgram,
+        |  CAST(sh_u - CASE WHEN sh_u >= 9223372036854775808::HUGEINT
+        |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+        |FROM hashes ORDER BY doc_id""".stripMargin,
     // identical floor-div ppm arithmetic and the same absent-mass
     // identity (TotalP − Σ_present) — every op integer, bit-portable
     "t31_source_drift" ->

@@ -36,27 +36,26 @@ class OracleTypeSpec extends AnyFunSuite {
     assume(tool.exists(), "tools/oracletypes.py not found (run from repo root)")
     val pb = new ProcessBuilder(
       "python3", tool.getPath, TestSession.sf, tmp.toString)
-    pb.redirectErrorStream(false)
+    // combined stream: reading stdout to EOF before stderr can deadlock
+    // once either side outgrows the pipe buffer; the line-oriented
+    // GRAFT-tagged records below are unambiguous on a merged stream
+    pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
     val code = proc.waitFor()
-    if (code != 0 && err.contains("ModuleNotFoundError"))
-      cancel(s"driver python lacks duckdb here: ${err.linesIterator.toSeq.lastOption.getOrElse("")}")
-    assert(code == 0, s"oracletypes.py failed (exit $code):\n$err")
+    if (code != 0 && out.contains("ModuleNotFoundError"))
+      cancel(s"driver python lacks duckdb here: ${out.linesIterator.toSeq.lastOption.getOrElse("")}")
+    assert(code == 0, s"oracletypes.py failed (exit $code):\n$out")
 
-    // minimal JSON walk for the known {"name": [["col","TYPE"],...]} shape
-    // (no JSON library on the classpath; the tool emits compact one-line
-    // json.dumps with no embedded quotes in type names)
-    val entry = """"([^"]+)":\s*\[(\[[^\]]*\](?:,\s*\[[^\]]*\])*)?\]""".r
-    val pair = """\["((?:[^"\\]|\\.)*)",\s*"((?:[^"\\]|\\.)*)"\]""".r
+    // GRAFT\tname\tcol\tTYPE records, one per column — any type name
+    // (including list types like BIGINT[]) parses, and stray warning
+    // lines on the merged stream are skipped
     val parsed: Map[String, Seq[(String, String)]] =
-      entry.findAllMatchIn(out).map { m =>
-        val cols = Option(m.group(2)).toSeq.flatMap { body =>
-          pair.findAllMatchIn(body).map(p => (p.group(1), p.group(2))).toSeq
-        }
-        m.group(1) -> cols
-      }.toMap
+      out.linesIterator.toSeq
+        .map(_.split("\t", -1))
+        .collect { case Array("GRAFT", name, col, tpe) => (name, col, tpe) }
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3)).toSeq).toMap
     assert(parsed.keySet == SparkEntry.oracleSql.keySet,
       s"tool must report every oracle; missing: ${SparkEntry.oracleSql.keySet -- parsed.keySet}")
 

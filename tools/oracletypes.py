@@ -1,5 +1,14 @@
 #!/usr/bin/env python3
-"""DESCRIBE every oracle SQL in DuckDB and emit {name: [[col, type], ...]}.
+"""DESCRIBE every oracle SQL in DuckDB; emit one line per column:
+
+    GRAFT\t<oracle-name>\t<column>\t<TYPE>
+
+(a GRAFT-tagged tab-separated record per column; errors emit a
+__error__ column). Line-oriented on purpose: the Scala spec has no JSON
+library, and a bracket-matching regex walk cannot represent list types
+like BIGINT[] — tab records can carry ANY type name, and stray
+stderr/warning lines (the spec reads a combined stream to avoid pipe
+deadlock) are simply skipped.
 
 Used by OracleTypeSpec to pin the oracle-side type contract: DuckDB's
 SUM(...) over integers returns HUGEINT, and any oracle that exposes an
@@ -23,17 +32,17 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(oracle_path))
-    out = {}
+    def record(name, col, tpe):
+        # tabs/newlines cannot appear inside a record field
+        clean = lambda s: " ".join(str(s).split())
+        print("GRAFT\t%s\t%s\t%s" % (clean(name), clean(col), clean(tpe)))
     for name, sql in sorted(oracle.items()):
         try:
             rows = con.execute("DESCRIBE " + sql).fetchall()
-            out[name] = [[r[0], r[1]] for r in rows]
+            for r in rows:
+                record(name, r[0], r[1])
         except Exception as e:
-            # strip chars the Scala-side minimal JSON walk can't handle
-            msg = str(e).splitlines()[0][:300]
-            msg = "".join(c if c not in '"\\[]' else ' ' for c in msg)
-            out[name] = [["__error__", msg]]
-    print(json.dumps(out))
+            record(name, "__error__", str(e).splitlines()[0][:300])
 
 if __name__ == "__main__":
     main()
