@@ -8,21 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 179 queries / 170 oracles") {
-    assert(SparkEntry.queries.size == 179,
+  test("registry counts match the documented 180 queries / 172 oracles") {
+    assert(SparkEntry.queries.size == 180,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 170,
+    assert(SparkEntry.oracleSql.size == 172,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
 
-  test("every oracle key has a query; non-oracle queries are the 9 self-gated ones") {
+  test("every oracle key has a query; non-oracle queries are the 8 self-gated ones") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     val selfGated = q -- o
-    assert(selfGated.size == 9,
-      s"expected 9 quantitatively self-gated queries, got ${selfGated.size}: $selfGated")
+    assert(selfGated.size == 8,
+      s"expected 8 quantitatively self-gated queries, got ${selfGated.size}: $selfGated")
   }
 }
