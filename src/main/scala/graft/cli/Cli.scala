@@ -69,6 +69,10 @@ object Cli {
         * crashed run leaves the old watermark and the next run simply
         * re-pulls the same delta. */
       statePath: Option[String] = None,
+      /** ParquetSink physical-fidelity pass (FLBA/TIME annotations);
+        * `--no-physical-fidelity` keeps output Spark-readable instead
+        * (see ParquetSink.Options.physicalFidelity). */
+      physicalFidelity: Boolean = true,
       /** -1 = quiet, 0 = default, N = -v count (logging.rs:4-25 parity) */
       verbosity: Int = 0,
       /** --prompt (reference connection.rs:49-77, where it triggers the
@@ -104,6 +108,7 @@ object Cli {
         case "--column-length-limit" :: v :: t => c = c.copy(columnLengthLimit = v.toInt); t
         case "--suffix-length" :: v :: t => c = c.copy(suffixLength = v.toInt); t
         case "--no-empty-file" :: t => c = c.copy(noEmptyFile = true); t
+        case "--no-physical-fidelity" :: t => c = c.copy(physicalFidelity = false); t
         case "--avoid-decimal" :: t => c = c.copy(avoidDecimal = true); t
         case "--prefer-varbinary" :: t => c = c.copy(preferVarbinary = true); t
         case "--sequential-fetching" :: t => c = c.copy(sequentialFetching = true); t
@@ -218,6 +223,9 @@ object Cli {
       |  --column-compression-default CODEC, --column-compression-level-default N,
       |  --parquet-column-encoding COL:ENC, --column-length-limit N, --suffix-length N,
       |  --no-empty-file, --avoid-decimal, --prefer-varbinary, --sequential-fetching,
+      |  --no-physical-fidelity (skip FLBA/TIME parquet annotations; keeps
+      |    output Spark-readable — annotated TIME columns need a TIME-aware
+      |    reader like DuckDB),
       |  --driver-does-not-support-64bit-integers, --user/-u NAME, --password/-p PW,
       |  --prompt (ask for the password interactively),
       |  --jdbc-partition-column COL [--jdbc-num-partitions N] [--jdbc-bounds LO:HI]
@@ -403,7 +411,8 @@ object Cli {
       suffixLength = conf.suffixLength,
       noEmptyFile = conf.noEmptyFile,
       writerVersion = writerVersion,
-      columnDictionary = columnDictionary))
+      columnDictionary = columnDictionary,
+      physicalFidelity = conf.physicalFidelity))
     // advance the watermark from what actually LANDED (not from the pull
     // plan — a failed write must not move state), atomically: tmp +
     // same-directory rename, the ParquetSink staging rule

@@ -59,7 +59,16 @@ object ParquetSink {
         * when every timestamp column is tagged `graft.timestamp.unit =
         * millis` by TypeMapping (i.e. every declared precision ≤ 3),
         * falling back to MICROS on any mix. */
-      timestampUnit: String = "auto")
+      timestampUnit: String = "auto",
+      /** the [[PhysicalFormat]] fidelity pass (FLBA(n) + parquet TIME
+        * annotations, reference parity). TRADE-OFF, pinned in FooterSpec:
+        * Spark's own reader rejects TIME-annotated columns
+        * (PARQUET_TYPE_ILLEGAL) — exactly as it rejects the reference's
+        * output — while DuckDB reads them as first-class TIME. Turn OFF
+        * (CLI `--no-physical-fidelity`) when downstream is Spark: values
+        * then stay plain INT32/INT64/BYTE_ARRAY with the `graft.*` field
+        * metadata carrying the declared semantics. */
+      physicalFidelity: Boolean = true)
 
   /** True when every timestamp column in `schema` is millis-tagged (declared
     * precision ≤ 3) — and there is at least one timestamp column. */
@@ -183,8 +192,9 @@ object ParquetSink {
     // destination rename — so a crash mid-rewrite never leaves a
     // half-faithful file at the destination path
     def fidelity(p: Path): Path = {
-      PhysicalFormat.rewrite(p, df.schema, opts.compression,
-        opts.compressionLevel, opts.writerVersion)
+      if (opts.physicalFidelity)
+        PhysicalFormat.rewrite(p, df.schema, opts.compression,
+          opts.compressionLevel, opts.writerVersion)
       p
     }
     val outputs: Seq[Path] =

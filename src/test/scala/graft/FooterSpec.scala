@@ -165,6 +165,51 @@ class FooterSpec extends AnyFunSuite {
       ns.getLogicalTypeAnnotation.toString == "TIME(NANOS,false)")
   }
 
+  test("fidelity interop contract: DuckDB reads TIME/FLBA; Spark needs --no-physical-fidelity") {
+    import graft.functions.TypeMapping
+    val fMs = TypeMapping.field(
+      TypeMapping.SourceColumn("t_ms", TypeMapping.SqlTime(3)), TypeMapping.MappingOptions())
+    val fB = TypeMapping.field(
+      TypeMapping.SourceColumn("b", TypeMapping.SqlBinary(5)), TypeMapping.MappingOptions())
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(Int.box(57852123), "hi".getBytes: Any))),
+      org.apache.spark.sql.types.StructType(Seq(fMs, fB)))
+    val out = Files.createTempDirectory("graft-footer").resolve("interop.par")
+    ParquetSink.write(df, out.toString, ParquetSink.Options())
+
+    // Spark's reader rejects TIME-annotated columns — the same way it
+    // rejects the reference's own output files. Pinned so a future Spark
+    // that LEARNS to read TIME flips this test and we can drop the note.
+    val e = intercept[Exception](spark.read.parquet(out.toString).collect())
+    assert(e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+      e.getMessage.contains("Illegal Parquet type"), e.getMessage.take(200))
+
+    // DuckDB reads the same file as first-class TIME + padded BLOB —
+    // the external-consumer contract the fidelity pass exists for
+    val pb = new ProcessBuilder("python3", "-c",
+      s"""import duckdb
+         |r = duckdb.sql("SELECT typeof(t_ms) t, CAST(t_ms AS VARCHAR) v, b FROM read_parquet('$out')").fetchall()
+         |print("GRAFTOK", r[0][0], r[0][1], r[0][2].hex())""".stripMargin)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val outTxt = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val code = p.waitFor()
+    if (code != 0 && outTxt.contains("ModuleNotFoundError"))
+      cancel("driver python lacks duckdb here")
+    assert(code == 0, outTxt.take(400))
+    assert(outTxt.contains("GRAFTOK TIME 16:04:12.123 6869000000"),
+      s"DuckDB must see TIME 16:04:12.123 and zero-padded 'hi' blob: $outTxt")
+
+    // opt-out path: --no-physical-fidelity keeps the file Spark-readable
+    // (plain INT32 + BYTE_ARRAY, semantics in graft.* field metadata)
+    val out2 = Files.createTempDirectory("graft-footer").resolve("nofid.par")
+    ParquetSink.write(df, out2.toString, ParquetSink.Options(physicalFidelity = false))
+    val back = spark.read.parquet(out2.toString).collect()
+    assert(back.head.getInt(0) == 57852123)
+    assert(back.head.getAs[Array[Byte]]("b").toSeq == "hi".getBytes.toSeq)
+  }
+
   test("per-column dictionary encoding can be disabled (column-encoding parity)") {
     val out1 = Files.createTempDirectory("graft-footer").resolve("dict.par")
     ParquetSink.write(Tables.part(spark, sf), out1.toString, ParquetSink.Options())
