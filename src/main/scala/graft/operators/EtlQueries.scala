@@ -1024,7 +1024,42 @@ object EtlQueries {
       row.schema)
   }
 
+  // -------------------------------------------------- e24_time_travel
+  /** Snapshot-manifest time travel ([[graft.sources.SnapshotLog]]): commit
+    * v1 (two thirds of orders), commit v2 (the remaining third, append),
+    * then read BOTH versions back through their manifests — v1 resolved
+    * AFTER v2 exists, which is the time-travel property: the append
+    * created only new immutable files plus a new manifest, so the old
+    * snapshot's file list still describes exactly the old data. The gate
+    * emits per-version aggregates; the oracle recomputes them from the
+    * source predicates directly, so a commit that leaked delta rows into
+    * v1's visibility (or dropped base rows from v2's) hash-fails. In-gate
+    * structural check: the log has exactly 2 versions and zero orphan
+    * files (no partial-commit debris). SnapshotLogSpec pins immutability
+    * byte-level and the overwrite lineage. */
+  def e24TimeTravel(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e24")
+    val base = orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
+    val delta = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+    SnapshotLog.commit(base, dir)
+    SnapshotLog.commit(delta, dir)
+    def summarize(df: DataFrame, v: Int) = df
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(lit(v).as("version"), col("n_rows"), col("n_cust"),
+        col("total_price"))
+    val ok = SnapshotLog.versions(dir) == Seq(1, 2) &&
+      SnapshotLog.orphans(dir).isEmpty
+    val out = summarize(SnapshotLog.read(s, dir, Some(1)), 1)
+      .unionAll(summarize(SnapshotLog.read(s, dir), 2))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("version")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_time_travel" -> e24TimeTravel,
     "e23_observe" -> e23Observe,
     "e20_jdbc_incremental" -> e20JdbcIncremental,
     "e21_expectations" -> e21Expectations,
@@ -1051,6 +1086,20 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // per-version aggregates recomputed from the source predicates: v1 =
+    // the base commit's rows, v2 = everything — a visibility leak either
+    // way hash-fails
+    "e24_time_travel" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS version, COUNT(*) AS n_rows,
+        |    COUNT(DISTINCT o_custkey) AS n_cust,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT 2, COUNT(*), COUNT(DISTINCT o_custkey),
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  FROM orders)
+        |ORDER BY version""".stripMargin,
     // the observed metrics must equal a real aggregation over the same
     // filtered pass — bit-exact via the decimal-sum float rule
     "e23_observe" ->

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 180 queries / 172 oracles") {
-    assert(SparkEntry.queries.size == 180,
+  test("registry counts match the documented 181 queries / 173 oracles") {
+    assert(SparkEntry.queries.size == 181,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 172,
+    assert(SparkEntry.oracleSql.size == 173,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
