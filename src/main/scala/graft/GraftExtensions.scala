@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "min_kgram_hash", a => MinKgramHash(a.head))
     fn(e, "simhash64", a => SimHash64(a.head))
     fn(e, "cdc_boundaries", a => CdcBoundaries(a.head))
+    fn(e, "nfc_normalize", a => NfcNormalize(a.head))
     fn(e, "dot_product", a => DotProduct(a.head, a(1)))
     fn(e, "jaccard_sorted", a => JaccardSorted(a.head, a(1)))
     fn(e, "intersect_count_sorted", a => IntersectCountSorted(a.head, a(1)))

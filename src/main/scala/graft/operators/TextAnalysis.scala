@@ -124,6 +124,37 @@ object TextAnalysis {
     GateChecks.require(base, check).orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------- t32_nfc_dedup
+  /** Unicode-canonical dedup keys ([[graft.functions.NfcNormalize]]): web
+    * text spells the same grapheme precomposed (U+00E9) or decomposed
+    * (e + U+0301); byte-level dedup treats those as different documents.
+    * The gate derives a key per doc carrying one of the two spellings by
+    * parity — byte-distinct, canonically equivalent — and shows NFC
+    * merging exactly the pairs byte identity keeps apart: per source,
+    * `n_raw_keys` counts both spellings, `n_nfc_keys` counts the merged
+    * canonical forms, `n_changed` counts keys normalization rewrote.
+    * Oracle = DuckDB's `nfc_normalize` over the identical derivation —
+    * two independent Unicode NFC implementations (ICU-style utf8proc vs
+    * java.text.Normalizer) must agree byte-for-byte for the hash to
+    * match. NFC not NFKC: canonical equivalence only; compatibility
+    * folding is a lossy cleaning choice, not canonicalization. */
+  def t32NfcDedup(s: SparkSession, d: String): DataFrame = {
+    // unicode escapes, not raw literals: a tool normalizing this FILE
+    // must not silently collapse the two spellings into one
+    val variant = when(col("doc_id") % 2 === 0, lit("caf\u00e9"))
+      .otherwise(lit("cafe\u0301"))
+    val keyed = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(substring(col("text"), 1, 12), lit(" "), variant).as("raw_key"))
+      .withColumn("nfc_key", graft.functions.TextNormFunctions.nfc_normalize(col("raw_key")))
+    keyed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_key")).as("n_raw_keys"),
+        countDistinct(col("nfc_key")).as("n_nfc_keys"),
+        sum(when(col("raw_key") =!= col("nfc_key"), 1L).otherwise(0L)).as("n_changed"))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------------- t6_pipeline
   /** End-to-end corpus curation — quality filter → exact dedup → per-source
     * yield stats — the composed shape a pre-training data pipeline runs:
@@ -649,6 +680,7 @@ object TextAnalysis {
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
+    "t32_nfc_dedup" -> t32NfcDedup,
     "t5_bpe_tokens" -> t5BpeTokens,
     "t6_pipeline" -> t6Pipeline
   )
@@ -751,6 +783,24 @@ object TextAnalysis {
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // two independent Unicode NFC implementations must agree: DuckDB's
+    // utf8proc vs the kernel's java.text.Normalizer; chr() builds the
+    // spellings so no tool can normalize the SQL text itself
+    "t32_nfc_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    substr(text, 1, 12) || ' ' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN 'caf' || chr(233)
+        |           ELSE 'cafe' || chr(769) END AS raw_key
+        |  FROM documents),
+        |n AS (SELECT doc_id, source, raw_key,
+        |    nfc_normalize(raw_key) AS nfc_key FROM k)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT raw_key) AS n_raw_keys,
+        |  COUNT(DISTINCT nfc_key) AS n_nfc_keys,
+        |  CAST(SUM(CASE WHEN raw_key <> nfc_key THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
     // t4's three fingerprint kernels reimplemented in pure DuckDB SQL:
     // FNV-1a 64 is a byte fold (list_reduce over the hex-decoded UTF-8
     // bytes with HUGEINT mod-2^64 wraparound), min-8-gram is the

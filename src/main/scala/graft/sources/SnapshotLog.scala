@@ -101,6 +101,22 @@ object SnapshotLog {
       .toSeq.sortBy(_.toString)
   }
 
+  /** Expire all but the newest `keepVersions` manifests, then delete every
+    * data file no SURVIVING manifest references. Two-phase on purpose —
+    * manifests first, then data — so a crash between the phases leaves
+    * only unreferenced-but-present files (invisible, re-vacuumable), never
+    * a manifest pointing at deleted data. Returns (expired versions,
+    * deleted data files). */
+  def vacuum(dir: Path, keepVersions: Int = 1): (Seq[Int], Seq[String]) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val vs = versions(dir)
+    val expire = vs.dropRight(keepVersions)
+    expire.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    val dead = orphans(dir)
+    dead.foreach(Files.deleteIfExists(_))
+    (expire, dead.map(_.getFileName.toString))
+  }
+
   private def writeManifest(dir: Path, v: Int, files: Seq[String]): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods

@@ -52,6 +52,11 @@ object GraftBridge {
       Seq(types.ArrayType(types.LongType), types.ArrayType(types.LongType))
   }
 
+  /** Unary string input (AbstractDataType is private[sql], hence here). */
+  trait ExpectsStringInput extends catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[types.AbstractDataType] = Seq(types.StringType)
+  }
+
   /** Apply an extensions installer's function registrations to a LIVE
     * session (normally they only take effect at session build time via
     * `spark.sql.extensions`). Used by tests and by hosts that receive an

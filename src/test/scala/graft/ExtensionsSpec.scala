@@ -31,6 +31,18 @@ class ExtensionsSpec extends AnyFunSuite {
       row.getLong(5) // simhash evaluates
     }
     locally {
+      // NFC kernel: decomposed e+U+0301 composes to U+00E9; already-NFC
+      // input is identity; non-BMP passthrough (astral chars unmangled).
+      // spellings via scala escapes so no tool can normalize this file
+      val row = spark.sql(
+        "SELECT nfc_normalize('cafe\u0301') AS a, " +
+          "nfc_normalize('caf\u00e9') AS b, " +
+          "nfc_normalize('x\ud83d\ude00y') AS c").collect().head
+      assert(row.getString(0) == "caf\u00e9")
+      assert(row.getString(1) == "caf\u00e9")
+      assert(row.getString(2) == "x\ud83d\ude00y")
+    }
+    locally {
       val row = spark.sql(
         """SELECT zorder2(1, 2) AS z,
           |  sq8_adc_dot(array(CAST(2.0 AS FLOAT)), array(CAST(-128 AS TINYINT)),

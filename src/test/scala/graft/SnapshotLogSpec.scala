@@ -61,4 +61,30 @@ class SnapshotLogSpec extends AnyFunSuite {
     // ...and it is invisible to every read
     assert(SnapshotLog.read(spark, dir).count() == Tables.region(spark, sf).count())
   }
+
+  test("vacuum expires old versions and deletes exactly the newly-unreferenced files") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation, dir)                                      // v1: full
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 5), dir,
+      overwrite = true)                                                  // v2: new lineage
+    // v1's files are referenced only by v1; expiring it must delete them
+    val (expired, deleted) = SnapshotLog.vacuum(dir, keepVersions = 1)
+    assert(expired == Seq(1))
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("c00001-")),
+      s"must delete exactly v1's lineage files: $deleted")
+    assert(SnapshotLog.versions(dir) == Seq(2))
+    assert(SnapshotLog.read(spark, dir).count() == 5, "surviving snapshot intact")
+    intercept[IllegalArgumentException](SnapshotLog.read(spark, dir, Some(1)))
+    assert(SnapshotLog.orphans(dir).isEmpty, "vacuum leaves no debris")
+    // append-lineage safety: shared files survive expiry of the version
+    // that introduced them
+    val dir2 = Files.createTempDirectory("graft-snap")
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 10), dir2)     // v1
+    SnapshotLog.commit(nation.filter(col("n_nationkey") >= 10), dir2)    // v2 carries v1 files
+    val (exp2, del2) = SnapshotLog.vacuum(dir2, keepVersions = 1)
+    assert(exp2 == Seq(1) && del2.isEmpty,
+      s"v2 still references v1's files — nothing may be deleted: $del2")
+    assert(SnapshotLog.read(spark, dir2).count() == 25)
+  }
 }
