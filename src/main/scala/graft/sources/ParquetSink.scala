@@ -194,7 +194,7 @@ object ParquetSink {
     def fidelity(p: Path): Path = {
       if (opts.physicalFidelity)
         PhysicalFormat.rewrite(p, df.schema, opts.compression,
-          opts.compressionLevel, opts.writerVersion)
+          opts.compressionLevel, opts.writerVersion, opts.columnDictionary)
       p
     }
     val outputs: Seq[Path] =

@@ -47,20 +47,41 @@ object PhysicalFormat {
         f.metadata.contains(TypeMapping.TimeUnitKey))
 
   /** Rewrite `file` in place so tagged columns carry the faithful physical
-    * type / logical annotation. No-op when [[needed]] is false. */
+    * type / logical annotation. No-op when [[needed]] is false.
+    *
+    * Preserved from the Spark-written file: values, compression codec +
+    * level, writer version, per-column dictionary toggles (v1 writer), and
+    * APPROXIMATELY the row-group cadence — the writer's row-group byte
+    * target is set to the source file's largest row group, so a
+    * row-groups-per-batch layout re-rolls at about the same stride
+    * (parquet-mr rolls on buffered bytes, so exact row counts per group
+    * are not reproducible through this API). File-level splitting (C2) is
+    * decided per FILE before this pass and is unaffected. */
   def rewrite(file: Path, schema: StructType, compression: String,
-      compressionLevel: Option[Int], writerVersion: String): Unit = {
+      compressionLevel: Option[Int], writerVersion: String,
+      columnDictionary: Map[String, Boolean] = Map.empty): Unit = {
     if (!needed(schema)) return
     val conf = new Configuration()
     compressionLevel.foreach(l =>
       conf.setInt("parquet.compression.codec.zstd.level", l))
+    columnDictionary.foreach { case (c, on) =>
+      conf.setBoolean(s"parquet.enable.dictionary#$c", on)
+    }
     val hPath = new org.apache.hadoop.fs.Path(file.toString)
+    val (srcSchema, maxBlockBytes) = {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader
+        .open(HadoopInputFile.fromPath(hPath, conf))
+      try {
+        val footer = fr.getFooter
+        val blocks = footer.getBlocks.asScala
+        (footer.getFileMetaData.getSchema,
+          if (blocks.isEmpty) ParquetWriter.DEFAULT_BLOCK_SIZE.toLong
+          else blocks.map(_.getTotalByteSize).max)
+      } finally fr.close()
+    }
     val reader: ParquetReader[Group] =
       ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
     try {
-      val srcSchema = org.apache.parquet.hadoop.ParquetFileReader
-        .open(HadoopInputFile.fromPath(hPath, conf)).getFooter
-        .getFileMetaData.getSchema
       val target = targetType(srcSchema, schema)
       val tmp = file.resolveSibling("." + file.getFileName.toString + ".fidelity")
       Files.deleteIfExists(tmp)
@@ -70,6 +91,7 @@ object PhysicalFormat {
         .withType(target)
         .withConf(conf)
         .withCompressionCodec(codec(compression))
+        .withRowGroupSize(maxBlockBytes.max(64L * 1024))
         .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
         .withWriterVersion(
           if (writerVersion == "v1") ParquetWriter.DEFAULT_WRITER_VERSION
@@ -152,12 +174,19 @@ object PhysicalFormat {
     out
   }
 
+  /** Spark's parquet codec vocabulary, mapped 1:1 — an unknown name is an
+    * ERROR, never a silent substitution (the rewritten file must carry
+    * exactly the codec the caller asked the sink for). */
   private def codec(name: String): CompressionCodecName = name.toLowerCase match {
     case "zstd" => CompressionCodecName.ZSTD
     case "snappy" => CompressionCodecName.SNAPPY
     case "gzip" => CompressionCodecName.GZIP
-    case "lz4" | "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+    case "lz4" => CompressionCodecName.LZ4
+    case "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+    case "brotli" => CompressionCodecName.BROTLI
+    case "lzo" => CompressionCodecName.LZO
     case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
-    case other => CompressionCodecName.ZSTD
+    case other => throw new IllegalArgumentException(
+      s"unsupported compression codec for the fidelity re-encode: $other")
   }
 }

@@ -41,11 +41,10 @@ object SnapshotLog {
   /** Committed versions, ascending; empty for a fresh directory. */
   def versions(dir: Path): Seq[Int] =
     if (!Files.isDirectory(logDir(dir))) Seq.empty
-    else Files.list(logDir(dir)).iterator().asScala
-      .map(_.getFileName.toString)
+    else listNames(logDir(dir))
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq.sorted
+      .sorted
 
   /** Commit `df` as the next version; returns the new version number. */
   def commit(df: DataFrame, dir: Path, overwrite: Boolean = false): Int = {
@@ -59,13 +58,17 @@ object SnapshotLog {
     try {
       df.write.mode("overwrite").option("compression", "zstd")
         .parquet(staging.toString)
-      val parts = Files.list(staging).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
+      val parts = listNames(staging)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .sorted.map(staging.resolve)
       val moved = parts.zipWithIndex.map { case (p, i) =>
         val name = f"c$v%05d-$i%05d.parquet"
-        Files.move(p, dataDir(dir).resolve(name)); name
+        // REPLACE_EXISTING: a collision here can only be debris from a
+        // CRASHED attempt at this same version (no manifest references it
+        // yet — the manifest write below is what publishes), so replacing
+        // is what makes the documented retry-after-crash contract true
+        Files.move(p, dataDir(dir).resolve(name),
+          StandardCopyOption.REPLACE_EXISTING); name
       }
       val carried =
         if (overwrite) Seq.empty
@@ -94,11 +97,10 @@ object SnapshotLog {
   def orphans(dir: Path): Seq[Path] = {
     val referenced = versions(dir).flatMap(readManifest(dir, _)).toSet
     if (!Files.isDirectory(dataDir(dir))) Seq.empty
-    else Files.list(dataDir(dir)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet") &&
-        !referenced.contains(p.getFileName.toString))
-      .toSeq.sortBy(_.toString)
+    else listNames(dataDir(dir))
+      .filter(n => n.endsWith(".parquet") && !referenced.contains(n))
+      .sorted.map(dataDir(dir).resolve)
+      .filter(Files.isRegularFile(_))
   }
 
   /** Expire all but the newest `keepVersions` manifests, then delete every
@@ -140,9 +142,16 @@ object SnapshotLog {
     }
   }
 
+  /** Files.list with the stream CLOSED (it holds a directory fd). */
+  private def listNames(dir: Path): Seq[String] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.map(_.getFileName.toString).toVector
+    finally st.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      listNames(p).foreach(n => deleteRecursively(p.resolve(n)))
     Files.deleteIfExists(p)
   }
 }
