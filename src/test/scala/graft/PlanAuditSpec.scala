@@ -59,6 +59,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan(df).toLowerCase.contains("codegenfallback"))
   }
 
+  test("q74: the high-cardinality running-distinct idiom pays exactly its two keyed exchanges") {
+    // the documented cost of the O(1)-state switch: one exchange keyed
+    // (user, item) for the first-occurrence ranking, one keyed (user) for
+    // the running sum — a third hash exchange would mean the idiom
+    // regressed into extra shuffles; AQE off for the concrete plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(operators.RelationalExt.q74RunningDistinctHicard(spark, sf))
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges == 2,
+        s"expected exactly 2 keyed exchanges (got $hashExchanges):\n$p")
+      // and no per-row set state: collect_set must not appear anywhere
+      assert(!p.contains("collect_set"), "the hicard path must not hold set state")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("d4 minhash: candidate join is keyed on band buckets (hash join, not nested loop)") {
     val p = plan(Dedup.d4MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct"), "LSH join must never be a cross product")
