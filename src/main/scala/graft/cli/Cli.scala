@@ -387,7 +387,8 @@ object Cli {
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .foreach { p =>
             val name = p.getFileName.toString.stripSuffix(".parquet")
-            spark.read.parquet(p.toString).createOrReplaceTempView(name)
+            graft.sources.PhysicalFormat.readSparkCompatible(spark, p)
+              .createOrReplaceTempView(name)
           }
         spark.sql(sql)
       case (None, None) =>
@@ -444,7 +445,10 @@ object Cli {
     val url = conf.connectionString.getOrElse(
       throw new IllegalArgumentException("--connection-string is required for insert"))
     val spark = sparkOpt.getOrElse(session())
-    JdbcSink.insert(spark.read.parquet(file), url, table, conf.batchSizeRow)
+    // readSparkCompatible: graft's own TIME-annotated fidelity output
+    // must be insertable, like the reference's insert reads its own files
+    JdbcSink.insert(graft.sources.PhysicalFormat.readSparkCompatible(
+      spark, Paths.get(file)), url, table, conf.batchSizeRow)
   }
 
   def runExec(conf: Conf, sparkOpt: Option[SparkSession] = None): Unit = {
@@ -452,7 +456,8 @@ object Cli {
     val url = conf.connectionString.getOrElse(
       throw new IllegalArgumentException("--connection-string is required for exec"))
     val spark = sparkOpt.getOrElse(session())
-    JdbcSink.exec(spark.read.parquet(file), statement, url, conf.batchSizeRow)
+    JdbcSink.exec(graft.sources.PhysicalFormat.readSparkCompatible(
+      spark, Paths.get(file)), statement, url, conf.batchSizeRow)
   }
 
   /** ODBC connection-string attribute escaping (connection.rs:55-61):

@@ -79,23 +79,35 @@ object PhysicalFormat {
           else blocks.map(_.getTotalByteSize).max)
       } finally fr.close()
     }
+    val target = targetType(srcSchema, schema)
+    val tmp = file.resolveSibling("." + file.getFileName.toString + ".fidelity")
+    Files.deleteIfExists(tmp)
+    copyFile(hPath, tmp, target, conf, codec(compression),
+      if (writerVersion == "v1") ParquetWriter.DEFAULT_WRITER_VERSION
+      else org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_2_0,
+      maxBlockBytes.max(64L * 1024))
+    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stream every record of `src` into `dest` under `target`'s schema
+    * (values copied field-wise, tagged binaries padded — [[copyGroup]]). */
+  private def copyFile(src: org.apache.hadoop.fs.Path, dest: Path,
+      target: MessageType, conf: Configuration,
+      codecName: CompressionCodecName,
+      version: org.apache.parquet.column.ParquetProperties.WriterVersion,
+      rowGroupBytes: Long): Unit = {
     val reader: ParquetReader[Group] =
-      ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+      ParquetReader.builder(new GroupReadSupport(), src).withConf(conf).build()
     try {
-      val target = targetType(srcSchema, schema)
-      val tmp = file.resolveSibling("." + file.getFileName.toString + ".fidelity")
-      Files.deleteIfExists(tmp)
       val writer: ParquetWriter[Group] = ExampleParquetWriter
         .builder(HadoopOutputFile.fromPath(
-          new org.apache.hadoop.fs.Path(tmp.toString), conf))
+          new org.apache.hadoop.fs.Path(dest.toString), conf))
         .withType(target)
         .withConf(conf)
-        .withCompressionCodec(codec(compression))
-        .withRowGroupSize(maxBlockBytes.max(64L * 1024))
+        .withCompressionCodec(codecName)
+        .withRowGroupSize(rowGroupBytes)
         .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
-        .withWriterVersion(
-          if (writerVersion == "v1") ParquetWriter.DEFAULT_WRITER_VERSION
-          else org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_2_0)
+        .withWriterVersion(version)
         .build()
       try {
         val factory = new SimpleGroupFactory(target)
@@ -105,8 +117,57 @@ object PhysicalFormat {
           g = reader.read()
         }
       } finally writer.close()
-      Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING)
     } finally reader.close()
+  }
+
+  /** The INVERSE pass, for graft's own read paths (insert/exec/tables-dir):
+    * Spark's reader rejects TIME-annotated columns, so a fidelity file
+    * written by `query` would be unreadable by `insert` — while the
+    * reference's insert reads its own TIME output fine (input.rs reads
+    * physical ints). Strips TIME logical annotations (same physical
+    * INT32/INT64) into an ephemeral sibling of java.io.tmpdir and reads
+    * THAT, re-attaching the `graft.time.unit` field metadata the stripped
+    * annotation carried. FLBA needs no strip (Spark reads it as binary).
+    * Files without TIME annotations read directly — zero-copy fast path. */
+  def readSparkCompatible(spark: org.apache.spark.sql.SparkSession,
+      file: Path): org.apache.spark.sql.DataFrame = {
+    val conf = new Configuration()
+    val hPath = new org.apache.hadoop.fs.Path(file.toString)
+    val fr = org.apache.parquet.hadoop.ParquetFileReader
+      .open(HadoopInputFile.fromPath(hPath, conf))
+    val srcSchema =
+      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    val timeUnits: Map[String, String] = srcSchema.getFields.asScala.collect {
+      case f if f.isPrimitive &&
+          f.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.TimeLogicalTypeAnnotation] =>
+        val u = f.getLogicalTypeAnnotation
+          .asInstanceOf[LogicalTypeAnnotation.TimeLogicalTypeAnnotation].getUnit
+        f.getName -> u.toString.toLowerCase
+    }.toMap
+    if (timeUnits.isEmpty) return spark.read.parquet(file.toString)
+    val stripped = new MessageType(srcSchema.getName,
+      srcSchema.getFields.asScala.toSeq.map { f =>
+        if (timeUnits.contains(f.getName))
+          Types.primitive(f.asPrimitiveType().getPrimitiveTypeName,
+            f.getRepetition).named(f.getName)
+        else f
+      }.asJava)
+    // ephemeral strip target: lives for the CLI process (the reference is
+    // a one-shot process too); java.io.tmpdir reclaims it
+    val tmp = Files.createTempFile("graft-timeread", ".parquet")
+    Files.deleteIfExists(tmp)
+    copyFile(hPath, tmp, stripped, conf, CompressionCodecName.ZSTD,
+      ParquetWriter.DEFAULT_WRITER_VERSION, ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+    val raw = spark.read.parquet(tmp.toString)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    raw.select(raw.schema.fieldNames.toIndexedSeq.map { n =>
+      timeUnits.get(n) match {
+        case Some(unit) => col(n).as(n,
+          new MetadataBuilder().putString(TypeMapping.TimeUnitKey, unit).build())
+        case None => col(n)
+      }
+    }: _*)
   }
 
   /** The source file's MessageType with tagged fields replaced: FLBA(n) for

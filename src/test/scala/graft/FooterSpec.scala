@@ -208,6 +208,46 @@ class FooterSpec extends AnyFunSuite {
     val back = spark.read.parquet(out2.toString).collect()
     assert(back.head.getInt(0) == 57852123)
     assert(back.head.getAs[Array[Byte]]("b").toSeq == "hi".getBytes.toSeq)
+
+    // graft's OWN read paths handle the fidelity file (reference parity:
+    // input.rs reads the tool's own TIME output as physical ints): the
+    // inverse pass strips the annotation and re-attaches graft.time.unit
+    val own = graft.sources.PhysicalFormat.readSparkCompatible(spark, out)
+    val r = own.collect().head
+    assert(r.getInt(own.schema.fieldIndex("t_ms")) == 57852123)
+    assert(own.schema("t_ms").metadata
+      .getString(graft.functions.TypeMapping.TimeUnitKey) == "millis")
+    assert(r.getAs[Array[Byte]]("b").toSeq ==
+      ("hi".getBytes ++ Array[Byte](0, 0, 0)).toSeq)
+  }
+
+  test("fidelity TIME output round-trips through graft's own insert (input.rs parity)") {
+    import graft.functions.TypeMapping
+    import graft.cli.Cli
+    val fUs = TypeMapping.field(
+      TypeMapping.SourceColumn("t_us", TypeMapping.SqlTime(6)), TypeMapping.MappingOptions())
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(Long.box(57852123456L)),
+          org.apache.spark.sql.Row(Long.box(1L)))),
+      org.apache.spark.sql.types.StructType(Seq(fUs)))
+    val out = Files.createTempDirectory("graft-footer").resolve("t.par")
+    ParquetSink.write(df, out.toString, ParquetSink.Options())
+    // confirm the file actually carries the annotation (the hard case)
+    assert(primitive(out, "t_us").getLogicalTypeAnnotation.toString == "TIME(MICROS,false)")
+    val db = s"fidins${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    try {
+      val (cmd, conf) = Cli.parse(Seq("insert", "-c", url, out.toString, "times"))
+      assert(cmd == "insert")
+      Cli.runInsert(conf, Some(spark))
+      val back = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "times").load().collect().map(_.getLong(0)).sorted
+      assert(back.toSeq == Seq(1L, 57852123456L))
+    } finally {
+      try { java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true"); () }
+      catch { case _: java.sql.SQLException => () }
+    }
   }
 
   test("per-column dictionary encoding can be disabled (column-encoding parity)") {
