@@ -606,6 +606,66 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // --------------------------------------- d23_containment_decontam
+  /** CROSS-CORPUS containment decontamination — the asymmetric
+    * contamination case d8/d10's exact n-gram overlap and d22's
+    * same-source pairing both miss: a benchmark document's token SET
+    * embedded in a (possibly much longer, reworded-around) training
+    * document. Flags corpus docs with |eval ∩ corpus| / |eval| ≥ 0.8 —
+    * the threshold is relative to the EVAL doc, so a benchmark buried in
+    * a 100× longer page still scores ~1.0 where Jaccard ≈ 1%.
+    *
+    * Scale shape: the eval corpus is benchmark-sized, so its prefix
+    * tokens BROADCAST (the d8 rule: the training corpus never shuffles);
+    * the candidate join streams the corpus token index past the
+    * broadcast eval prefixes. The prefix is lossless on the eval side by
+    * the d22 pigeonhole (inter ≥ ⌈0.8·ne⌉ ⇒ some intersection token
+    * falls in eval's (ne − ⌈0.8·ne⌉ + 1)-prefix, and every corpus token
+    * is indexed), so this is exact, not probabilistic. */
+  def d23ContainmentDecontam(s: SparkSession, d: String): DataFrame = {
+    // 3-gram SHINGLE sets, not unigram tokens: on a shared vocabulary a
+    // long doc's token set trivially covers a short doc's (measured:
+    // unigram containment flags 2885 of 4900 cross pairs at sf0.01 —
+    // noise, not contamination); 3-gram sets are order-sensitive and
+    // sparse, so high containment means shared PASSAGES (d8's gram
+    // discipline, containment instead of absolute overlap counts)
+    val docs = CacheScope.persist(documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        "transform(sequence(1, size(tk) - 2), " +
+          "i -> xxhash64(concat_ws(' ', tk[i-1], tk[i], tk[i+1])))"))).as("w"))
+      .withColumn("nw", size(col("w")).cast("long")))
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("w").as("we"),
+        col("nw").as("ne"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("c_id"), col("w").as("wc"),
+        col("nw").as("nc"))
+    // lossless eval-side prefix: ℓ = ne − ⌈0.8·ne⌉ + 1
+    val probe = evalDocs.select(col("eval_id"),
+      explode(expr(
+        "slice(we, 1, cast(ne - ((8 * ne + 9) div 10) + 1 as int))")).as("tok"))
+    val index = corpus.select(col("c_id"), explode(col("wc")).as("tok_i"))
+    val cand = index.join(broadcast(probe), col("tok_i") === col("tok"))
+      .select(col("c_id"), col("eval_id"))
+      .dropDuplicates("c_id", "eval_id")
+    val inter = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.IntersectCountSorted(
+        GraftBridge.expression(col("we")), GraftBridge.expression(col("wc"))))
+    }
+    cand
+      .join(broadcast(evalDocs), "eval_id")
+      .join(corpus, "c_id")
+      .select(col("c_id"), col("eval_id"), col("ne"), col("nc"),
+        inter.as("inter"))
+      .filter(col("ne") > 0 && col("inter") * 10 >= col("ne") * 8)
+      .select(col("c_id"), col("eval_id"), col("ne"), col("nc"), col("inter"),
+        expr("1000000 * inter div ne").as("containment_ppm"))
+      .orderBy(col("c_id"), col("eval_id"))
+  }
+
   /** The identity twin: ALL same-source pairs, no prefix block — the
     * round-9 serving form, kept test-only as the ground truth the banded
     * path must reproduce exactly (the d10/e18 same-answer-better-plan
@@ -621,6 +681,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_containment" -> d22Containment,
+    "d23_containment_decontam" -> d23ContainmentDecontam,
     "d16_semantic_dedup" -> ((s, d) => d16SemanticDedup(s, d)),
     "d1_dedup_exact" -> d1DedupExact,
     "d2_dedup_normalized" -> d2DedupNormalized,
@@ -635,6 +696,29 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // eval/corpus split by the d8 convention (doc_id % 50); containment
+    // relative to the EVAL doc; DuckDB computes the unfiltered cross
+    // product (10 × ~490 at the oracle SF) — the Spark side's broadcast
+    // prefix block must reproduce it exactly
+    "d23_containment_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+        |  FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+        |  WHERE len(tk) >= 3),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT c.doc_id AS c_id, e.doc_id AS eval_id,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM g c JOIN g e USING (gram)
+        |  WHERE e.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT i.c_id, i.eval_id, se.n AS ne, sc.n AS nc, i.inter,
+        |  CAST((1000000 * i.inter) // se.n AS BIGINT) AS containment_ppm
+        |FROM inter i
+        |JOIN sz se ON se.doc_id = i.eval_id
+        |JOIN sz sc ON sc.doc_id = i.c_id
+        |WHERE se.n > 0 AND i.inter * 10 >= se.n * 8
+        |ORDER BY c_id, eval_id""".stripMargin,
     // groups raw word lists where the Spark side interns 64-bit hashes —
     // collision-equivalent (d13's accepted argument); identical integer
     // cross-multiplied thresholds and floor-div ppm
