@@ -246,7 +246,53 @@ object Multimodal {
         expr("aggregate(bpos, 0L, (a, x) -> a + x)").as("bpos_sum"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------ m9_cdc_dedup_store
+  /** Content-store dedup at CDC-chunk granularity — m8's FastCDC cuts
+    * feeding m5's content addressing: each payload is split at its
+    * content-defined boundaries, every chunk digested, and the per-source
+    * store economics reported (chunks, unique chunks, naive vs stored
+    * size, savings). This is the actual design of dedup blob stores
+    * (variable-size chunks survive INSERTIONS — a doc that is another doc
+    * plus a prefix edit re-aligns at the next content cut and shares its
+    * tail chunks, where m6's fixed 16-char grid shares nothing after the
+    * shift point). Chunk convention: cut BEFORE each boundary position,
+    * so chunk j spans [bⱼ₋₁, bⱼ) with b₀ = 1 and b_last = n_chars+1 —
+    * the identical spelling on both engines, so digests are bit-portable.
+    *
+    * Scale: boundaries + chunk digests compute on the scan (one pass per
+    * payload, no shuffle); the only exchange carries (source, digest)
+    * aggregates — map-side combined, linear in distinct chunks. */
+  def m9CdcDedupStore(s: SparkSession, d: String): DataFrame = {
+    val withBounds = documents(s, d)
+      .withColumn("bpos", {
+        import org.apache.spark.sql.GraftBridge
+        GraftBridge.column(graft.functions.CdcBoundaries(
+          GraftBridge.expression(col("text"))))
+      })
+    withBounds
+      .select(col("source"), explode(expr(
+        """zip_with(
+          |  concat(array(1L), bpos),
+          |  concat(bpos, array(cast(length(text) + 1 as bigint))),
+          |  (s, e) -> substring(text, cast(s as int), cast(e - s as int)))
+          |""".stripMargin)).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("dg"),
+        length(col("chunk")).cast("long").as("n"))
+      .groupBy(col("source"), col("dg"))
+      .agg(count(lit(1)).as("refs"), min(col("n")).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("refs")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("refs") * col("n")).as("chars_naive"),
+        sum(col("n")).as("chars_stored"))
+      .select(col("source"), col("n_chunks"), col("n_unique"),
+        col("chars_naive"), col("chars_stored"),
+        (col("chars_naive") - col("chars_stored")).as("chars_saved"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_cdc_dedup_store" -> m9CdcDedupStore,
     "m8_cdc_chunking" -> m8CdcChunking,
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m2_features" -> m2Features,
@@ -291,6 +337,33 @@ object Multimodal {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // m8's boundary rule + the cut-before-boundary chunk convention; the
+    // store economics must agree chunk-for-chunk (same digests, lengths)
+    "m9_cdc_dedup_store" ->
+      """WITH b AS (SELECT doc_id, source, text,
+        |  [CAST(i AS BIGINT) FOR i IN range(1, greatest(length(text) - 6, 1))
+        |   IF CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 4)
+        |     AS BIGINT) % 16 = 0] AS bpos
+        |  FROM documents),
+        |ch AS (SELECT source,
+        |    unnest(list_transform(range(1, len(bpos) + 2),
+        |      j -> substr(text,
+        |        CAST((CASE WHEN j = 1 THEN 1 ELSE bpos[j-1] END) AS INT),
+        |        CAST((CASE WHEN j <= len(bpos) THEN bpos[j]
+        |              ELSE length(text) + 1 END)
+        |          - (CASE WHEN j = 1 THEN 1 ELSE bpos[j-1] END) AS INT))))
+        |      AS chunk
+        |  FROM b),
+        |d AS (SELECT source, md5(chunk) AS dg,
+        |    CAST(length(chunk) AS BIGINT) AS n FROM ch),
+        |per AS (SELECT source, dg, CAST(COUNT(*) AS BIGINT) AS refs,
+        |    MIN(n) AS n FROM d GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(refs) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(refs * n) AS BIGINT) AS chars_naive,
+        |  CAST(SUM(n) AS BIGINT) AS chars_stored,
+        |  CAST(SUM(refs * n) - SUM(n) AS BIGINT) AS chars_saved
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     // identical md5-hex-prefix boundary rule via the '0x'||hex cast —
     // both engines must declare the same boundary positions
     "m8_cdc_chunking" ->

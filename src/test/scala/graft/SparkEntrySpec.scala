@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 183 queries / 175 oracles") {
-    assert(SparkEntry.queries.size == 183,
+  test("registry counts match the documented 184 queries / 176 oracles") {
+    assert(SparkEntry.queries.size == 184,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 175,
+    assert(SparkEntry.oracleSql.size == 176,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
