@@ -1,0 +1,190 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: times the suite's heaviest operators on the
+  * driver corpus AND on an R×-replicated copy, and reports the measured
+  * scaling exponent log(tR/t1)/log(R) per query. Exponent ≈ 1.0 means the
+  * operator's wall time grows linearly with data volume — the property the
+  * plan audits claim for every hot path; anything materially above ~1.2 is
+  * evidence of a super-linear edge that a 100 TB corpus would hit.
+  *
+  * The replica corpus is constructed so the WORKLOAD PROFILE stays
+  * constant while volume grows — i.e. it models a corpus that is R× bigger,
+  * not one that is R× more duplicated:
+  *
+  *   - every key domain is offset per replica (custkey, orderkey, partkey,
+  *     suppkey, doc_id, vec_id, event_id, user_id), so FK joins stay valid
+  *     and the d18/d19/d21 graphs become R disjoint copies — per-node
+  *     degree distribution unchanged, |V| and |E| exactly R×;
+  *   - document text is caesar-rotated per replica (identity on replica 0),
+  *     so shingle/token hash spaces are disjoint across replicas and
+  *     near-dup candidate volume grows R×, not R²×;
+  *   - `source` is suffixed per replica for the same reason: d3-style
+  *     (source, length-bucket) blocks keep their 1× sizes. At real scale
+  *     source cardinality grows with the corpus; fixed sources with R×
+  *     members per block would measure the corpus's duplication profile,
+  *     not the engine.
+  *
+  * Run:  sbt "runMain graft.tools.ScaleProbe [baseDir] [factor]"
+  * The replica corpus persists under $SPARK_GRAFT_SCALE_DIR (default
+  * $TMPDIR/graft-scale/x<R>) and rebuilds only when absent. Dev/measure
+  * tool only — never part of the shipped library or the gate.
+  */
+object ScaleProbe {
+
+  /** Probe set: the heaviest member of each pack family whose runtime is
+    * data-driven (index-bearing ANN probes excluded — their build cost is
+    * tracked on Bench's bench-index line; s1 brute force is included as
+    * the linear-scan representative). */
+  private val probeNames = Seq(
+    "q1_agg", "q3_join_agg", "q9_topk",
+    "d1_dedup_exact", "d3_ngram_jaccard", "d4_minhash_lsh",
+    "d7_dup_clusters", "d12_dup_clusters_star", "d18_pagerank",
+    "d19_lpa_communities", "d20_dedup_full", "d21_triangle_count",
+    "d22_containment", "d23_containment_decontam",
+    "t9_repetition", "t18_bm25",
+    "m8_cdc_chunking", "s1_ann_brute")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // replica dir is keyed by BASE CORPUS NAME + factor — two base dirs
+    // must never share a replica path (a stale _OK marker would silently
+    // serve the other corpus's data)
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-scale") +
+      s"/${new java.io.File(base).getName}-x$factor"
+
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaleprobe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+    // same machine-level IO posture as Bench (see Bench.scala): shuffle
+    // scratch on tmpfs, java.io.tmpdir untouched (snappy-java needs exec)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
+      builder.config("spark.local.dir", "/dev/shm/graft-bench")
+      builder.config("spark.shuffle.compress", "false")
+      builder.config("spark.shuffle.spill.compress", "false")
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ensureReplica(spark, base, scaleDir, factor)
+
+    val queries = graft.SparkEntry.queries
+    val missing = probeNames.filterNot(queries.contains)
+    require(missing.isEmpty, s"probe names not in SparkEntry.queries: $missing")
+
+    def timeOne(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      def run(): Unit = { fn(spark, dir).queryExecution.toRdd.count(); () }
+      try run() catch { case e: Throwable =>
+        System.err.println(s"[scaleprobe] warm FAILED on $dir: $e"); return -1.0 }
+      graft.operators.CacheScope.releaseAll(blocking = true)
+      val times = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.CacheScope.releaseAll(blocking = true)
+        dt
+      }
+      times.min
+    }
+
+    val rows = probeNames.map { name =>
+      val fn = queries(name)
+      val t1 = timeOne(fn, base)
+      val tR = timeOne(fn, scaleDir)
+      val ratio = if (t1 > 0 && tR > 0) tR / t1 else -1.0
+      val exp = if (ratio > 0) math.log(ratio) / math.log(factor) else -1.0
+      println(f"[scaleprobe] $name%-26s t1=$t1%7.2fs t$factor=$tR%7.2fs ratio=$ratio%6.2f exp=$exp%5.2f")
+      (name, t1, tR, ratio, exp)
+    }
+
+    val json = rows.map { case (n, t1, tR, r, e) =>
+      f""""$n":{"t1":$t1%.3f,"tR":$tR%.3f,"ratio":$r%.3f,"exp":$e%.3f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scaleprobe","base":"$base","factor":$factor,"queries":{$json}}""")
+    spark.stop()
+  }
+
+  /** Build the R×-replicated corpus at `out` if absent (presence of the
+    * final `_OK` marker file gates the skip — a partial build reruns). */
+  private def ensureReplica(spark: SparkSession, base: String, out: String,
+                            r: Int): Unit = {
+    val okMarker = java.nio.file.Paths.get(out, s"_OK_${new java.io.File(base).getName}_x$r")
+    if (java.nio.file.Files.exists(okMarker)) return
+    println(s"[scaleprobe] building ${r}x replica of $base at $out")
+
+    def read(t: String) = spark.read.parquet(s"$base/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1L
+
+    // key strides come from the owning dimension so fact FKs stay aligned
+    val custS = stride(read("customer"), "c_custkey")
+    val ordS = stride(read("orders"), "o_orderkey")
+    val partS = stride(read("part"), "p_partkey")
+    val suppS = stride(read("supplier"), "s_suppkey")
+
+    val reps = broadcast(spark.range(r).toDF("__rep"))
+    def replicate(df: DataFrame, offs: (String, Long)*): DataFrame =
+      offs.foldLeft(df.crossJoin(reps)) { case (acc, (c, s)) =>
+        acc.withColumn(c, col(c) + col("__rep") * s)
+      }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(replicate(read("customer"), "c_custkey" -> custS).drop("__rep"), "customer")
+    write(replicate(read("supplier"), "s_suppkey" -> suppS).drop("__rep"), "supplier")
+    write(replicate(read("part"), "p_partkey" -> partS).drop("__rep"), "part")
+    write(replicate(read("orders"), "o_orderkey" -> ordS, "o_custkey" -> custS)
+      .drop("__rep"), "orders")
+    write(replicate(read("lineitem"), "l_orderkey" -> ordS, "l_partkey" -> partS,
+      "l_suppkey" -> suppS).drop("__rep"), "lineitem")
+
+    val ev = read("events")
+    val evS = stride(ev, "event_id")
+    val userS = stride(ev, "user_id")
+    write(replicate(ev, "event_id" -> evS, "user_id" -> userS).drop("__rep"), "events")
+
+    val emb = read("embeddings")
+    val vecS = stride(emb, "vec_id")
+    write(replicate(emb, "vec_id" -> vecS).drop("__rep"), "embeddings")
+
+    // documents: id offset + per-replica caesar rotation (disjoint token /
+    // shingle space across replicas; replica 0 byte-identical to base) +
+    // source suffix (constant per-block sizes for source-blocked ops).
+    // Rotation preserves length, so n_chars stays correct as-is.
+    val docs = read("documents")
+    val docS = stride(docs, "doc_id")
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int) = lower.drop(i % 26) + lower.take(i % 26)
+    val rotText = (1 until r).foldLeft(
+      when(col("__rep") === 0, col("text"))) { (acc, i) =>
+      acc.when(col("__rep") === i,
+        translate(col("text"), lower + lower.toUpperCase,
+          rot(i) + rot(i).toUpperCase))
+    }
+    val repDocs = replicate(docs, "doc_id" -> docS)
+      .withColumn("text", rotText)
+      .withColumn("source",
+        when(col("__rep") === 0, col("source"))
+          .otherwise(concat(col("source"), lit("#"), col("__rep"))))
+      .drop("__rep")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    write(repDocs, "documents")
+
+    java.nio.file.Files.createDirectories(okMarker.getParent)
+    java.nio.file.Files.write(okMarker, Array.emptyByteArray)
+    println(s"[scaleprobe] replica built")
+  }
+}
