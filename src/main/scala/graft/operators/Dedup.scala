@@ -75,9 +75,22 @@ object Dedup {
       .withColumn("nw", size(col("w")))
       // ⌊log₂ nw⌋ + 1 via binary digit count — exact integer arithmetic
       .withColumn("bkt", length(conv(greatest(col("nw"), lit(1)), 10, 2)))
+    // The pair-verify stage is compute-bound but byte-light: at modest
+    // volumes the whole probe side is one scan split and the other side
+    // broadcasts, so every O(n+m) merge walk lands in a SINGLE task no
+    // matter how many cores (measured: ×10 corpus ran slower than ×30 —
+    // the ×30 shuffle flipped to a parallel sort-merge join). An EXPLICIT
+    // hash repartition on the join keys pins full-width parallelism —
+    // explicit numPartitions exempts it from AQE's byte-based coalescing,
+    // which would collapse this thin-but-hot exchange right back — and at
+    // volumes where the join planning flips to sort-merge the same
+    // exchange satisfies the join's clustering requirement, so it is
+    // reused, not added.
+    val shufParts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val a = docs.select(col("doc_id").as("a_id"), col("source"),
         col("w").as("wa"), col("nw").as("na"),
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+      .repartition(shufParts, col("source"), col("bkt"))
     val b = docs.select(col("doc_id").as("b_id"), col("source").as("src_b"),
       col("w").as("wb"), col("nw").as("nb"), col("bkt").as("bkt_b"))
     val jac = {
@@ -557,9 +570,17 @@ object Dedup {
     val docs = CacheScope.persist(d22Docs(s, d))
     // probe: each doc's (⌊n/10⌋+1)-prefix of the sorted hash array — the
     // potential SMALLER side of a pair; index: every token of every doc
+    // Explicit hash repartition on the join keys: the exploded probe
+    // inherits the cached corpus's scan partitioning (one split at modest
+    // volumes), which would leave the whole candidate join in a single
+    // task; REPARTITION_BY_NUM pins full-width parallelism and is exempt
+    // from AQE's byte-based coalescing (the stage is byte-light but
+    // compute-hot). Same treatment as d3's pair-verify probe side.
+    val shufParts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val probe = docs.select(col("doc_id").as("p_id"), col("source"),
         col("nw").as("pn"),
         explode(expr("slice(w, 1, cast(nw div 10 as int) + 1)")).as("tok"))
+      .repartition(shufParts, col("source"), col("tok"))
     val index = docs.select(col("doc_id").as("i_id"),
       col("source").as("src_i"), col("nw").as("in_"),
       explode(col("w")).as("tok_i"))

@@ -45,7 +45,11 @@ object ScaleProbe {
     "d19_lpa_communities", "d20_dedup_full", "d21_triangle_count",
     "d22_containment", "d23_containment_decontam",
     "t9_repetition", "t18_bm25",
-    "m8_cdc_chunking", "s1_ann_brute")
+    "m8_cdc_chunking", "s1_ann_brute",
+    // skew handling: per-replica key offsets replicate the hot key once
+    // per replica, so the SKEW PROFILE (hot-key share) is scale-invariant
+    // — exactly the property salting must stay robust to
+    "q22_salted_agg", "q73_salted_join")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -66,6 +70,13 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+    // triage passthrough: SPARK_GRAFT_CONF="k=v;k=v" sets arbitrary session
+    // confs (e.g. spark.sql.adaptive.coalescePartitions.enabled=false to
+    // attribute an anomaly to AQE coalescing)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
     // same machine-level IO posture as Bench (see Bench.scala): shuffle
     // scratch on tmpfs, java.io.tmpdir untouched (snappy-java needs exec)
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
@@ -81,9 +92,26 @@ object ScaleProbe {
     val queries = graft.SparkEntry.queries
     val missing = probeNames.filterNot(queries.contains)
     require(missing.isEmpty, s"probe names not in SparkEntry.queries: $missing")
+    // dev subset (e.g. the x30 run probes only the linear-class ops):
+    // SPARK_GRAFT_PROBE_ONLY=d3_ngram_jaccard,d22_containment
+    val selected = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(only => probeNames.filter(only.contains))
+      .getOrElse(probeNames)
 
+    // SPARK_GRAFT_EXPLAIN=1: after timing, print the EXECUTED (post-AQE)
+    // plan on each dir — a probe anomaly is usually a runtime re-plan
+    // (join strategy / partition coalescing) visible only in the final
+    // adaptive plan, never in .explain before execution
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_ == "1")
     def timeOne(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       def run(): Unit = { fn(spark, dir).queryExecution.toRdd.count(); () }
+      def runExplained(): Unit = {
+        val df = fn(spark, dir)
+        df.queryExecution.toRdd.count()
+        println(s"=== executed plan on $dir ===")
+        println(df.queryExecution.executedPlan.toString.take(8000))
+      }
       try run() catch { case e: Throwable =>
         System.err.println(s"[scaleprobe] warm FAILED on $dir: $e"); return -1.0 }
       graft.operators.CacheScope.releaseAll(blocking = true)
@@ -95,10 +123,11 @@ object ScaleProbe {
         graft.operators.CacheScope.releaseAll(blocking = true)
         dt
       }
+      if (explain) runExplained()
       times.min
     }
 
-    val rows = probeNames.map { name =>
+    val rows = selected.map { name =>
       val fn = queries(name)
       val t1 = timeOne(fn, base)
       val tR = timeOne(fn, scaleDir)
