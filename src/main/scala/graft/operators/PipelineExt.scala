@@ -669,27 +669,37 @@ object PipelineExt {
     * node exploding the plan and not.
     *
     * Scale posture: the rank table is |V|-sized (vocabulary-of-parts,
-    * orders of magnitude below |E|) → checkpointed once and BROADCAST
-    * into both orientation joins; its builder uses a global row_number
-    * window — a single-partition sort of |V| rows, bounded by the node
-    * count, never |E| (at web-graph |V| the same orientation works off
-    * the raw (deg, id) tuple compare with no numbering pass). The
-    * enumeration itself NEVER materializes wedges into an exchange: a
-    * wedge-then-probe join shape measured 41M shuffled wedge rows at
-    * sf0.1 (6.3 s, the suite maximum) where the compact form here runs
-    * the same Σ-min-degree intersection work in-place. The oriented
-    * adjacency table (one array row per node, Σ lengths = |E| exactly —
-    * ~10 MB at sf0.1) BROADCASTS into two map-side joins against the
-    * edge list; each edge (x,y) intersects N⁺(x) ∩ N⁺(y), which by the
+    * orders of magnitude below |E|) and checkpointed once; its builder
+    * uses a global row_number window — a single-partition sort of |V|
+    * rows, bounded by the node count, never |E| (at web-graph |V| the
+    * same orientation works off the raw (deg, id) tuple compare with no
+    * numbering pass). The enumeration itself NEVER materializes wedges
+    * into an exchange: a wedge-then-probe join shape measured 41M
+    * shuffled wedge rows at sf0.1 (6.3 s, the suite maximum) where the
+    * compact form here runs the same Σ-min-degree intersection work
+    * in-place. The oriented adjacency table (one array row per node,
+    * Σ lengths = |E| exactly — ~10 MB at sf0.1) joins the edge list
+    * twice; each edge (x,y) intersects N⁺(x) ∩ N⁺(y), which by the
     * orientation yields exactly the triangles whose two lowest corners
     * are that edge — exact-once, no dedup. Per-node credits (x and y
     * get the intersection size, every closing z gets 1) explode from
-    * ONE projection, so the only exchanges in the whole plan are the
-    * pair-distinct, the adjacency build, and the final |V|-bounded
-    * aggregate; the explode is #triangles rows, not #wedges.
-    * Beyond-broadcast edge lists flip the two adjacency joins to
-    * shuffle joins on x/y — the intersection kernel and the credit
-    * algebra are unchanged. */
+    * ONE projection; the explode is #triangles rows, not #wedges.
+    *
+    * The adjacency/rank broadcasts are an EXPLICIT measured switch, not
+    * a hint and not the planner default: Spark's 10 MB
+    * autoBroadcastJoinThreshold guards accidental broadcasts of
+    * relations with unknown payloads, but this adjacency is |V|-row
+    * bounded BY CONSTRUCTION with payload exactly 8·|E| bytes — known
+    * from the checkpointed edge count at zero extra cost. While that
+    * payload fits `graft.d21.adjacencyBroadcastBytes` (default 1 GiB —
+    * an executor-memory budget, measured 3× faster than the shuffle
+    * plan at 8·|E| ≈ 100 MB where the planner default already refuses),
+    * both adjacency joins broadcast; beyond it the SAME joins run as
+    * shuffles on the edge endpoints — the plan an adjacency that
+    * outgrows executor memory requires. The intersection kernel and the
+    * credit algebra are identical on both paths;
+    * [[TriangleHitterSpec]] executes the budget=0 twin and asserts
+    * bit-identical results with zero broadcast joins in the plan. */
   def d21TriangleCount(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -703,11 +713,23 @@ object PipelineExt {
     val rk = CacheScope.localCheckpoint(deg.select(col("x"),
       row_number().over(Window.orderBy(col("deg"), col("x")))
         .cast("long").as("rid")))
+    // the rank table is exact-size-known from its cache, so the planner
+    // broadcasts it into the orientation joins on its own while small;
+    // at web-graph |V| these two joins flip to shuffles with the same
+    // declarative shape (no hint to override)
     val e = CacheScope.localCheckpoint(pairs
-      .join(broadcast(rk).as("ru"), col("u") === col("ru.x"))
-      .join(broadcast(rk).as("rv"), col("v") === col("rv.x"))
+      .join(rk.as("ru"), col("u") === col("ru.x"))
+      .join(rk.as("rv"), col("v") === col("rv.x"))
       .select(least(col("ru.rid"), col("rv.rid")).as("s"),
         greatest(col("ru.rid"), col("rv.rid")).as("t")))
+    // measured broadcast switch (scaladoc above): 8·|E| is the exact
+    // adjacency payload; the checkpointed count is a cached-partition
+    // scan, a bounded driver scalar like the model-sized collects
+    val budget = s.conf.get("graft.d21.adjacencyBroadcastBytes",
+      (1L << 30).toString).toLong
+    val bcastAdj = e.count() * 8L <= budget
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (bcastAdj) broadcast(df) else df
     // sort ONCE per node so every per-edge intersection is the allocation-
     // free merge walk (graft.functions.IntersectSorted), not a per-row
     // hash-set build — m6's kernel family, here returning the members
@@ -717,9 +739,9 @@ object PipelineExt {
     val inter = GraftBridge.column(graft.functions.IntersectSorted(
       GraftBridge.expression(col("ns")), GraftBridge.expression(col("nt"))))
     val scored = e
-      .join(broadcast(adj.select(col("s").as("an"), col("nbrs").as("ns"))),
+      .join(maybeBroadcast(adj.select(col("s").as("an"), col("nbrs").as("ns"))),
         col("s") === col("an"))
-      .join(broadcast(adj.select(col("s").as("bn"), col("nbrs").as("nt"))),
+      .join(maybeBroadcast(adj.select(col("s").as("bn"), col("nbrs").as("nt"))),
         col("t") === col("bn"))
       .select(col("s"), col("t"), inter.as("zs"))
       .withColumn("cnt", size(col("zs")).cast("long"))
@@ -731,7 +753,7 @@ object PipelineExt {
           z => struct(z.as("nrid"), lit(1L).as("c"))))).as("cr"))
       .select(col("cr.nrid").as("nrid"), col("cr.c").as("c"))
     credits.groupBy(col("nrid")).agg(sum(col("c")).as("n_triangles"))
-      .join(broadcast(rk), col("nrid") === col("rid"))
+      .join(rk, col("nrid") === col("rid"))
       .select(col("x").as("node"), col("n_triangles"))
       .orderBy(col("node"))
   }

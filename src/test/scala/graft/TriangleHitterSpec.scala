@@ -129,11 +129,34 @@ class TriangleHitterSpec extends AnyFunSuite {
     assert(sqlOk == List(3L))
   }
 
-  test("d21: both orientation joins broadcast the rank table") {
-    val p = PipelineExt.d21TriangleCount(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("d21: small-graph plan broadcasts; beyond-broadcast twin is identical") {
+    // no hints in the operator — the planner must still pick broadcast
+    // joins at this scale from the checkpoint cache's exact sizes (AQE
+    // may finish the conversion at runtime, so execute before reading)
+    val df = PipelineExt.d21TriangleCount(spark, sf)
+    val expected = df.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
-      s"the |V|-sized rank table must broadcast into the orientation joins:\n$p")
+      s"rank/adjacency tables must broadcast while they fit:\n$p")
+    // beyond-broadcast posture: with the broadcast threshold off (the
+    // situation of an adjacency that outgrows executor memory), the SAME
+    // declarative plan must flip to shuffle joins and produce
+    // bit-identical triangle counts — the scale path is this plan, not a
+    // documented variant
+    val big = spark.newSession()
+    // budget 0 flips the measured adjacency switch; threshold -1 stops
+    // the planner broadcasting the |V|-sized rank table too, so the
+    // zero-broadcast assertion covers every join in the plan
+    big.conf.set("graft.d21.adjacencyBroadcastBytes", "0")
+    big.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    big.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val dfBig = PipelineExt.d21TriangleCount(big, sf)
+    val got = dfBig.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val pBig = dfBig.queryExecution.executedPlan.toString
+    assert(!pBig.contains("BroadcastHashJoin"),
+      s"threshold=-1 must leave zero broadcast joins:\n$pBig")
+    assert(got == expected,
+      "shuffle-join path must be bit-identical to the broadcast path")
   }
 
   test("q60: pure-Scala window twin reproduces ratios bit-for-bit") {
