@@ -217,10 +217,20 @@ object PipelineExt {
     * NoveltyGraphSpec). An exchange-free aggregate via a pre-
     * repartition(dst) was tried and rejected: localCheckpoint does NOT
     * preserve output partitioning (the round still re-exchanged), so
-    * the setup repartition was a pure extra |E| shuffle. At web-graph
-    * |V| (10⁹) the rank broadcast becomes the limit — there the same
-    * loop co-partitions ranks WITH edges on src and shuffles only ranks
-    * per round; the aggregation side is unchanged. Each round rebases
+    * the setup repartition was a pure extra |E| shuffle.
+    *
+    * At web-graph |V| the rank broadcast becomes the limit — the switch
+    * is MEASURED, not documented: while |V|·32 bytes fits
+    * `graft.graph.nodeBroadcastBytes` (default 1 GiB; |V| is a free
+    * count off the checkpointed node table) each round broadcasts, and
+    * beyond it the edge list is re-stored ONCE as a `persist`-cached
+    * frame hash-partitioned and sorted on src — persist (unlike
+    * localCheckpoint) preserves partitioning and ordering in the plan,
+    * so every round's sort-merge join exchanges ONLY the |V|-sized rank
+    * table and the |E| side never re-shuffles or re-sorts. The
+    * aggregation side is unchanged. [[NoveltyGraphSpec]] executes the
+    * budget=0 twin: bit-identical ranks, zero broadcast joins, and no
+    * exchange on src anywhere in the round plan. Each round rebases
     * on an eager localCheckpoint so the plan shape stays constant and
     * codegen compiles once. */
   /** One-time setup: the dst-partitioned weighted edge list and the node
@@ -240,10 +250,13 @@ object PipelineExt {
     (ew, nodes)
   }
 
-  /** One damped-update round (see scaladoc above for the shuffle claim). */
+  /** One damped-update round (see scaladoc above for the shuffle claim).
+    * `bcastRanks = false` is the beyond-broadcast mode: ew must then be
+    * the co-partitioned cached form from [[graphServingEdges]]. */
   private[graft] def d18Round(ew: DataFrame, nodes: DataFrame,
-      ranks: DataFrame): DataFrame = {
-    val contrib = ew.join(broadcast(ranks), col("src") === col("node"))
+      ranks: DataFrame, bcastRanks: Boolean = true): DataFrame = {
+    val r = if (bcastRanks) broadcast(ranks) else ranks
+    val contrib = ew.join(r, col("src") === col("node"))
       .select(col("dst"), expr("pr div outdeg").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("m"))
     nodes.join(contrib, col("node") === col("dst"), "left_outer")
@@ -252,12 +265,29 @@ object PipelineExt {
           .as("pr"))
   }
 
+  /** Measured node-broadcast budget shared by d18/d19 (scaladoc above). */
+  private def nodeBroadcastFits(s: SparkSession, nV: Long): Boolean =
+    nV * 32L <= s.conf.get("graft.graph.nodeBroadcastBytes",
+      (1L << 30).toString).toLong
+
+  /** Beyond-broadcast serving form of an edge table: hash-partitioned and
+    * sorted on `src` under persist (which, unlike localCheckpoint, keeps
+    * partitioning + ordering visible to the planner), so each round's
+    * sort-merge join re-uses it and exchanges only the node-sized side.
+    * Paid once, amortized over the rounds. */
+  private[graft] def graphServingEdges(s: SparkSession, e: DataFrame): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    CacheScope.persist(e.repartition(p, col("src")).sortWithinPartitions("src"))
+  }
+
   def d18Pagerank(s: SparkSession, d: String): DataFrame = {
     val iters = 5
-    val (ew, nodes) = d18Setup(s, d)
+    val (ew0, nodes) = d18Setup(s, d)
+    val bcast = nodeBroadcastFits(s, nodes.count())
+    val ew = if (bcast) ew0 else graphServingEdges(s, ew0)
     var ranks = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters)
-      ranks = CacheScope.localCheckpoint(d18Round(ew, nodes, ranks))
+      ranks = CacheScope.localCheckpoint(d18Round(ew, nodes, ranks, bcast))
     ranks.orderBy(col("node"))
   }
 
@@ -284,8 +314,10 @@ object PipelineExt {
     * the vote count partial-aggregates map-side on (node, label), and
     * the arg-max is a second keyed aggregate over the already-reduced
     * vote table (≤ distinct (node, label) pairs, never |E| rows into
-    * an exchange). At web-graph |V| the label broadcast flips to the
-    * same ranks-co-partitioned-with-edges shape d18 documents. */
+    * an exchange). At web-graph |V| the label broadcast flips to d18's
+    * measured co-partitioned shape (same budget conf, same
+    * [[graphServingEdges]] storage, gated by the same budget=0 twin in
+    * [[NoveltyGraphSpec]]). */
   /** One-time setup for d19: the symmetrized-plus-self-vote edge list and
     * initial self-labels — exposed so the spec can audit a single round's
     * physical plan against the shuffle claim above (the d18Setup twin). */
@@ -298,20 +330,27 @@ object PipelineExt {
     (ed, nodes.withColumn("label", col("node")))
   }
 
-  /** One synchronous LPA round (see scaladoc above for the shuffle claim). */
-  private[graft] def d19Round(ed: DataFrame, labels: DataFrame): DataFrame =
-    ed.join(broadcast(labels), col("node") === col("src"))
+  /** One synchronous LPA round (see scaladoc above for the shuffle claim).
+    * `bcastLabels = false` is the beyond-broadcast mode: ed must then be
+    * the co-partitioned cached form from [[graphServingEdges]]. */
+  private[graft] def d19Round(ed: DataFrame, labels: DataFrame,
+      bcastLabels: Boolean = true): DataFrame = {
+    val l = if (bcastLabels) broadcast(labels) else labels
+    ed.join(l, col("node") === col("src"))
       .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
       .groupBy(col("dst"))
       .agg(max(struct(col("c"), col("label"))).as("m"))
       .select(col("dst").as("node"), col("m.label").as("label"))
+  }
 
   def d19LpaCommunities(s: SparkSession, d: String): DataFrame = {
     val rounds = 3
-    val (ed, labels0) = d19Setup(s, d)
+    val (ed0, labels0) = d19Setup(s, d)
+    val bcast = nodeBroadcastFits(s, labels0.count())
+    val ed = if (bcast) ed0 else graphServingEdges(s, ed0)
     var labels = labels0
     for (_ <- 1 to rounds)
-      labels = CacheScope.localCheckpoint(d19Round(ed, labels))
+      labels = CacheScope.localCheckpoint(d19Round(ed, labels, bcast))
     labels.select(col("node"), col("label").as("community"))
       .orderBy(col("node"))
   }

@@ -76,6 +76,54 @@ class NoveltyGraphSpec extends AnyFunSuite {
         s"per-round shuffle is O(|V|·partitions), never |E|:\n$p")
   }
 
+  test("d18/d19: beyond-broadcast twins are identical; edges never re-exchange") {
+    // budget 0 flips the measured node-broadcast switch; threshold -1
+    // stops the planner broadcasting anything on its own, so the round
+    // plan below is the genuine web-graph shape
+    val big = spark.newSession()
+    big.conf.set("graft.graph.nodeBroadcastBytes", "0")
+    big.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    big.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    val expected18 = PipelineExt.d18Pagerank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    val got18 = PipelineExt.d18Pagerank(big, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got18 == expected18,
+      "co-partitioned PageRank must be bit-identical to the broadcast path")
+    val expected19 = PipelineExt.d19LpaCommunities(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    val got19 = PipelineExt.d19LpaCommunities(big, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    assert(got19 == expected19,
+      "co-partitioned LPA must be bit-identical to the broadcast path")
+
+    // round-plan shape: the persisted co-partitioned edge table means the
+    // sort-merge join exchanges ONLY the node-sized side — no broadcast
+    // join anywhere, and no exchange keyed on src (the edge side's
+    // partitioning comes from the cache, not a per-round shuffle)
+    val (ew0, nodes) = PipelineExt.d18Setup(big, sf)
+    val ewCo = PipelineExt.graphServingEdges(big, ew0)
+    val ranks = nodes.withColumn("pr", org.apache.spark.sql.functions.lit(1000000L))
+    val round = PipelineExt.d18Round(ewCo, nodes, ranks, bcastRanks = false)
+    round.queryExecution.toRdd.count()
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      s"budget=0 must leave zero broadcast joins in the round:\n$p")
+    // InMemoryRelation embeds its one-time cache-BUILD plan (which holds
+    // the setup repartition on src) in the plan string; the ACTIVE round
+    // plan is everything printed before it — any per-round re-exchange of
+    // the edge side would sit above the cache scan, i.e. in this prefix
+    val active = p.split("InMemoryRelation", 2)(0)
+    assert(active.contains("InMemoryTableScan"),
+      s"the edge side must serve from the persisted cache:\n$p")
+    assert(!active.contains("Exchange hashpartitioning(src"),
+      s"the |E| side must serve from its cached partitioning, never " +
+        s"re-exchange on src:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the rank join must be a shuffled join in beyond-broadcast mode:\n$p")
+  }
+
   test("t27: pure-Scala split-leakage twin reproduces every row exactly") {
     val K = 3
     def bucket(id: Long): Long = {
