@@ -128,14 +128,17 @@ object CurationExt {
     * blocked by nation). The blocking key bounds the candidate set — the
     * edit distance only runs inside a block, never all-pairs — which is
     * the standard record-linkage shape at scale: block, compare, link.
-    * The smaller side is broadcast; distances are exact integers so the
-    * oracle matches bit-for-bit. */
+    * Neither side carries a broadcast hint — both entity tables grow
+    * with the corpus, so the planner broadcasts the smaller from its
+    * known scan size while it fits and shuffles both on the blocking
+    * key beyond that. Distances are exact integers so the oracle
+    * matches bit-for-bit. */
   def d9FuzzyLink(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
       regexp_extract(col("c_name"), "([0-9]+)$", 1).as("c_sfx"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
       regexp_extract(col("s_name"), "([0-9]+)$", 1).as("s_sfx"))
-    c.join(broadcast(sup), col("c_nationkey") === col("s_nationkey") &&
+    c.join(sup, col("c_nationkey") === col("s_nationkey") &&
         levenshtein(col("c_sfx"), col("s_sfx")) <= 1)
       .select(col("c_custkey"), col("s_suppkey"),
         levenshtein(col("c_sfx"), col("s_sfx")).cast("long").as("dist"))

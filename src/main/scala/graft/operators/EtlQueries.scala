@@ -949,8 +949,11 @@ object EtlQueries {
     * checks that table carries (the wide-aggregate fusion is the whole
     * point — N checks must not become N scans at 100 TB), every
     * aggregate partial-aggregates map-side, and the referential check
-    * is a broadcast anti-join against the dimension (never a fact-side
-    * shuffle). The verdict table is model-sized: checks × 1 row. */
+    * is an anti-join against the dimension's key column with no hint:
+    * the planner broadcasts it while the key set fits (no fact-side
+    * shuffle) and flips to a shuffled anti-join at warehouse scale,
+    * where broadcasting billions of customer keys is impossible. The
+    * verdict table is model-sized: checks × 1 row. */
   def e21Expectations(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).agg(
       count(lit(1)).as("o_n"),
@@ -959,7 +962,7 @@ object EtlQueries {
       sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
         .as("o_st"))
     val orph = orders(s, d).select(col("o_custkey"))
-      .join(broadcast(customer(s, d).select(col("c_custkey"))),
+      .join(customer(s, d).select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("o_orph"))
     val l = lineitem(s, d).agg(

@@ -68,8 +68,13 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   // ---------------------------------------------------------- q3_join_agg
-  /** TPC-H Q3 shape: customer (dim) is broadcast; orders⋈lineitem shuffles
-    * on orderkey once; top-10 via TakeOrderedAndProject. */
+  /** TPC-H Q3 shape: orders⋈lineitem shuffles on orderkey once; top-10 via
+    * TakeOrderedAndProject. Customer joins WITHOUT a broadcast hint: its
+    * scan size is statically known, so the planner broadcasts it while it
+    * fits (pinned in PlanAuditSpec) — customer grows with the corpus
+    * (unlike nation/region, bounded by construction), so a hard hint
+    * would force an impossible broadcast at warehouse scale where the
+    * honest plan shuffles it. */
   def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(s, d)
@@ -77,7 +82,7 @@ object Relational {
     val l = lineitem(s, d)
       .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(dec2(col("l_extendedprice")) * (one - frac2(col("l_discount")))).as("revenue"))
       .select(col("o_orderkey"), col("revenue"),
@@ -100,8 +105,12 @@ object Relational {
   }
 
   // -------------------------------------------------------- q5_multi_join
-  /** 5-way join: supplier/nation/region dims broadcast (zero fact shuffles
-    * for them); only lineitem⋈orders shuffles on orderkey. */
+  /** 5-way join: only lineitem⋈orders shuffles on orderkey; the dims all
+    * broadcast (zero fact shuffles for them). nation/region keep explicit
+    * hints — bounded by construction (25/5 rows) at any corpus size;
+    * supplier is hint-free because it GROWS with the corpus, so the
+    * planner broadcasts it from its known scan size while it fits and
+    * shuffles it at warehouse scale. */
   def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -109,7 +118,7 @@ object Relational {
       .select(col("o_orderkey"))
     lineitem(s, d)
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

@@ -611,7 +611,9 @@ object RelationalExt {
     * only changes the OUTPUT shape to (left, right) structs, and the
     * follow-up typed map flattens them back, exercising
     * serialize/deserialize boundaries around a join. Filter pushed
-    * to the scan; the small dimension broadcasts explicitly. */
+    * to the scan; customer carries no broadcast hint (it grows with
+    * the corpus — the planner broadcasts it from its known scan size
+    * while it fits). */
   def q71TypedJoinWith(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = orders(s, d)
@@ -620,7 +622,7 @@ object RelationalExt {
       .as[(Long, Long, Double)]
     val c = customer(s, d)
       .select(col("c_custkey"), col("c_name")).as[(Long, String)]
-    o.joinWith(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.joinWith(c, col("o_custkey") === col("c_custkey"))
       .map { case ((ok, ck, tp), (_, name)) => (ok, ck, name, tp) }
       .toDF("o_orderkey", "o_custkey", "c_name", "o_totalprice")
       .orderBy(col("o_orderkey"))
