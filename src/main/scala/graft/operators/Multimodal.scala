@@ -291,7 +291,77 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------ m10_phash_neardup
+  /** Perceptual-hash near-duplicate detection over media payloads — the
+    * image/audio analogue of d5's text SimHash: re-encodes, recompressions
+    * and minor edits of the same asset keep nearby perceptual hashes while
+    * cryptographic digests (m1's sha256, m5's store keys) see unrelated
+    * blobs. Signature = [[graft.functions.MediaHash.ahash64]] (aHash bit
+    * rule in exact integer arithmetic; the pixel decode is the multimodal
+    * contract's deterministic stub, everything after it production-real).
+    *
+    * The gate's payload view carries the near-dup structure the detector
+    * exists for: every payload, PLUS — for each 5th document — a
+    * deterministically perturbed twin (one character re-written, the
+    * "same asset, re-encoded" case; t32's synthesize-the-variant
+    * pattern). The corpus's own token-level near-dups are NOT near in
+    * payload-byte space (measured: minimum cross-payload hamming 13 at
+    * sf0.01), so twins sit within a few bits and everything else ≥ 13 —
+    * threshold 3 separates them with a 10-bit margin, and the answer is
+    * exactly the twin pairs whose perturbation left ≤ 3 mean-compare
+    * flips.
+    *
+    * Near-dup = same-source pairs with hamming(sig_a, sig_b) ≤ 3. The
+    * banded join is LOSSLESS here, not an approximation: 3 differing bits
+    * cannot touch all 4 disjoint 16-bit bands (pigeonhole), so every
+    * qualifying pair agrees exactly on ≥ 1 band value and the banded
+    * candidate set ⊇ the answer — the oracle is the full DuckDB all-pairs
+    * hamming join and the compare is hash-exact, unlike d5's h=4..6
+    * recall regime. Scale: candidates are keyed on (source, band, value)
+    * — never all-pairs — and the probe side is explicitly repartitioned
+    * on the join keys (d3's lesson: a byte-light compute-hot stage fed by
+    * one scan split otherwise runs as a single task, and AQE's byte-based
+    * coalescing would undo an implicit exchange). */
+  def m10PhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val shufParts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    // payload ids: original = doc_id·2, perturbed twin = doc_id·2 + 1
+    val originals = base.select((col("doc_id") * 2).as("pid"), col("source"),
+      col("text").as("ptext"))
+    val twins = base
+      .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 12)
+      .select((col("doc_id") * 2 + 1).as("pid"), col("source"),
+        concat(substring(col("text"), 1, 10), lit("X"),
+          substring(col("text"), 12, 1 << 30)).as("ptext"))
+    val sigs = CacheScope.persist(originals.unionAll(twins)
+      .select(col("pid"), col("source"),
+        encode(col("ptext"), "UTF-8").as("payload"))
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("pid"), col("source"),
+        graft.functions.MediaHashFunctions.ahash64(col("payload")).as("sig")))
+    val banded = sigs.withColumn("band", explode(array(
+        (0 until 4).map(b => struct(lit(b).as("i"),
+          col("sig").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))
+      .select(col("pid"), col("source"), col("sig"), col("band.i"), col("band.v"))
+    val l = banded
+      .select(col("pid").as("a_id"), col("source"), col("sig").as("siga"),
+        col("i"), col("v"))
+      .repartition(shufParts, col("source"), col("i"), col("v"))
+    val r = banded.select(col("pid").as("b_id"), col("source").as("src_b"),
+      col("sig").as("sigb"), col("i").as("i_r"), col("v").as("v_r"))
+    l.join(r,
+        col("source") === col("src_b") && col("i") === col("i_r") &&
+          col("v") === col("v_r") && col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming",
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_phash_neardup" -> m10PhashNeardup,
     "m9_cdc_dedup_store" -> m9CdcDedupStore,
     "m8_cdc_chunking" -> m8CdcChunking,
     "m1_multimodal_meta" -> m1MultimodalMeta,
@@ -337,6 +407,51 @@ object Multimodal {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the aHash signature re-derived relationally (t4's hex byte folds,
+    // cells via GROUP BY position mod 64, the same integer
+    // cross-multiplied bit rule, HUGEINT bit pack wrapped to BIGINT);
+    // the oracle pairs ALL same-source docs — the Spark banding must be
+    // lossless at h ≤ 3 (pigeonhole), so the compare is hash-exact
+    "m10_phash_neardup" ->
+      """WITH pay AS (
+        |  SELECT doc_id * 2 AS pid, source, text AS ptext FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, source,
+        |    substr(text, 1, 10) || 'X' || substr(text, 12)
+        |  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 12),
+        |raw AS (
+        |  SELECT pid, source, hex(encode(ptext)) AS hx,
+        |    octet_length(encode(ptext)) AS n
+        |  FROM pay WHERE octet_length(encode(ptext)) > 0),
+        |pos AS (
+        |  SELECT pid, source, hx, n, unnest(range(1, n+1)) AS i FROM raw),
+        |byt AS (
+        |  SELECT pid, source, n, CAST(((i-1) * 64) // n AS BIGINT) AS cell,
+        |    (16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1]) - 1)
+        |     + (strpos('0123456789ABCDEF', hx[2*i:2*i]) - 1))::HUGEINT AS v
+        |  FROM pos),
+        |cells AS (
+        |  SELECT pid, source, n, cell, SUM(v)::HUGEINT AS sb,
+        |    COUNT(*)::HUGEINT AS cb
+        |  FROM byt GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT pid, SUM(sb)::HUGEINT AS total FROM cells GROUP BY 1),
+        |sigs AS (
+        |  SELECT c.pid, c.source,
+        |    SUM(CASE WHEN c.sb * c.n::HUGEINT > t.total * c.cb
+        |      THEN (2::HUGEINT ^ c.cell)::HUGEINT ELSE 0::HUGEINT END)::HUGEINT
+        |      AS sig_u
+        |  FROM cells c JOIN tot t USING (pid) GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT pid, source,
+        |    CAST(sig_u - CASE WHEN sig_u >= 9223372036854775808::HUGEINT
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+        |      AS sig
+        |  FROM sigs)
+        |SELECT a.pid AS a_id, b.pid AS b_id,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sg a JOIN sg b ON a.source = b.source AND a.pid < b.pid
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     // m8's boundary rule + the cut-before-boundary chunk convention; the
     // store economics must agree chunk-for-chunk (same digests, lengths)
     "m9_cdc_dedup_store" ->

@@ -210,6 +210,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(diffs == 0, "native kernel must reproduce the fold bit-for-bit")
   }
 
+  test("m10: ahash64 twin, proportional-bin robustness, lossless banding") {
+    import graft.functions.MediaHash
+    // pure-Scala twin of the kernel's bit rule on a hand-computed case
+    def twin(b: Array[Byte]): Long = {
+      val n = b.length
+      val cells = b.zipWithIndex.groupBy { case (_, i) => i.toLong * 64 / n }
+        .view.mapValues(g => (g.map(x => (x._1 & 0xff).toLong).sum, g.length.toLong))
+      val total = b.map(x => (x & 0xff).toLong).sum
+      (0 until 64).map { c =>
+        val (sb, cb) = cells.getOrElse(c.toLong, (0L, 0L))
+        if (sb * n > total * cb) 1L << c else 0L
+      }.sum
+    }
+    val payload = "the quick brown fox jumps over the lazy dog repeatedly and often"
+      .getBytes("UTF-8")
+    assert(MediaHash.ahash64(payload) == twin(payload))
+    assert(MediaHash.ahash64(Array.emptyByteArray) == 0L)
+    // proportional binning: a one-byte substitution moves the signature a
+    // few bits, never scrambles it (the property the threshold relies on)
+    val edited = payload.clone(); edited(10) = 'X'.toByte
+    val h = java.lang.Long.bitCount(
+      MediaHash.ahash64(payload) ^ MediaHash.ahash64(edited))
+    assert(h <= 3, s"one-byte edit must stay within the near-dup radius, got $h")
+    // lossless banding (pigeonhole): every oracle-qualifying pair at
+    // hamming <= 3 differs in at most 3 of the 4 disjoint 16-bit bands,
+    // so at least one band matches exactly — the engine gate must find
+    // every twin pair the exhaustive twin finds
+    val got = Multimodal.m10PhashNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pids = docs.map { case (id, src, t) =>
+      (id * 2, src, MediaHash.ahash64(t.getBytes("UTF-8")))
+    } ++ docs.collect { case (id, src, t) if id % 5 == 0 && t.length >= 12 =>
+      (id * 2 + 1, src,
+        MediaHash.ahash64((t.take(10) + "X" + t.drop(11)).getBytes("UTF-8")))
+    }
+    val expected = (for {
+      (a, sa, ha) <- pids; (b, sb2, hb) <- pids
+      if sa == sb2 && a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "the twin structure must produce near-dup pairs")
+    assert(got == expected, "banded gate must equal the exhaustive twin exactly")
+  }
+
   test("multimodal stub decode via mapPartitions agrees with the column-expr path") {
     val viaPartitions = Multimodal.decodeAll(spark, sf)
       .collect().map(m => (m.doc_id, (m.n_bytes, m.width, m.height, m.n_frames))).toMap

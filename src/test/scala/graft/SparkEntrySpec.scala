@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 184 queries / 176 oracles") {
-    assert(SparkEntry.queries.size == 184,
+  test("registry counts match the documented 185 queries / 177 oracles") {
+    assert(SparkEntry.queries.size == 185,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 176,
+    assert(SparkEntry.oracleSql.size == 177,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
