@@ -208,6 +208,22 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Compute-dense kernels (CdcBoundaries: one md5 per character window)
+    * are CPU-bound, not byte-bound, so scan-split parallelism is the
+    * ceiling: a corpus stored in few files gives the scan fewer splits
+    * than cores and the kernel runs near-serial no matter the cluster
+    * (measured: the ×30 probe replica — one parquet file — pushed m8 to
+    * scaling exponent 1.03 while every byte-bound op stayed ≤ 0.9).
+    * Round-robin repartition ONLY when the scan yields fewer partitions
+    * than the configured shuffle width — a plan-time check, no job; at
+    * warehouse scale file count exceeds cores and this is the identity,
+    * so the corpus bytes are never shuffled where parallelism is
+    * already free. */
+  private def wideScan(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ------------------------------------------------ m8_cdc_chunking
   /** CONTENT-DEFINED chunking — the Rabin/FastCDC family m4's
     * fixed-size chunking deliberately isn't: boundaries are declared
@@ -225,10 +241,11 @@ object Multimodal {
     *
     * Scale posture: entirely scan-shaped — per-document transform/
     * filter/aggregate over the in-row text, no exchange except the
-    * presentation sort; documents chunk independently, which is the
-    * whole point of CDC at 100 TB. */
+    * presentation sort (and [[wideScan]]'s few-files escape hatch);
+    * documents chunk independently, which is the whole point of CDC at
+    * 100 TB. */
   def m8CdcChunking(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    wideScan(s, documents(s, d).select(col("doc_id"), col("text")))
       .withColumn("bpos", {
         import org.apache.spark.sql.GraftBridge
         // native kernel ≡ the SQL spelling
@@ -263,7 +280,8 @@ object Multimodal {
     * payload, no shuffle); the only exchange carries (source, digest)
     * aggregates — map-side combined, linear in distinct chunks. */
   def m9CdcDedupStore(s: SparkSession, d: String): DataFrame = {
-    val withBounds = documents(s, d)
+    val withBounds = wideScan(s,
+        documents(s, d).select(col("source"), col("text")))
       .withColumn("bpos", {
         import org.apache.spark.sql.GraftBridge
         GraftBridge.column(graft.functions.CdcBoundaries(

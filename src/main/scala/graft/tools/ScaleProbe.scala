@@ -45,7 +45,7 @@ object ScaleProbe {
     "d19_lpa_communities", "d20_dedup_full", "d21_triangle_count",
     "d22_containment", "d23_containment_decontam",
     "t9_repetition", "t18_bm25",
-    "m8_cdc_chunking", "s1_ann_brute",
+    "m8_cdc_chunking", "m10_phash_neardup", "s1_ann_brute",
     // skew handling: per-replica key offsets replicate the hot key once
     // per replica, so the SKEW PROFILE (hot-key share) is scale-invariant
     // — exactly the property salting must stay robust to
