@@ -68,8 +68,10 @@ object Dedup {
     // tokens are interned to 64-bit hashes and SORTED on the scan (once per
     // doc), so the per-pair similarity is a single O(n+m) merge walk
     // ([[graft.functions.JaccardSorted]]) — no per-pair hash-set builds,
-    // same Jaccard counts (collisions are 2^-64-improbable)
-    val docs = documents(s, d)
+    // same Jaccard counts (collisions are 2^-64-improbable). The interning
+    // is compute-dense, so the scan is width-guarded ([[Scans.wide]])
+    val docs = Scans.wide(s, documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
       .withColumn("nw", size(col("w")))
@@ -137,8 +139,10 @@ object Dedup {
         GraftBridge.expression(trim(col("text"))), 2))
       // the candidate and exact-twin branches both read this; cache so the
       // one-pass shingle+minhash kernel runs once per document (released
-      // per-query by the runner via CacheScope)
-      CacheScope.persist(documents(s, d)
+      // per-query by the runner via CacheScope). Width-guarded: the
+      // kernel is compute-dense and the cache build inherits the scan's
+      // split count — measured one task on the ×10 probe corpus
+      CacheScope.persist(Scans.wide(s, documents(s, d))
         .withColumn("shs", shs)
         .select(col("doc_id"), col("source"), col("shs"),
           GraftBridge.column(graft.functions.MinHashBuckets(
@@ -216,7 +220,7 @@ object Dedup {
     * so the measured recall population is definitionally the gate
     * population (they cannot drift apart). */
   private[graft] def d5Signatures(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    Scans.wide(s, documents(s, d).select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh"))
 
   /** d5's unbanded truth: same-source pairs with hamming ≤ `maxH` over the
@@ -594,9 +598,10 @@ object Dedup {
     d22Verify(docs, cand)
   }
 
-  /** Tokenized corpus shared by the serving path and the identity twin. */
+  /** Tokenized corpus shared by the serving path and the identity twin
+    * (width-guarded: the interning is compute-dense, [[Scans.wide]]). */
   private def d22Docs(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    Scans.wide(s, documents(s, d).select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
@@ -650,7 +655,8 @@ object Dedup {
     // noise, not contamination); 3-gram sets are order-sensitive and
     // sparse, so high containment means shared PASSAGES (d8's gram
     // discipline, containment instead of absolute overlap counts)
-    val docs = CacheScope.persist(documents(s, d)
+    val docs = CacheScope.persist(Scans.wide(s,
+        documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), array_sort(array_distinct(expr(

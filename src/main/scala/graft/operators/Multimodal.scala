@@ -208,21 +208,9 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Compute-dense kernels (CdcBoundaries: one md5 per character window)
-    * are CPU-bound, not byte-bound, so scan-split parallelism is the
-    * ceiling: a corpus stored in few files gives the scan fewer splits
-    * than cores and the kernel runs near-serial no matter the cluster
-    * (measured: the ×30 probe replica — one parquet file — pushed m8 to
-    * scaling exponent 1.03 while every byte-bound op stayed ≤ 0.9).
-    * Round-robin repartition ONLY when the scan yields fewer partitions
-    * than the configured shuffle width — a plan-time check, no job; at
-    * warehouse scale file count exceeds cores and this is the identity,
-    * so the corpus bytes are never shuffled where parallelism is
-    * already free. */
-  private def wideScan(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** Scan-width guard for the compute-dense CDC kernel (see [[Scans]]). */
+  private def wideScan(s: SparkSession, df: DataFrame): DataFrame =
+    Scans.wide(s, df)
 
   // ------------------------------------------------ m8_cdc_chunking
   /** CONTENT-DEFINED chunking — the Rabin/FastCDC family m4's

@@ -1,0 +1,24 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scan-width guard for compute-dense per-row kernels (minhash/shingle
+  * signatures, CDC boundary hashing, tokenize+sort interning): these are
+  * CPU-bound, not byte-bound, so the scan's split count — not the data
+  * volume — is their parallelism ceiling. A corpus stored in few files
+  * gives the scan fewer splits than cores and the kernel runs
+  * near-serial on any cluster: the ×30 scale probe measured m8's CDC
+  * kernel at scaling exponent 1.03 and d4's signature build dominating
+  * a one-task stage before this guard existed.
+  *
+  * [[wide]] round-robin-repartitions ONLY when the scan yields fewer
+  * partitions than the configured shuffle width — a plan-time check, no
+  * job. At warehouse file counts the scan is already wider and this is
+  * the identity, so corpus bytes are never shuffled where parallelism
+  * is already free. */
+object Scans {
+  def wide(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
