@@ -154,16 +154,20 @@ object CurationExt {
     * Shape: explode → two-level groupBy keyed on (doc_id, term). Both
     * aggregations combine map-side, and doc_id is in every key, so the
     * shuffle is as wide as the corpus but never hot-keyed. Ratios divide
-    * two exact longs, so both engines produce the identical double. */
+    * two exact longs, so both engines produce the identical double.
+    * The tokenize + explode + partial-agg stage is compute-dense and
+    * runs inside the scan task, so the scan is width-guarded
+    * ([[Scans.wide]]). */
   def t9Repetition(s: SparkSession, d: String): DataFrame = {
-    val words = documents(s, d)
+    val base = Scans.wide(s, documents(s, d).select(col("doc_id"), col("text")))
+    val words = base
       .select(col("doc_id"), explode(toks).as("word"))
     val wordTop = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_words"),
         count(lit(1)).as("n_distinct"))
-    val bigrams = documents(s, d)
+    val bigrams = base
       .select(col("doc_id"), toks.as("wl"))
       .filter(size(col("wl")) >= 2)
       .select(col("doc_id"),
