@@ -124,22 +124,43 @@ object CurationExt {
 
   // --------------------------------------------------- d9_fuzzy_link
   /** Fuzzy record linkage: blocked edit-distance join between two entity
-    * tables (customer ↔ supplier on the numeric suffix of their names,
-    * blocked by nation). The blocking key bounds the candidate set — the
-    * edit distance only runs inside a block, never all-pairs — which is
-    * the standard record-linkage shape at scale: block, compare, link.
-    * Neither side carries a broadcast hint — both entity tables grow
-    * with the corpus, so the planner broadcasts the smaller from its
-    * known scan size while it fits and shuffles both on the blocking
-    * key beyond that. Distances are exact integers so the oracle
-    * matches bit-for-bit. */
+    * tables (customer ↔ supplier on the numeric suffix of their names).
+    * The coarse block is nation, but nation alone has ~25 distinct
+    * values — at warehouse row counts a shuffle join on it caps the
+    * levenshtein stage at 25 non-empty tasks and each block's compare is
+    * quadratic. The serving block is therefore the DELETION NEIGHBORHOOD
+    * (FastSS): key each record by (nation, k) for every k in
+    * K(x) = {x} ∪ {x with one char deleted} — LOSSLESS for edit
+    * distance ≤ 1 (equal strings share x itself; a substitution at i
+    * shares the both-sides-delete-i string; an insertion shares the
+    * shorter string), so the keyed equi-join is a candidate superset and
+    * the exact levenshtein verify reproduces the nation-block answer
+    * bit-for-bit (the oracle stays the plain nation-block join). ~|sfx|+1
+    * keys per record, high-cardinality join key, candidate volume near
+    * linear — block, compare, link at any scale. Neither side carries a
+    * broadcast hint (both tables grow with the corpus; the planner
+    * broadcasts the smaller while it fits). Distances are exact integers
+    * so the oracle matches bit-for-bit. */
   def d9FuzzyLink(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
       regexp_extract(col("c_name"), "([0-9]+)$", 1).as("c_sfx"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
       regexp_extract(col("s_name"), "([0-9]+)$", 1).as("s_sfx"))
-    c.join(sup, col("c_nationkey") === col("s_nationkey") &&
-        levenshtein(col("c_sfx"), col("s_sfx")) <= 1)
+    def delKeys(colName: String) = expr(
+      s"""array_union(array($colName), CASE WHEN length($colName) >= 1
+         |  THEN transform(sequence(1, length($colName)),
+         |    i -> concat(substring($colName, 1, i - 1),
+         |                substring($colName, i + 1, 100000)))
+         |  ELSE array($colName) END)""".stripMargin)
+    val ck = c.select(col("c_custkey"), col("c_nationkey"), col("c_sfx"),
+      explode(delKeys("c_sfx")).as("k"))
+    val sk = sup.select(col("s_suppkey"), col("s_nationkey"), col("s_sfx"),
+      explode(delKeys("s_sfx")).as("ks"))
+    ck.join(sk, col("c_nationkey") === col("s_nationkey") &&
+        col("k") === col("ks"))
+      .select(col("c_custkey"), col("s_suppkey"), col("c_sfx"), col("s_sfx"))
+      .dropDuplicates("c_custkey", "s_suppkey")
+      .filter(levenshtein(col("c_sfx"), col("s_sfx")) <= 1)
       .select(col("c_custkey"), col("s_suppkey"),
         levenshtein(col("c_sfx"), col("s_sfx")).cast("long").as("dist"))
       .orderBy(col("c_custkey"), col("s_suppkey"))
@@ -159,7 +180,8 @@ object CurationExt {
     * runs inside the scan task, so the scan is width-guarded
     * ([[Scans.wide]]). */
   def t9Repetition(s: SparkSession, d: String): DataFrame = {
-    val base = Scans.wide(s, documents(s, d).select(col("doc_id"), col("text")))
+    val base = Scans.wide(s,
+      documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
     val words = base
       .select(col("doc_id"), explode(toks).as("word"))
     val wordTop = words.groupBy(col("doc_id"), col("word"))

@@ -71,7 +71,7 @@ object Dedup {
     // same Jaccard counts (collisions are 2^-64-improbable). The interning
     // is compute-dense, so the scan is width-guarded ([[Scans.wide]])
     val docs = Scans.wide(s, documents(s, d)
-        .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
       .select(col("doc_id"), col("source"),
         array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
       .withColumn("nw", size(col("w")))
@@ -142,7 +142,7 @@ object Dedup {
       // per-query by the runner via CacheScope). Width-guarded: the
       // kernel is compute-dense and the cache build inherits the scan's
       // split count — measured one task on the ×10 probe corpus
-      CacheScope.persist(Scans.wide(s, documents(s, d))
+      CacheScope.persist(Scans.wide(s, documents(s, d), col("doc_id"))
         .withColumn("shs", shs)
         .select(col("doc_id"), col("source"), col("shs"),
           GraftBridge.column(graft.functions.MinHashBuckets(
@@ -220,7 +220,8 @@ object Dedup {
     * so the measured recall population is definitionally the gate
     * population (they cannot drift apart). */
   private[graft] def d5Signatures(s: SparkSession, d: String): DataFrame =
-    Scans.wide(s, documents(s, d).select(col("doc_id"), col("source"), col("text")))
+    Scans.wide(s, documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh"))
 
   /** d5's unbanded truth: same-source pairs with hamming ≤ `maxH` over the
@@ -601,7 +602,8 @@ object Dedup {
   /** Tokenized corpus shared by the serving path and the identity twin
     * (width-guarded: the interning is compute-dense, [[Scans.wide]]). */
   private def d22Docs(s: SparkSession, d: String): DataFrame =
-    Scans.wide(s, documents(s, d).select(col("doc_id"), col("source"), col("text")))
+    Scans.wide(s, documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), col("source"),
         array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
@@ -656,7 +658,7 @@ object Dedup {
     // sparse, so high containment means shared PASSAGES (d8's gram
     // discipline, containment instead of absolute overlap counts)
     val docs = CacheScope.persist(Scans.wide(s,
-        documents(s, d).select(col("doc_id"), col("text")))
+        documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), array_sort(array_distinct(expr(

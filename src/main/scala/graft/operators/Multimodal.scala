@@ -208,9 +208,6 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Scan-width guard for the compute-dense CDC kernel (see [[Scans]]). */
-  private def wideScan(s: SparkSession, df: DataFrame): DataFrame =
-    Scans.wide(s, df)
 
   // ------------------------------------------------ m8_cdc_chunking
   /** CONTENT-DEFINED chunking — the Rabin/FastCDC family m4's
@@ -229,11 +226,12 @@ object Multimodal {
     *
     * Scale posture: entirely scan-shaped — per-document transform/
     * filter/aggregate over the in-row text, no exchange except the
-    * presentation sort (and [[wideScan]]'s few-files escape hatch);
+    * presentation sort (and [[Scans.wide]]'s few-files escape hatch);
     * documents chunk independently, which is the whole point of CDC at
     * 100 TB. */
   def m8CdcChunking(s: SparkSession, d: String): DataFrame =
-    wideScan(s, documents(s, d).select(col("doc_id"), col("text")))
+    Scans.wide(s, documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .withColumn("bpos", {
         import org.apache.spark.sql.GraftBridge
         // native kernel ≡ the SQL spelling
@@ -268,8 +266,9 @@ object Multimodal {
     * payload, no shuffle); the only exchange carries (source, digest)
     * aggregates — map-side combined, linear in distinct chunks. */
   def m9CdcDedupStore(s: SparkSession, d: String): DataFrame = {
-    val withBounds = wideScan(s,
-        documents(s, d).select(col("source"), col("text")))
+    val withBounds = Scans.wide(s,
+        documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
       .withColumn("bpos", {
         import org.apache.spark.sql.GraftBridge
         GraftBridge.column(graft.functions.CdcBoundaries(
@@ -339,12 +338,16 @@ object Multimodal {
       .select((col("doc_id") * 2 + 1).as("pid"), col("source"),
         concat(substring(col("text"), 1, 10), lit("X"),
           substring(col("text"), 12, 1 << 30)).as("ptext"))
-    val sigs = CacheScope.persist(originals.unionAll(twins)
-      .select(col("pid"), col("source"),
-        encode(col("ptext"), "UTF-8").as("payload"))
-      .filter(octet_length(col("payload")) > 0)
-      .select(col("pid"), col("source"),
-        graft.functions.MediaHashFunctions.ahash64(col("payload")).as("sig")))
+    // the signature kernel is compute-dense, so the cache build is
+    // width-guarded like d4's ([[Scans.wide]]) — without it the persist
+    // materializes at raw scan-split width
+    val sigs = CacheScope.persist(
+      Scans.wide(s, originals.unionAll(twins), col("pid"))
+        .select(col("pid"), col("source"),
+          encode(col("ptext"), "UTF-8").as("payload"))
+        .filter(octet_length(col("payload")) > 0)
+        .select(col("pid"), col("source"),
+          graft.functions.MediaHashFunctions.ahash64(col("payload")).as("sig")))
     val banded = sigs.withColumn("band", explode(array(
         (0 until 4).map(b => struct(lit(b).as("i"),
           col("sig").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Scan-width guard for compute-dense per-row kernels (minhash/shingle
   * signatures, CDC boundary hashing, tokenize+sort interning): these are
@@ -17,8 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the identity, so corpus bytes are never shuffled where parallelism
   * is already free. */
 object Scans {
-  def wide(s: SparkSession, df: DataFrame): DataFrame = {
+  /** `key` should be a high-cardinality column (doc_id): the keyed
+    * repartition spreads rows without round-robin's local full-row
+    * binary sort (`sortBeforeRepartition` retry determinism), which
+    * would otherwise sort every text payload in the shuffle write. */
+  def wide(s: SparkSession, df: DataFrame, key: Column): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }
 }

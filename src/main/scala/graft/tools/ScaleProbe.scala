@@ -74,8 +74,11 @@ object ScaleProbe {
     // confs (e.g. spark.sql.adaptive.coalescePartitions.enabled=false to
     // attribute an anomaly to AQE coalescing)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ if kv.trim.isEmpty => ()
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry needs k=v, got: '$kv'")
+      }
     })
     // same machine-level IO posture as Bench (see Bench.scala): shuffle
     // scratch on tmpfs, java.io.tmpdir untouched (snappy-java needs exec)
@@ -96,7 +99,12 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE_ONLY=d3_ngram_jaccard,d22_containment
     val selected = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .map(only => probeNames.filter(only.contains))
+      .map { only =>
+        val unknown = only -- probeNames.toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_PROBE_ONLY names not in the probe set: $unknown")
+        probeNames.filter(only.contains)
+      }
       .getOrElse(probeNames)
 
     // SPARK_GRAFT_EXPLAIN=1: after timing, print the EXECUTED (post-AQE)
@@ -111,6 +119,9 @@ object ScaleProbe {
         df.queryExecution.toRdd.count()
         println(s"=== executed plan on $dir ===")
         println(df.queryExecution.executedPlan.toString.take(8000))
+        // the explain run builds its own CacheScope entries — release
+        // them here or they stay resident through the NEXT probe's runs
+        graft.operators.CacheScope.releaseAll(blocking = true)
       }
       try run() catch { case e: Throwable =>
         System.err.println(s"[scaleprobe] warm FAILED on $dir: $e"); return -1.0 }

@@ -136,7 +136,10 @@ class TriangleHitterSpec extends AnyFunSuite {
     val df = PipelineExt.d21TriangleCount(spark, sf)
     val expected = df.collect().map(r => (r.getLong(0), r.getLong(1))).toList
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
+    // both orientation joins + both adjacency joins must broadcast at
+    // this scale (the final credits⋈rank join may too) — a single stray
+    // BroadcastHashJoin elsewhere must not mask a flipped join
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
       s"rank/adjacency tables must broadcast while they fit:\n$p")
     // beyond-broadcast posture: with the broadcast threshold off (the
     // situation of an adjacency that outgrows executor memory), the SAME
