@@ -43,7 +43,7 @@ object ScaleProbe {
     "d1_dedup_exact", "d3_ngram_jaccard", "d4_minhash_lsh",
     "d7_dup_clusters", "d12_dup_clusters_star", "d18_pagerank",
     "d19_lpa_communities", "d20_dedup_full", "d21_triangle_count",
-    "d22_containment", "d23_containment_decontam",
+    "d9_fuzzy_link", "d22_containment", "d23_containment_decontam",
     "t9_repetition", "t18_bm25",
     "m8_cdc_chunking", "m10_phash_neardup", "s1_ann_brute",
     // skew handling: per-replica key offsets replicate the hot key once
