@@ -659,7 +659,7 @@ object Dedup {
     // discipline, containment instead of absolute overlap counts)
     val docs = CacheScope.persist(Scans.wide(s,
         documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), array_sort(array_distinct(expr(
         "transform(sequence(1, size(tk) - 2), " +
@@ -684,9 +684,14 @@ object Dedup {
       GraftBridge.column(graft.functions.IntersectCountSorted(
         GraftBridge.expression(col("we")), GraftBridge.expression(col("wc"))))
     }
-    cand
-      .join(broadcast(evalDocs), "eval_id")
-      .join(corpus, "c_id")
+    // verify join ORDER matters for the "corpus never shuffles" claim:
+    // the candidate pair table (bounded by eval size × per-eval hit
+    // count — decontamination hits, the d8 class) joins WITH its eval
+    // arrays attached and BROADCASTS into the corpus, so the corpus-side
+    // shingle arrays never cross an exchange; joining the other way
+    // would sort-merge the full corpus on c_id
+    corpus
+      .join(broadcast(cand.join(broadcast(evalDocs), "eval_id")), "c_id")
       .select(col("c_id"), col("eval_id"), col("ne"), col("nc"),
         inter.as("inter"))
       .filter(col("ne") > 0 && col("inter") * 10 >= col("ne") * 8)

@@ -131,6 +131,12 @@ object PhysicalFormat {
     * Files without TIME annotations read directly — zero-copy fast path. */
   def readSparkCompatible(spark: org.apache.spark.sql.SparkSession,
       file: Path): org.apache.spark.sql.DataFrame = {
+    // TIME-annotated fidelity output is always a single regular file (the
+    // `query` sink writes files, and `_NN` splits are sibling files); a
+    // directory-shaped or glob dataset is Spark-written parquet and reads
+    // directly — ParquetFileReader.open on a directory would throw where
+    // spark.read.parquet accepts it
+    if (!Files.isRegularFile(file)) return spark.read.parquet(file.toString)
     val conf = new Configuration()
     val hPath = new org.apache.hadoop.fs.Path(file.toString)
     val fr = org.apache.parquet.hadoop.ParquetFileReader
@@ -152,10 +158,12 @@ object PhysicalFormat {
             f.getRepetition).named(f.getName)
         else f
       }.asJava)
-    // ephemeral strip target: lives for the CLI process (the reference is
-    // a one-shot process too); java.io.tmpdir reclaims it
+    // ephemeral strip target: must outlive this call (Spark reads lazily)
+    // but not the process — deleteOnExit bounds the leak for the CLI's
+    // one-shot lifetime (the reference is a one-shot process too)
     val tmp = Files.createTempFile("graft-timeread", ".parquet")
     Files.deleteIfExists(tmp)
+    tmp.toFile.deleteOnExit()
     copyFile(hPath, tmp, stripped, conf, CompressionCodecName.ZSTD,
       ParquetWriter.DEFAULT_WRITER_VERSION, ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
     val raw = spark.read.parquet(tmp.toString)

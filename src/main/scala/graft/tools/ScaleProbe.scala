@@ -124,7 +124,11 @@ object ScaleProbe {
         graft.operators.CacheScope.releaseAll(blocking = true)
       }
       try run() catch { case e: Throwable =>
-        System.err.println(s"[scaleprobe] warm FAILED on $dir: $e"); return -1.0 }
+        System.err.println(s"[scaleprobe] warm FAILED on $dir: $e")
+        // release the failed run's persisted frames — they would
+        // otherwise stay resident and skew the next probe's timings
+        graft.operators.CacheScope.releaseAll(blocking = true)
+        return -1.0 }
       graft.operators.CacheScope.releaseAll(blocking = true)
       val times = (1 to 2).map { _ =>
         System.gc()
@@ -141,7 +145,9 @@ object ScaleProbe {
     val rows = selected.map { name =>
       val fn = queries(name)
       val t1 = timeOne(fn, base)
-      val tR = timeOne(fn, scaleDir)
+      // a failed base run makes the exponent uncomputable — don't spend
+      // minutes timing the replica for a row that prints -1 anyway
+      val tR = if (t1 > 0) timeOne(fn, scaleDir) else -1.0
       val ratio = if (t1 > 0 && tR > 0) tR / t1 else -1.0
       val exp = if (ratio > 0) math.log(ratio) / math.log(factor) else -1.0
       println(f"[scaleprobe] $name%-26s t1=$t1%7.2fs t$factor=$tR%7.2fs ratio=$ratio%6.2f exp=$exp%5.2f")
@@ -159,7 +165,10 @@ object ScaleProbe {
     * final `_OK` marker file gates the skip — a partial build reruns). */
   private def ensureReplica(spark: SparkSession, base: String, out: String,
                             r: Int): Unit = {
-    val okMarker = java.nio.file.Paths.get(out, s"_OK_${new java.io.File(base).getName}_x$r")
+    // marker v2: v1 replicas above factor 26 carried aliased (rot i%26)
+    // text — the bumped name forces a one-time rebuild under the affine
+    // permutation scheme everywhere
+    val okMarker = java.nio.file.Paths.get(out, s"_OK2_${new java.io.File(base).getName}_x$r")
     if (java.nio.file.Files.exists(okMarker)) return
     println(s"[scaleprobe] building ${r}x replica of $base at $out")
 
@@ -207,12 +216,28 @@ object ScaleProbe {
     val docs = read("documents")
     val docS = stride(docs, "doc_id")
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    def rot(i: Int) = lower.drop(i % 26) + lower.take(i % 26)
+    // per-replica letter permutation. A plain rot(i % 26) ALIASES past
+    // factor 26 (replica 26 byte-identical to replica 0), silently
+    // merging d1 groups and creating cross-replica near-dup pairs — the
+    // probe would then report a super-linear corpus artifact as an
+    // engine edge. Affine maps j → a·j + b (mod 26) with a coprime to 26
+    // give 312 distinct permutations (12 multipliers × 26 offsets);
+    // a = 1 for the first 26 replicas keeps those byte-identical to the
+    // historical rot scheme.
+    val multipliers = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(r <= multipliers.length * 26,
+      s"replica factor $r exceeds the ${multipliers.length * 26} distinct " +
+        "letter permutations — text would alias across replicas")
+    def perm(i: Int): String = {
+      val a = multipliers((i / 26) % multipliers.length)
+      val b = i % 26
+      (0 until 26).map(j => lower((a * j + b) % 26)).mkString
+    }
     val rotText = (1 until r).foldLeft(
       when(col("__rep") === 0, col("text"))) { (acc, i) =>
       acc.when(col("__rep") === i,
         translate(col("text"), lower + lower.toUpperCase,
-          rot(i) + rot(i).toUpperCase))
+          perm(i) + perm(i).toUpperCase))
     }
     val repDocs = replicate(docs, "doc_id" -> docS)
       .withColumn("text", rotText)
