@@ -22,6 +22,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("Scans.wide widens narrow scans and is the identity on wide ones") {
+    import graft.operators.Scans
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // a 1-partition frame must widen to exactly the shuffle width
+    val narrow = spark.range(0, 1000, 1, numPartitions = 1).toDF("doc_id")
+    val widened = Scans.wide(spark, narrow, col("doc_id"))
+    assert(widened.rdd.getNumPartitions == target,
+      s"narrow scan must widen to $target partitions")
+    // rows survive the keyed repartition unchanged
+    assert(widened.count() == 1000)
+    // an already-wide frame passes through with NO added exchange: the
+    // guard must never shuffle corpus bytes where parallelism is free
+    val wide0 = spark.range(0, 1000, 1, numPartitions = target + 4).toDF("doc_id")
+    val passed = Scans.wide(spark, wide0, col("doc_id"))
+    assert(passed.rdd.getNumPartitions == target + 4,
+      "already-wide input must pass through untouched")
+    assert(!passed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "identity path must add no exchange")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     // managed tables land in ./spark-warehouse (static conf); dropped below.
     // the in-memory catalog forgets tables across JVMs but files persist —
