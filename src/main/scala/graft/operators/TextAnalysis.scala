@@ -255,13 +255,27 @@ object TextAnalysis {
     * a single-row corpus aggregate broadcast back — no per-term scans, no
     * join on the token table, and the top-k is a TakeOrdered, never a
     * global sort. */
-  def t18Bm25(s: SparkSession, d: String): DataFrame = {
-    val terms = Seq("join", "spark", "dup")
-    val toks = documents(s, d)
+  def t18Bm25(s: SparkSession, d: String): DataFrame =
+    t18Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+
+  /** The query's fixed term set — shared with s10's hybrid fusion. */
+  private[operators] val Bm25Terms = Seq("join", "spark", "dup")
+
+  /** BM25-ish token stream (t18's tokenization, shared with s10). */
+  private def bm25Toks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"),
         explode(split(col("text"), "[^A-Za-z0-9]+")).as("raw"))
       .filter(col("raw") =!= "")
       .select(col("doc_id"), lower(col("raw")).as("tok"))
+
+  /** t18's full integer-BM25 score frame (doc_id, score > 0), unranked —
+    * the lexical leg s10's fusion reads. */
+  private[operators] def t18Scores(s: SparkSession, d: String): DataFrame = {
+    val terms = Bm25Terms
+    val toks = bm25Toks(s, d)
     val docAggs = count(lit(1)).as("len") +:
       terms.map(t => sum((col("tok") === t).cast("long")).as(s"tf_$t"))
     val perDoc = toks.groupBy(col("doc_id")).agg(docAggs.head, docAggs.tail: _*)
@@ -277,7 +291,60 @@ object TextAnalysis {
     perDoc.crossJoin(broadcast(corpus))
       .select(col("doc_id"), termScore.as("score"))
       .filter(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  // ------------------------------------------------- s10_hybrid_rrf
+  /** HYBRID retrieval — Reciprocal Rank Fusion of a lexical and a dense
+    * ranking, the standard two-leg serving pattern of RAG pipelines
+    * (fuse BM25 with embedding search; neither leg alone survives both
+    * exact-term and paraphrase queries). Legs:
+    *
+    *  - lexical: t18's integer BM25 over the shared query terms;
+    *  - dense: a counting-hash encoder standing in for the embedding
+    *    model (the multimodal stub philosophy — the ENCODER is fake,
+    *    the retrieval machinery real): every token hashes into one of 8
+    *    buckets via the portable md5 idiom (t11), the query's terms
+    *    hash the same way, and the doc score is the exact integer dot
+    *    product of the two bucket-count vectors — realized as
+    *    token⋈broadcast(query-bucket-weights) + per-doc sum, never a
+    *    materialized vector.
+    *
+    * Fusion: take each leg's global top-K (K=100; fusing bounded lists
+    * is the production shape — rank-of-everything is neither needed nor
+    * scalable), rank 1..K deterministically (score desc, doc_id), and
+    * score each doc Σ_legs 10⁶ div (60 + rank) — RRF with the standard
+    * k=60, in exact ppm integers (no floats). Missing from a leg
+    * contributes 0. Top-10 by (fused, doc_id).
+    *
+    * Scale posture: each leg ends in a TakeOrdered top-K; the only
+    * single-partition window ranks a K-row frame (model-sized by
+    * construction); the fusion is a full-outer join of two ≤K-row
+    * frames. Everything upstream is the legs' own audited shapes. */
+  def s10HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 100
+    def topRanked(scored: DataFrame, score: String, leg: String): DataFrame = {
+      val w = Window.orderBy(col(score).desc, col("doc_id"))
+      scored.orderBy(col(score).desc, col("doc_id")).limit(K)
+        .withColumn("r", row_number().over(w))
+        .select(col("doc_id"), expr("1000000 div (60 + r)").as(s"c_$leg"))
+    }
+    val lexTop = topRanked(t18Scores(s, d), "score", "lex")
+    val bucket = (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 8).as("bucket")
+    val qw = {
+      import s.implicits._
+      Bm25Terms.toDF("tok")
+    }.select(bucket).groupBy(col("bucket")).agg(count(lit(1)).as("w"))
+    val dense = bm25Toks(s, d).select(col("doc_id"), bucket)
+      .join(broadcast(qw), "bucket")
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("dscore"))
+    val denseTop = topRanked(dense, "dscore", "dense")
+    lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("c_lex"), lit(0L)) +
+          coalesce(col("c_dense"), lit(0L))).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
       .limit(10)
   }
 
@@ -674,6 +741,7 @@ object TextAnalysis {
     "t20_bigram_lm" -> t20BigramLm,
     "t19_profile" -> t19Profile,
     "t18_bm25" -> t18Bm25,
+    "s10_hybrid_rrf" -> s10HybridRrf,
     "t12_quality_percentile" -> t12QualityPercentile,
     "t14_ngram_blocklist" -> t14NgramBlocklist,
     "t1_tokens" -> t1Tokens,
@@ -979,6 +1047,58 @@ object TextAnalysis {
         |  UNION ALL SELECT 'text', n_rows, n_rows - c5, d5, CAST(l5 AS BIGINT) FROM s)
         |ORDER BY col_name""".stripMargin,
     "t18_bm25" -> t18OracleSql,
+    // s10: t18's BM25 CTEs verbatim for the lexical leg, the t11 md5
+    // bucket idiom for the dense leg, RRF 10⁶//(60+rank) in exact
+    // integers, full-outer fuse of the two top-100 lists
+    "s10_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(t.tok) AS tok
+        |  FROM documents, UNNEST(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS len,
+        |    COUNT(*) FILTER (tok = 'join') AS tf_join,
+        |    COUNT(*) FILTER (tok = 'spark') AS tf_spark,
+        |    COUNT(*) FILTER (tok = 'dup') AS tf_dup
+        |  FROM toks GROUP BY doc_id),
+        |corpus AS (
+        |  SELECT COUNT(*) AS nd, CAST(SUM(len) AS BIGINT) AS tt,
+        |    COUNT(*) FILTER (tf_join > 0) AS df_join,
+        |    COUNT(*) FILTER (tf_spark > 0) AS df_spark,
+        |    COUNT(*) FILTER (tf_dup > 0) AS df_dup
+        |  FROM perdoc),
+        |lexscore AS (
+        |  SELECT doc_id, CAST(
+        |      ((2*nd - 2*df_join + 1) * 1000000 // (2*df_join + 1))
+        |        * ((22000000 * tf_join * tt) // (10*tt*tf_join + 3*tt + 9*len*nd)) // 1000000
+        |    + ((2*nd - 2*df_spark + 1) * 1000000 // (2*df_spark + 1))
+        |        * ((22000000 * tf_spark * tt) // (10*tt*tf_spark + 3*tt + 9*len*nd)) // 1000000
+        |    + ((2*nd - 2*df_dup + 1) * 1000000 // (2*df_dup + 1))
+        |        * ((22000000 * tf_dup * tt) // (10*tt*tf_dup + 3*tt + 9*len*nd)) // 1000000
+        |    AS BIGINT) AS score
+        |  FROM perdoc, corpus),
+        |lextop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM (SELECT * FROM lexscore WHERE score > 0
+        |        ORDER BY score DESC, doc_id LIMIT 100)),
+        |qw AS (
+        |  SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 8 AS bucket,
+        |    COUNT(*) AS w
+        |  FROM (VALUES ('join'), ('spark'), ('dup')) AS q(tok) GROUP BY 1),
+        |dense AS (
+        |  SELECT t.doc_id, CAST(SUM(w) AS BIGINT) AS dscore
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 8 AS bucket
+        |        FROM toks) t
+        |  JOIN qw USING (bucket) GROUP BY 1),
+        |densetop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY dscore DESC, doc_id) AS r
+        |  FROM (SELECT * FROM dense ORDER BY dscore DESC, doc_id LIMIT 100))
+        |SELECT doc_id,
+        |  CAST(COALESCE(1000000 // (60 + l.r), 0)
+        |     + COALESCE(1000000 // (60 + dn.r), 0) AS BIGINT) AS rrf_ppm
+        |FROM lextop l FULL OUTER JOIN densetop dn USING (doc_id)
+        |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin,
     // t24 serves t18's query from the persisted postings index and is
     // result-IDENTICAL by construction (same candidates, same integer
     // formula), so it shares the oracle — the s1/s4 pattern

@@ -45,8 +45,15 @@ object GraftBridge {
   /** Strict (array<long>, array<long>) input contract for the SetKernels
     * expressions — they read raw long lanes out of UnsafeArrayData, so a
     * mistyped array<int> input must fail analysis, never be read as
-    * garbage lanes. Lives here because `AbstractDataType` (the
-    * ExpectsInputTypes member type) is `private[sql]`. */
+    * garbage lanes. DELIBERATELY ExpectsInputTypes, not
+    * ImplicitCastInputTypes: an implicit widening Cast would silently
+    * insert a per-row array copy in front of a kernel whose whole point
+    * is zero-copy lane reads — the caller should intern to long once at
+    * the source (every in-repo caller does) and a SQL user gets a typed
+    * DATATYPE_MISMATCH instead of a hidden O(n) rewrite
+    * (TriangleHitterSpec pins both behaviors). Lives here because
+    * `AbstractDataType` (the ExpectsInputTypes member type) is
+    * `private[sql]`. */
   trait ExpectsLongArrayPair extends catalyst.expressions.ExpectsInputTypes {
     override def inputTypes: Seq[types.AbstractDataType] =
       Seq(types.ArrayType(types.LongType), types.ArrayType(types.LongType))

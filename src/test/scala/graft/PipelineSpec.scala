@@ -210,6 +210,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(diffs == 0, "native kernel must reproduce the fold bit-for-bit")
   }
 
+  test("s10: pure-Scala RRF twin reproduces the fused top-10 exactly") {
+    val terms = Seq("join", "spark", "dup")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks: Seq[(Long, String)] = docs.toSeq.flatMap { case (id, text) =>
+      text.split("[^A-Za-z0-9]+").filter(_.nonEmpty).map(t => (id, t.toLowerCase))
+    }
+    // lexical leg: t18's integer BM25 formula, floor division throughout
+    val perDoc = toks.groupBy(_._1).map { case (id, ts) =>
+      val len = ts.size.toLong
+      val tf = terms.map(t => t -> ts.count(_._2 == t).toLong).toMap
+      (id, len, tf)
+    }.toSeq
+    val nd = perDoc.size.toLong
+    val tt = perDoc.map(_._2).sum
+    val df = terms.map(t => t -> perDoc.count(_._3(t) > 0).toLong).toMap
+    val lexScore = perDoc.map { case (id, len, tf) =>
+      val sc = terms.map { t =>
+        ((2 * nd - 2 * df(t) + 1) * 1000000L / (2 * df(t) + 1)) *
+          ((22000000L * tf(t) * tt) / (10 * tt * tf(t) + 3 * tt + 9 * len * nd)) /
+          1000000L
+      }.sum
+      (id, sc)
+    }.filter(_._2 > 0)
+    // dense leg: md5-bucket counting encoder (t11's portable hash idiom)
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    val qw = terms.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val dense = toks.groupBy(_._1).map { case (id, ts) =>
+      (id, ts.map(x => qw.getOrElse(bucket(x._2), 0L)).sum)
+    }.toSeq.filter(_._2 > 0)
+    def rrf(scored: Seq[(Long, Long)]): Map[Long, Long] =
+      scored.sortBy { case (id, sc) => (-sc, id) }.take(100).zipWithIndex
+        .map { case ((id, _), i) => id -> 1000000L / (60 + i + 1) }.toMap
+    val (cl, cd) = (rrf(lexScore), rrf(dense))
+    val expected = (cl.keySet ++ cd.keySet).toSeq
+      .map(id => (id, cl.getOrElse(id, 0L) + cd.getOrElse(id, 0L)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = operators.TextAnalysis.s10HybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == expected,
+      "fused ranking must equal the brute-force twin row-for-row")
+  }
+
   test("m10: ahash64 twin, proportional-bin robustness, lossless banding") {
     import graft.functions.MediaHash
     // pure-Scala twin of the kernel's bit rule on a hand-computed case

@@ -166,6 +166,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "d4_minhash_lsh", "d5_simhash_dup", "s2_ann_lsh", "s4_ann_sq8",
       "s5_ann_pq", "s7_ann_ivfpq", "q23_approx", "t4_fingerprint", "t18_bm25",
       "d16_semantic_dedup", "t24_postings_topk", "e21_expectations",
+      "s10_hybrid_rrf", // t18's 1-row corpus-statistics broadcast, inherited
       "t29_zipf_coverage", "s8_maxsim", "t30_heavy_hitters",
       "t31_source_drift", "s9_ann_hamming") // s9 = s1's bounded query cross
     // ETL queries do eager side work (sink writes, Derby DDL) at plan

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 185 queries / 177 oracles") {
-    assert(SparkEntry.queries.size == 185,
+  test("registry counts match the documented 186 queries / 178 oracles") {
+    assert(SparkEntry.queries.size == 186,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 177,
+    assert(SparkEntry.oracleSql.size == 178,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
