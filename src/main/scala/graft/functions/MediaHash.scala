@@ -58,8 +58,12 @@ object MediaHash {
   }
 }
 
-/** binary payload → 64-bit aHash signature (codegen static call). */
-case class AHash64(child: Expression) extends UnaryExpression {
+/** binary payload → 64-bit aHash signature (codegen static call).
+  * Strictly binary input ([[org.apache.spark.sql.GraftBridge
+  * .ExpectsBinaryInput]]): a string column must fail analysis with the
+  * typed mismatch — the caller encodes explicitly (as m10 does). */
+case class AHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.GraftBridge.ExpectsBinaryInput {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     MediaHash.ahash64(v.asInstanceOf[Array[Byte]])

@@ -42,7 +42,6 @@ case class NfcNormalize(child: Expression)
 
 object TextNormFunctions {
   def nfc_normalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
-
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    GraftBridge.registerFunction(spark, "nfc_normalize", e => NfcNormalize(e.head))
+  // SQL registration lives in GraftExtensions (the single registration
+  // path) — no per-module registerAll to drift against it
 }

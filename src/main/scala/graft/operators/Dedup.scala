@@ -88,7 +88,7 @@ object Dedup {
     // volumes where the join planning flips to sort-merge the same
     // exchange satisfies the join's clustering requirement, so it is
     // reused, not added.
-    val shufParts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val shufParts = Scans.targetWidth(s)
     val a = docs.select(col("doc_id").as("a_id"), col("source"),
         col("w").as("wa"), col("nw").as("na"),
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
@@ -581,7 +581,7 @@ object Dedup {
     // task; REPARTITION_BY_NUM pins full-width parallelism and is exempt
     // from AQE's byte-based coalescing (the stage is byte-light but
     // compute-hot). Same treatment as d3's pair-verify probe side.
-    val shufParts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val shufParts = Scans.targetWidth(s)
     val probe = docs.select(col("doc_id").as("p_id"), col("source"),
         col("nw").as("pn"),
         explode(expr("slice(w, 1, cast(nw div 10 as int) + 1)")).as("tok"))

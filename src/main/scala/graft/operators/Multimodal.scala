@@ -328,7 +328,7 @@ object Multimodal {
     * one scan split otherwise runs as a single task, and AQE's byte-based
     * coalescing would undo an implicit exchange). */
   def m10PhashNeardup(s: SparkSession, d: String): DataFrame = {
-    val shufParts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val shufParts = Scans.targetWidth(s)
     val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
     // payload ids: original = doc_id·2, perturbed twin = doc_id·2 + 1
     val originals = base.select((col("doc_id") * 2).as("pid"), col("source"),

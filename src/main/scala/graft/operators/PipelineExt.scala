@@ -276,7 +276,7 @@ object PipelineExt {
     * sort-merge join re-uses it and exchanges only the node-sized side.
     * Paid once, amortized over the rounds. */
   private[graft] def graphServingEdges(s: SparkSession, e: DataFrame): DataFrame = {
-    val p = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val p = Scans.targetWidth(s)
     CacheScope.persist(e.repartition(p, col("src")).sortWithinPartitions("src"))
   }
 

@@ -131,42 +131,68 @@ object PhysicalFormat {
     * Files without TIME annotations read directly — zero-copy fast path. */
   def readSparkCompatible(spark: org.apache.spark.sql.SparkSession,
       file: Path): org.apache.spark.sql.DataFrame = {
-    // TIME-annotated fidelity output is always a single regular file (the
-    // `query` sink writes files, and `_NN` splits are sibling files); a
-    // directory-shaped or glob dataset is Spark-written parquet and reads
-    // directly — ParquetFileReader.open on a directory would throw where
-    // spark.read.parquet accepts it
-    if (!Files.isRegularFile(file)) return spark.read.parquet(file.toString)
     val conf = new Configuration()
     val hPath = new org.apache.hadoop.fs.Path(file.toString)
-    val fr = org.apache.parquet.hadoop.ParquetFileReader
-      .open(HadoopInputFile.fromPath(hPath, conf))
-    val srcSchema =
-      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-    val timeUnits: Map[String, String] = srcSchema.getFields.asScala.collect {
-      case f if f.isPrimitive &&
-          f.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.TimeLogicalTypeAnnotation] =>
-        val u = f.getLogicalTypeAnnotation
-          .asInstanceOf[LogicalTypeAnnotation.TimeLogicalTypeAnnotation].getUnit
-        f.getName -> u.toString.toLowerCase
-    }.toMap
-    if (timeUnits.isEmpty) return spark.read.parquet(file.toString)
-    val stripped = new MessageType(srcSchema.getName,
-      srcSchema.getFields.asScala.toSeq.map { f =>
-        if (timeUnits.contains(f.getName))
-          Types.primitive(f.asPrimitiveType().getPrimitiveTypeName,
-            f.getRepetition).named(f.getName)
-        else f
-      }.asJava)
-    // ephemeral strip target: must outlive this call (Spark reads lazily)
-    // but not the process — deleteOnExit bounds the leak for the CLI's
-    // one-shot lifetime (the reference is a one-shot process too)
-    val tmp = Files.createTempFile("graft-timeread", ".parquet")
-    Files.deleteIfExists(tmp)
-    tmp.toFile.deleteOnExit()
-    copyFile(hPath, tmp, stripped, conf, CompressionCodecName.ZSTD,
-      ParquetWriter.DEFAULT_WRITER_VERSION, ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
-    val raw = spark.read.parquet(tmp.toString)
+    val fs = hPath.getFileSystem(conf)
+    // resolve the argument the way spark.read would: a glob expands to
+    // its matches, a directory to its visible files, a file to itself —
+    // split fidelity output (`out_01.par` siblings), a directory holding
+    // it, or a glob over it must all strip per-file, not crash in
+    // ParquetFileReader.open
+    val matched = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+    val candidates: Seq[org.apache.hadoop.fs.Path] = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(c => c.isFile && !c.getPath.getName.startsWith("_") &&
+            !c.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      else Seq(st.getPath)
+    }
+    if (candidates.isEmpty) return spark.read.parquet(file.toString)
+    def timeUnitsOf(p: org.apache.hadoop.fs.Path):
+        (MessageType, Map[String, String]) = {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader
+        .open(HadoopInputFile.fromPath(p, conf))
+      val schema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val units = schema.getFields.asScala.collect {
+        case f if f.isPrimitive &&
+            f.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.TimeLogicalTypeAnnotation] =>
+          val u = f.getLogicalTypeAnnotation
+            .asInstanceOf[LogicalTypeAnnotation.TimeLogicalTypeAnnotation].getUnit
+          f.getName -> u.toString.toLowerCase
+      }.toMap
+      (schema, units)
+    }
+    val inspected = candidates.map(p => (p, timeUnitsOf(p)))
+    if (inspected.forall(_._2._2.isEmpty))
+      return spark.read.parquet(file.toString)
+    // strip each TIME-bearing member into an ephemeral sibling; untouched
+    // members read in place. Strip targets must outlive this call (Spark
+    // reads lazily) but not the process — deleteOnExit bounds the leak
+    // for the CLI's one-shot lifetime.
+    val readPaths = inspected.map { case (p, (srcSchema, units)) =>
+      if (units.isEmpty) p.toString
+      else {
+        val stripped = new MessageType(srcSchema.getName,
+          srcSchema.getFields.asScala.toSeq.map { f =>
+            if (units.contains(f.getName))
+              Types.primitive(f.asPrimitiveType().getPrimitiveTypeName,
+                f.getRepetition).named(f.getName)
+            else f
+          }.asJava)
+        val tmp = Files.createTempFile("graft-timeread", ".parquet")
+        Files.deleteIfExists(tmp)
+        tmp.toFile.deleteOnExit()
+        copyFile(p, tmp, stripped, conf, CompressionCodecName.ZSTD,
+          ParquetWriter.DEFAULT_WRITER_VERSION,
+          ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+        tmp.toString
+      }
+    }
+    // splits of one logical output share a schema, so the unit map is the
+    // union (identical per column across members)
+    val timeUnits = inspected.flatMap(_._2._2).toMap
+    val raw = spark.read.parquet(readPaths: _*)
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.MetadataBuilder
     raw.select(raw.schema.fieldNames.toIndexedSeq.map { n =>

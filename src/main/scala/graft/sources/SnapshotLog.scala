@@ -42,7 +42,12 @@ object SnapshotLog {
   def versions(dir: Path): Seq[Int] =
     if (!Files.isDirectory(logDir(dir))) Seq.empty
     else listNames(logDir(dir))
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+      // only exact v<digits>.json names are manifests — a stray file in
+      // _graft_log (say, 'versions.json') must be ignored, not crash
+      // every log operation with NumberFormatException
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") &&
+          s.stripPrefix("v").stripSuffix(".json").forall(_.isDigit) &&
+          s.length > "v.json".length =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
       .sorted
 

@@ -64,6 +64,13 @@ object GraftBridge {
     override def inputTypes: Seq[types.AbstractDataType] = Seq(types.StringType)
   }
 
+  /** Unary binary input — same strictness rationale as the long-array
+    * pair: a kernel reading raw payload bytes must reject a string
+    * column at analysis, not ClassCastException inside a task. */
+  trait ExpectsBinaryInput extends catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[types.AbstractDataType] = Seq(types.BinaryType)
+  }
+
   /** Apply an extensions installer's function registrations to a LIVE
     * session (normally they only take effect at session build time via
     * `spark.sql.extensions`). Used by tests and by hosts that receive an

@@ -219,6 +219,21 @@ class FooterSpec extends AnyFunSuite {
       .getString(graft.functions.TypeMapping.TimeUnitKey) == "millis")
     assert(r.getAs[Array[Byte]]("b").toSeq ==
       ("hi".getBytes ++ Array[Byte](0, 0, 0)).toSeq)
+
+    // split fidelity output is SIBLING FILES — a directory of (or glob
+    // over) TIME-annotated members must strip per member, not crash in
+    // the single-file footer reader
+    val splitDir = Files.createTempDirectory("graft-footer-split")
+    ParquetSink.write(df, splitDir.resolve("part_01.par").toString,
+      ParquetSink.Options())
+    ParquetSink.write(df, splitDir.resolve("part_02.par").toString,
+      ParquetSink.Options())
+    val multi = graft.sources.PhysicalFormat.readSparkCompatible(spark, splitDir)
+    assert(multi.count() == 2, "both split members must be read")
+    assert(multi.schema("t_ms").metadata
+      .getString(graft.functions.TypeMapping.TimeUnitKey) == "millis")
+    assert(multi.collect().forall(
+      _.getInt(multi.schema.fieldIndex("t_ms")) == 57852123))
   }
 
   test("fidelity TIME output round-trips through graft's own insert (input.rs parity)") {
