@@ -155,22 +155,29 @@ object Bench {
       val counts = pref.values.groupBy(identity).view.mapValues(_.size).toMap
       pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }
     }
-    // spread in the contract: the global max plus the noisy tail (ratio ≥
-    // 1.5, worst 20) — enough for a round-over-round comparison to discount
-    // high-spread movers without re-investigating, small enough to fit the
-    // driver's tail budget next to the per-query min map
+    // spread reporting: global max plus the noisy tail (ratio ≥ 1.5, worst
+    // 20) — enough for a round-over-round comparison to discount
+    // high-spread movers without re-investigating
     val spreadMax = spreads.map(_._2).maxOption.getOrElse(1.0)
     val noisiest = spreads.filter(_._2 >= 1.5).sortBy(-_._2).take(20)
     def spreadJson(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
+    // Contract-line shape, PER-QUERY TIMES LAST in the object and the
+    // whole line last on stdout: the driver keeps only the tail of the
+    // output, and the r10 artifact proved the old priority order wrong —
+    // every with-queries variant overflowed the budget, so the fallback
+    // kept the (small) spread map while dropping the per-query times,
+    // which are the one map round-over-round regression triage needs.
+    // Priority now: times > spread (spread always survives on its own
+    // bench-spread line just above, and in full in bench-full).
     def line(prec: Int, withSpread: Boolean): String = {
       val m = mins.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, prec) }
         .mkString("{", ",", "}")
       val sp =
         if (withSpread) s""","spread_max":${fmt(spreadMax, 1)},"spread":${spreadJson(noisiest)}"""
         else s""","spread_max":${fmt(spreadMax, 1)}"""
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","queries":$m$sp,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","failed":$failed,"sf":"$sfDir"$sp,"queries":$m}"""
     }
     val full = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -178,16 +185,22 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""bench-index {"s2_build":${fmt(s2Build, 3)},"s3_build":${fmt(s3Build, 3)},"s4_build":${fmt(s4Build, 3)},"t24_build":${fmt(t24Build, 3)},"s5_build":${fmt(s5Build, 3)},"s7_build":${fmt(s7Build, 3)}}""")
     println(s"""bench-full {"total":$total,"queries":$full,"spread":$fullSpread}""")
-    // If even precision 1 overflows the budget, drop the per-query maps —
-    // a parseable total beats an unparseable detail line.
-    val contract = (Seq(3, 2, 1).map(line(_, withSpread = true)) ++
-        Seq(1).map(line(_, withSpread = false)))
+    // Budget ladder: precision falls before the times map is dropped, the
+    // spread map goes before precision falls below 1, and only if even a
+    // bare precision-1 times map overflows does the contract degrade to
+    // total-only (a parseable total beats an unparseable detail line).
+    val contract = (Seq(3, 2).map(line(_, withSpread = true)) ++
+        Seq(2, 1).map(line(_, withSpread = false)))
       .find(_.length <= 1900)
       .getOrElse(
         s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","spread_max":${fmt(spreadMax, 1)},"failed":$failed,"sf":"$sfDir"}""")
-    // Stop Spark BEFORE printing the contract so no executor/shutdown log
-    // line can land after it — the driver's tail parse wants it last.
+    // Stop Spark BEFORE printing the final lines so no executor/shutdown
+    // log line can land after them — the driver's tail parse wants the
+    // contract last. bench-spread prints just above the contract so the
+    // noisy-tail map survives in the captured tail even when the contract
+    // itself had to drop it for budget.
     spark.stop()
+    println(s"""bench-spread {"spread_max":${fmt(spreadMax, 1)},"spread":${spreadJson(noisiest)}}""")
     println(contract)
     System.out.flush()
     if (failed > 0) sys.exit(1)

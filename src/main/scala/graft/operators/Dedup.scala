@@ -201,36 +201,56 @@ object Dedup {
 
   // ---------------------------------------------------- d5_simhash_dup
   /** SimHash near-dup: 64-bit signature, 4×16-bit bands for candidates,
-    * hamming ≤ 6 verification via bit_count(xor).
+    * verification via bit_count(xor). Round 11 split the gate into two
+    * regimes over ONE banded pipeline (m10's pattern,
+    * [[Multimodal.m10PhashNeardup]]):
     *
-    * In-gate checks ([[GateChecks]]), both over the same unbanded
-    * same-source truth join (one pass, split by hamming):
-    *  - COMPLETENESS, hamming ≤ 3: ≤ 3 differing bits cannot touch all
-    *    four 16-bit bands (pigeonhole), so every such pair MUST be found —
-    *    any miss proves banding broken and zeroes the query.
-    *  - RECALL, hamming 4..6: probabilistic band coverage. Independent-bit
-    *    analysis gives per-pair catch probability 1−(1−(1−h/64)^16)^4
-    *    (0.83/0.72/0.60 for h=4/5/6); measured combined recall is 0.71 at
-    *    sf0.01 and 0.59 at sf0.1 — slightly under analytic because
-    *    near-dup bit flips are correlated, not uniform (NOTES.md, round
-    *    6). Floor 0.45 = measured minus ~15 pts: loose enough for
-    *    small-sample noise, tight enough that a broken band split (which
-    *    collapses recall toward 0) fails loudly. */
-  /** d5's signature frame, uncached — shared with [[graft.tools.Measure]]
-    * so the measured recall population is definitionally the gate
-    * population (they cannot drift apart). */
-  private[graft] def d5Signatures(s: SparkSession, d: String): DataFrame =
-    Scans.wide(s, documents(s, d).select(col("doc_id"), col("source"), col("text")),
-        col("doc_id"))
+    *  - OUTPUT (oracle-checked, hash-exact): same-source pairs with
+    *    hamming ≤ 3. Banding is LOSSLESS here — ≤ 3 differing bits cannot
+    *    touch all four disjoint 16-bit bands (pigeonhole), so the banded
+    *    candidate set provably contains every such pair and DuckDB's full
+    *    all-pairs hamming join recomputes the identical answer from the
+    *    raw text. The payload view injects a deterministic near-dup twin
+    *    ('x' prepended to the text, i.e. ONE token altered) for every 5th
+    *    document — the corpus's natural token-level near-dups rarely land
+    *    within 3 simhash bits at small SF (measured: zero sampled pairs
+    *    at sf0.01), and a gate whose true answer is empty can't prove
+    *    anything; one altered token out of n flips only the signature
+    *    bits whose vote margin is ±1, a handful for real documents.
+    *  - IN-GATE floor (defense in depth): recall over the hamming-4..6
+    *    band, where banding IS probabilistic. Independent-bit analysis
+    *    gives per-pair catch probability 1−(1−(1−h/64)^16)^4
+    *    (0.83/0.72/0.60 for h=4/5/6); measured combined recall 0.71 at
+    *    sf0.01 / 0.59 at sf0.1 (NOTES.md). Floor 0.45 = measured minus
+    *    ~15 pts: loose enough for small-sample noise, tight enough that a
+    *    broken band split (which collapses recall toward 0) zeroes the
+    *    output — and a zeroed output now hard-fails the DuckDB compare
+    *    instead of coasting rows-only. The sampled completeness probe
+    *    (miss3) stays as the fast in-gate form of what the oracle now
+    *    proves in full. */
+  /** d5's signature frame over the twin-injected payload view, uncached —
+    * shared with [[graft.tools.Measure]] so the measured recall population
+    * is definitionally the gate population (they cannot drift apart).
+    * pid = doc_id·2 for originals, doc_id·2+1 for the altered twins. */
+  private[graft] def d5Signatures(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val pay = base.select((col("doc_id") * 2).as("doc_id"), col("source"), col("text"))
+      .unionAll(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"), col("source"),
+          concat(lit("x"), col("text")).as("text")))
+    Scans.wide(s, pay, col("doc_id"))
       .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh"))
+  }
 
   /** d5's unbanded truth: same-source pairs with hamming ≤ `maxH` over the
-    * even-doc_id sample, as (a_id, b_id, h). The hamming≤3 subset is
-    * pigeonhole-guaranteed (deterministic — ANY sampled miss proves
-    * banding broken); recall over 4..maxH is a ratio, so the sampled
-    * estimate keeps its teeth; the sample quarters the join work. */
+    * even-underlying-doc sample (pid div 2 even — pid parity would select
+    * only originals and drop every twin), as (a_id, b_id, h). The
+    * hamming≤3 subset is pigeonhole-guaranteed (deterministic — ANY
+    * sampled miss proves banding broken); recall over 4..maxH is a ratio,
+    * so the sampled estimate keeps its teeth; the sample quarters the
+    * join work. */
   private[graft] def d5Truth(sh: DataFrame, maxH: Int): DataFrame = {
-    val sampled = sh.filter(col("doc_id") % 2 === 0)
+    val sampled = sh.filter(expr("(doc_id div 2) % 2 = 0"))
     val ta = sampled.select(col("doc_id").as("a_id"), col("source"), col("sh").as("sha"))
     val tb = sampled.select(col("doc_id").as("b_id"), col("source").as("src_b"),
       col("sh").as("shb"))
@@ -262,15 +282,17 @@ object Dedup {
   }
 
   def d5SimhashDup(s: SparkSession, d: String): DataFrame = {
-    // banding and the completeness twin both read the signatures; cache so
-    // tokenize+simhash runs once per document (released per-query by the
-    // runner via CacheScope)
+    // banding, the exact output and the recall floor all read the
+    // signatures; cache so tokenize+simhash runs once per payload doc
+    // (released per-query by the runner via CacheScope). found is cached
+    // too: the output branch (h≤3 filter) and the verdict branch (recall
+    // join) would otherwise each re-execute the banded candidate join.
     val sh = CacheScope.persist(d5Signatures(s, d))
-    val found = d5Found(sh)
+    val found = CacheScope.persist(d5Found(sh))
     val truth = d5Truth(sh, maxH = 6)
-    GateChecks.requireCached(found, f => {
+    val check = {
       val hits = truth.join(
-        f.select(col("a_id"), col("b_id"), lit(1).as("hit")),
+        found.select(col("a_id"), col("b_id"), lit(1).as("hit")),
         Seq("a_id", "b_id"), "left_outer")
       // coalesce: agg over an EMPTY truth set yields NULL sums — no truth
       // means nothing to miss, which must read as pass, not NULL-fails
@@ -279,10 +301,26 @@ object Dedup {
       val n46 = coalesce(sum(when(col("h") >= 4, 1).otherwise(0)), lit(0))
       val hit46 = coalesce(
         sum(when(col("h") >= 4, coalesce(col("hit"), lit(0))).otherwise(0)), lit(0))
+      // small-sample escape (n46 < 30): recall over a handful of pairs is
+      // not evidence of anything — at sf0.001 the sampled 4..6 band has 8
+      // pairs and a deterministic 3/8 — while a real banding break is
+      // ALREADY caught by miss3 and, in full, by the DuckDB all-pairs
+      // oracle. The floor bites where the estimate means something
+      // (sf0.1: 300+ pairs, measured 0.59).
       hits.agg(
-        (miss3 === 0 && (n46 === 0 || hit46.cast("double") / n46 >= 0.45))
+        (miss3 === 0 && (n46 < 30 || hit46.cast("double") / n46 >= 0.45))
           .as("gate_ok"))
-    })
+    }
+    // the hash-exact serving output: same-source pairs at hamming ≤ 3,
+    // where banding is pigeonhole-complete — DuckDB recomputes this set
+    // with a full all-pairs join over the same twin-injected payload
+    val srcs = sh.select(col("doc_id"), col("source"))
+    val exact = found.filter(col("hamming") <= 3)
+      .join(srcs.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+      .join(srcs.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+      .filter(col("src_a") === col("src_b"))
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+    GateChecks.require(exact, check)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -730,6 +768,48 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // d5's hash-exact tier: DuckDB recomputes the 64-bit SimHash from raw
+    // text (t4's FNV-1a byte fold + per-bit majority vote, HUGEINT
+    // mod-2^64 with the 2^63 wrap to BIGINT) over the same twin-injected
+    // payload view, then pairs ALL same-source docs — the Spark banding
+    // must be lossless at hamming ≤ 3 (pigeonhole over 4 disjoint 16-bit
+    // bands), so the compare is hash-exact, not a recall floor
+    "d5_simhash_dup" ->
+      """WITH pay AS (
+        |  SELECT doc_id * 2 AS pid, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, source, 'x' || text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tk AS (
+        |  SELECT pid, source, regexp_split_to_array(trim(text), '\s+') AS tok
+        |  FROM pay),
+        |hl AS (
+        |  SELECT pid, source, len(tok) AS nt,
+        |    list_transform(tok, w ->
+        |      list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, octet_length(encode(w))+1),
+        |          i -> (16*(strpos('0123456789ABCDEF', hex(encode(w))[2*i-1:2*i-1]) - 1)
+        |               + (strpos('0123456789ABCDEF', hex(encode(w))[2*i:2*i]) - 1))::HUGEINT)),
+        |        (a, x) -> (xor(a, x) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT)) AS hs
+        |  FROM tk),
+        |sg AS (
+        |  SELECT pid, source,
+        |    list_sum(list_transform(range(0, 64),
+        |      b -> CASE WHEN 2*list_sum(list_transform(hs,
+        |             v -> (v // (2::HUGEINT ^ b)::HUGEINT) % 2)) > nt
+        |           THEN (2::HUGEINT ^ b)::HUGEINT ELSE 0::HUGEINT END)) AS sh_u
+        |  FROM hl),
+        |sig AS (
+        |  SELECT pid, source,
+        |    CAST(sh_u - CASE WHEN sh_u >= 9223372036854775808::HUGEINT
+        |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS sh
+        |  FROM sg)
+        |SELECT a.pid AS a_id, b.pid AS b_id,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.source = b.source AND a.pid < b.pid
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     // eval/corpus split by the d8 convention (doc_id % 50); containment
     // relative to the EVAL doc; DuckDB computes the unfiltered cross
     // product (10 × ~490 at the oracle SF) — the Spark side's broadcast

@@ -314,26 +314,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaPartitions.size == 500)
   }
 
-  test("simhash banding finds all hamming<=6 pairs it claims (no false positives)") {
+  test("simhash output reports only hamming<=3 pairs (the hash-exact tier)") {
     val rows = Dedup.d5SimhashDup(spark, sf).collect()
-    rows.foreach(r => assert(r.getInt(2) <= 6))
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= 3))
   }
 
-  test("simhash banding is COMPLETE for hamming<=3 (pigeonhole over 4 bands)") {
+  test("simhash output IS the same-source hamming<=3 pair set (pigeonhole-lossless)") {
     // ≤3 differing bits cannot touch all four 16-bit bands, so any pair at
-    // hamming ≤3 shares at least one band — banding must find every one
-    val sh = spark.read.parquet(s"$sf/documents.parquet")
+    // hamming ≤3 shares at least one band — the banded pipeline must find
+    // every one, and after the same-source filter it must report EXACTLY
+    // the all-pairs truth over the twin-injected payload view (the
+    // equality the DuckDB oracle re-checks from raw text at sf0.01)
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pay = base.map { case (id, src, t) => (id * 2, src, t) } ++
+      base.collect { case (id, src, t) if id % 5 == 0 => (id * 2 + 1, src, "x" + t) }
+    val sigs = pay.toSeq.toDF("pid", "source", "text")
       .withColumn("t", split(trim(col("text")), "\\s+"))
-      .select(col("doc_id"),
+      .select(col("pid"), col("source"),
         graft.functions.TextHashFunctions.simhash64(col("t")).as("h"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val truth = (for {
-      (a, ha) <- sh; (b, hb) <- sh if a < b
-      if java.lang.Long.bitCount(ha ^ hb) <= 3
+      (a, sa, ha) <- sigs; (b, sb, hb) <- sigs
+      if a < b && sa == sb && java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (a, b)).toSet
+    assert(truth.nonEmpty, "twin injection must create hamming<=3 pairs")
     val found = Dedup.d5SimhashDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(truth.subsetOf(found),
-      s"missing guaranteed pairs: ${truth.diff(found).take(5)}")
+    assert(found == truth,
+      s"missing: ${truth.diff(found).take(5)}; extra: ${found.diff(truth).take(5)}")
   }
 }
