@@ -605,10 +605,21 @@ object Dedup {
     * d4's MinHash bands, which would MISS asymmetric pairs because
     * containment-high/Jaccard-low is exactly where minhash agreement
     * dies). [[DedupIdentitySpec]] proves the banded form result-identical
-    * to the unfiltered pair join. At true scale the remaining lever is
-    * ordering token hashes by ascending document frequency so prefixes
-    * carry rare tokens; the numeric hash order used here is a uniform
-    * random order — unbiased, no DF side-computation. */
+    * to the unfiltered pair join.
+    *
+    * Prefix ORDERING — measured, and deliberately left as uniform hash
+    * order: the classic SSJoin refinement (ascending-document-frequency
+    * prefixes, Chaudhuri et al.) was built and measured in round 11 —
+    * per-(source, token) DF aggregate, DF-joined token stream, per-doc
+    * row_number window taking the ℓ rarest tokens (any ℓ-subset keeps
+    * the pigeonhole proof, so losslessness is ordering-independent). On
+    * this corpus it cut raw candidate volume only 12% at sf0.01 (13 601
+    * → 11 907) and 4% at sf0.1 (1.40 M → 1.34 M) while adding two
+    * token-stream shuffles and a window: most DISTINCT tokens of a doc
+    * are already rare (the type distribution's long tail), so a
+    * uniform-hash prefix is near-optimal, and the lever only pays when
+    * a corpus's doc vocabularies are dominated by ubiquitous tokens.
+    * Reverted to hash order; NOTES.md "round 11" records the numbers. */
   def d22Containment(s: SparkSession, d: String): DataFrame = {
     val docs = CacheScope.persist(d22Docs(s, d))
     // probe: each doc's (⌊n/10⌋+1)-prefix of the sorted hash array — the
@@ -639,7 +650,7 @@ object Dedup {
 
   /** Tokenized corpus shared by the serving path and the identity twin
     * (width-guarded: the interning is compute-dense, [[Scans.wide]]). */
-  private def d22Docs(s: SparkSession, d: String): DataFrame =
+  private[graft] def d22Docs(s: SparkSession, d: String): DataFrame =
     Scans.wide(s, documents(s, d).select(col("doc_id"), col("source"), col("text")),
         col("doc_id"))
       .select(col("doc_id"), col("source"),
@@ -681,13 +692,23 @@ object Dedup {
     * the threshold is relative to the EVAL doc, so a benchmark buried in
     * a 100× longer page still scores ~1.0 where Jaccard ≈ 1%.
     *
-    * Scale shape: the eval corpus is benchmark-sized, so its prefix
-    * tokens BROADCAST (the d8 rule: the training corpus never shuffles);
-    * the candidate join streams the corpus token index past the
-    * broadcast eval prefixes. The prefix is lossless on the eval side by
-    * the d22 pigeonhole (inter ≥ ⌈0.8·ne⌉ ⇒ some intersection token
+    * Scale shape: the eval corpus is normally benchmark-sized, so its
+    * prefix tokens BROADCAST (the d8 rule: the training corpus never
+    * shuffles); the candidate join streams the corpus token index past
+    * the broadcast eval prefixes. The prefix is lossless on the eval side
+    * by the d22 pigeonhole (inter ≥ ⌈0.8·ne⌉ ⇒ some intersection token
     * falls in eval's (ne − ⌈0.8·ne⌉ + 1)-prefix, and every corpus token
-    * is indexed), so this is exact, not probabilistic. */
+    * is indexed), so this is exact, not probabilistic.
+    *
+    * The broadcast is a MEASURED budget switch, not a hope (d18's
+    * `nodeBroadcastBytes` discipline): the eval side's shingle-array
+    * bytes are summed off the cached frame and compared against
+    * `graft.decontam.evalBroadcastBytes` (default 1 GiB). Someone
+    * pointing this at an eval set that does not fit gets the
+    * beyond-broadcast form — the same joins without hints, so the
+    * candidate join shuffles on the token key and the verify join
+    * sort-merges the corpus on c_id once — rather than an executor OOM.
+    * [[DedupIdentitySpec]] proves the budget=0 twin bit-identical. */
   def d23ContainmentDecontam(s: SparkSession, d: String): DataFrame = {
     // 3-gram SHINGLE sets, not unigram tokens: on a shared vocabulary a
     // long doc's token set trivially covers a short doc's (measured:
@@ -709,12 +730,28 @@ object Dedup {
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id").as("c_id"), col("w").as("wc"),
         col("nw").as("nc"))
+    // measured budget: 8 bytes per shingle hash + per-row slack; the
+    // count runs on the cached docs frame, so it is one cheap aggregate
+    val evalBytes = evalDocs
+      .agg((coalesce(sum(col("ne")), lit(0L)) * 8 +
+        count(lit(1)) * 64).as("b")).head().getLong(0)
+    val bcastEval = evalBytes <= s.conf.get(
+      "graft.decontam.evalBroadcastBytes", (1L << 30).toString).toLong
+    d23Pairs(evalDocs, corpus, bcastEval)
+  }
+
+  /** d23's join pipeline, parameterized ONLY by whether the eval side
+    * broadcasts — shared by the serving path and the budget=0 identity
+    * twin so the proof isolates the exchange strategy. */
+  private[graft] def d23Pairs(evalDocs: DataFrame, corpus: DataFrame,
+      bcastEval: Boolean): DataFrame = {
+    def evalSide(df: DataFrame): DataFrame = if (bcastEval) broadcast(df) else df
     // lossless eval-side prefix: ℓ = ne − ⌈0.8·ne⌉ + 1
     val probe = evalDocs.select(col("eval_id"),
       explode(expr(
         "slice(we, 1, cast(ne - ((8 * ne + 9) div 10) + 1 as int))")).as("tok"))
     val index = corpus.select(col("c_id"), explode(col("wc")).as("tok_i"))
-    val cand = index.join(broadcast(probe), col("tok_i") === col("tok"))
+    val cand = index.join(evalSide(probe), col("tok_i") === col("tok"))
       .select(col("c_id"), col("eval_id"))
       .dropDuplicates("c_id", "eval_id")
     val inter = {
@@ -726,10 +763,12 @@ object Dedup {
     // the candidate pair table (bounded by eval size × per-eval hit
     // count — decontamination hits, the d8 class) joins WITH its eval
     // arrays attached and BROADCASTS into the corpus, so the corpus-side
-    // shingle arrays never cross an exchange; joining the other way
-    // would sort-merge the full corpus on c_id
+    // shingle arrays never cross an exchange. Beyond the budget, the
+    // same joins run hinted-free: the pair table sort-merges with the
+    // corpus on c_id — one corpus-wide exchange, linear and spillable,
+    // instead of an over-budget broadcast build.
     corpus
-      .join(broadcast(cand.join(broadcast(evalDocs), "eval_id")), "c_id")
+      .join(evalSide(cand.join(evalSide(evalDocs), "eval_id")), "c_id")
       .select(col("c_id"), col("eval_id"), col("ne"), col("nc"),
         inter.as("inter"))
       .filter(col("ne") > 0 && col("inter") * 10 >= col("ne") * 8)

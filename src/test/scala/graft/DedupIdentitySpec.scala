@@ -30,6 +30,51 @@ class DedupIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("d23: the beyond-broadcast (budget=0) twin is bit-identical to the broadcast path") {
+    // serving path: eval side fits the measured budget → broadcast hints.
+    // budget=0 forces the beyond-broadcast form — same joins, no hints,
+    // candidate join shuffles on the token key, verify join sort-merges
+    // the corpus on c_id. The switch must never change a single row.
+    val key = "graft.decontam.evalBroadcastBytes"
+    val bcast = rows(Dedup.d23ContainmentDecontam(spark, sf))
+    graft.operators.CacheScope.releaseAll(blocking = false)
+    spark.conf.set(key, "0")
+    try {
+      val shuffled = rows(Dedup.d23ContainmentDecontam(spark, sf))
+      assert(bcast.nonEmpty, "degenerate proof: zero decontamination pairs")
+      assert(shuffled == bcast,
+        s"budget switch changed the answer: ${shuffled.size} vs ${bcast.size} rows; " +
+          s"first diff: ${shuffled.zipAll(bcast, "<missing>", "<missing>").find(p => p._1 != p._2)}")
+    } finally {
+      spark.conf.unset(key)
+      graft.operators.CacheScope.releaseAll(blocking = false)
+    }
+  }
+
+  test("d23: budget=0 drops every broadcast HINT; the in-budget path keeps them") {
+    // The assertion is on the logical hints, not the physical exchanges:
+    // at spec SF the planner's own statistics may (correctly) still pick
+    // a broadcast join for the tiny frames — what the budget switch must
+    // guarantee is that WE no longer force one when the eval side is
+    // over budget, leaving the stats-driven choice to the planner.
+    val key = "graft.decontam.evalBroadcastBytes"
+    val served = Dedup.d23ContainmentDecontam(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    graft.operators.CacheScope.releaseAll(blocking = false)
+    spark.conf.set(key, "0")
+    try {
+      val beyond = Dedup.d23ContainmentDecontam(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(served.contains("strategy=broadcast"),
+        "serving plan lost its in-budget eval broadcast hints")
+      assert(!beyond.contains("strategy=broadcast"),
+        "budget=0 plan still carries broadcast hints — the switch is dead code")
+    } finally {
+      spark.conf.unset(key)
+      graft.operators.CacheScope.releaseAll(blocking = false)
+    }
+  }
+
   test("d22: the serving plan carries the prefix-token candidate join, the twin does not") {
     val served = Dedup.d22Containment(spark, sf).queryExecution.optimizedPlan.toString
     graft.operators.CacheScope.releaseAll(blocking = false)
