@@ -61,6 +61,36 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // gate_metrics.json: the measured floors of the self-gated (no-oracle)
+    // queries, read back off the dumps just written — by convention every
+    // `*_ppm` column of a no-oracle result is a measured quality metric
+    // (GateChecks.require doc), aggregated here as its worst (max) value
+    // so the per-round artifact shows the quantitative margin (e.g. s3
+    // recall_ppm 780000 against the 600000 floor) instead of rows-only.
+    locally {
+      import org.apache.spark.sql.functions.{col, max}
+      val metrics = scala.collection.mutable.LinkedHashMap[String, String]()
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => (only.isEmpty || only(n)) &&
+          !SparkEntry.oracleSql.contains(n) && !errors.contains(n))
+        .foreach { name =>
+          try {
+            val dfq = spark.read.parquet(s"$outDir/$name")
+            val ppm = dfq.schema.fieldNames.filter(_.endsWith("_ppm")).toSeq
+            if (ppm.nonEmpty) {
+              val aggs = ppm.map(c => max(col(c)).as(c))
+              val row = dfq.agg(aggs.head, aggs.tail: _*).head()
+              metrics(name) = ppm.zipWithIndex
+                .map { case (c, i) => s"${q(c)}: ${row.get(i)}" }
+                .mkString("{", ",", "}")
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] gate-metric read failed for $name: ${e.getMessage}")
+          }
+        }
+      Files.writeString(Paths.get(s"$outDir/gate_metrics.json"),
+        metrics.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }

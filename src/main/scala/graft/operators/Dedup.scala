@@ -195,7 +195,10 @@ object Dedup {
           Seq("a_id", "b_id"), "left_outer")
         .agg((count(lit(1)) === 0 ||
           sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.8)
-          .as("gate_ok")))
+          .as("gate_ok"),
+          // measured margin, visible per round (GateChecks.require doc)
+          (sum(coalesce(col("hit"), lit(0))) * 1000000L /
+            greatest(count(lit(1)), lit(1L))).cast("long").as("recall_ppm")))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -574,7 +577,10 @@ object Dedup {
           Seq("a_id", "b_id"), "left_outer")
         .agg((count(lit(1)) === 0 ||
           sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= D16Floor)
-          .as("gate_ok")))
+          .as("gate_ok"),
+          // measured margin, visible per round (GateChecks.require doc)
+          (sum(coalesce(col("hit"), lit(0))) * 1000000L /
+            greatest(count(lit(1)), lit(1L))).cast("long").as("recall_ppm")))
 
   // ------------------------------------------------- d22_containment
   /** CONTAINMENT near-dup detection — |A∩B| / min(|A|,|B|): the

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   * corpus, so the checks scale with the queries they guard. */
 object GateChecks {
 
-  /** `check` must be a 1-row DataFrame with a single boolean `gate_ok`
-    * column; the result passes through iff it is true. */
+  /** `check` must be a 1-row DataFrame with a boolean `gate_ok` column;
+    * the result passes through iff it is true. Any OTHER columns of the
+    * check frame (measured metrics, by convention integer `*_ppm`) ride
+    * along as constant output columns: a no-oracle gate's artifact then
+    * shows its measured margin every round — e.g. `recall_ppm = 780000`
+    * against a 0.60 floor — instead of only pass/fail. Verify aggregates
+    * them into `gate_metrics.json`. */
   def require(result: DataFrame, check: DataFrame): DataFrame =
     result.crossJoin(broadcast(check)).filter(col("gate_ok")).drop("gate_ok")
 
@@ -37,13 +42,26 @@ object GateChecks {
   /** Recall floor vs an exact twin, the shared shape of the ANN gates
     * (s2/s3): `exact`'s (q_id, vec_id) pairs must be recovered by the
     * result at ratio ≥ `floor`, vacuously true when the exact set is
-    * empty. One definition so the two gates cannot silently diverge. */
-  def requireRecall(result: DataFrame, exact: DataFrame, floor: Double): DataFrame =
-    requireCached(result, f =>
-      exact
+    * empty. One definition so the gates cannot silently diverge.
+    *
+    * `report = true` (the no-oracle gates) appends the measured recall as
+    * a constant `recall_ppm` column so the margin over the floor is
+    * visible in every round's artifact. Oracle-backed users (s4, whose
+    * rescore window makes it result-identical to exact) keep the default:
+    * an extra column would break their hash compare. */
+  def requireRecall(result: DataFrame, exact: DataFrame, floor: Double,
+      report: Boolean = false): DataFrame =
+    requireCached(result, f => {
+      val joined = exact
         .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
           Seq("q_id", "vec_id"), "left_outer")
-        .agg((count(lit(1)) === 0 ||
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= floor)
-          .as("gate_ok")))
+      val okCol = (count(lit(1)) === 0 ||
+        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= floor)
+        .as("gate_ok")
+      if (report)
+        joined.agg(okCol,
+          (sum(coalesce(col("hit"), lit(0))) * 1000000L /
+            greatest(count(lit(1)), lit(1L))).cast("long").as("recall_ppm"))
+      else joined.agg(okCol)
+    })
 }

@@ -65,7 +65,8 @@ object Similarity {
 
   def s2AnnLsh(s: SparkSession, d: String): DataFrame =
     GateChecks.requireRecall(s2Found(s, d),
-        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor,
+        report = true)
       .orderBy(col("q_id"), col("rank"))
 
   /** s2's candidate stage alone — the part whose plan shape carries the
@@ -171,7 +172,8 @@ object Similarity {
     * measured recall minus slack — NOTES.md). */
   def s3AnnIvf(s: SparkSession, d: String): DataFrame =
     GateChecks.requireRecall(s3Probe(s, d),
-        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor,
+        report = true)
       .orderBy(col("q_id"), col("rank"))
 
   // ---------------------------------------------------------- s4_ann_sq8
@@ -296,7 +298,8 @@ object Similarity {
     * Gated on the shared recall floor like the rest of the ANN family. */
   def s5AnnPq(s: SparkSession, d: String): DataFrame =
     GateChecks.requireRecall(s5Found(s, d),
-        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor,
+        report = true)
       .orderBy(col("q_id"), col("rank"))
 
   // ------------------------------------------------------ s7_ann_ivfpq
@@ -361,7 +364,8 @@ object Similarity {
   /** IVF-PQ ANN through the gate — the family recall floor applies. */
   def s7AnnIvfPq(s: SparkSession, d: String): DataFrame =
     GateChecks.requireRecall(s7Probe(s, d),
-        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor)
+        s1AnnBrute(s, d).select(col("q_id"), col("vec_id")), AnnRecallFloor,
+        report = true)
       .orderBy(col("q_id"), col("rank"))
 
   // ----------------------------------------------------- s6_ann_filtered

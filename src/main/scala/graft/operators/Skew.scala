@@ -82,7 +82,13 @@ object Skew {
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .filter(col("gate_ok"))
       .select(col("l_returnflag"), col("approx_parts"),
-        col("approx_median_price"), col("n_rows"))
+        col("approx_median_price"), col("n_rows"),
+        // measured per-group sketch error, visible per round against the
+        // 10% / 20% bounds (GateChecks.require doc convention)
+        (abs(col("approx_parts") - col("exact_parts")) * 1000000L /
+          col("exact_parts")).cast("long").as("distinct_err_ppm"),
+        (abs(col("approx_median_price") - col("exact_median")) * 1000000L /
+          col("exact_median")).cast("long").as("median_err_ppm"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
@@ -21,9 +21,11 @@ import scala.jdk.CollectionConverters._
   *  - `overwrite = true` starts a new lineage in the SAME log: the new
   *    manifest lists only the new files, while older versions keep
   *    referencing the old ones (logical replace, physical retain)
-  *  - manifests land via tmp + atomic same-directory rename; version
-  *    numbering is single-writer (the reference is a single-process CLI;
-  *    multi-writer needs a CAS on the log directory, documented not built)
+  *  - manifests publish via an atomic hard-link CAS from a fully-written
+  *    temp file; version numbering is multi-writer safe — a writer that
+  *    loses the race for vN retries at vN+1 carrying the winner's files
+  *    (see [[commit]]; the reference is a single-process CLI, so this is
+  *    beyond-reference hardening)
   *
   * Scale posture: snapshot resolution is ONE manifest read (O(files) on
   * the driver, like Delta's checkpointed log), and the data read passes an
@@ -51,12 +53,25 @@ object SnapshotLog {
         s.stripPrefix("v").stripSuffix(".json").toInt }
       .sorted
 
-  /** Commit `df` as the next version; returns the new version number. */
+  /** Commit `df` as the next version; returns the new version number.
+    *
+    * MULTI-WRITER SAFE (round 11; previously documented-not-built): the
+    * commit point is a compare-and-swap on the version number, realized
+    * as an atomic hard-link publish of the manifest —
+    * `Files.createLink(vN.json, tmp)` either creates vN.json or throws
+    * `FileAlreadyExistsException`, atomically, unlike rename (POSIX
+    * rename REPLACES silently, so the old `require(!exists)` + move was
+    * a check-then-act race). A writer that loses the CAS re-reads the
+    * log — picking up the winner's files as its carry-over — and retries
+    * at the next version, so interleaved committers serialize cleanly:
+    * distinct versions, no manifest ever overwritten, every writer's
+    * rows in the final lineage ([[SnapshotLogSpec]] runs the race).
+    * Data-file names carry a per-commit random token so racing writers
+    * can never collide on a data file either (the old version-only
+    * prefix let a loser clobber the winner's just-published parts). */
   def commit(df: DataFrame, dir: Path, overwrite: Boolean = false): Int = {
     Files.createDirectories(dataDir(dir))
     Files.createDirectories(logDir(dir))
-    val prev = versions(dir)
-    val v = prev.lastOption.getOrElse(0) + 1
     // stage next to data/ so promotion is a metadata rename (ParquetSink's
     // same-filesystem staging rule)
     val staging = Files.createTempDirectory(dataDir(dir), ".commit-")
@@ -66,20 +81,29 @@ object SnapshotLog {
       val parts = listNames(staging)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted.map(staging.resolve)
+      val attemptV = versions(dir).lastOption.getOrElse(0) + 1
+      val token = java.util.UUID.randomUUID().toString.take(8)
       val moved = parts.zipWithIndex.map { case (p, i) =>
-        val name = f"c$v%05d-$i%05d.parquet"
-        // REPLACE_EXISTING: a collision here can only be debris from a
-        // CRASHED attempt at this same version (no manifest references it
-        // yet — the manifest write below is what publishes), so replacing
-        // is what makes the documented retry-after-crash contract true
-        Files.move(p, dataDir(dir).resolve(name),
-          StandardCopyOption.REPLACE_EXISTING); name
+        // token-unique target: cannot exist, so no REPLACE_EXISTING — a
+        // crashed attempt leaves only unreferenced (vacuumable) orphans
+        val name = f"c$attemptV%05d-$token-$i%05d.parquet"
+        Files.move(p, dataDir(dir).resolve(name)); name
       }
-      val carried =
-        if (overwrite) Seq.empty
-        else prev.lastOption.map(readManifest(dir, _)).getOrElse(Seq.empty)
-      writeManifest(dir, v, carried ++ moved)
-      v
+      // CAS publish loop: each round re-reads the log so the carry-over
+      // is the CURRENT latest manifest (a lost race means the winner's
+      // files must be carried, not the stale snapshot's). Data files keep
+      // their first-attempt name prefix — names are opaque; the manifest
+      // is the only membership truth.
+      var committed = -1
+      while (committed < 0) {
+        val prev = versions(dir)
+        val v = math.max(attemptV, prev.lastOption.getOrElse(0) + 1)
+        val carried =
+          if (overwrite) Seq.empty
+          else prev.lastOption.map(readManifest(dir, _)).getOrElse(Seq.empty)
+        if (tryPublishManifest(dir, v, carried ++ moved)) committed = v
+      }
+      committed
     } finally deleteRecursively(staging)
   }
 
@@ -124,17 +148,25 @@ object SnapshotLog {
     (expire, dead.map(_.getFileName.toString))
   }
 
-  private def writeManifest(dir: Path, v: Int, files: Seq[String]): Unit = {
+  /** Atomically publish manifest `v`, or report that `v` is taken. The
+    * hard link from a fully-written temp file IS the CAS: link creation
+    * either succeeds or throws FileAlreadyExistsException atomically at
+    * the filesystem layer — there is no observable window where vN.json
+    * exists with partial content, and an existing manifest can never be
+    * replaced (rename would clobber it silently). */
+  private[graft] def tryPublishManifest(
+      dir: Path, v: Int, files: Seq[String]): Boolean = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val json = JsonMethods.compact(JsonMethods.render(
       ("version" -> v) ~ ("files" -> files)))
     val target = manifestPath(dir, v)
-    require(!Files.exists(target),
-      s"version $v already committed (single-writer log)")
     val tmp = Files.createTempFile(logDir(dir), ".manifest", ".tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.writeString(tmp, json)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def readManifest(dir: Path, v: Int): Seq[String] = {

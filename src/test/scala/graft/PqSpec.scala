@@ -107,7 +107,9 @@ class PqSpec extends AnyFunSuite {
     val s5 = Similarity.s5AnnPq(spark, sf)
     val rows = s5.collect()
     assert(rows.nonEmpty, "recall gate must pass at test SF")
-    assert(s5.columns.toSeq == Seq("q_id", "rank", "vec_id", "cos"))
+    // trailing recall_ppm: the no-oracle gates report their measured
+    // margin as a constant column (GateChecks.require doc)
+    assert(s5.columns.toSeq == Seq("q_id", "rank", "vec_id", "cos", "recall_ppm"))
     rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
   }
 }

@@ -87,4 +87,47 @@ class SnapshotLogSpec extends AnyFunSuite {
       s"v2 still references v1's files — nothing may be deleted: $del2")
     assert(SnapshotLog.read(spark, dir2).count() == 25)
   }
+
+  test("manifest publish is a CAS: a second writer at the same version loses cleanly") {
+    val dir = Files.createTempDirectory("graft-snap")
+    SnapshotLog.commit(Tables.region(spark, sf), dir)                    // v1
+    val v2 = dir.resolve("_graft_log").resolve("v00002.json")
+    // winner takes v2
+    assert(SnapshotLog.tryPublishManifest(dir, 2, Seq("cW-0.parquet")))
+    val winnerBytes = Files.readAllBytes(v2).toSeq
+    // loser must fail WITHOUT touching the winner's manifest (the old
+    // rename-based publish would have replaced it silently)
+    assert(!SnapshotLog.tryPublishManifest(dir, 2, Seq("cL-0.parquet")))
+    assert(Files.readAllBytes(v2).toSeq == winnerBytes,
+      "lost CAS must leave the winning manifest byte-identical")
+    assert(!Files.list(dir.resolve("_graft_log")).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".tmp")), "no temp debris")
+  }
+
+  test("two interleaved committers serialize: distinct versions, union lineage") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    val lo = nation.filter(col("n_nationkey") < 10)
+    val hi = nation.filter(col("n_nationkey") >= 10)
+    // genuinely concurrent commits against one log
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fLo = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = SnapshotLog.commit(lo, dir)
+      })
+      val fHi = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = SnapshotLog.commit(hi, dir)
+      })
+      val (vLo, vHi) = (fLo.get(), fHi.get())
+      assert(Set(vLo, vHi) == Set(1, 2),
+        s"racing writers must land on consecutive distinct versions, got $vLo/$vHi")
+    } finally pool.shutdown()
+    // the later version carries BOTH writers' rows (the loser re-read the
+    // winner's manifest as its carry-over), and no data file was clobbered
+    assert(SnapshotLog.read(spark, dir, Some(2)).count() == 25,
+      "final lineage must be the union of both commits")
+    assert(SnapshotLog.orphans(dir).isEmpty, "no orphaned or clobbered parts")
+    val c1 = SnapshotLog.read(spark, dir, Some(1)).count()
+    assert(c1 == 10 || c1 == 15, "v1 is exactly one writer's commit")
+  }
 }
