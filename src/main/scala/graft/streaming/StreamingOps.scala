@@ -790,13 +790,72 @@ object StreamingOps {
         .outputMode(OutputMode.Complete())
     }.orderBy(col("start_us"), col("event_type"))
 
+  // ------------------------------------------ e25_stream_snapshot_ingest
+  /** Streaming ingest INTO the snapshot-manifest log
+    * ([[graft.sources.SnapshotLog]]) — the lakehouse landing pattern
+    * that ties the two subsystems together: every micro-batch commits as
+    * a new immutable table version via foreachBatch, so the landing
+    * table is time-travelable BY INGEST BATCH and a concurrent reader
+    * never observes a partial batch (visibility is the manifest's atomic
+    * hard-link CAS, which also makes a second concurrent ingest stream
+    * against the same table serialize instead of corrupt).
+    *
+    * Two staged feeds → two commits. The gate reads the LATEST snapshot
+    * back and aggregates per event_type (the DuckDB oracle recomputes
+    * the same figures from the raw events), and structurally requires
+    * versions == [1, 2], zero orphan files, and version-1 visibility
+    * frozen at exactly the first feed's row count — probed BOTH between
+    * the feeds and after the second commit, which is the time-travel
+    * property under ingest.
+    *
+    * Replay caveat (documented, not exercised — the finite clean run
+    * never replays): foreachBatch may re-run a batch after a failure,
+    * which would append a duplicate version. Production pairs the commit
+    * with the batch id through the CAS — record (batchId → version) at
+    * commit time and have a re-run attempt ITS original version, where
+    * the hard-link publish loses cleanly against the existing manifest. */
+  def e25StreamSnapshotIngest(s: SparkSession, d: String): DataFrame =
+    withFeedDirs("graft_e25_") { (root, srcDir, drop) =>
+      import graft.sources.SnapshotLog
+      val tableDir = root.resolve("table")
+      val cpDir = root.resolve("cp")
+      val all = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = s.readStream.schema(all.schema).parquet(srcDir.toString)
+        .writeStream.option("checkpointLocation", cpDir.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          SnapshotLog.commit(batch, tableDir); () }
+        .start()
+      val n1Between = try {
+        drop(all.filter(col("event_id") % 2 === 0), "f0")
+        q.processAllAvailable()
+        val n = SnapshotLog.read(s, tableDir, Some(1)).count()
+        drop(all.filter(col("event_id") % 2 =!= 0), "f1")
+        q.processAllAvailable()
+        n
+      } finally q.stop()
+      val ok = SnapshotLog.versions(tableDir) == Seq(1, 2) &&
+        SnapshotLog.orphans(tableDir).isEmpty &&
+        n1Between == all.filter(col("event_id") % 2 === 0).count() &&
+        SnapshotLog.read(s, tableDir, Some(1)).count() == n1Between
+      graft.operators.CacheScope.localCheckpoint(
+        SnapshotLog.read(s, tableDir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(Relational.dec2(col("value"))).cast("double").as("total_value"))
+          .filter(lit(ok)))
+    }.orderBy(col("event_type"))
+
   /** Gate entries: batch sessionization (the streaming op's semantics
     * twin, DuckDB-verifiable) and the streaming-EXECUTED queries
     * (windowed aggregation q44, stream-stream interval join q45,
     * checkpoint kill-resume q46, foreachBatch CDC upsert q47, session
     * windows q49, stream-static enrichment q51, transformWithState
-    * user totals q52, watermark-bounded dedup q53). */
+    * user totals q52, watermark-bounded dedup q53, snapshot-log ingest
+    * e25). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e25_stream_snapshot_ingest" -> e25StreamSnapshotIngest,
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
     "q48_session_window" -> q48SessionWindow,
     "q49_stream_session" -> q49StreamSessionWindow,
@@ -835,6 +894,13 @@ object StreamingOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the latest snapshot is the union of both ingest feeds = all events;
+    // a commit that dropped or duplicated a batch's rows hash-fails
+    "e25_stream_snapshot_ingest" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q63's sliding-window oracle verbatim — the streaming execution
     // must land on the identical hopping aggregates
     "q67_stream_sliding" ->

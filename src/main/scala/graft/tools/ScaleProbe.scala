@@ -44,6 +44,7 @@ object ScaleProbe {
     "d7_dup_clusters", "d12_dup_clusters_star", "d18_pagerank",
     "d19_lpa_communities", "d20_dedup_full", "d21_triangle_count",
     "d9_fuzzy_link", "d22_containment", "d23_containment_decontam",
+    "d5_simhash_dup",
     "t9_repetition", "t18_bm25",
     "m8_cdc_chunking", "m10_phash_neardup", "s1_ann_brute",
     // skew handling: per-replica key offsets replicate the hot key once

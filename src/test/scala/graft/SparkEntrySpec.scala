@@ -8,21 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 186 queries / 178 oracles") {
-    assert(SparkEntry.queries.size == 186,
+  test("registry counts match the documented 187 queries / 180 oracles") {
+    assert(SparkEntry.queries.size == 187,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 178,
+    assert(SparkEntry.oracleSql.size == 180,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
 
-  test("every oracle key has a query; non-oracle queries are the 8 self-gated ones") {
+  test("every oracle key has a query; non-oracle queries are the 7 self-gated ones") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     val selfGated = q -- o
-    assert(selfGated.size == 8,
-      s"expected 8 quantitatively self-gated queries, got ${selfGated.size}: $selfGated")
+    assert(selfGated.size == 7,
+      s"expected 7 quantitatively self-gated queries, got ${selfGated.size}: $selfGated")
   }
 }
