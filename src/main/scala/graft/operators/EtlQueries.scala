@@ -1061,7 +1061,50 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("version")))
   }
 
+  // ---------------------------------------------- e26_manifest_skipping
+  /** MANIFEST-LEVEL DATA SKIPPING over the snapshot log — the
+    * stats-at-commit half of the Delta/Iceberg design that e24's time
+    * travel left open: commit harvests per-file [min, max] envelopes for
+    * chosen columns from the parquet FOOTERS the write already produced
+    * (zero extra data scan) into the manifest, and a range read prunes
+    * files from the ONE manifest read — no footer opened, no task
+    * scheduled for a file whose envelope cannot overlap the predicate.
+    * Parquet's own pushdown still skips row groups INSIDE opened files;
+    * only manifest stats keep the FILE set proportional to selectivity,
+    * which is the axis that dominates at 100 TB file counts.
+    *
+    * The commit range-partitions on o_orderkey so the 8 files are key
+    * slabs with tight envelopes; the gate queries the lowest quarter of
+    * the key span — both bounds derived with integer arithmetic the
+    * oracle reproduces — and structurally requires that pruning kept
+    * SOME files and skipped SOME (a no-op pruner fails the gate, and so
+    * does an unsound one: the kept files' rows must reproduce DuckDB's
+    * full-table-filter aggregates exactly). Pruning is sound by
+    * construction — the real filter still applies on top, skipping only
+    * provably-empty files. */
+  def e26ManifestSkipping(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e26")
+    val src = orders(s, d)
+    SnapshotLog.commit(src.repartitionByRange(8, col("o_orderkey")), dir,
+      statsCols = Seq("o_orderkey"))
+    val mm = src.agg(min(col("o_orderkey")).as("lo"),
+      max(col("o_orderkey")).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val qhi = lo + (hi - lo) / 4 // lowest quarter of the key span
+    val (kept, skipped) = SnapshotLog.prunedFiles(dir, "o_orderkey", lo, qhi)
+    val ok = kept.nonEmpty && skipped.nonEmpty
+    val out = SnapshotLog.readPruned(s, dir, "o_orderkey", lo, qhi)
+      .filter(col("o_orderkey").between(lo, qhi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("o_orderstatus")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e26_manifest_skipping" -> e26ManifestSkipping,
     "e24_time_travel" -> e24TimeTravel,
     "e23_observe" -> e23Observe,
     "e20_jdbc_incremental" -> e20JdbcIncremental,
@@ -1089,6 +1132,18 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same integer-derived quarter-span bounds over the raw table: a
+    // pruner that skipped a file it needed (or a stats envelope that
+    // lied) hash-fails against the full-table filter
+    "e26_manifest_skipping" ->
+      """WITH b AS (SELECT MIN(o_orderkey) AS lo,
+        |    MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 4 AS qhi
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders, b
+        |WHERE o_orderkey BETWEEN b.lo AND b.qhi
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // per-version aggregates recomputed from the source predicates: v1 =
     // the base commit's rows, v2 = everything — a visibility leak either
     // way hash-fails

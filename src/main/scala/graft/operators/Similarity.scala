@@ -49,6 +49,40 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ----------------------------------------------------- s11_range_search
+  /** RADIUS (range) similarity search — every corpus vector within a
+    * cosine threshold of each query: the similarity family's other half.
+    * Top-k (s1–s7) answers "the best K, however weak"; radius answers
+    * "everything at least this similar, however many" — the shape
+    * threshold-driven consumers (d6/d16's near-dup screens, contamination
+    * filters) actually want, where a fixed K either truncates a dense
+    * neighborhood or pads a sparse one with noise.
+    *
+    * Served exact in s1's linear shape: per-vector norms on the scan, the
+    * ≤64-query set broadcast, corpus never shuffles, and the result is a
+    * pushdown-friendly filter instead of a per-query window — radius
+    * search at moderate θ has no lossless sub-linear path (the candidates
+    * ARE the answer), so the honest serving form is the single scan; the
+    * banded/IVF indexes remain the approximate scale path when a recall
+    * floor is acceptable (s2/s3's regime). Oracle: the identical
+    * double-precision cosine in DuckDB (the s1 float-portability rule —
+    * same operation order, same IEEE doubles, so even the threshold
+    * boundary is bit-portable). */
+  def s11RangeSearch(s: SparkSession, d: String): DataFrame = {
+    val theta = 0.25
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    val q = e.filter(isQuery)
+      .orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("n2").as("qn2"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) / sqrt(col("qn2") * col("n2"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .filter(col("cos") >= theta)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // ---------------------------------------------------------- s2_ann_lsh
   /** LSH-bucketed ANN: 32-bit signatures split into 8 bands of 4 bits; a
     * corpus vector is a candidate for a query iff it shares any band value.
@@ -497,6 +531,7 @@ object Similarity {
     "s9_ann_hamming" -> s9AnnHamming,
     "s8_maxsim" -> s8Maxsim,
     "s1_ann_brute" -> s1AnnBrute,
+    "s11_range_search" -> s11RangeSearch,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
     "s4_ann_sq8" -> s4AnnSq8,
@@ -584,6 +619,19 @@ object Similarity {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s8_maxsim" -> MaxSimOracle,
     "s1_ann_brute" -> ExactTopKOracle,
+    // s1's float-portability rule: identical operation order -> identical
+    // IEEE doubles, so the threshold compare is bit-portable too
+    "s11_range_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0
+        |      ORDER BY vec_id LIMIT 64)
+        |SELECT q.q_id, e.vec_id,
+        |  list_dot_product(q.qv, e.v)
+        |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)) AS cos
+        |FROM e JOIN q ON e.vec_id <> q.q_id
+        |WHERE list_dot_product(q.qv, e.v)
+        |    / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)) >= 0.25
+        |ORDER BY q_id, vec_id""".stripMargin,
     "s4_ann_sq8" -> ExactTopKOracle,
     "s6_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

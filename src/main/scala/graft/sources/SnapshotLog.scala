@@ -69,7 +69,8 @@ object SnapshotLog {
     * Data-file names carry a per-commit random token so racing writers
     * can never collide on a data file either (the old version-only
     * prefix let a loser clobber the winner's just-published parts). */
-  def commit(df: DataFrame, dir: Path, overwrite: Boolean = false): Int = {
+  def commit(df: DataFrame, dir: Path, overwrite: Boolean = false,
+      statsCols: Seq[String] = Seq.empty): Int = {
     Files.createDirectories(dataDir(dir))
     Files.createDirectories(logDir(dir))
     // stage next to data/ so promotion is a metadata rename (ParquetSink's
@@ -89,22 +90,103 @@ object SnapshotLog {
         val name = f"c$attemptV%05d-$token-$i%05d.parquet"
         Files.move(p, dataDir(dir).resolve(name)); name
       }
+      // per-file column envelopes for DATA SKIPPING, harvested from the
+      // parquet FOOTERS the write already produced — zero extra data scan
+      // (the Delta/Iceberg stats-at-commit idea); see [[readPruned]]
+      val stats = moved.map { n =>
+        n -> fileStats(dataDir(dir).resolve(n), statsCols.toSet)
+      }.filter(_._2.nonEmpty).toMap
       // CAS publish loop: each round re-reads the log so the carry-over
       // is the CURRENT latest manifest (a lost race means the winner's
       // files must be carried, not the stale snapshot's). Data files keep
       // their first-attempt name prefix — names are opaque; the manifest
-      // is the only membership truth.
+      // is the only membership truth. Carried files keep their envelopes.
       var committed = -1
       while (committed < 0) {
         val prev = versions(dir)
         val v = math.max(attemptV, prev.lastOption.getOrElse(0) + 1)
-        val carried =
-          if (overwrite) Seq.empty
-          else prev.lastOption.map(readManifest(dir, _)).getOrElse(Seq.empty)
-        if (tryPublishManifest(dir, v, carried ++ moved)) committed = v
+        val (carried, carriedStats) =
+          if (overwrite) (Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]])
+          else prev.lastOption
+            .map(pv => (readManifest(dir, pv), readStats(dir, pv)))
+            .getOrElse((Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]]))
+        if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats))
+          committed = v
       }
       committed
     } finally deleteRecursively(staging)
+  }
+
+  /** Read the table AS OF a version with MANIFEST-LEVEL FILE SKIPPING: a
+    * file whose committed [min, max] envelope on `column` cannot overlap
+    * [lo, hi] is never opened — no footer read, no task, no listing; the
+    * decision is made from the one manifest read. This is the pruning a
+    * 100 TB lake needs on its slowest axis (file count): predicate
+    * pushdown still skips ROW GROUPS inside opened files, but only
+    * manifest stats keep the scan's FILE set proportional to the
+    * predicate's selectivity. Sound, not exact: files without an
+    * envelope for `column` (not a stats column at commit time, a
+    * non-integer type, or an old manifest) are always read — callers
+    * apply the real filter on top, pruning only removes provably-empty
+    * work. */
+  def readPruned(spark: SparkSession, dir: Path, column: String,
+      lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
+    val (kept, _) = prunedFiles(dir, column, lo, hi, asOf)
+    require(kept.nonEmpty,
+      s"every file of $dir prunes away for $column in [$lo, $hi] — " +
+        "an empty relation with the right schema needs the unpruned read")
+    spark.read.parquet(kept.map(f => dataDir(dir).resolve(f).toString): _*)
+  }
+
+  /** The skipping decision itself, exposed for gates/audits:
+    * (kept, skipped) manifest file names for `column` ∩ [lo, hi]. */
+  def prunedFiles(dir: Path, column: String, lo: Long, hi: Long,
+      asOf: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshots")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v does not exist in $dir (have $vs)")
+    val stats = readStats(dir, v)
+    readManifest(dir, v).partition { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi // overlap → must read
+        case None => true                           // unknown → must read
+      }
+    }
+  }
+
+  /** Footer-harvested [min, max] per requested column, integer-typed
+    * columns only (INT32/INT64 physical — long, int, date-days). A column
+    * gets an envelope only if EVERY row group carries non-null statistics
+    * for it; anything partial would make pruning unsound, so it is
+    * dropped and the file simply always reads. */
+  private def fileStats(p: Path, cols: Set[String]): Map[String, (Long, Long)] = {
+    if (cols.isEmpty) return Map.empty
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), conf))
+    try {
+      val blocks = fr.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return Map.empty
+      cols.flatMap { c =>
+        val perBlock = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
+            val st = cc.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some((mn.toLong, mx.toLong))
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                Some((mn.toLong, mx.toLong))
+              case _ => None
+            }
+          }
+        }
+        if (perBlock.size != blocks.size) None
+        else Some(c -> (perBlock.map(_._1).min, perBlock.map(_._2).max))
+      }.toMap
+    } finally fr.close()
   }
 
   /** Read the table AS OF `asOf` (default: latest committed version). */
@@ -155,11 +237,18 @@ object SnapshotLog {
     * exists with partial content, and an existing manifest can never be
     * replaced (rename would clobber it silently). */
   private[graft] def tryPublishManifest(
-      dir: Path, v: Int, files: Seq[String]): Boolean = {
+      dir: Path, v: Int, files: Seq[String],
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Boolean = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
+    // stats render as {file: {col: [min, max]}} — absent entirely when no
+    // column qualified, so pre-stats manifests and stats-free commits
+    // stay byte-shape-identical to the original format
+    val statsJson = stats.view.mapValues(_.view.mapValues {
+      case (mn, mx) => Seq(mn, mx) }.toMap).toMap
     val json = JsonMethods.compact(JsonMethods.render(
-      ("version" -> v) ~ ("files" -> files)))
+      if (stats.isEmpty) ("version" -> v) ~ ("files" -> files)
+      else ("version" -> v) ~ ("files" -> files) ~ ("stats" -> statsJson)))
     val target = manifestPath(dir, v)
     val tmp = Files.createTempFile(logDir(dir), ".manifest", ".tmp")
     try {
@@ -177,6 +266,30 @@ object SnapshotLog {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case _ => throw new IllegalStateException(s"malformed manifest v$v in $dir")
     }
+  }
+
+  /** Per-file column envelopes of manifest `v`; empty for pre-stats
+    * manifests (absent "stats" member) — every consumer treats a missing
+    * envelope as "must read", so old logs keep working unpruned. */
+  private def readStats(dir: Path, v: Int): Map[String, Map[String, (Long, Long)]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(Files.readString(manifestPath(dir, v)))
+    (j \ "stats") match {
+      case JObject(files) => files.collect { case (f, JObject(cols)) =>
+        f -> cols.collect {
+          case (c, JArray(List(mn, mx))) =>
+            c -> (asLong(mn), asLong(mx))
+        }.toMap
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def asLong(v: org.json4s.JValue): Long = v match {
+    case org.json4s.JInt(i) => i.toLong
+    case org.json4s.JLong(l) => l
+    case other => throw new IllegalStateException(s"non-integer stat bound: $other")
   }
 
   /** Files.list with the stream CLOSED (it holds a directory fd). */

@@ -168,7 +168,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "d16_semantic_dedup", "t24_postings_topk", "e21_expectations",
       "s10_hybrid_rrf", // t18's 1-row corpus-statistics broadcast, inherited
       "t29_zipf_coverage", "s8_maxsim", "t30_heavy_hitters",
-      "t31_source_drift", "s9_ann_hamming") // s9 = s1's bounded query cross
+      "t31_source_drift", "s9_ann_hamming", // s9 = s1's bounded query cross
+      "s11_range_search") // s1's bounded query cross, filter instead of top-k
     // ETL queries do eager side work (sink writes, Derby DDL) at plan
     // construction — auditing their read-back plan adds nothing
     val skip = Set("e1_sink_roundtrip", "e2_jdbc_roundtrip", "e3_jdbc_types")

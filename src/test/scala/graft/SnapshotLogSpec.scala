@@ -88,6 +88,35 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, dir2).count() == 25)
   }
 
+  test("manifest stats prune files soundly; unknown columns and old manifests read everything") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val ords = Tables.orders(spark, sf)
+    SnapshotLog.commit(ords.repartitionByRange(4, col("o_orderkey")), dir,
+      statsCols = Seq("o_orderkey"))
+    val mm = ords.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val qhi = lo + (hi - lo) / 4
+    val (kept, skipped) = SnapshotLog.prunedFiles(dir, "o_orderkey", lo, qhi)
+    assert(kept.nonEmpty && skipped.nonEmpty,
+      s"range slabs must actually prune: kept=$kept skipped=$skipped")
+    // soundness: the pruned read + real filter equals the unpruned read +
+    // real filter, row for row
+    val full = SnapshotLog.read(spark, dir)
+      .filter(col("o_orderkey").between(lo, qhi)).count()
+    val pruned = SnapshotLog.readPruned(spark, dir, "o_orderkey", lo, qhi)
+      .filter(col("o_orderkey").between(lo, qhi)).count()
+    assert(pruned == full, "pruning dropped a file the predicate needed")
+    // a column without envelopes (not a stats column) must read every file
+    val (allKept, noneSkipped) = SnapshotLog.prunedFiles(dir, "o_custkey", 0, 0)
+    assert(noneSkipped.isEmpty && allKept.size == kept.size + skipped.size,
+      "unknown-column pruning must be a no-op, never a silent drop")
+    // stats-free commits (the pre-stats manifest shape) also read everything
+    val dir2 = Files.createTempDirectory("graft-snap")
+    SnapshotLog.commit(ords.limit(100), dir2)
+    val (k2, s2) = SnapshotLog.prunedFiles(dir2, "o_orderkey", lo, lo)
+    assert(s2.isEmpty && k2.nonEmpty, "no envelopes → no pruning")
+  }
+
   test("manifest publish is a CAS: a second writer at the same version loses cleanly") {
     val dir = Files.createTempDirectory("graft-snap")
     SnapshotLog.commit(Tables.region(spark, sf), dir)                    // v1
