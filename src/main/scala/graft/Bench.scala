@@ -171,13 +171,16 @@ object Bench {
     // which are the one map round-over-round regression triage needs.
     // Priority now: times > spread (spread always survives on its own
     // bench-spread line just above, and in full in bench-full).
-    def line(prec: Int, withSpread: Boolean): String = {
+    // sf as basename and NO spread fields in the contract: the driver
+    // keeps exactly the last 2000 output chars, and at 189 queries even
+    // the precision-1 full-path-and-spread form measured 1940+ — every
+    // constant byte in this line is a byte stolen from the per-query map.
+    // spread_max/spread live on the bench-spread line printed just above.
+    def line(prec: Int): String = {
       val m = mins.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, prec) }
         .mkString("{", ",", "}")
-      val sp =
-        if (withSpread) s""","spread_max":${fmt(spreadMax, 1)},"spread":${spreadJson(noisiest)}"""
-        else s""","spread_max":${fmt(spreadMax, 1)}"""
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","failed":$failed,"sf":"$sfDir"$sp,"queries":$m}"""
+      val sfShort = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","failed":$failed,"sf":"$sfShort","queries":$m}"""
     }
     val full = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -185,13 +188,13 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""bench-index {"s2_build":${fmt(s2Build, 3)},"s3_build":${fmt(s3Build, 3)},"s4_build":${fmt(s4Build, 3)},"t24_build":${fmt(t24Build, 3)},"s5_build":${fmt(s5Build, 3)},"s7_build":${fmt(s7Build, 3)}}""")
     println(s"""bench-full {"total":$total,"queries":$full,"spread":$fullSpread}""")
-    // Budget ladder: precision falls before the times map is dropped, the
-    // spread map goes before precision falls below 1, and only if even a
-    // bare precision-1 times map overflows does the contract degrade to
-    // total-only (a parseable total beats an unparseable detail line).
-    val contract = (Seq(3, 2).map(line(_, withSpread = true)) ++
-        Seq(2, 1).map(line(_, withSpread = false)))
-      .find(_.length <= 1900)
+    // Budget ladder: precision falls before the times map is dropped, and
+    // only if even the precision-1 map overflows does the contract degrade
+    // to total-only (a parseable total beats an unparseable detail line).
+    // 1985 = the driver's 2000-char tail minus newline margin — measured,
+    // not guessed (BENCH_r09/r10 tail fields are exactly 2000 chars).
+    val contract = Seq(3, 2, 1).map(line)
+      .find(_.length <= 1985)
       .getOrElse(
         s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","spread_max":${fmt(spreadMax, 1)},"failed":$failed,"sf":"$sfDir"}""")
     // Stop Spark BEFORE printing the final lines so no executor/shutdown

@@ -132,17 +132,30 @@ object Dedup {
     // tokenize → shingle → hash → distinct → sort in ONE pass over the text
     // bytes ([[graft.functions.ShingleHashes]]); the sorted hash array feeds
     // both the one-pass minhash-banding kernel and the merge-walk jaccard
-    // verify — candidates carry 8 bytes per shingle through the shuffle
+    // verify — candidates carry 8 bytes per shingle through the shuffle.
+    // Twin-injected payload view (d5/m10's pattern, round 11): the natural
+    // corpus has ZERO same-source shingle-jaccard≥0.7 pairs at sf0.01, so
+    // the recall floor was vacuous exactly at the driver's correctness SF
+    // (recall_ppm read null there). One altered token ('x' prepended) for
+    // every 5th doc changes exactly one 2-gram shingle — jaccard
+    // (n−2)/n ≈ 0.95+, a guaranteed truth pair the banding must recover.
+    // pid = doc_id·2 originals, doc_id·2+1 twins.
     val shingled = {
       import org.apache.spark.sql.GraftBridge
       val shs = GraftBridge.column(graft.functions.ShingleHashes(
         GraftBridge.expression(trim(col("text"))), 2))
+      val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val pay = base.select((col("doc_id") * 2).as("doc_id"), col("source"),
+          col("text"))
+        .unionAll(base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") * 2 + 1).as("doc_id"), col("source"),
+            concat(lit("x"), col("text")).as("text")))
       // the candidate and exact-twin branches both read this; cache so the
       // one-pass shingle+minhash kernel runs once per document (released
       // per-query by the runner via CacheScope). Width-guarded: the
       // kernel is compute-dense and the cache build inherits the scan's
       // split count — measured one task on the ×10 probe corpus
-      CacheScope.persist(Scans.wide(s, documents(s, d), col("doc_id"))
+      CacheScope.persist(Scans.wide(s, pay, col("doc_id"))
         .withColumn("shs", shs)
         .select(col("doc_id"), col("source"), col("shs"),
           GraftBridge.column(graft.functions.MinHashBuckets(
@@ -173,10 +186,11 @@ object Dedup {
 
     // exact twin over same-source pairs (no banding, PPJoin length
     // prefilter: j ≥ 0.7 ⇒ |A|/|B| ∈ [0.7, 1/0.7]) — linear via blocking,
-    // and sampled to even doc_ids on both ends (quarters the twin's join
+    // and sampled to even UNDERLYING docs on both ends (pid div 2 — pid
+    // parity would drop every injected twin; quarters the twin's join
     // work; recall is a ratio, so the sampled estimate keeps its teeth)
     val docs = shingled
-      .filter(col("doc_id") % 2 === 0)
+      .filter(expr("(doc_id div 2) % 2 = 0"))
       .select(col("doc_id"), col("source"), col("shs"),
         size(col("shs")).as("ns"))
     val ta = docs.select(col("doc_id").as("a_id"), col("source"),

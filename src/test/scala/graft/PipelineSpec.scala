@@ -121,8 +121,17 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("minhash-LSH near-dup recall >= 80% of brute-force jaccard>=0.7 pairs") {
-    // brute force truth on 2-gram shingles, all pairs (small sf only)
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // brute force truth on 2-gram shingles over the TWIN-INJECTED payload
+    // view d4 serves (pid = doc_id·2, twins ·2+1 with one altered token
+    // — the view that makes the recall floor non-vacuous at small SF),
+    // all pairs (small sf only)
+    import spark.implicits._
+    val baseRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pay = baseRows.map { case (id, t) => (id * 2, t) } ++
+      baseRows.collect { case (id, t) if id % 5 == 0 => (id * 2 + 1, "x" + t) }
+    val docs = pay.toSeq.toDF("doc_id", "text")
       .withColumn("t", split(trim(col("text")), "\\s+"))
       .withColumn("sh", array_distinct(
         zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
