@@ -237,9 +237,11 @@ object Dedup {
     *  - IN-GATE floor (defense in depth): recall over the hamming-4..6
     *    band, where banding IS probabilistic. Independent-bit analysis
     *    gives per-pair catch probability 1−(1−(1−h/64)^16)^4
-    *    (0.83/0.72/0.60 for h=4/5/6); measured combined recall 0.71 at
-    *    sf0.01 / 0.59 at sf0.1 (NOTES.md). Floor 0.45 = measured minus
-    *    ~15 pts: loose enough for small-sample noise, tight enough that a
+    *    (0.83/0.72/0.60 for h=4/5/6); measured combined recall over the
+    *    twin-injected population: 0.60 at sf0.01 (n=20, below the
+    *    small-sample escape) and 0.69 at sf0.1 (n=558 — where the floor
+    *    actually bites; Measure, round 11). Floor 0.45 = measured minus
+    *    ~20 pts: loose enough for small-sample noise, tight enough that a
     *    broken band split (which collapses recall toward 0) zeroes the
     *    output — and a zeroed output now hard-fails the DuckDB compare
     *    instead of coasting rows-only. The sampled completeness probe

@@ -1103,7 +1103,50 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("o_orderstatus")))
   }
 
+  // ------------------------------------------------ e27_snapshot_compact
+  /** OPTIMIZE over the snapshot log — the maintenance a streaming-
+    * ingested table (e25's shape) needs continuously: many tiny ingest
+    * commits accumulate small files, and [[graft.sources.SnapshotLog
+    * .compact]] rewrites the latest version's rows into few size-targeted
+    * files as a LOGICAL NO-OP version (overwrite lineage), while every
+    * pre-compaction version keeps reading its original files — time
+    * travel survives maintenance, readers never race the compactor, and
+    * the small files free only at vacuum (the OPTIMIZE/VACUUM split).
+    *
+    * The gate simulates six micro-ingests (customer sliced by key mod
+    * 6), compacts to 2 files, and requires: strictly fewer data files in
+    * the compacted version, the pre-compaction version still resolving
+    * exactly its own six-file membership, zero orphans before vacuum,
+    * and — the DuckDB-checked half — the compacted version's aggregates
+    * equal to the full table's (a compactor that dropped or duplicated a
+    * row hash-fails). */
+  def e27SnapshotCompact(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e27")
+    val base = customer(s, d)
+    (0 until 6).foreach { i =>
+      SnapshotLog.commit(base.filter(col("c_custkey") % 6 === i), dir)
+    }
+    val vIngested = SnapshotLog.versions(dir).last
+    val filesBefore = SnapshotLog.files(dir).size
+    val vCompacted = SnapshotLog.compact(s, dir, targetFiles = 2)
+    val filesAfter = SnapshotLog.files(dir).size
+    val ok = vCompacted == vIngested + 1 &&
+      filesAfter < filesBefore &&
+      SnapshotLog.files(dir, Some(vIngested)).size == filesBefore &&
+      SnapshotLog.orphans(dir).isEmpty &&
+      SnapshotLog.read(s, dir, Some(vIngested)).count() ==
+        SnapshotLog.read(s, dir).count()
+    val out = SnapshotLog.read(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("c_mktsegment")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e27_snapshot_compact" -> e27SnapshotCompact,
     "e26_manifest_skipping" -> e26ManifestSkipping,
     "e24_time_travel" -> e24TimeTravel,
     "e23_observe" -> e23Observe,
@@ -1132,6 +1175,13 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the compacted version is a logical no-op over the six ingest
+    // slices = the whole table; a row lost or doubled in the rewrite
+    // hash-fails
+    "e27_snapshot_compact" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // same integer-derived quarter-span bounds over the raw table: a
     // pruner that skipped a file it needed (or a stats envelope that
     // lied) hash-fails against the full-table filter

@@ -189,6 +189,37 @@ object SnapshotLog {
     } finally fr.close()
   }
 
+  /** The data files version `v` (default latest) resolves to — the
+    * manifest membership, exposed for maintenance tooling and gates. */
+  def files(dir: Path, asOf: Option[Int] = None): Seq[String] = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"$dir has no committed snapshots")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v does not exist in $dir (have $vs)")
+    readManifest(dir, v)
+  }
+
+  /** OPTIMIZE — rewrite the latest version's rows into `targetFiles`
+    * size-targeted files as a NEW version that is a logical no-op: the
+    * compacted manifest lists only the new files (overwrite lineage),
+    * while every pre-compaction version keeps reading the original small
+    * files untouched (e24's physical-retain property), so time travel
+    * survives maintenance and a reader mid-query on vN never races the
+    * compactor. The small files become unreferenced only when the old
+    * versions are vacuumed — the Delta OPTIMIZE + VACUUM split. The CAS
+    * commit makes compact-vs-ingest races safe too: whichever publishes
+    * second simply takes the next version (a loser-compactor's output
+    * would lack the racing ingest's rows, which is the documented reason
+    * production runs compaction from the single maintenance writer or
+    * retries on version advance — detectable by comparing versions()
+    * before and after). */
+  def compact(spark: SparkSession, dir: Path, targetFiles: Int,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    commit(read(spark, dir).coalesce(targetFiles), dir,
+      overwrite = true, statsCols = statsCols)
+  }
+
   /** Read the table AS OF `asOf` (default: latest committed version). */
   def read(spark: SparkSession, dir: Path, asOf: Option[Int] = None): DataFrame = {
     val vs = versions(dir)

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 189 queries / 182 oracles") {
-    assert(SparkEntry.queries.size == 189,
+  test("registry counts match the documented 190 queries / 183 oracles") {
+    assert(SparkEntry.queries.size == 190,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 182,
+    assert(SparkEntry.oracleSql.size == 183,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
