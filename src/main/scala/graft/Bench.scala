@@ -193,10 +193,13 @@ object Bench {
     // to total-only (a parseable total beats an unparseable detail line).
     // 1985 = the driver's 2000-char tail minus newline margin — measured,
     // not guessed (BENCH_r09/r10 tail fields are exactly 2000 chars).
+    // the fallback keeps the contract's exact field shape (short sf, no
+    // spread) so a consumer never sees a differently-keyed line on the
+    // one round where the budget overflowed
     val contract = Seq(3, 2, 1).map(line)
       .find(_.length <= 1985)
       .getOrElse(
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","spread_max":${fmt(spreadMax, 1)},"failed":$failed,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failed,"sf":"${new java.io.File(sfDir).getName}"}""")
     // Stop Spark BEFORE printing the final lines so no executor/shutdown
     // log line can land after them — the driver's tail parse wants the
     // contract last. bench-spread prints just above the contract so the

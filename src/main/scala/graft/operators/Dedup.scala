@@ -18,6 +18,22 @@ object Dedup {
 
   private def toks: Column = split(trim(col("text")), "\\s+")
 
+  /** The twin-injected payload view shared by d4 and d5 (m10's pattern):
+    * originals at pid = doc_id·2, and for every 5th doc an altered twin
+    * at pid = doc_id·2+1 with 'x' prepended — exactly ONE token changed,
+    * which is a guaranteed near-dup in both shingle-jaccard (d4) and
+    * simhash-hamming (d5) space. ONE definition so the two gate
+    * populations cannot drift apart; the d5 DuckDB oracle's `pay` CTE is
+    * the intentional SQL mirror, and PipelineSpec re-derives the view
+    * independently on purpose (that is what makes its twin a proof). */
+  private[graft] def twinPayload(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    base.select((col("doc_id") * 2).as("doc_id"), col("source"), col("text"))
+      .unionAll(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") * 2 + 1).as("doc_id"), col("source"),
+          concat(lit("x"), col("text")).as("text")))
+  }
+
   // ------------------------------------------------------ d1_dedup_exact
   /** Exact dedup: hash-groupBy on content, keep the smallest id. Spark
     * aggregates partially map-side, so the shuffle carries one row per
@@ -144,12 +160,7 @@ object Dedup {
       import org.apache.spark.sql.GraftBridge
       val shs = GraftBridge.column(graft.functions.ShingleHashes(
         GraftBridge.expression(trim(col("text"))), 2))
-      val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
-      val pay = base.select((col("doc_id") * 2).as("doc_id"), col("source"),
-          col("text"))
-        .unionAll(base.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") * 2 + 1).as("doc_id"), col("source"),
-            concat(lit("x"), col("text")).as("text")))
+      val pay = twinPayload(s, d)
       // the candidate and exact-twin branches both read this; cache so the
       // one-pass shingle+minhash kernel runs once per document (released
       // per-query by the runner via CacheScope). Width-guarded: the
@@ -203,16 +214,8 @@ object Dedup {
       .select(col("a_id"), col("b_id"), jac.as("j"))
       .filter(col("j") >= 0.7)
       .select(col("a_id"), col("b_id"))
-    GateChecks.requireCached(found, f =>
-      truth
-        .join(f.select(col("a_id"), col("b_id"), lit(1).as("hit")),
-          Seq("a_id", "b_id"), "left_outer")
-        .agg((count(lit(1)) === 0 ||
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.8)
-          .as("gate_ok"),
-          // measured margin, visible per round (GateChecks.require doc)
-          (sum(coalesce(col("hit"), lit(0))) * 1000000L /
-            greatest(count(lit(1)), lit(1L))).cast("long").as("recall_ppm")))
+    GateChecks.requireRecall(found, truth, 0.8, report = true,
+        keys = Seq("a_id", "b_id"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -251,15 +254,9 @@ object Dedup {
     * shared with [[graft.tools.Measure]] so the measured recall population
     * is definitionally the gate population (they cannot drift apart).
     * pid = doc_id·2 for originals, doc_id·2+1 for the altered twins. */
-  private[graft] def d5Signatures(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d).select(col("doc_id"), col("source"), col("text"))
-    val pay = base.select((col("doc_id") * 2).as("doc_id"), col("source"), col("text"))
-      .unionAll(base.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") * 2 + 1).as("doc_id"), col("source"),
-          concat(lit("x"), col("text")).as("text")))
-    Scans.wide(s, pay, col("doc_id"))
+  private[graft] def d5Signatures(s: SparkSession, d: String): DataFrame =
+    Scans.wide(s, twinPayload(s, d), col("doc_id"))
       .select(col("doc_id"), col("source"), TextHashFunctions.simhash64(toks).as("sh"))
-  }
 
   /** d5's unbanded truth: same-source pairs with hamming ≤ `maxH` over the
     * even-underlying-doc sample (pid div 2 even — pid parity would select
@@ -587,16 +584,8 @@ object Dedup {
 
   /** The gated query: recall over the truth slice ≥ floor, or zero rows. */
   def d16SemanticDedup(s: SparkSession, d: String): DataFrame =
-    GateChecks.requireCached(d16Found(s, d), f =>
-      d16TruthSlice(s, d)
-        .join(f.select(col("a_id"), col("b_id"), lit(1).as("hit")),
-          Seq("a_id", "b_id"), "left_outer")
-        .agg((count(lit(1)) === 0 ||
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= D16Floor)
-          .as("gate_ok"),
-          // measured margin, visible per round (GateChecks.require doc)
-          (sum(coalesce(col("hit"), lit(0))) * 1000000L /
-            greatest(count(lit(1)), lit(1L))).cast("long").as("recall_ppm")))
+    GateChecks.requireRecall(d16Found(s, d), d16TruthSlice(s, d), D16Floor,
+      report = true, keys = Seq("a_id", "b_id"))
 
   // ------------------------------------------------- d22_containment
   /** CONTAINMENT near-dup detection — |A∩B| / min(|A|,|B|): the

@@ -39,22 +39,28 @@ object GateChecks {
     require(cached, mkCheck(cached))
   }
 
-  /** Recall floor vs an exact twin, the shared shape of the ANN gates
-    * (s2/s3): `exact`'s (q_id, vec_id) pairs must be recovered by the
-    * result at ratio ≥ `floor`, vacuously true when the exact set is
-    * empty. One definition so the gates cannot silently diverge.
+  /** Recall floor vs an exact twin, the shared shape of the recall gates:
+    * `exact`'s key pairs must be recovered by the result at ratio ≥
+    * `floor`, vacuously true when the exact set is empty. One definition
+    * (key columns parameterized — ANN gates join on (q_id, vec_id), the
+    * dedup gates on (a_id, b_id)) so the gates cannot silently diverge.
     *
     * `report = true` (the no-oracle gates) appends the measured recall as
     * a constant `recall_ppm` column so the margin over the floor is
     * visible in every round's artifact. Oracle-backed users (s4, whose
     * rescore window makes it result-identical to exact) keep the default:
-    * an extra column would break their hash compare. */
+    * an extra column would break their hash compare. recall_ppm is
+    * DELIBERATELY NULL when the truth set is empty — the gate passed
+    * vacuously, and a sentinel 1000000 would be indistinguishable from a
+    * genuinely measured perfect recall (the d4-at-sf0.01 lesson: an
+    * empty-truth floor should LOOK unmeasured, which is what prompted
+    * the twin injection that made it measurable). */
   def requireRecall(result: DataFrame, exact: DataFrame, floor: Double,
-      report: Boolean = false): DataFrame =
+      report: Boolean = false,
+      keys: Seq[String] = Seq("q_id", "vec_id")): DataFrame =
     requireCached(result, f => {
       val joined = exact
-        .join(f.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-          Seq("q_id", "vec_id"), "left_outer")
+        .join(f.select(keys.map(col) :+ lit(1).as("hit"): _*), keys, "left_outer")
       val okCol = (count(lit(1)) === 0 ||
         sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= floor)
         .as("gate_ok")

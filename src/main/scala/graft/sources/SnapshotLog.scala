@@ -68,11 +68,29 @@ object SnapshotLog {
     * rows in the final lineage ([[SnapshotLogSpec]] runs the race).
     * Data-file names carry a per-commit random token so racing writers
     * can never collide on a data file either (the old version-only
-    * prefix let a loser clobber the winner's just-published parts). */
+    * prefix let a loser clobber the winner's just-published parts).
+    *
+    * `txnId` makes the commit IDEMPOTENT under replay (Delta's app-txn
+    * idea): the id lands in the manifest, and a commit whose id is
+    * already published returns that version without writing anything —
+    * a re-run micro-batch (e25's foreachBatch replay contract) cannot
+    * append a duplicate version. `expectedVersion` makes the commit
+    * CONDITIONAL (the read-modify-write form compaction needs): if the
+    * CAS cannot land on exactly that version, the commit aborts with
+    * [[java.util.ConcurrentModificationException]] instead of retrying —
+    * publishing a compacted rewrite of a stale snapshot on top of a
+    * racing ingest would silently drop the ingest's rows from the latest
+    * lineage. An aborted conditional commit leaves only unreferenced
+    * (vacuumable) data files; no manifest is written. */
   def commit(df: DataFrame, dir: Path, overwrite: Boolean = false,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      txnId: Option[String] = None,
+      expectedVersion: Option[Int] = None): Int = {
     Files.createDirectories(dataDir(dir))
     Files.createDirectories(logDir(dir))
+    // replay fast path: this txn already committed — nothing to write
+    val replayed = txnId.flatMap(committedTxnVersion(dir, _))
+    if (replayed.isDefined) return replayed.get
     // stage next to data/ so promotion is a metadata rename (ParquetSink's
     // same-filesystem staging rule)
     val staging = Files.createTempDirectory(dataDir(dir), ".commit-")
@@ -88,8 +106,12 @@ object SnapshotLog {
         // token-unique target: cannot exist, so no REPLACE_EXISTING — a
         // crashed attempt leaves only unreferenced (vacuumable) orphans
         val name = f"c$attemptV%05d-$token-$i%05d.parquet"
-        Files.move(p, dataDir(dir).resolve(name)); name
+        val target = dataDir(dir).resolve(name)
+        Files.move(p, target)
+        fsync(target) // bytes durable BEFORE any manifest references them
+        name
       }
+      fsync(dataDir(dir)) // the new directory entries too
       // per-file column envelopes for DATA SKIPPING, harvested from the
       // parquet FOOTERS the write already produced — zero extra data scan
       // (the Delta/Iceberg stats-at-commit idea); see [[readPruned]]
@@ -104,17 +126,43 @@ object SnapshotLog {
       var committed = -1
       while (committed < 0) {
         val prev = versions(dir)
+        // a racing writer may have published THIS txn between the fast
+        // path above and now (two replays running concurrently)
+        val replayedNow = txnId.flatMap(committedTxnVersion(dir, _))
+        if (replayedNow.isDefined) return replayedNow.get
         val v = math.max(attemptV, prev.lastOption.getOrElse(0) + 1)
+        expectedVersion.filter(_ != v).foreach { e =>
+          throw new java.util.ConcurrentModificationException(
+            s"conditional commit to $dir expected version $e but the log " +
+              s"advanced to $v — re-read the table and retry (orphaned " +
+              "parts are vacuumable)")
+        }
         val (carried, carriedStats) =
           if (overwrite) (Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]])
           else prev.lastOption
             .map(pv => (readManifest(dir, pv), readStats(dir, pv)))
             .getOrElse((Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]]))
-        if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats))
+        if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats,
+            txnId))
           committed = v
       }
       committed
     } finally deleteRecursively(staging)
+  }
+
+  /** The version that already committed `txnId`, if any — one manifest
+    * scan, driver-side (Delta checkpoints this lookup; at this log's
+    * scale the linear scan is the honest form). */
+  private def committedTxnVersion(dir: Path, txnId: String): Option[Int] =
+    versions(dir).reverse.find(v => readTxn(dir, v).contains(txnId))
+
+  /** Best-effort-but-real fsync of a file or directory: opens a read
+    * channel and forces it — on Linux this issues fsync(2) for both.
+    * Failures surface; durability is the commit protocol's promise. */
+  private def fsync(p: Path): Unit = {
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
   }
 
   /** Read the table AS OF a version with MANIFEST-LEVEL FILE SKIPPING: a
@@ -131,11 +179,13 @@ object SnapshotLog {
     * work. */
   def readPruned(spark: SparkSession, dir: Path, column: String,
       lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
-    val (kept, _) = prunedFiles(dir, column, lo, hi, asOf)
-    require(kept.nonEmpty,
-      s"every file of $dir prunes away for $column in [$lo, $hi] — " +
-        "an empty relation with the right schema needs the unpruned read")
-    spark.read.parquet(kept.map(f => dataDir(dir).resolve(f).toString): _*)
+    val (kept, skipped) = prunedFiles(dir, column, lo, hi, asOf)
+    // everything pruned away: a legitimately-empty answer, not an error.
+    // One skipped file supplies the schema; its rows provably cannot pass
+    // the caller's range filter (that is what its envelope proved), so
+    // pruning stays transparent even for a fully-out-of-range predicate.
+    val toRead = if (kept.nonEmpty) kept else skipped.take(1)
+    spark.read.parquet(toRead.map(f => dataDir(dir).resolve(f).toString): _*)
   }
 
   /** The skipping decision itself, exposed for gates/audits:
@@ -206,18 +256,25 @@ object SnapshotLog {
     * files untouched (e24's physical-retain property), so time travel
     * survives maintenance and a reader mid-query on vN never races the
     * compactor. The small files become unreferenced only when the old
-    * versions are vacuumed — the Delta OPTIMIZE + VACUUM split. The CAS
-    * commit makes compact-vs-ingest races safe too: whichever publishes
-    * second simply takes the next version (a loser-compactor's output
-    * would lack the racing ingest's rows, which is the documented reason
-    * production runs compaction from the single maintenance writer or
-    * retries on version advance — detectable by comparing versions()
-    * before and after). */
+    * versions are vacuumed — the Delta OPTIMIZE + VACUUM split.
+    *
+    * Compact-vs-ingest races ABORT LOUDLY, never lose rows: this is a
+    * read-modify-write, so the commit is CONDITIONAL on landing exactly
+    * one version past the snapshot it read (`expectedVersion`); if an
+    * ingest publishes in between, the compactor gets
+    * ConcurrentModificationException (its output files stay as
+    * vacuumable orphans, no manifest published) and simply re-runs
+    * against the fresh snapshot. Without the condition, a losing
+    * compactor's retry would publish a rewrite of the STALE snapshot as
+    * latest — silently dropping the racing ingest's rows. */
   def compact(spark: SparkSession, dir: Path, targetFiles: Int,
       statsCols: Seq[String] = Seq.empty): Int = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    commit(read(spark, dir).coalesce(targetFiles), dir,
-      overwrite = true, statsCols = statsCols)
+    val vRead = versions(dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed snapshots"))
+    commit(read(spark, dir, Some(vRead)).coalesce(targetFiles), dir,
+      overwrite = true, statsCols = statsCols,
+      expectedVersion = Some(vRead + 1))
   }
 
   /** Read the table AS OF `asOf` (default: latest committed version). */
@@ -266,27 +323,49 @@ object SnapshotLog {
     * either succeeds or throws FileAlreadyExistsException atomically at
     * the filesystem layer — there is no observable window where vN.json
     * exists with partial content, and an existing manifest can never be
-    * replaced (rename would clobber it silently). */
+    * replaced (rename would clobber it silently). CRASH-DURABLE too: the
+    * temp file's bytes are fsynced BEFORE the link (a name pointing at
+    * page-cache-only JSON would, after power loss, leave an
+    * empty/partial vN.json that poisons every later log operation) and
+    * the log directory is fsynced after it so the link itself survives. */
   private[graft] def tryPublishManifest(
       dir: Path, v: Int, files: Seq[String],
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Boolean = {
+      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      txnId: Option[String] = None): Boolean = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     // stats render as {file: {col: [min, max]}} — absent entirely when no
     // column qualified, so pre-stats manifests and stats-free commits
-    // stay byte-shape-identical to the original format
+    // stay byte-shape-identical to the original format; txn renders only
+    // when the commit carried an idempotency key
     val statsJson = stats.view.mapValues(_.view.mapValues {
       case (mn, mx) => Seq(mn, mx) }.toMap).toMap
+    val base = ("version" -> v) ~ ("files" -> files)
+    val withStats = if (stats.isEmpty) base else base ~ ("stats" -> statsJson)
     val json = JsonMethods.compact(JsonMethods.render(
-      if (stats.isEmpty) ("version" -> v) ~ ("files" -> files)
-      else ("version" -> v) ~ ("files" -> files) ~ ("stats" -> statsJson)))
+      txnId.fold(withStats)(t => withStats ~ ("txn" -> t))))
     val target = manifestPath(dir, v)
     val tmp = Files.createTempFile(logDir(dir), ".manifest", ".tmp")
     try {
       Files.writeString(tmp, json)
-      try { Files.createLink(target, tmp); true }
+      fsync(tmp)
+      try {
+        Files.createLink(target, tmp)
+        fsync(logDir(dir))
+        true
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** The idempotency key manifest `v` committed under, if any. */
+  private def readTxn(dir: Path, v: Int): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(Files.readString(manifestPath(dir, v))) \ "txn" match {
+      case JString(t) => Some(t)
+      case _ => None
+    }
   }
 
   private def readManifest(dir: Path, v: Int): Seq[String] = {

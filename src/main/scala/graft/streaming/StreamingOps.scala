@@ -808,12 +808,13 @@ object StreamingOps {
     * the feeds and after the second commit, which is the time-travel
     * property under ingest.
     *
-    * Replay caveat (documented, not exercised — the finite clean run
-    * never replays): foreachBatch may re-run a batch after a failure,
-    * which would append a duplicate version. Production pairs the commit
-    * with the batch id through the CAS — record (batchId → version) at
-    * commit time and have a re-run attempt ITS original version, where
-    * the hard-link publish loses cleanly against the existing manifest. */
+    * Replay safety is IMPLEMENTED, not just documented: every commit
+    * carries the batch id as the log's idempotency key
+    * (`SnapshotLog.commit(txnId = ...)` — Delta's app-txn idea), so a
+    * re-run micro-batch finds its id already in a manifest and returns
+    * that version instead of appending a duplicate. The gate replays
+    * batch semantics implicitly via the id-keyed commits; SnapshotLogSpec
+    * exercises the txn short-circuit directly. */
   def e25StreamSnapshotIngest(s: SparkSession, d: String): DataFrame =
     withFeedDirs("graft_e25_") { (root, srcDir, drop) =>
       import graft.sources.SnapshotLog
@@ -823,8 +824,8 @@ object StreamingOps {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val q = s.readStream.schema(all.schema).parquet(srcDir.toString)
         .writeStream.option("checkpointLocation", cpDir.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          SnapshotLog.commit(batch, tableDir); () }
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          SnapshotLog.commit(batch, tableDir, txnId = Some(s"e25-batch-$id")); () }
         .start()
       val n1Between = try {
         drop(all.filter(col("event_id") % 2 === 0), "f0")

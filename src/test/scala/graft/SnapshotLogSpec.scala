@@ -133,6 +133,32 @@ class SnapshotLogSpec extends AnyFunSuite {
       .exists(_.getFileName.toString.endsWith(".tmp")), "no temp debris")
   }
 
+  test("txn-keyed commits are idempotent; conditional commits abort on version advance") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val region = Tables.region(spark, sf)
+    // replay: same txn id twice → same version, no duplicate manifest
+    val v1 = SnapshotLog.commit(region, dir, txnId = Some("batch-0"))
+    val v1again = SnapshotLog.commit(region, dir, txnId = Some("batch-0"))
+    assert(v1 == 1 && v1again == 1, s"replayed txn must return its version, got $v1/$v1again")
+    assert(SnapshotLog.versions(dir) == Seq(1), "replay must not append a version")
+    assert(SnapshotLog.read(spark, dir).count() == region.count())
+    // conditional: a compactor that read v1 must abort once v2 exists,
+    // publishing nothing — the stale rewrite never becomes latest
+    val v2 = SnapshotLog.commit(region.filter(col("r_regionkey") < 3), dir)
+    assert(v2 == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commit(region, dir, overwrite = true,
+        expectedVersion = Some(2))
+    }
+    assert(SnapshotLog.versions(dir) == Seq(1, 2),
+      "aborted conditional commit must not publish a manifest")
+    // compact() itself succeeds when nothing races and lands at +1
+    val vc = SnapshotLog.compact(spark, dir, targetFiles = 1)
+    assert(vc == 3 && SnapshotLog.files(dir).size == 1)
+    assert(SnapshotLog.read(spark, dir).count() ==
+      SnapshotLog.read(spark, dir, Some(2)).count())
+  }
+
   test("two interleaved committers serialize: distinct versions, union lineage") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
