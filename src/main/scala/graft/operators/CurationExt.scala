@@ -142,8 +142,16 @@ object CurationExt {
     * broadcasts the smaller while it fits). Distances are exact integers
     * so the oracle matches bit-for-bit. */
   def d9FuzzyLink(s: SparkSession, d: String): DataFrame = {
-    val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
-      regexp_extract(col("c_name"), "([0-9]+)$", 1).as("c_sfx"))
+    // width-guarded ([[Scans.wide]]): the probe side's explode + join +
+    // partial-agg stage is compute-dense and pipelines INSIDE the scan
+    // task, so a few-file entity table caps it at scan-split width (the
+    // d3/m8 lesson — the ×30 probe's executed plan showed the whole
+    // deletion-neighborhood stage running at the customer scan's split
+    // count); identity at warehouse file counts
+    val c = Scans.wide(s, customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("c_sfx")),
+      col("c_custkey"))
     val sup = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
       regexp_extract(col("s_name"), "([0-9]+)$", 1).as("s_sfx"))
     def delKeys(colName: String) = expr(
