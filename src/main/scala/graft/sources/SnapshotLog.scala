@@ -74,7 +74,13 @@ object SnapshotLog {
     * idea): the id lands in the manifest, and a commit whose id is
     * already published returns that version without writing anything —
     * a re-run micro-batch (e25's foreachBatch replay contract) cannot
-    * append a duplicate version. `expectedVersion` makes the commit
+    * append a duplicate version. Replay protection lives IN the
+    * manifests, so it is bounded by manifest retention: [[vacuum]] with
+    * keepVersions = N truncates the dedup history to the last N commits
+    * — keep retention at least as deep as the longest possible replay
+    * window (the same contract Delta's app-txn has with log retention),
+    * and scope txn ids per logical stream/checkpoint so a NEW pipeline
+    * against an old table can never alias onto a dead stream's ids. `expectedVersion` makes the commit
     * CONDITIONAL (the read-modify-write form compaction needs): if the
     * CAS cannot land on exactly that version, the commit aborts with
     * [[java.util.ConcurrentModificationException]] instead of retrying —
@@ -91,6 +97,17 @@ object SnapshotLog {
     // replay fast path: this txn already committed — nothing to write
     val replayed = txnId.flatMap(committedTxnVersion(dir, _))
     if (replayed.isDefined) return replayed.get
+    // conditional fail-fast: a doomed read-modify-write should abort
+    // BEFORE paying the full rewrite (the CAS below remains the
+    // authoritative check — this only saves the wasted I/O when the log
+    // already visibly advanced)
+    expectedVersion.foreach { e =>
+      val next = versions(dir).lastOption.getOrElse(0) + 1
+      if (next != e)
+        throw new java.util.ConcurrentModificationException(
+          s"conditional commit to $dir expected version $e but the next " +
+            s"version is already $next — re-read the table and retry")
+    }
     // stage next to data/ so promotion is a metadata rename (ParquetSink's
     // same-filesystem staging rule)
     val staging = Files.createTempDirectory(dataDir(dir), ".commit-")
@@ -185,6 +202,9 @@ object SnapshotLog {
     // the caller's range filter (that is what its envelope proved), so
     // pruning stays transparent even for a fully-out-of-range predicate.
     val toRead = if (kept.nonEmpty) kept else skipped.take(1)
+    require(toRead.nonEmpty,
+      s"the resolved version of $dir is a zero-file snapshot — nothing to " +
+        "read (same contract as read(); commit at least one schema-only part)")
     spark.read.parquet(toRead.map(f => dataDir(dir).resolve(f).toString): _*)
   }
 
@@ -303,7 +323,9 @@ object SnapshotLog {
   }
 
   /** Expire all but the newest `keepVersions` manifests, then delete every
-    * data file no SURVIVING manifest references. Two-phase on purpose —
+    * data file no SURVIVING manifest references. NOTE: expired manifests
+    * take their txn idempotency records with them — retention must stay
+    * deeper than any possible commit-replay window (see [[commit]]). Two-phase on purpose —
     * manifests first, then data — so a crash between the phases leaves
     * only unreferenced-but-present files (invisible, re-vacuumable), never
     * a manifest pointing at deleted data. Returns (expired versions,

@@ -825,7 +825,14 @@ object StreamingOps {
       val q = s.readStream.schema(all.schema).parquet(srcDir.toString)
         .writeStream.option("checkpointLocation", cpDir.toString)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          SnapshotLog.commit(batch, tableDir, txnId = Some(s"e25-batch-$id")); () }
+          // txn key scoped by the CHECKPOINT identity, not just the batch
+          // id: batch ids restart at 0 under a fresh checkpoint, and a
+          // bare id would alias a new pipeline's batches onto a dead
+          // stream's commits (silently discarding the re-ingest). Same
+          // checkpoint → same key → replay dedup; new checkpoint → new
+          // keys → a real re-ingest commits (Delta's txnAppId contract).
+          SnapshotLog.commit(batch, tableDir,
+            txnId = Some(s"e25-${cpDir.getFileName}-$id")); () }
         .start()
       val n1Between = try {
         drop(all.filter(col("event_id") % 2 === 0), "f0")
