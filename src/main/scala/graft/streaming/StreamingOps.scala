@@ -790,6 +790,92 @@ object StreamingOps {
         .outputMode(OutputMode.Complete())
     }.orderBy(col("start_us"), col("event_type"))
 
+  final case class BandRow(source: String, band: Int, v: Long, pid: Long, sh: Long)
+  final case class DupPair(a_id: Long, b_id: Long, hamming: Long)
+
+  // ------------------------------------------ q75_stream_simhash_dedup
+  /** STREAMING SimHash near-dup detection — d5's banded pipeline as a
+    * stateful stream: each arriving document's 64-bit signature is banded
+    * into 4×16-bit keys, and per (source, band, value) group the state
+    * holds every prior signature in that bucket; an arrival emits a
+    * candidate pair for each prior within hamming ≤ 3. This is the
+    * in-flight form of corpus near-dup dedup: an ingest checks arrivals
+    * against the indexed past WITHOUT re-scanning it (the state IS the
+    * band index) — q53's exact-key streaming dedup generalized to
+    * near-duplicates.
+    *
+    * Correctness shape: banding is pigeonhole-lossless at h ≤ 3 (d5's
+    * proof), per-group processing is pid-ordered so emissions do not
+    * depend on micro-batch arrival order, and a pair sharing several
+    * bands collapses in the read-back dedup — the final pair set equals
+    * d5's batch answer EXACTLY, so this gate shares d5's DuckDB oracle
+    * verbatim (the q48/q49 batch/streaming twin discipline, referenced
+    * by object identity in oracleSql so the two can never drift).
+    *
+    * State posture: NoTimeout on the finite gate feed; a production
+    * stream bounds the band index with an event-time TTL (sessionize's
+    * timeout pattern — near-dups beyond the horizon are the batch
+    * backfill's job) so state size is arrivals-within-horizon, not
+    * corpus size. */
+  def q75StreamSimhashDedup(s: SparkSession, d: String): DataFrame =
+    withFeedDirs("graft_q75_") { (root, srcDir, drop) =>
+      val cpDir = root.resolve("cp")
+      val pay = graft.operators.Dedup.twinPayload(s, d)
+      withGateStreamSession(s) { ns =>
+        import ns.implicits._
+        val sh = graft.functions.TextHashFunctions.simhash64(
+          split(trim(col("text")), "\\s+"))
+        val banded = ns.readStream.schema(pay.schema).parquet(srcDir.toString)
+          .withColumn("sh", sh)
+          .withColumn("bandkv", explode(array((0 until 4).map(b =>
+            struct(lit(b).as("i"),
+              col("sh").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))
+          .select(col("source"), col("bandkv.i").as("band"),
+            col("bandkv.v").as("v"), col("doc_id").as("pid"), col("sh"))
+          .as[BandRow]
+        val pairs = banded
+          .groupByKey(r => (r.source, r.band, r.v))
+          .flatMapGroupsWithState[List[(Long, Long)], DupPair](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: (String, Int, Long), rows: Iterator[BandRow],
+                state: GroupState[List[(Long, Long)]]) =>
+              var prior = state.getOption.getOrElse(Nil)
+              val out = Seq.newBuilder[DupPair]
+              rows.toSeq.sortBy(_.pid).foreach { r =>
+                prior.foreach { case (ppid, psh) =>
+                  val h = java.lang.Long.bitCount(psh ^ r.sh)
+                  if (h <= 3) out += DupPair(math.min(ppid, r.pid),
+                    math.max(ppid, r.pid), h.toLong)
+                }
+                prior = (r.pid, r.sh) :: prior
+              }
+              state.update(prior)
+              out.result().iterator
+          }
+        val sink = "graft_q75_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = pairs.writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", cpDir.toString)
+          .outputMode(OutputMode.Append())
+          .start()
+        try {
+          // two feeds (originals, then twins) → two micro-batches through
+          // the band-index state; intra-batch arrival order is irrelevant
+          // because the group function sorts by pid
+          drop(pay.filter(col("doc_id") % 2 === 0), "f0")
+          q.processAllAvailable()
+          drop(pay.filter(col("doc_id") % 2 =!= 0), "f1")
+          q.processAllAvailable()
+          graft.operators.CacheScope.localCheckpoint(
+            ns.table(sink)
+              .dropDuplicates("a_id", "b_id")
+              .select(col("a_id"), col("b_id"), col("hamming")))
+        } finally {
+          q.stop()
+          if (ns.catalog.tableExists(sink)) ns.catalog.dropTempView(sink)
+        }
+      }
+    }.orderBy(col("a_id"), col("b_id"))
+
   // ------------------------------------------ e25_stream_snapshot_ingest
   /** Streaming ingest INTO the snapshot-manifest log
     * ([[graft.sources.SnapshotLog]]) — the lakehouse landing pattern
@@ -863,6 +949,7 @@ object StreamingOps {
     * user totals q52, watermark-bounded dedup q53, snapshot-log ingest
     * e25). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_stream_simhash_dedup" -> q75StreamSimhashDedup,
     "e25_stream_snapshot_ingest" -> e25StreamSnapshotIngest,
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
     "q48_session_window" -> q48SessionWindow,
@@ -902,6 +989,11 @@ object StreamingOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // d5's oracle BY REFERENCE: the streaming band-index must land on the
+    // identical same-source hamming<=3 pair set over the identical
+    // twin-injected payload — object identity means the twins cannot drift
+    "q75_stream_simhash_dedup" ->
+      graft.operators.Dedup.oracleSql("d5_simhash_dup"),
     // the latest snapshot is the union of both ingest feeds = all events;
     // a commit that dropped or duplicated a batch's rows hash-fails
     "e25_stream_snapshot_ingest" ->
