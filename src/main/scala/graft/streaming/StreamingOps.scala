@@ -818,6 +818,13 @@ object StreamingOps {
     * backfill's job) so state size is arrivals-within-horizon, not
     * corpus size. */
   def q75StreamSimhashDedup(s: SparkSession, d: String): DataFrame =
+    q75Feeds(s, d, nFeeds = 2)
+
+  /** q75 with the payload split into `nFeeds` staged micro-batches (by
+    * pid mod nFeeds) — the serving gate uses 2; StreamingSpec runs 1, 2
+    * and 3 and requires identical output, the executable form of the
+    * batching-independence argument in the scaladoc above. */
+  private[graft] def q75Feeds(s: SparkSession, d: String, nFeeds: Int): DataFrame =
     withFeedDirs("graft_q75_") { (root, srcDir, drop) =>
       val cpDir = root.resolve("cp")
       val pay = graft.operators.Dedup.twinPayload(s, d)
@@ -858,13 +865,14 @@ object StreamingOps {
           .outputMode(OutputMode.Append())
           .start()
         try {
-          // two feeds (originals, then twins) → two micro-batches through
-          // the band-index state; intra-batch arrival order is irrelevant
-          // because the group function sorts by pid
-          drop(pay.filter(col("doc_id") % 2 === 0), "f0")
-          q.processAllAvailable()
-          drop(pay.filter(col("doc_id") % 2 =!= 0), "f1")
-          q.processAllAvailable()
+          // nFeeds staged micro-batches through the band-index state;
+          // intra-batch arrival order is irrelevant because the group
+          // function sorts by pid, and the spec proves the split count
+          // is too
+          (0 until nFeeds).foreach { i =>
+            drop(pay.filter(pmod(col("doc_id"), lit(nFeeds)) === i), s"f$i")
+            q.processAllAvailable()
+          }
           graft.operators.CacheScope.localCheckpoint(
             ns.table(sink)
               .dropDuplicates("a_id", "b_id")

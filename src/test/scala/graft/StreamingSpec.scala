@@ -375,4 +375,18 @@ class StreamingSpec extends AnyFunSuite {
     val total = batchSessions.map(_.getLong(3)).sum
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("q75 streaming near-dup output is independent of the micro-batch split") {
+    // the band-index state function sorts each group's arrivals by pid,
+    // so the pair set must be identical whether the corpus arrives as
+    // one batch, the serving two, or three — the executable form of the
+    // gate's batching-independence claim
+    def run(n: Int): Seq[String] =
+      graft.streaming.StreamingOps.q75Feeds(spark, sf, n)
+        .collect().map(_.mkString("|")).toSeq
+    val two = run(2)
+    assert(two.nonEmpty, "twin injection must produce near-dup pairs")
+    assert(run(1) == two, "single-batch run diverged from the serving split")
+    assert(run(3) == two, "three-batch run diverged from the serving split")
+  }
 }
