@@ -1145,7 +1145,111 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("c_mktsegment")))
   }
 
+  // ------------------------------------------ e28_string_skipping
+  /** STRING-COLUMN manifest skipping — e26's file-level pruning on the
+    * other half of real lakehouse predicates: the commit range-partitions
+    * customer on `c_name` so the 8 files are name slabs, harvests
+    * truncated-string [min, max] envelopes into the manifest (the Delta
+    * convention — [[graft.sources.SnapshotLog.StatsTruncateLen]] code
+    * points, max rounded UP so truncation can never prune a matching
+    * file), and a name-range read prunes files from the one manifest
+    * read in unsigned-UTF-8 order (Spark's own string ordering).
+    *
+    * The query bounds are data-derived but engine-reproducible: lo = the
+    * minimum name, qhi = the name at rank ⌊n/4⌋ of the DISTINCT sorted
+    * names (an existing value, so both engines select the identical
+    * string — no percentile interpolation). Structural gate: pruning
+    * kept SOME files and skipped SOME; correctness gate: the kept files'
+    * rows must reproduce DuckDB's full-table name-range aggregates
+    * exactly (an envelope that lied hash-fails). */
+  def e28StringSkipping(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    import org.apache.spark.sql.expressions.Window
+    val dir = scratchDir("graft-e28")
+    val src = customer(s, d)
+    SnapshotLog.commit(src.repartitionByRange(8, col("c_name")), dir,
+      statsCols = Seq("c_name"))
+    val ranked = src.select(col("c_name")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("c_name"))))
+    val n = ranked.count()
+    val lo = src.agg(min(col("c_name"))).head().getString(0)
+    val qhi = ranked.filter(col("rn") === math.max(1L, n / 4)).head().getString(0)
+    val (kept, skipped) = SnapshotLog.prunedFilesString(dir, "c_name", lo, qhi)
+    val ok = kept.nonEmpty && skipped.nonEmpty
+    val out = SnapshotLog.readPrunedString(s, dir, "c_name", lo, qhi)
+      .filter(col("c_name").between(lo, qhi))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("c_mktsegment")))
+  }
+
+  // ------------------------------------------ e29_snapshot_merge
+  /** MERGE INTO the snapshot log ([[graft.sources.SnapshotLog.merge]]) —
+    * row-level mutation closing the lakehouse set (e24 travel, e25
+    * ingest, e26/e28 skipping, e27 optimize): a CDC changeset (e5's
+    * shape, restricted to the LOWER HALF of the key span — upserts at
+    * key%10==3 (+1000 balance), deletes at key%10==7, re-keyed inserts
+    * at key%10==1) merges into a customer table committed as 8
+    * key-range slabs. Copy-on-write at file granularity: only the files
+    * whose key envelope intersects the changeset's keys rewrite; the
+    * upper-half slabs carry over byte-identical.
+    *
+    * Structural gate: the merge landed as exactly version 2, SOME files
+    * carried AND some rewritten (a merge that rewrote everything — or
+    * nothing — fails), zero orphans beyond the replaced originals
+    * (replaced files stay on disk for v1, so they are NOT orphans), and
+    * the PRE-MERGE version still reads its exact original rows (count +
+    * balance total equal to the raw table's — time travel across
+    * mutation). The DuckDB oracle recomputes the merged table's
+    * aggregates from the same changeset algebra — a dropped survivor,
+    * leaked delete, or double-applied upsert hash-fails. */
+  def e29SnapshotMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e29")
+    val base = customer(s, d)
+    SnapshotLog.commit(base.repartitionByRange(8, col("c_custkey")), dir,
+      statsCols = Seq("c_custkey"))
+    val mm = base.agg(min(col("c_custkey")).as("lo"),
+      max(col("c_custkey")).as("hi")).head()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val lower = base.filter(col("c_custkey") <= mid)
+    val changes = lower.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .withColumn("_deleted", lit(false))
+      .unionByName(lower.filter(col("c_custkey") % 10 === 1)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("_deleted", lit(false)))
+      .unionByName(lower.filter(col("c_custkey") % 10 === 7)
+        .withColumn("_deleted", lit(true)))
+    val v1Files = SnapshotLog.files(dir, Some(1)).toSet
+    val vMerged = SnapshotLog.merge(s, dir, changes, "c_custkey",
+      statsCols = Seq("c_custkey"))
+    val v2Files = SnapshotLog.files(dir).toSet
+    val v1Back = SnapshotLog.read(s, dir, Some(1))
+      .agg(count(lit(1)).as("n"),
+        sum(Relational.dec2(col("c_acctbal"))).cast("double").as("bal")).head()
+    val origin = base
+      .agg(count(lit(1)).as("n"),
+        sum(Relational.dec2(col("c_acctbal"))).cast("double").as("bal")).head()
+    val ok = vMerged == 2 &&
+      (v1Files & v2Files).nonEmpty &&       // copy-on-write carried files
+      (v1Files -- v2Files).nonEmpty &&      // ... and rewrote the touched
+      SnapshotLog.orphans(dir).isEmpty &&   // replaced files still serve v1
+      v1Back.getLong(0) == origin.getLong(0) &&
+      v1Back.getDouble(1) == origin.getDouble(1)
+    val out = SnapshotLog.read(s, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("n_keys"),
+        sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e29_snapshot_merge" -> e29SnapshotMerge,
+    "e28_string_skipping" -> e28StringSkipping,
     "e27_snapshot_compact" -> e27SnapshotCompact,
     "e26_manifest_skipping" -> e26ManifestSkipping,
     "e24_time_travel" -> e24TimeTravel,
@@ -1175,6 +1279,46 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same name-range bounds derived from the raw table: lo = min name,
+    // qhi = the rank-⌊n/4⌋ distinct name (an existing value — both
+    // engines select the identical string); a string envelope that
+    // pruned a needed file (or a truncation that rounded the wrong way)
+    // hash-fails against the full-table filter
+    "e28_string_skipping" ->
+      """WITH c AS (SELECT DISTINCT c_name FROM customer),
+        |r AS (SELECT c_name, row_number() OVER (ORDER BY c_name) AS rn,
+        |    COUNT(*) OVER () AS n FROM c),
+        |q AS (SELECT c_name AS qhi FROM r
+        |  WHERE rn = GREATEST(1, (SELECT MAX(n) // 4 FROM r))),
+        |b AS (SELECT MIN(c_name) AS lo FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer, b, q
+        |WHERE c_name BETWEEN b.lo AND q.qhi
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the merged table recomputed from the same changeset algebra over
+    // the raw table: survivors (keys not changed) + upserts (+1000 on
+    // key%10==3 of the lower half) + inserts (re-keyed key%10==1), with
+    // key%10==7 deleted — a leaked delete / dropped survivor /
+    // double-applied upsert hash-fails
+    "e29_snapshot_merge" ->
+      """WITH b AS (SELECT MIN(c_custkey) +
+        |    (MAX(c_custkey) - MIN(c_custkey)) // 2 AS mid FROM customer),
+        |changed AS (
+        |  SELECT c_custkey FROM customer, b
+        |  WHERE c_custkey <= mid AND c_custkey % 10 IN (3, 7)),
+        |merged AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 1000.0 FROM customer, b
+        |  WHERE c_custkey <= mid AND c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_acctbal FROM customer, b
+        |  WHERE c_custkey <= mid AND c_custkey % 10 = 1)
+        |SELECT COUNT(*) AS n_rows, COUNT(DISTINCT c_custkey) AS n_keys,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM merged""".stripMargin,
     // the compacted version is a logical no-op over the six ingest
     // slices = the whole table; a row lost or doubled in the rewrite
     // hash-fails

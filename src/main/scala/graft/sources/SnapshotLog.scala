@@ -35,6 +35,37 @@ import scala.jdk.CollectionConverters._
   * manifest. */
 object SnapshotLog {
 
+  /** A committed per-file column envelope. Two shapes:
+    *
+    *  - [[IntEnv]]: [min, max] for INT32/INT64-physical columns — long,
+    *    int, date-days, TIMESTAMP micros, and small decimals' unscaled
+    *    ints all land here; bounds are in the column's PHYSICAL units
+    *    (micros for timestamps, unscaled for decimals), which is what
+    *    the footer statistics carry and what callers must query in.
+    *  - [[StrEnv]]: [min, max] for UTF-8 string columns, TRUNCATED to
+    *    [[StatsTruncateLen]] code points (the Delta convention — full
+    *    strings would bloat every manifest with document-sized bounds).
+    *    Truncation must stay SOUND: a truncated min is a prefix of the
+    *    true min and a prefix is ≤ its extension in byte order, so
+    *    rounding DOWN is free; a truncated max is rounded UP by
+    *    incrementing its last incrementable code point (skipping the
+    *    surrogate gap), and when no code point can be incremented the
+    *    upper bound is dropped entirely (`hi = None`, unbounded above)
+    *    rather than published too low — a too-low max would prune files
+    *    that contain matching rows.
+    *
+    * Comparisons are unsigned UTF-8 byte order ([[utf8Cmp]]) — the same
+    * order Spark's UTF8String binary comparison and parquet's UNSIGNED
+    * binary stats use, so the envelope and the engine's own filter can
+    * never disagree about ordering. */
+  private[graft] sealed trait ColEnv
+  private[graft] final case class IntEnv(lo: Long, hi: Long) extends ColEnv
+  private[graft] final case class StrEnv(lo: String, hi: Option[String]) extends ColEnv
+
+  /** Max code points kept in a string envelope bound (Delta's default
+    * dataSkippingStringPrefixLength is 32 — same rationale). */
+  private[graft] val StatsTruncateLen = 32
+
   private def logDir(dir: Path) = dir.resolve("_graft_log")
   private def dataDir(dir: Path) = dir.resolve("data")
   private def manifestPath(dir: Path, v: Int) =
@@ -88,10 +119,21 @@ object SnapshotLog {
     * racing ingest would silently drop the ingest's rows from the latest
     * lineage. An aborted conditional commit leaves only unreferenced
     * (vacuumable) data files; no manifest is written. */
+  /** `dropCarried` names prev-manifest files the new version REPLACES
+    * (copy-on-write: [[merge]] rewrites only the files a changeset
+    * touches and carries the rest). Only meaningful with an
+    * `expectedVersion` — an unconditional retry after a lost race could
+    * drop a name the racing winner still references semantically; the
+    * conditional abort makes the read-modify-write safe. */
   def commit(df: DataFrame, dir: Path, overwrite: Boolean = false,
       statsCols: Seq[String] = Seq.empty,
       txnId: Option[String] = None,
-      expectedVersion: Option[Int] = None): Int = {
+      expectedVersion: Option[Int] = None,
+      dropCarried: Seq[String] = Seq.empty): Int = {
+    require(dropCarried.isEmpty || expectedVersion.isDefined,
+      "dropCarried (copy-on-write) requires expectedVersion — an " +
+        "unconditional commit may retry against a manifest the drop list " +
+        "was not computed from")
     Files.createDirectories(dataDir(dir))
     Files.createDirectories(logDir(dir))
     // replay fast path: this txn already committed — nothing to write
@@ -154,11 +196,14 @@ object SnapshotLog {
               s"advanced to $v — re-read the table and retry (orphaned " +
               "parts are vacuumable)")
         }
-        val (carried, carriedStats) =
-          if (overwrite) (Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]])
+        val (carriedAll, carriedStatsAll) =
+          if (overwrite) (Seq.empty[String], Map.empty[String, Map[String, ColEnv]])
           else prev.lastOption
             .map(pv => (readManifest(dir, pv), readStats(dir, pv)))
-            .getOrElse((Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]]))
+            .getOrElse((Seq.empty[String], Map.empty[String, Map[String, ColEnv]]))
+        val dropped = dropCarried.toSet
+        val carried = carriedAll.filterNot(dropped)
+        val carriedStats = carriedStatsAll -- dropped
         if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats,
             txnId))
           committed = v
@@ -175,11 +220,21 @@ object SnapshotLog {
 
   /** Best-effort-but-real fsync of a file or directory: opens a read
     * channel and forces it — on Linux this issues fsync(2) for both.
-    * Failures surface; durability is the commit protocol's promise. */
+    * REGULAR-FILE failures surface (durability is the commit protocol's
+    * promise); DIRECTORY fsync degrades to best-effort on IOException —
+    * opening a directory for read works on Linux but throws on Windows
+    * and some filesystems, and failing every commit there buys nothing
+    * (Lucene's IOUtils.fsync makes the same call: directory fsync is a
+    * Linux-only strengthening, not a portability requirement). */
   private def fsync(p: Path): Unit = {
-    val ch = java.nio.channels.FileChannel.open(p,
-      java.nio.file.StandardOpenOption.READ)
-    try ch.force(true) finally ch.close()
+    try {
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch {
+      case _: java.io.IOException if Files.isDirectory(p) =>
+        () // best-effort on non-Linux directory semantics (see scaladoc)
+    }
   }
 
   /** Read the table AS OF a version with MANIFEST-LEVEL FILE SKIPPING: a
@@ -193,25 +248,70 @@ object SnapshotLog {
     * envelope for `column` (not a stats column at commit time, a
     * non-integer type, or an old manifest) are always read — callers
     * apply the real filter on top, pruning only removes provably-empty
-    * work. */
+    * work. Files without an envelope for `column` (not a stats column at
+    * commit time, an unsupported physical type, or an old manifest) are
+    * always read. String columns: use [[readPrunedString]]. */
   def readPruned(spark: SparkSession, dir: Path, column: String,
       lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
     val (kept, skipped) = prunedFiles(dir, column, lo, hi, asOf)
-    // everything pruned away: a legitimately-empty answer, not an error.
-    // One skipped file supplies the schema; its rows provably cannot pass
-    // the caller's range filter (that is what its envelope proved), so
-    // pruning stays transparent even for a fully-out-of-range predicate.
+    readKeptOrEmpty(spark, dir, kept, skipped)
+  }
+
+  /** Shared tail of the pruned readers: read the kept files, or — when
+    * everything pruned away — an EMPTY frame (one skipped file supplies
+    * the schema, `lit(false)` drops its rows). The empty-case filter
+    * makes the API safe without a caller-side re-filter: a skipped
+    * file's rows provably fail the range predicate, so returning none of
+    * them is the only answer that is correct for callers that do NOT
+    * re-apply the filter (kept files still need the caller's exact
+    * filter on top — envelopes prune provably-empty files, they don't
+    * prove the kept rows match). */
+  private def readKeptOrEmpty(spark: SparkSession, dir: Path,
+      kept: Seq[String], skipped: Seq[String]): DataFrame = {
     val toRead = if (kept.nonEmpty) kept else skipped.take(1)
     require(toRead.nonEmpty,
       s"the resolved version of $dir is a zero-file snapshot — nothing to " +
         "read (same contract as read(); commit at least one schema-only part)")
-    spark.read.parquet(toRead.map(f => dataDir(dir).resolve(f).toString): _*)
+    val df = spark.read.parquet(
+      toRead.map(f => dataDir(dir).resolve(f).toString): _*)
+    if (kept.nonEmpty) df
+    else df.filter(org.apache.spark.sql.functions.lit(false))
   }
 
   /** The skipping decision itself, exposed for gates/audits:
-    * (kept, skipped) manifest file names for `column` ∩ [lo, hi]. */
+    * (kept, skipped) manifest file names for `column` ∩ [lo, hi].
+    * Integer form — serves long/int/date columns AND (in physical units)
+    * TIMESTAMP-micros and unscaled small decimals; see [[ColEnv]]. */
   def prunedFiles(dir: Path, column: String, lo: Long, hi: Long,
-      asOf: Option[Int] = None): (Seq[String], Seq[String]) = {
+      asOf: Option[Int] = None): (Seq[String], Seq[String]) =
+    pruneWith(dir, column, asOf) {
+      case IntEnv(mn, mx) => mx >= lo && mn <= hi // overlap → must read
+      case _: StrEnv => true // type mismatch → conservative read
+    }
+
+  /** String-range form of [[prunedFiles]]: `column` ∩ [lo, hi] in
+    * unsigned UTF-8 byte order (Spark's own string ordering). Envelopes
+    * are truncated at commit ([[StatsTruncateLen]]), already rounded
+    * outward, so the plain overlap test here stays sound. */
+  def prunedFilesString(dir: Path, column: String, lo: String, hi: String,
+      asOf: Option[Int] = None): (Seq[String], Seq[String]) =
+    pruneWith(dir, column, asOf) {
+      case StrEnv(mn, emx) =>
+        emx.forall(utf8Cmp(_, lo) >= 0) && utf8Cmp(mn, hi) <= 0
+      case _: IntEnv => true // type mismatch → conservative read
+    }
+
+  /** Read AS OF a version with string-range manifest skipping — the
+    * [[readPruned]] contract on a string column (same all-pruned-→-empty
+    * safety; kept files still need the caller's exact filter on top). */
+  def readPrunedString(spark: SparkSession, dir: Path, column: String,
+      lo: String, hi: String, asOf: Option[Int] = None): DataFrame = {
+    val (kept, skipped) = prunedFilesString(dir, column, lo, hi, asOf)
+    readKeptOrEmpty(spark, dir, kept, skipped)
+  }
+
+  private def pruneWith(dir: Path, column: String, asOf: Option[Int])(
+      overlaps: ColEnv => Boolean): (Seq[String], Seq[String]) = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"$dir has no committed snapshots")
     val v = asOf.getOrElse(vs.last)
@@ -219,18 +319,59 @@ object SnapshotLog {
     val stats = readStats(dir, v)
     readManifest(dir, v).partition { f =>
       stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi // overlap → must read
-        case None => true                           // unknown → must read
+        case Some(env) => overlaps(env)
+        case None => true // unknown → must read
       }
     }
   }
 
-  /** Footer-harvested [min, max] per requested column, integer-typed
-    * columns only (INT32/INT64 physical — long, int, date-days). A column
-    * gets an envelope only if EVERY row group carries non-null statistics
-    * for it; anything partial would make pruning unsound, so it is
-    * dropped and the file simply always reads. */
-  private def fileStats(p: Path, cols: Set[String]): Map[String, (Long, Long)] = {
+  /** Unsigned UTF-8 byte comparison — identical to code-point order and
+    * to Spark's UTF8String / parquet's UNSIGNED binary ordering. */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Lower bound after truncation: the first [[StatsTruncateLen]] code
+    * points. A prefix precedes (or equals) every extension of itself in
+    * byte order, so truncating a MIN rounds down — always sound. */
+  private[graft] def truncMin(s: String): String = {
+    val end = s.offsetByCodePoints(0,
+      math.min(s.codePointCount(0, s.length), StatsTruncateLen))
+    s.substring(0, end)
+  }
+
+  /** Upper bound after truncation: a string ≤ StatsTruncateLen code
+    * points is kept whole; a longer one is truncated and ROUNDED UP by
+    * incrementing its last incrementable code point (skipping the
+    * unencodable surrogate block), dropping the tail after it. If every
+    * code point in the prefix is already U+10FFFF nothing can round up
+    * and the bound is dropped (None = unbounded above) — publishing the
+    * raw prefix would be a max BELOW real data, the unsound direction. */
+  private[graft] def truncMaxUp(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StatsTruncateLen) return Some(s)
+    val cps = truncMin(s).codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      val up = cps(i) + 1
+      // incrementing into the surrogate gap yields an unencodable code
+      // point; U+E000 is the next encodable one above it
+      cps(i) = if (up >= Character.MIN_SURROGATE.toInt &&
+        up <= Character.MAX_SURROGATE.toInt) 0xE000 else up
+      Some(new String(cps, 0, i + 1))
+    }
+  }
+
+  /** Footer-harvested envelope per requested column. INT32/INT64
+    * physical columns (long, int, date-days, TIMESTAMP micros, unscaled
+    * small decimals) produce [[IntEnv]]; STRING-annotated BINARY columns
+    * produce [[StrEnv]] with outward-rounded truncation (see [[ColEnv]]).
+    * A column gets an envelope only if EVERY row group carries non-null
+    * statistics for it; anything partial would make pruning unsound, so
+    * it is dropped and the file simply always reads. */
+  private def fileStats(p: Path, cols: Set[String]): Map[String, ColEnv] = {
     if (cols.isEmpty) return Map.empty
     val conf = new org.apache.hadoop.conf.Configuration()
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -240,21 +381,42 @@ object SnapshotLog {
       val blocks = fr.getFooter.getBlocks.asScala.toSeq
       if (blocks.isEmpty) return Map.empty
       cols.flatMap { c =>
-        val perBlock = blocks.flatMap { b =>
+        val perBlock: Seq[ColEnv] = blocks.flatMap { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
             val st = cc.getStatistics
+            val isString = cc.getPrimitiveType.getLogicalTypeAnnotation
+              .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             if (st == null || !st.hasNonNullValue) None
             else (st.genericGetMin, st.genericGetMax) match {
               case (mn: java.lang.Long, mx: java.lang.Long) =>
-                Some((mn.toLong, mx.toLong))
+                Some(IntEnv(mn.toLong, mx.toLong))
               case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                Some((mn.toLong, mx.toLong))
+                Some(IntEnv(mn.toLong, mx.toLong))
+              case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) if isString =>
+                Some(StrEnv(truncMin(mn.toStringUsingUTF8),
+                  truncMaxUp(mx.toStringUsingUTF8)))
               case _ => None
             }
           }
         }
         if (perBlock.size != blocks.size) None
-        else Some(c -> (perBlock.map(_._1).min, perBlock.map(_._2).max))
+        else perBlock.head match {
+          case _: IntEnv =>
+            val ints = perBlock.collect { case e: IntEnv => e }
+            if (ints.size != perBlock.size) None
+            else Some(c -> IntEnv(ints.map(_.lo).min, ints.map(_.hi).max))
+          case _: StrEnv =>
+            val strs = perBlock.collect { case e: StrEnv => e }
+            if (strs.size != perBlock.size) None
+            else Some(c -> StrEnv(
+              strs.map(_.lo).min(Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)),
+              // any row group without an upper bound leaves the file
+              // unbounded above; otherwise take the byte-order max
+              if (strs.exists(_.hi.isEmpty)) None
+              else Some(strs.flatMap(_.hi)
+                .max(Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)))))
+        }
       }.toMap
     } finally fr.close()
   }
@@ -295,6 +457,77 @@ object SnapshotLog {
     commit(read(spark, dir, Some(vRead)).coalesce(targetFiles), dir,
       overwrite = true, statsCols = statsCols,
       expectedVersion = Some(vRead + 1))
+  }
+
+  /** MERGE INTO the snapshot log — row-level mutation as a new version,
+    * COPY-ON-WRITE at file granularity (the Delta MERGE design):
+    *
+    *  1. read the latest manifest and its per-file key envelopes;
+    *  2. a data file is TOUCHED iff some changeset key falls inside its
+    *     envelope on `key` (files without an integer envelope are
+    *     conservatively touched) — decided by ONE pass over the
+    *     changeset's keys against the broadcast file-envelope list, so
+    *     the decision costs O(|changes|), never a base-table scan;
+    *  3. only the touched files are read and merged with the changeset
+    *     ([[Merge.merge]] semantics: `_deleted=true` drops, other rows
+    *     replace-or-insert, `seqCol` resolves in-changeset duplicates);
+    *  4. the rewrite commits CONDITIONALLY (`expectedVersion`) with the
+    *     untouched files CARRIED — a racing ingest aborts the merge
+    *     (ConcurrentModificationException, orphans vacuumable) instead
+    *     of losing either side's rows.
+    *
+    * Soundness of the touched test: a base row whose key appears in the
+    * changeset must live in a file whose envelope contains that key, so
+    * every replaced/deleted key's file is rewritten; untouched files
+    * provably contain no changed key and carry over byte-identical —
+    * which also preserves THEIR envelopes without re-harvesting. Every
+    * pre-merge version keeps reading its original files (time travel
+    * across mutations, e24's property).
+    *
+    * At 100 TB this is the difference between a merge that rewrites the
+    * table and one that rewrites the few key-slab files a CDC batch
+    * touches — provided commits range-partition on the key so envelopes
+    * are tight (e29 commits that way; a random layout degrades to
+    * rewrite-everything, still correct). Returns the new version. */
+  def merge(spark: SparkSession, dir: Path, changes: DataFrame, key: String,
+      seqCol: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    import org.apache.spark.sql.functions._
+    val vRead = versions(dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed snapshots"))
+    val manifest = readManifest(dir, vRead)
+    val stats = readStats(dir, vRead)
+    val keyIsIntegral = changes.schema(key).dataType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val (enveloped, blind) =
+      if (!keyIsIntegral) (Seq.empty[(String, IntEnv)], manifest)
+      else {
+        val withEnv = manifest.map(f => f -> stats.get(f).flatMap(_.get(key)))
+        (withEnv.collect { case (f, Some(e: IntEnv)) => f -> e },
+          withEnv.collect { case (f, env) if !env.exists(_.isInstanceOf[IntEnv]) => f })
+      }
+    val touched: Seq[String] = blind ++ (if (enveloped.isEmpty) Seq.empty else {
+      val envDf = spark.createDataFrame(enveloped.map { case (f, e) =>
+        (f, e.lo, e.hi) }).toDF("_file", "_lo", "_hi")
+      changes.select(col(key).cast("long").as("_k")).distinct()
+        .join(broadcast(envDf),
+          col("_k") >= col("_lo") && col("_k") <= col("_hi"))
+        .select(col("_file")).distinct()
+        .collect().map(_.getString(0)).toSeq // bounded by the file count
+    })
+    val base = {
+      val paths = touched.map(f => dataDir(dir).resolve(f).toString)
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else read(spark, dir, Some(vRead)).filter(lit(false)) // schema only
+    }
+    commit(Merge.merge(base, changes, key, seqCol), dir,
+      statsCols = statsCols, expectedVersion = Some(vRead + 1),
+      dropCarried = touched)
   }
 
   /** Read the table AS OF `asOf` (default: latest committed version). */
@@ -352,16 +585,26 @@ object SnapshotLog {
     * the log directory is fsynced after it so the link itself survives. */
   private[graft] def tryPublishManifest(
       dir: Path, v: Int, files: Seq[String],
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      stats: Map[String, Map[String, ColEnv]] = Map.empty,
       txnId: Option[String] = None): Boolean = {
+    import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     // stats render as {file: {col: [min, max]}} — absent entirely when no
     // column qualified, so pre-stats manifests and stats-free commits
     // stay byte-shape-identical to the original format; txn renders only
-    // when the commit carried an idempotency key
-    val statsJson = stats.view.mapValues(_.view.mapValues {
-      case (mn, mx) => Seq(mn, mx) }.toMap).toMap
+    // when the commit carried an idempotency key. Bound JSON types carry
+    // the envelope type: numbers = integer envelope, strings = truncated
+    // string envelope (null max = unbounded above after truncation).
+    val statsJson: JValue = JObject(stats.toList.map { case (f, cols) =>
+      f -> (JObject(cols.toList.map {
+        case (c, IntEnv(mn, mx)) =>
+          c -> (JArray(List(JLong(mn), JLong(mx))): JValue)
+        case (c, StrEnv(mn, mx)) =>
+          c -> (JArray(List(JString(mn),
+            mx.fold(JNull: JValue)(JString(_)))): JValue)
+      }): JValue)
+    })
     val base = ("version" -> v) ~ ("files" -> files)
     val withStats = if (stats.isEmpty) base else base ~ ("stats" -> statsJson)
     val json = JsonMethods.compact(JsonMethods.render(
@@ -403,15 +646,20 @@ object SnapshotLog {
   /** Per-file column envelopes of manifest `v`; empty for pre-stats
     * manifests (absent "stats" member) — every consumer treats a missing
     * envelope as "must read", so old logs keep working unpruned. */
-  private def readStats(dir: Path, v: Int): Map[String, Map[String, (Long, Long)]] = {
+  private def readStats(dir: Path, v: Int): Map[String, Map[String, ColEnv]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val j = JsonMethods.parse(Files.readString(manifestPath(dir, v)))
     (j \ "stats") match {
       case JObject(files) => files.collect { case (f, JObject(cols)) =>
         f -> cols.collect {
+          case (c, JArray(List(JString(mn), mx))) =>
+            c -> (StrEnv(mn, mx match {
+              case JString(s) => Some(s)
+              case _ => None
+            }): ColEnv)
           case (c, JArray(List(mn, mx))) =>
-            c -> (asLong(mn), asLong(mx))
+            c -> (IntEnv(asLong(mn), asLong(mx)): ColEnv)
         }.toMap
       }.toMap
       case _ => Map.empty

@@ -925,8 +925,12 @@ object StreamingOps {
           // stream's commits (silently discarding the re-ingest). Same
           // checkpoint → same key → replay dedup; new checkpoint → new
           // keys → a real re-ingest commits (Delta's txnAppId contract).
+          // The key carries root's UNIQUE temp-dir name (cpDir lives under
+          // it), not cpDir.getFileName — that is the constant "cp" for
+          // every pipeline built this way, which would alias all of them
+          // onto one txn namespace, exactly the bug this key prevents.
           SnapshotLog.commit(batch, tableDir,
-            txnId = Some(s"e25-${cpDir.getFileName}-$id")); () }
+            txnId = Some(s"e25-${root.getFileName}-$id")); () }
         .start()
       val n1Between = try {
         drop(all.filter(col("event_id") % 2 === 0), "f0")

@@ -117,6 +117,100 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(s2.isEmpty && k2.nonEmpty, "no envelopes → no pruning")
   }
 
+  test("string envelope truncation rounds outward: min down, max UP or dropped") {
+    import SnapshotLog.{truncMin, truncMaxUp, utf8Cmp, StatsTruncateLen}
+    // short strings pass through whole — no truncation, exact bounds
+    assert(truncMin("Customer#01") == "Customer#01")
+    assert(truncMaxUp("Customer#01").contains("Customer#01"))
+    // long min: a 32-cp prefix, which is ≤ the original in byte order
+    val longA = "a" * 40
+    assert(truncMin(longA) == "a" * StatsTruncateLen)
+    assert(utf8Cmp(truncMin(longA), longA) <= 0)
+    // long max: last code point increments, tail drops — the result must
+    // be STRICTLY above the original (prefix-equal max rounded UP), else
+    // a file whose true max extends past the prefix would prune wrongly
+    assert(truncMaxUp(longA).contains("a" * 31 + "b"))
+    truncMaxUp(longA).foreach(up => assert(utf8Cmp(up, longA) > 0))
+    // incrementing into the UTF-16 surrogate gap must skip to U+E000
+    // (U+D800..DFFF are unencodable as code points)
+    val edge = ("x" * 31) + new String(Array(0xD7FF), 0, 1) + "tail-beyond-the-prefix"
+    val rounded = truncMaxUp(edge)
+    assert(rounded.contains(("x" * 31) + new String(Array(0xE000), 0, 1)))
+    rounded.foreach(up => assert(utf8Cmp(up, edge) > 0))
+    // nothing incrementable → bound dropped entirely, never published low
+    val maxed = new String(Array.fill(33)(Character.MAX_CODE_POINT), 0, 33)
+    assert(truncMaxUp(maxed).isEmpty)
+  }
+
+  test("string-range pruning is sound under truncation; all-pruned reads return empty") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap")
+    // keys share a 30-char prefix and differ past the 32-cp truncation
+    // point within each slab — the envelope's min/max both truncate, so
+    // soundness here exercises the rounded bounds, not exact ones
+    val pre = "shared-prefix-0123456789-ABCDE-"
+    val rows = (0 until 400).map(i => (f"$pre${i % 4}%d-${i}%05d-tail", i.toLong))
+    val df = rows.toDF("k", "v")
+    SnapshotLog.commit(df.repartitionByRange(4, col("k")), dir, statsCols = Seq("k"))
+    val (lo, hi) = (s"${pre}0", s"${pre}1~") // spans slabs 0 and 1 only
+    val (kept, skipped) = SnapshotLog.prunedFilesString(dir, "k", lo, hi)
+    assert(kept.nonEmpty && skipped.nonEmpty,
+      s"truncated string slabs must still prune: kept=$kept skipped=$skipped")
+    val full = SnapshotLog.read(spark, dir)
+      .filter(col("k").between(lo, hi)).count()
+    val pruned = SnapshotLog.readPrunedString(spark, dir, "k", lo, hi)
+      .filter(col("k").between(lo, hi)).count()
+    assert(pruned == full && full == 200,
+      s"truncation-sound pruning must keep every matching row: $pruned vs $full")
+    // a range beyond every envelope prunes everything — and the API is
+    // safe WITHOUT a caller-side filter: zero rows, not a stray file's
+    val empty = SnapshotLog.readPrunedString(spark, dir, "k", "zzz", "zzzz")
+    assert(empty.count() == 0, "all-pruned string read must be empty, not arbitrary rows")
+    assert(empty.columns.toSeq == Seq("k", "v"), "schema survives the empty read")
+    val dirI = Files.createTempDirectory("graft-snap")
+    SnapshotLog.commit(df.repartitionByRange(4, col("v")), dirI, statsCols = Seq("v"))
+    assert(SnapshotLog.readPruned(spark, dirI, "v", 5000, 6000).count() == 0,
+      "all-pruned integer read must be empty too")
+  }
+
+  test("merge is copy-on-write: untouched slabs carry byte-identical, touched rewrite") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.repartitionByRange(6, col("c_custkey")), dir,
+      statsCols = Seq("c_custkey"))
+    val mm = cust.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val changes = cust.filter(col("c_custkey") <= mid && col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .withColumn("_deleted", lit(false))
+      .unionByName(cust.filter(col("c_custkey") <= mid && col("c_custkey") % 10 === 7)
+        .withColumn("_deleted", lit(true)))
+    val dataDir = dir.resolve("data")
+    val before = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> sha(p)).toMap
+    val v = SnapshotLog.merge(spark, dir, changes, "c_custkey",
+      statsCols = Seq("c_custkey"))
+    assert(v == 2)
+    val v1 = SnapshotLog.files(dir, Some(1)).toSet
+    val v2 = SnapshotLog.files(dir, Some(2)).toSet
+    assert((v1 & v2).nonEmpty, "upper-half slabs must carry over")
+    assert((v1 -- v2).nonEmpty, "touched slabs must be replaced")
+    // carried files are the SAME bytes (no re-write), and the replaced
+    // originals still exist, still serving v1 (not orphans)
+    (v1 & v2).foreach { f =>
+      assert(sha(dataDir.resolve(f)) == before(f), s"carried file $f rewritten")
+    }
+    assert(SnapshotLog.orphans(dir).isEmpty)
+    assert(SnapshotLog.read(spark, dir, Some(1)).count() == cust.count(),
+      "pre-merge version must still read its exact original rows")
+    // value-level: the merged snapshot equals Merge.merge over the FULL base
+    val expect = graft.sources.Merge.merge(cust, changes, "c_custkey")
+    assert(SnapshotLog.read(spark, dir).exceptAll(expect).isEmpty &&
+      expect.exceptAll(SnapshotLog.read(spark, dir)).isEmpty,
+      "copy-on-write merge must equal the full-table merge row-for-row")
+  }
+
   test("manifest publish is a CAS: a second writer at the same version loses cleanly") {
     val dir = Files.createTempDirectory("graft-snap")
     SnapshotLog.commit(Tables.region(spark, sf), dir)                    // v1
