@@ -140,7 +140,23 @@ object Dedup {
     * In-gate recall check ([[GateChecks]]): the exact twin — same-source
     * pairs at the same threshold, computed WITHOUT banding (d3's blocked
     * shape, so it stays linear at scale) — must be ≥ 80% covered by the
-    * LSH output, or the query returns zero rows and fails the gate. */
+    * LSH output, or the query returns zero rows and fails the gate.
+    *
+    * WHY d4 HAS NO HASH-EXACT TIER (recorded round 12, so no future
+    * round re-attempts d5's conversion here): d5/m10's pigeonhole
+    * argument needs the banding to PARTITION a fixed-length signature
+    * into disjoint pieces — "≤ 3 differing bits cannot touch all 4
+    * disjoint 16-bit bands" is a statement about the signature's bit
+    * positions. MinHash bands are not projections of one signature;
+    * each band is an independent hash of the VARIABLE-SIZE shingle set,
+    * and a near-dup pair (jaccard j < 1) agrees on any given band only
+    * with probability j^rows — there is NO jaccard threshold below 1.0
+    * at which agreement on ≥ 1 of the 8 bands is guaranteed, so no
+    * sub-threshold of the output is deterministically complete. The
+    * only lossless tier would be jaccard = 1.0 exactly, which is d2's
+    * normalized-exact dedup, already a hash-exact gate of its own. d4
+    * therefore stays recall-gated forever, with its measured margin
+    * reported per round via `recall_ppm` (GATE_METRICS). */
   def d4MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val nSig = 32
     val bandRows = 4
@@ -282,15 +298,27 @@ object Dedup {
     * would read 0.0 whenever recall is below the floor, exactly when an
     * accurate measurement matters most. */
   private[graft] def d5Found(sh: DataFrame): DataFrame = {
+    // band join keys are (source, i, v) — SOURCE-SCOPED (round 12): the
+    // output only ever keeps same-source pairs, so cross-source band
+    // collisions were candidates the verify step provably discarded;
+    // keying the join on source matches q75's state keying (source,
+    // band, value) exactly and removes that candidate volume for free —
+    // at many-source corpus scale the band buckets shrink by the source
+    // fan-out. Measured at sf0.1: 351,486 → 20,408 distinct candidate
+    // pairs (17×) — every dropped pair was cross-source, i.e. provably
+    // outside the output; hashes unchanged (oracle re-verified).
     val banded = sh.withColumn("band", explode(array(
       (0 until 4).map(b => struct(lit(b).as("i"),
         col("sh").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))
-      .select(col("doc_id"), col("sh"), col("band.i"), col("band.v"))
-    val l = banded.select(col("doc_id").as("a_id"), col("sh").as("sha"), col("i"), col("v"))
-    val r = banded.select(col("doc_id").as("b_id"), col("sh").as("shb"),
-      col("i").as("i_r"), col("v").as("v_r"))
+      .select(col("doc_id"), col("source"), col("sh"), col("band.i"), col("band.v"))
+    val l = banded.select(col("doc_id").as("a_id"), col("source"),
+      col("sh").as("sha"), col("i"), col("v"))
+    val r = banded.select(col("doc_id").as("b_id"), col("source").as("src_r"),
+      col("sh").as("shb"), col("i").as("i_r"), col("v").as("v_r"))
     l.join(r,
-        col("i") === col("i_r") && col("v") === col("v_r") && col("a_id") < col("b_id"))
+        col("source") === col("src_r") &&
+          col("i") === col("i_r") && col("v") === col("v_r") &&
+          col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= 6)
@@ -322,19 +350,20 @@ object Dedup {
       // pairs and a deterministic 3/8 — while a real banding break is
       // ALREADY caught by miss3 and, in full, by the DuckDB all-pairs
       // oracle. The floor bites where the estimate means something
-      // (sf0.1: 300+ pairs, measured 0.59).
+      // (sf0.1: 558 pairs, measured 0.69 — Measure, round 12; same
+      // number as the class scaladoc above, re-measured after the
+      // source-scoped band join, which cannot change recall because
+      // truth is same-source by definition).
       hits.agg(
         (miss3 === 0 && (n46 < 30 || hit46.cast("double") / n46 >= 0.45))
           .as("gate_ok"))
     }
     // the hash-exact serving output: same-source pairs at hamming ≤ 3,
     // where banding is pigeonhole-complete — DuckDB recomputes this set
-    // with a full all-pairs join over the same twin-injected payload
-    val srcs = sh.select(col("doc_id"), col("source"))
+    // with a full all-pairs join over the same twin-injected payload.
+    // No source re-join needed: the band join itself is source-scoped,
+    // so every candidate is already a same-source pair.
     val exact = found.filter(col("hamming") <= 3)
-      .join(srcs.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
-      .join(srcs.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
-      .filter(col("src_a") === col("src_b"))
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
     GateChecks.require(exact, check)
       .orderBy(col("a_id"), col("b_id"))
