@@ -155,60 +155,123 @@ object Bench {
       val counts = pref.values.groupBy(identity).view.mapValues(_.size).toMap
       pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }
     }
-    // spread reporting: global max plus the noisy tail (ratio ≥ 1.5, worst
-    // 20) — enough for a round-over-round comparison to discount
-    // high-spread movers without re-investigating
-    val spreadMax = spreads.map(_._2).maxOption.getOrElse(1.0)
-    val noisiest = spreads.filter(_._2 >= 1.5).sortBy(-_._2).take(20)
-    def spreadJson(qs: Seq[(String, Double)]): String =
-      qs.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, 1) }
-        .mkString("{", ",", "}")
-    // Contract-line shape, PER-QUERY TIMES LAST in the object and the
-    // whole line last on stdout: the driver keeps only the tail of the
-    // output, and the r10 artifact proved the old priority order wrong —
-    // every with-queries variant overflowed the budget, so the fallback
-    // kept the (small) spread map while dropping the per-query times,
-    // which are the one map round-over-round regression triage needs.
-    // Priority now: times > spread (spread always survives on its own
-    // bench-spread line just above, and in full in bench-full).
-    // sf as basename and NO spread fields in the contract: the driver
-    // keeps exactly the last 2000 output chars, and at 189 queries even
-    // the precision-1 full-path-and-spread form measured 1940+ — every
-    // constant byte in this line is a byte stolen from the per-query map.
-    // spread_max/spread live on the bench-spread line printed just above.
-    def line(prec: Int): String = {
-      val m = mins.map { case (k, v) => "\"" + shortNames(k) + "\":" + fmt(v, prec) }
-        .mkString("{", ",", "}")
-      val sfShort = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","failed":$failed,"sf":"$sfShort","queries":$m}"""
-    }
     val full = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullSpread = spreads.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     println(s"""bench-index {"s2_build":${fmt(s2Build, 3)},"s3_build":${fmt(s3Build, 3)},"s4_build":${fmt(s4Build, 3)},"t24_build":${fmt(t24Build, 3)},"s5_build":${fmt(s5Build, 3)},"s7_build":${fmt(s7Build, 3)}}""")
     println(s"""bench-full {"total":$total,"queries":$full,"spread":$fullSpread}""")
-    // Budget ladder: precision falls before the times map is dropped, and
-    // only if even the precision-1 map overflows does the contract degrade
-    // to total-only (a parseable total beats an unparseable detail line).
-    // 1985 = the driver's 2000-char tail minus newline margin — measured,
-    // not guessed (BENCH_r09/r10 tail fields are exactly 2000 chars).
-    // the fallback keeps the contract's exact field shape (short sf, no
-    // spread) so a consumer never sees a differently-keyed line on the
-    // one round where the budget overflowed
-    val contract = Seq(3, 2, 1).map(line)
-      .find(_.length <= 1985)
-      .getOrElse(
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failed,"sf":"${new java.io.File(sfDir).getName}"}""")
+    // Size-independent escape hatch: the complete full-name full-precision
+    // map also lands in a FILE next to the repo artifacts, so per-query
+    // regression tracking survives ANY suite size regardless of what the
+    // 2000-char stdout tail can carry (committed per round like NOTES).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+      s"""{"total":$total,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}","queries":$full,"spread":$fullSpread}""" + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_full.json not written: $e") }
     // Stop Spark BEFORE printing the final lines so no executor/shutdown
     // log line can land after them — the driver's tail parse wants the
-    // contract last. bench-spread prints just above the contract so the
-    // noisy-tail map survives in the captured tail even when the contract
-    // itself had to drop it for budget.
+    // contract last.
     spark.stop()
-    println(s"""bench-spread {"spread_max":${fmt(spreadMax, 1)},"spread":${spreadJson(noisiest)}}""")
-    println(contract)
+    emission(mins.map { case (k, v) => shortNames(k) -> v },
+      spreads.map { case (k, v) => shortNames(k) -> v },
+      total, failed, new java.io.File(sfDir).getName)
+      .foreach(println)
     System.out.flush()
     if (failed > 0) sys.exit(1)
+  }
+
+  /** The driver keeps only the LAST [[TailBudget]] chars of stdout, so
+    * everything that must survive into BENCH_r{N}.json — a parseable
+    * contract line (last) AND every query's time — has to fit that tail
+    * TOGETHER. Pure function of the measured results so the guarantee is
+    * spec-testable at synthetic suite sizes (BenchEmissionSpec drives a
+    * 230-query map through it).
+    *
+    * Joint ladder, chosen as ONE emission set:
+    *
+    *  1. While the classic contract-with-queries-map fits (precision
+    *     3 → 2 → 1 at ≤ [[ContractBudget]]), emit it — consumers keep
+    *     the shape they've parsed since round 10.
+    *  2. Once the suite outgrows that (~195 short-named queries), the
+    *     contract DROPS its map and shrinks to a fixed ~130 chars that
+    *     can never overflow, and the times move to compact `bench-times`
+    *     chunk lines just above it: a JSON string payload of
+    *     `name:deciseconds` pairs (~7 chars/query vs ~10 for JSON map
+    *     entries — the quotes around every key are the bulk), chunked
+    *     ≤ [[ChunkChars]] per line. Deciseconds match the precision-1
+    *     resolution the map had. All lines + the spread line fit the
+    *     tail together to ≥ 230 queries (spec-proven; ~250 is the next
+    *     physical wall, where the spread line goes, then precision).
+    *  3. If even the times chunks cannot fit (≫250 queries), drop the
+    *     spread line first, then the chunks last-first (earliest chunks
+    *     are cut by the tail anyway); the full map still lives in
+    *     bench_full.json.
+    *
+    * The bench-spread line (global max + noisy tail ratio ≥ 1.5) rides
+    * along whenever it fits — high-spread movers are machine weather,
+    * and round-over-round triage wants that flag next to the times. */
+  private[graft] val TailBudget = 2000
+  // 1985 = tail minus newline margin — measured, not guessed
+  // (BENCH_r09/r10 tail fields are exactly 2000 chars)
+  private[graft] val ContractBudget = 1985
+  private[graft] val ChunkChars = 700
+
+  private[graft] def emission(
+      mins: Seq[(String, Double)], spreads: Seq[(String, Double)],
+      total: Double, failed: Int, sfShort: String): Seq[String] = {
+    def fmt(v: Double, prec: Int): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+    val spreadMax = spreads.map(_._2).maxOption.getOrElse(1.0)
+    val noisiest = spreads.filter(_._2 >= 1.5).sortBy(-_._2).take(20)
+    val spreadLine = "bench-spread {\"spread_max\":" + fmt(spreadMax, 1) +
+      ",\"spread\":" + noisiest.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v, 1) }.mkString("{", ",", "}") + "}"
+    def contractWithMap(prec: Int): String = {
+      val m = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","failed":$failed,"sf":"$sfShort","queries":$m}"""
+    }
+    val classic = Seq(3, 2, 1).map(contractWithMap).find(_.length <= ContractBudget)
+    classic match {
+      case Some(c) => Seq(spreadLine, c)
+      case None =>
+        // deciseconds, round-half-up; a failed query's -1 sentinel stays -1
+        def ds(v: Double): Long = if (v < 0) -1L else math.round(v * 10)
+        val entries = mins.map { case (k, v) => s"$k:${ds(v)}" }
+        val chunks = {
+          val b = Seq.newBuilder[Seq[String]]
+          var cur = Vector.empty[String]
+          var len = 0
+          entries.foreach { e =>
+            if (len + e.length + 1 > ChunkChars && cur.nonEmpty) {
+              b += cur; cur = Vector.empty; len = 0
+            }
+            cur :+= e; len += e.length + 1
+          }
+          if (cur.nonEmpty) b += cur
+          b.result()
+        }
+        val timesLines = chunks.zipWithIndex.map { case (es, i) =>
+          s"""bench-times {"unit":"ds","part":"${i + 1}/${chunks.size}","t":"${es.mkString(" ")}"}"""
+        }
+        val contract =
+          s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failed,"sf":"$sfShort","nq":${mins.size},"times":"ds-chunked"}"""
+        def fits(ls: Seq[String]): Boolean =
+          ls.map(_.length + 1).sum <= TailBudget
+        if (fits(timesLines ++ Seq(spreadLine, contract)))
+          timesLines ++ Seq(spreadLine, contract)
+        else if (fits(timesLines :+ contract)) timesLines :+ contract
+        else {
+          // drop earliest chunks until the rest fits — the tail cuts
+          // from the front anyway; bench_full.json retains everything
+          val kept = timesLines.indices
+            .find(i => fits(timesLines.drop(i) :+ contract))
+            .map(timesLines.drop)
+            .getOrElse(Seq.empty)
+          kept :+ contract
+        }
+    }
   }
 }
