@@ -884,6 +884,136 @@ object StreamingOps {
       }
     }.orderBy(col("a_id"), col("b_id"))
 
+  final case class BandRowT(source: String, band: Int, v: Long, pid: Long,
+    sh: Long, tsMs: Long)
+
+  /** q75's band index with the EXECUTABLE event-time TTL bound (round 12
+    * — previously the production posture was scaladoc prose): state
+    * entries carry their arrival's event time, and the horizon bounds
+    * them twice over:
+    *
+    *  - GROUP eviction: `EventTimeTimeout` at (last arrival + horizon) —
+    *    once the watermark passes a bucket's horizon the whole group is
+    *    removed (the sessionize pattern), so idle buckets cost nothing;
+    *  - ENTRY eviction inside live groups: an arrival first drops prior
+    *    signatures older than its own horizon, so a bucket that stays
+    *    hot forever still holds only arrivals-within-horizon — without
+    *    this, a group refreshed by unrelated traffic would retain its
+    *    whole history and pair against state the timeout alone never
+    *    touches (groups with fresh data are exempt from hasTimedOut).
+    *
+    * Semantics: a pair (a, b) emits iff hamming ≤ 3 AND b arrives within
+    * `horizonMinutes` of a — near-dups beyond the horizon are the batch
+    * backfill's job (d5 over the full corpus), which is the honest
+    * division of labor for an unbounded ingest: the stream's state is
+    * sized by the arrival rate × horizon, never by corpus size.
+    *
+    * Returns (pairs, final state-store row count) — the count read from
+    * the query's last progress is what makes the bound EXECUTABLE:
+    * StreamingSpec feeds two far-apart event-time epochs with a
+    * watermark-advancing sentinel between them and asserts the final
+    * state holds only the second epoch's buckets (+ the sentinel's own),
+    * while the emitted pairs hash-match d5's oracle subset whose ends
+    * are within one horizon. */
+  private[graft] def q75Ttl(s: SparkSession, d: String,
+      horizonMinutes: Int = 30): (DataFrame, Long) = {
+    var stateRows = -1L
+    val pairsOut = withFeedDirs("graft_q75ttl_") { (root, srcDir, drop) =>
+      val cpDir = root.resolve("cp")
+      val horizonMs = horizonMinutes * 60000L
+      val t0Ms = 1704067200000L // 2024-01-01T00:00:00Z
+      val sentinelMs = t0Ms + 4 * horizonMs
+      val epoch2Ms = t0Ms + 5 * horizonMs
+      val pay = graft.operators.Dedup.twinPayload(s, d)
+      val cutoff = pay.agg(max(expr("doc_id div 2"))).head.getLong(0) / 2
+      val payT = pay.withColumn("ts", timestamp_millis(
+        when(expr("doc_id div 2") <= cutoff, lit(t0Ms)).otherwise(lit(epoch2Ms))))
+      withGateStreamSession(s) { ns =>
+        import ns.implicits._
+        val sh = graft.functions.TextHashFunctions.simhash64(
+          split(trim(col("text")), "\\s+"))
+        val banded = ns.readStream.schema(payT.schema).parquet(srcDir.toString)
+          .withWatermark("ts", "0 seconds")
+          .withColumn("sh", sh)
+          .withColumn("bandkv", explode(array((0 until 4).map(b =>
+            struct(lit(b).as("i"),
+              col("sh").bitwiseAND(0xffffL << (16 * b)).as("v"))): _*)))
+          // keep the watermarked `ts` column itself in the frame: the
+          // analyzer requires the event-time attribute to survive to the
+          // stateful operator for EventTimeTimeout (as[] keeps extra
+          // columns; a select that drops `ts` fails analysis)
+          .select(col("source"), col("bandkv.i").as("band"),
+            col("bandkv.v").as("v"), col("doc_id").as("pid"), col("sh"),
+            unix_millis(col("ts")).as("tsMs"), col("ts"))
+          .as[BandRowT]
+        val pairs = banded
+          .groupByKey(r => (r.source, r.band, r.v))
+          .flatMapGroupsWithState[List[(Long, Long, Long)], DupPair](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (_: (String, Int, Long), rows: Iterator[BandRowT],
+                state: GroupState[List[(Long, Long, Long)]]) =>
+              if (state.hasTimedOut) {
+                state.remove() // horizon passed with no arrivals: bucket gone
+                Iterator.empty
+              } else {
+                var prior = state.getOption.getOrElse(Nil)
+                val rs = rows.toSeq.sortBy(_.pid)
+                val out = Seq.newBuilder[DupPair]
+                rs.foreach { r =>
+                  // entry-level TTL: only priors within this arrival's
+                  // horizon may pair; older ones can never pair again
+                  // (event time within a group is non-decreasing across
+                  // batches) so dropping them here IS the state bound
+                  prior = prior.filter { case (_, _, pts) =>
+                    r.tsMs - pts <= horizonMs }
+                  prior.foreach { case (ppid, psh, _) =>
+                    val h = java.lang.Long.bitCount(psh ^ r.sh)
+                    if (h <= 3) out += DupPair(math.min(ppid, r.pid),
+                      math.max(ppid, r.pid), h.toLong)
+                  }
+                  prior = (r.pid, r.sh, r.tsMs) :: prior
+                }
+                state.update(prior)
+                state.setTimeoutTimestamp(rs.map(_.tsMs).max + horizonMs)
+                out.result().iterator
+              }
+          }
+        val sink = "graft_q75ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = pairs.writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", cpDir.toString)
+          .outputMode(OutputMode.Append())
+          .start()
+        try {
+          drop(payT.filter(expr("doc_id div 2") <= cutoff), "f0")
+          q.processAllAvailable()
+          // watermark-advancing sentinel: its event time passes every
+          // epoch-1 bucket's horizon, so the NEXT batch's timeout sweep
+          // evicts them before epoch 2 arrives — distinct source, so its
+          // band buckets can never collide with a real group's
+          drop(ns.createDataFrame(
+            java.util.Collections.singletonList(org.apache.spark.sql.Row(
+              -1L, "__flush", "sentinel", new java.sql.Timestamp(sentinelMs))),
+            payT.schema), "f1")
+          q.processAllAvailable()
+          drop(payT.filter(expr("doc_id div 2") > cutoff), "f2")
+          q.processAllAvailable()
+          stateRows = q.recentProgress.reverse
+            .find(_.stateOperators.nonEmpty)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+          graft.operators.CacheScope.localCheckpoint(
+            ns.table(sink)
+              .filter(col("a_id") >= 0)
+              .dropDuplicates("a_id", "b_id")
+              .select(col("a_id"), col("b_id"), col("hamming")))
+        } finally {
+          q.stop()
+          if (ns.catalog.tableExists(sink)) ns.catalog.dropTempView(sink)
+        }
+      }
+    }
+    (pairsOut.orderBy(col("a_id"), col("b_id")), stateRows)
+  }
+
   // ------------------------------------------ e25_stream_snapshot_ingest
   /** Streaming ingest INTO the snapshot-manifest log
     * ([[graft.sources.SnapshotLog]]) — the lakehouse landing pattern

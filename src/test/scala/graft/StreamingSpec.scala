@@ -389,4 +389,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(1) == two, "single-batch run diverged from the serving split")
     assert(run(3) == two, "three-batch run diverged from the serving split")
   }
+
+  test("q75's TTL variant bounds state to the horizon and keeps in-horizon pairs exact") {
+    // two event-time epochs, 2.5 horizons apart, with a watermark-
+    // advancing sentinel between them: epoch-1 buckets must be EVICTED
+    // (group timeout) before epoch 2 arrives, cross-epoch pairs must be
+    // suppressed (entry-level TTL), and within-horizon pairs must equal
+    // d5's oracle-exact answer restricted to same-epoch ends
+    val (pairsDf, stateRows) = graft.streaming.StreamingOps.q75Ttl(spark, sf)
+    val got = pairsDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pay = graft.operators.Dedup.twinPayload(spark, sf)
+    val cutoff = pay.agg(max(expr("doc_id div 2"))).head.getLong(0) / 2
+    val d5Full = graft.operators.Dedup.d5SimhashDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.operators.CacheScope.releaseAll(blocking = true)
+    val sameEpoch = d5Full.filter { case (a, b, _) =>
+      (a / 2 <= cutoff) == (b / 2 <= cutoff) }
+    assert(sameEpoch.nonEmpty, "test payload must produce in-horizon pairs")
+    assert(got == sameEpoch,
+      "in-horizon pairs must hash-match d5's oracle subset exactly " +
+        s"(missing=${(sameEpoch -- got).size}, extra=${(got -- sameEpoch).size})")
+    // the executable state bound: after the run, the store holds only
+    // epoch-2 buckets plus the sentinel's 4 — every epoch-1-only bucket
+    // timed out, so state is sized by arrivals-within-horizon, never by
+    // the full corpus
+    val bandsOf = (filter: org.apache.spark.sql.Column) =>
+      graft.operators.Dedup.d5Signatures(spark, sf).filter(filter)
+        .select(col("source"), col("doc_id"), col("sh"))
+        .withColumn("b", explode(array((0 until 4).map(i =>
+          concat(col("sh").bitwiseAND(lit(0xffffL << (16 * i)))
+            .cast("string"), lit(s"#$i"))): _*)))
+        .select(col("source"), col("b")).distinct().count()
+    val groupsE2 = bandsOf(expr("doc_id div 2") > cutoff)
+    val groupsAll = bandsOf(lit(true))
+    graft.operators.CacheScope.releaseAll(blocking = true)
+    assert(stateRows > 0, "state metrics must be observable from progress")
+    assert(stateRows <= groupsE2 + 4,
+      s"state must be horizon-sized: $stateRows buckets vs epoch-2's $groupsE2 (+4 sentinel)")
+    assert(stateRows < groupsAll,
+      s"eviction must have happened: $stateRows vs $groupsAll corpus-lifetime buckets")
+  }
 }
