@@ -820,6 +820,13 @@ object StreamingOps {
   def q75StreamSimhashDedup(s: SparkSession, d: String): DataFrame =
     q75Feeds(s, d, nFeeds = 2)
 
+  /** Measurement seam for ScaleProbe: the final state-store row count of
+    * the most recent [[q75Feeds]] run on this JVM (-1 before any run).
+    * The unbounded gate's state is the full band index, so its growth
+    * across probe scales is the quantity the ×10 probe tracks alongside
+    * wall time; dev-tool-only, never read by a gate. */
+  @volatile private[graft] var q75StateRows: Long = -1L
+
   /** q75 with the payload split into `nFeeds` staged micro-batches (by
     * pid mod nFeeds) — the serving gate uses 2; StreamingSpec runs 1, 2
     * and 3 and requires identical output, the executable form of the
@@ -873,6 +880,9 @@ object StreamingOps {
             drop(pay.filter(pmod(col("doc_id"), lit(nFeeds)) === i), s"f$i")
             q.processAllAvailable()
           }
+          q75StateRows = q.recentProgress.reverse
+            .find(_.stateOperators.nonEmpty)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
           graft.operators.CacheScope.localCheckpoint(
             ns.table(sink)
               .dropDuplicates("a_id", "b_id")

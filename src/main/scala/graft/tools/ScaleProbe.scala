@@ -47,6 +47,12 @@ object ScaleProbe {
     "d5_simhash_dup",
     "t9_repetition", "t18_bm25",
     "m8_cdc_chunking", "m10_phash_neardup", "s1_ann_brute",
+    // the one STREAMING probe: q75's wall time carries ~2 fixed engine
+    // starts (which DEFLATES its exponent — the fixed cost amortizes as
+    // data grows), so its row also reports the band-index STATE rows at
+    // each scale: state is the structure whose growth is input-order-
+    // dependent, and the state ratio is the honest scale signal
+    "q75_stream_simhash_dedup",
     // skew handling: per-replica key offsets replicate the hot key once
     // per replica, so the SKEW PROFILE (hot-key share) is scale-invariant
     // — exactly the property salting must stay robust to
@@ -146,12 +152,19 @@ object ScaleProbe {
     val rows = selected.map { name =>
       val fn = queries(name)
       val t1 = timeOne(fn, base)
+      val state1 = graft.streaming.StreamingOps.q75StateRows
       // a failed base run makes the exponent uncomputable — don't spend
       // minutes timing the replica for a row that prints -1 anyway
       val tR = if (t1 > 0) timeOne(fn, scaleDir) else -1.0
+      val stateR = graft.streaming.StreamingOps.q75StateRows
       val ratio = if (t1 > 0 && tR > 0) tR / t1 else -1.0
       val exp = if (ratio > 0) math.log(ratio) / math.log(factor) else -1.0
       println(f"[scaleprobe] $name%-26s t1=$t1%7.2fs t$factor=$tR%7.2fs ratio=$ratio%6.2f exp=$exp%5.2f")
+      if (name.startsWith("q75") && state1 > 0 && stateR > 0) {
+        val sRatio = stateR.toDouble / state1
+        val sExp = math.log(sRatio) / math.log(factor)
+        println(f"[scaleprobe] q75-state                  s1=$state1%8d   s$factor=$stateR%8d ratio=$sRatio%6.2f exp=$sExp%5.2f")
+      }
       (name, t1, tR, ratio, exp)
     }
 
