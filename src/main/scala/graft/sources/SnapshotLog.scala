@@ -42,6 +42,12 @@ object SnapshotLog {
     *    ints all land here; bounds are in the column's PHYSICAL units
     *    (micros for timestamps, unscaled for decimals), which is what
     *    the footer statistics carry and what callers must query in.
+    *    NOTE: Spark's DEFAULT parquet timestamp encoding is INT96,
+    *    whose min/max parquet defines as unordered — such columns get
+    *    no envelope (sound: always read). A table that wants timestamp
+    *    skipping writes with
+    *    `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`, the
+    *    Delta convention (SnapshotLogSpec's timestamp case shows both).
     *  - [[StrEnv]]: [min, max] for UTF-8 string columns, TRUNCATED to
     *    [[StatsTruncateLen]] code points (the Delta convention — full
     *    strings would bloat every manifest with document-sized bounds).

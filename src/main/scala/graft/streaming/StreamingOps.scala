@@ -1024,6 +1024,28 @@ object StreamingOps {
     (pairsOut.orderBy(col("a_id"), col("b_id")), stateRows)
   }
 
+  // ------------------------------------------ q76_stream_ttl_dedup
+  /** The TTL-BOUNDED streaming near-dup as its own ORACLE-CHECKED gate:
+    * [[q75Ttl]]'s two-epoch feed (epoch = underlying doc id below/above
+    * half the max, epochs 2.5 horizons apart) emits exactly the
+    * same-epoch subset of d5's answer — cross-epoch pairs are beyond
+    * the horizon and must be suppressed by eviction, and DuckDB
+    * recomputes the expected set from raw text (d5's all-pairs hamming
+    * oracle restricted to same-epoch ends, the epoch cutoff derived by
+    * the same MAX(doc_id)/2 arithmetic on both engines). In-gate
+    * structural check: the final state-store row count is positive
+    * (metrics observable) and ≤ 4×(epoch-2 docs)+4 — about HALF the
+    * corpus-lifetime bucket count, so an eviction regression (state
+    * retaining epoch-1 buckets) zeroes the output and hash-fails. */
+  def q76StreamTtlDedup(s: SparkSession, d: String): DataFrame = {
+    val (pairs, stateRows) = q75Ttl(s, d)
+    val pay = graft.operators.Dedup.twinPayload(s, d)
+    val cutoff = pay.agg(max(expr("doc_id div 2"))).head.getLong(0) / 2
+    val nE2 = pay.filter(expr("doc_id div 2") > cutoff).count()
+    val ok = stateRows > 0 && stateRows <= 4L * nE2 + 4
+    pairs.filter(lit(ok)).orderBy(col("a_id"), col("b_id"))
+  }
+
   // ------------------------------------------ e25_stream_snapshot_ingest
   /** Streaming ingest INTO the snapshot-manifest log
     * ([[graft.sources.SnapshotLog]]) — the lakehouse landing pattern
@@ -1102,6 +1124,7 @@ object StreamingOps {
     * e25). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_stream_simhash_dedup" -> q75StreamSimhashDedup,
+    "q76_stream_ttl_dedup" -> q76StreamTtlDedup,
     "e25_stream_snapshot_ingest" -> e25StreamSnapshotIngest,
     "q21_sessionize" -> ((s, d) => sessionizeBatch(s, d)),
     "q48_session_window" -> q48SessionWindow,
@@ -1146,6 +1169,17 @@ object StreamingOps {
     // twin-injected payload — object identity means the twins cannot drift
     "q75_stream_simhash_dedup" ->
       graft.operators.Dedup.oracleSql("d5_simhash_dup"),
+    // d5's oracle AGAIN BY REFERENCE, restricted to same-epoch ends with
+    // the gate's own MAX(doc_id)/2 cutoff arithmetic: the TTL run must
+    // emit exactly the in-horizon subset — an eviction bug either leaks
+    // a cross-epoch pair (extra row) or, via the in-gate state bound,
+    // zeroes the output; both hash-fail
+    "q76_stream_ttl_dedup" ->
+      ("WITH cut AS (SELECT MAX(doc_id) // 2 AS c FROM documents)\n" +
+        "SELECT a_id, b_id, hamming FROM (\n" +
+        graft.operators.Dedup.oracleSql("d5_simhash_dup") +
+        "\n) p, cut WHERE (a_id // 2 <= c) = (b_id // 2 <= c)\n" +
+        "ORDER BY a_id, b_id"),
     // the latest snapshot is the union of both ingest feeds = all events;
     // a commit that dropped or duplicated a batch's rows hash-fails
     "e25_stream_snapshot_ingest" ->

@@ -173,6 +173,39 @@ class SnapshotLogSpec extends AnyFunSuite {
       "all-pruned integer read must be empty too")
   }
 
+  test("timestamp columns get integer envelopes in physical micros and prune soundly") {
+    // TIMESTAMP(MICROS) is INT64 physical, so o_orderdate flows through
+    // the integer envelope path with bounds in epoch micros — the other
+    // committed-stats type a lakehouse predicate actually uses
+    val dir = Files.createTempDirectory("graft-snap")
+    val ords = Tables.orders(spark, sf)
+    // Spark's default parquet timestamp encoding is INT96, whose min/max
+    // statistics parquet defines as unordered — no envelope is harvested
+    // there (sound: the file always reads). A lakehouse that wants
+    // timestamp skipping writes INT64 micros, as Delta does:
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try SnapshotLog.commit(ords.repartitionByRange(4, col("o_orderdate")), dir,
+      statsCols = Seq("o_orderdate"))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val mm = ords.agg(
+      unix_micros(min(col("o_orderdate"))), unix_micros(max(col("o_orderdate")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val qhi = lo + (hi - lo) / 4
+    val (kept, skipped) = SnapshotLog.prunedFiles(dir, "o_orderdate", lo, qhi)
+    assert(kept.nonEmpty && skipped.nonEmpty,
+      s"date slabs must prune: kept=$kept skipped=$skipped")
+    val full = SnapshotLog.read(spark, dir)
+      .filter(unix_micros(col("o_orderdate")).between(lo, qhi)).count()
+    val pruned = SnapshotLog.readPruned(spark, dir, "o_orderdate", lo, qhi)
+      .filter(unix_micros(col("o_orderdate")).between(lo, qhi)).count()
+    assert(pruned == full && full > 0,
+      "timestamp pruning dropped a file the predicate needed")
+  }
+
   test("merge is copy-on-write: untouched slabs carry byte-identical, touched rewrite") {
     val dir = Files.createTempDirectory("graft-snap")
     val cust = Tables.customer(spark, sf)

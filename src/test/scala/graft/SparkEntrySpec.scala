@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 191 queries / 184 oracles") {
-    assert(SparkEntry.queries.size == 191,
+  test("registry counts match the documented 194 queries / 187 oracles") {
+    assert(SparkEntry.queries.size == 194,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 184,
+    assert(SparkEntry.oracleSql.size == 187,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
