@@ -1247,7 +1247,51 @@ object EtlQueries {
     materializedThenClean(out, dir)
   }
 
+  // ------------------------------------------ e30_snapshot_vacuum
+  /** VACUUM / retention — the physical-delete half of the
+    * OPTIMIZE/VACUUM split that e27 deliberately left to "later": six
+    * micro-ingests (part sliced by key mod 6) are compacted into a
+    * 2-file overwrite-lineage version, then `vacuum(keepVersions = 1)`
+    * expires every pre-compaction manifest and deletes exactly the data
+    * files no surviving manifest references — which is ALL the ingest
+    * slices, because the compacted version's lineage replaced them.
+    *
+    * Structural gate: post-vacuum the log holds exactly the compacted
+    * version, the deleted-file set equals the pre-compaction membership
+    * (nothing more — a vacuum that touched a live file would also break
+    * the read; nothing less — retention actually reclaimed the space),
+    * expired versions are unreadable, and zero orphans remain. The
+    * DuckDB-checked half: the surviving snapshot's aggregates equal the
+    * raw table's (vacuum must be invisible to the data). */
+  def e30SnapshotVacuum(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e30")
+    val base = part(s, d)
+    (0 until 6).foreach { i =>
+      SnapshotLog.commit(base.filter(col("p_partkey") % 6 === i), dir)
+    }
+    val vIngested = SnapshotLog.versions(dir).last
+    val preFiles = SnapshotLog.files(dir).toSet
+    val vCompacted = SnapshotLog.compact(s, dir, targetFiles = 2)
+    val (expired, deleted) = SnapshotLog.vacuum(dir, keepVersions = 1)
+    val expiredUnreadable = scala.util.Try(
+      SnapshotLog.read(s, dir, Some(vIngested)).count()).isFailure
+    val ok = SnapshotLog.versions(dir) == Seq(vCompacted) &&
+      expired == (1 to vIngested) &&
+      deleted.toSet == preFiles &&         // exactly the replaced lineage
+      expiredUnreadable &&
+      SnapshotLog.orphans(dir).isEmpty &&
+      SnapshotLog.read(s, dir).count() == base.count()
+    val out = SnapshotLog.read(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(Relational.dec2(col("p_retailprice"))).cast("double").as("total_price"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("p_brand")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e30_snapshot_vacuum" -> e30SnapshotVacuum,
     "e29_snapshot_merge" -> e29SnapshotMerge,
     "e28_string_skipping" -> e28StringSkipping,
     "e27_snapshot_compact" -> e27SnapshotCompact,
@@ -1279,6 +1323,14 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // vacuum must be invisible to the surviving snapshot: its aggregates
+    // equal the raw table's — a vacuum that deleted a live file breaks
+    // the read (zero rows), one that kept debris fails the in-gate
+    // structural set equality
+    "e30_snapshot_vacuum" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // same name-range bounds derived from the raw table: lo = min name,
     // qhi = the rank-⌊n/4⌋ distinct name (an existing value — both
     // engines select the identical string); a string envelope that

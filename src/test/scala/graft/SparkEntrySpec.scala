@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 194 queries / 187 oracles") {
-    assert(SparkEntry.queries.size == 194,
+  test("registry counts match the documented 195 queries / 188 oracles") {
+    assert(SparkEntry.queries.size == 195,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 187,
+    assert(SparkEntry.oracleSql.size == 188,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
