@@ -1290,7 +1290,86 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("p_brand")))
   }
 
+  // ------------------------------------------ e31_snapshot_delete_dv
+  /** DELETE as MERGE-ON-READ via deletion vectors
+    * ([[graft.sources.SnapshotLog.deleteWhere]]) — the write-
+    * amplification counterpart to e29's copy-on-write: two composed
+    * deletes against an orders snapshot publish small (file, row
+    * position) vectors and new manifests, while every data file stays
+    * byte-identical; readers anti-join the DVs out. This is the sparse-
+    * delete path a 100 TB lake needs (GDPR row removal, spam purge): a
+    * few kilobytes of DV versus rewriting terabyte slabs, with compact/
+    * merge later materializing the deletes and clearing the vectors.
+    *
+    * Structural gate: the data-file set is IDENTICAL across all three
+    * versions (zero rewrite — the defining merge-on-read property), DV
+    * count grows 0→1→2, the pre-delete version still reads the full
+    * row count, and no orphans. The DuckDB-checked half: the latest
+    * snapshot's aggregates equal the raw table's under the composed
+    * NOT-predicates — a resurrected or doubly-deleted row hash-fails. */
+  def e31SnapshotDeleteDv(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e31")
+    val src = orders(s, d)
+    SnapshotLog.commit(src.repartitionByRange(8, col("o_orderkey")), dir)
+    val v2 = SnapshotLog.deleteWhere(s, dir, col("o_orderkey") % 3 === 0)
+    val v3 = SnapshotLog.deleteWhere(s, dir, col("o_orderstatus") === "F")
+    val ok = v2 == 2 && v3 == 3 &&
+      SnapshotLog.files(dir, Some(1)) == SnapshotLog.files(dir, Some(3)) &&
+      SnapshotLog.dvFiles(dir, Some(2)).size == 1 &&
+      SnapshotLog.dvFiles(dir, Some(3)).size == 2 &&
+      SnapshotLog.read(s, dir, Some(1)).count() == src.count() &&
+      SnapshotLog.orphans(dir).isEmpty
+    val out = SnapshotLog.read(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("o_orderstatus")))
+  }
+
+  // ------------------------------------------ e32_snapshot_changes
+  /** CHANGE FEED over the snapshot log
+    * ([[graft.sources.SnapshotLog.readChanges]]) — incremental
+    * consumption of an append lineage: three micro-ingests (customer
+    * sliced by key mod 3) land as versions 1–3, and a downstream
+    * consumer reads versions (1, 3]'s changes by opening ONLY the files
+    * version 3 references beyond version 1's — file-count-proportional,
+    * never a table rescan, which is what keeps an e17-style incremental
+    * aggregate cheap to feed at 100 TB ingest rates.
+    *
+    * Structural gate: the change read's file set is exactly the
+    * file-count difference of the two manifests, and the (2, 3] feed's
+    * row count equals the third slice alone. The DuckDB-checked half:
+    * the (1, 3] change aggregates equal the last two slices recomputed
+    * from the raw table — a change feed that leaked slice-1 rows (or
+    * dropped slice-3 ones) hash-fails. */
+  def e32SnapshotChanges(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e32")
+    val base = customer(s, d)
+    (0 until 3).foreach { i =>
+      SnapshotLog.commit(base.filter(col("c_custkey") % 3 === i), dir)
+    }
+    val nNewFiles = SnapshotLog.files(dir, Some(3)).size -
+      SnapshotLog.files(dir, Some(1)).size
+    val changes = SnapshotLog.readChanges(s, dir, 1, 3)
+    val ok = SnapshotLog.versions(dir) == Seq(1, 2, 3) &&
+      changes.select(input_file_name()).distinct().count() == nNewFiles &&
+      SnapshotLog.readChanges(s, dir, 2, 3).count() ==
+        base.filter(col("c_custkey") % 3 === 2).count() &&
+      SnapshotLog.readChanges(s, dir, 3, 3).count() == 0
+    val out = changes
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("c_mktsegment")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e32_snapshot_changes" -> e32SnapshotChanges,
+    "e31_snapshot_delete_dv" -> e31SnapshotDeleteDv,
     "e30_snapshot_vacuum" -> e30SnapshotVacuum,
     "e29_snapshot_merge" -> e29SnapshotMerge,
     "e28_string_skipping" -> e28StringSkipping,
@@ -1323,6 +1402,22 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the latest snapshot under two composed DV deletes = the raw table
+    // under the composed NOT-predicates; a resurrected or doubly-counted
+    // row hash-fails
+    "e31_snapshot_delete_dv" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE NOT (o_orderkey % 3 = 0) AND NOT (o_orderstatus = 'F')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the (1, 3] change feed = the last two ingest slices recomputed
+    // from the raw table; slice-1 leakage or slice-3 loss hash-fails
+    "e32_snapshot_changes" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE c_custkey % 3 IN (1, 2)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // vacuum must be invisible to the surviving snapshot: its aggregates
     // equal the raw table's — a vacuum that deleted a live file breaks
     // the read (zero rows), one that kept debris fails the in-gate

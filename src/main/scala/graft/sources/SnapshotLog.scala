@@ -202,16 +202,22 @@ object SnapshotLog {
               s"advanced to $v — re-read the table and retry (orphaned " +
               "parts are vacuumable)")
         }
-        val (carriedAll, carriedStatsAll) =
-          if (overwrite) (Seq.empty[String], Map.empty[String, Map[String, ColEnv]])
+        val (carriedAll, carriedStatsAll, carriedDvs) =
+          if (overwrite)
+            (Seq.empty[String], Map.empty[String, Map[String, ColEnv]],
+              Seq.empty[String])
           else prev.lastOption
-            .map(pv => (readManifest(dir, pv), readStats(dir, pv)))
-            .getOrElse((Seq.empty[String], Map.empty[String, Map[String, ColEnv]]))
+            .map(pv => (readManifest(dir, pv), readStats(dir, pv),
+              readDvs(dir, pv)))
+            .getOrElse((Seq.empty[String],
+              Map.empty[String, Map[String, ColEnv]], Seq.empty[String]))
         val dropped = dropCarried.toSet
         val carried = carriedAll.filterNot(dropped)
         val carriedStats = carriedStatsAll -- dropped
+        // DVs carry whole: rows referencing dropped data files are inert
+        // (the read anti-join matches on file names no longer present)
         if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats,
-            txnId))
+            txnId, carriedDvs))
           committed = v
       }
       committed
@@ -260,7 +266,8 @@ object SnapshotLog {
   def readPruned(spark: SparkSession, dir: Path, column: String,
       lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
     val (kept, skipped) = prunedFiles(dir, column, lo, hi, asOf)
-    readKeptOrEmpty(spark, dir, kept, skipped)
+    readKeptOrEmpty(spark, dir, kept, skipped,
+      readDvs(dir, resolveVersion(dir, asOf)))
   }
 
   /** Shared tail of the pruned readers: read the kept files, or — when
@@ -273,13 +280,13 @@ object SnapshotLog {
     * filter on top — envelopes prune provably-empty files, they don't
     * prove the kept rows match). */
   private def readKeptOrEmpty(spark: SparkSession, dir: Path,
-      kept: Seq[String], skipped: Seq[String]): DataFrame = {
+      kept: Seq[String], skipped: Seq[String],
+      dvs: Seq[String] = Seq.empty): DataFrame = {
     val toRead = if (kept.nonEmpty) kept else skipped.take(1)
     require(toRead.nonEmpty,
       s"the resolved version of $dir is a zero-file snapshot — nothing to " +
         "read (same contract as read(); commit at least one schema-only part)")
-    val df = spark.read.parquet(
-      toRead.map(f => dataDir(dir).resolve(f).toString): _*)
+    val df = readFiles(spark, dir, toRead, dvs)
     if (kept.nonEmpty) df
     else df.filter(org.apache.spark.sql.functions.lit(false))
   }
@@ -313,7 +320,8 @@ object SnapshotLog {
   def readPrunedString(spark: SparkSession, dir: Path, column: String,
       lo: String, hi: String, asOf: Option[Int] = None): DataFrame = {
     val (kept, skipped) = prunedFilesString(dir, column, lo, hi, asOf)
-    readKeptOrEmpty(spark, dir, kept, skipped)
+    readKeptOrEmpty(spark, dir, kept, skipped,
+      readDvs(dir, resolveVersion(dir, asOf)))
   }
 
   private def pruneWith(dir: Path, column: String, asOf: Option[Int])(
@@ -526,34 +534,162 @@ object SnapshotLog {
         .select(col("_file")).distinct()
         .collect().map(_.getString(0)).toSeq // bounded by the file count
     })
-    val base = {
-      val paths = touched.map(f => dataDir(dir).resolve(f).toString)
-      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    // DV-aware touched read: a previously-deleted row must not be
+    // resurrected by the rewrite
+    val base =
+      if (touched.nonEmpty) readFiles(spark, dir, touched, readDvs(dir, vRead))
       else read(spark, dir, Some(vRead)).filter(lit(false)) // schema only
-    }
     commit(Merge.merge(base, changes, key, seqCol), dir,
       statsCols = statsCols, expectedVersion = Some(vRead + 1),
       dropCarried = touched)
   }
 
-  /** Read the table AS OF `asOf` (default: latest committed version). */
+  /** Read the table AS OF `asOf` (default: latest committed version).
+    * DELETION-VECTOR AWARE: if the version carries DV files
+    * ([[deleteWhere]]), their (file, position) rows are anti-joined out
+    * — the merge-on-read path. */
   def read(spark: SparkSession, dir: Path, asOf: Option[Int] = None): DataFrame = {
+    val v = resolveVersion(dir, asOf)
+    val files = readManifest(dir, v)
+    require(files.nonEmpty,
+      s"version $v of $dir is a zero-file snapshot — nothing to read " +
+        "(commit an empty result with at least one schema-only part to make it readable)")
+    readFiles(spark, dir, files, readDvs(dir, v))
+  }
+
+  private def resolveVersion(dir: Path, asOf: Option[Int]): Int = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"$dir has no committed snapshots")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist in $dir (have $vs)")
-    val files = readManifest(dir, v).map(f => dataDir(dir).resolve(f).toString)
+    v
+  }
+
+  /** Read an explicit manifest-file subset with the version's deletion
+    * vectors applied: row identity is (file name, parquet row index) via
+    * the `_metadata` columns — stable for immutable files, which this
+    * log guarantees — and the DV side is broadcast (dead positions are
+    * small by construction; a delete that killed most of a file should
+    * have been a copy-on-write [[merge]] instead). */
+  private def readFiles(spark: SparkSession, dir: Path,
+      files: Seq[String], dvs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(
+      files.map(f => dataDir(dir).resolve(f).toString): _*)
+    if (dvs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(
+          dvs.map(f => dataDir(dir).resolve(f).toString): _*)
+        .select(col("f").as("_graft_dv_f"), col("pos").as("_graft_dv_pos"))
+      val cols = base.columns.toSeq
+      base
+        .withColumn("_graft_f",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("_graft_pos", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("_graft_f") === col("_graft_dv_f") &&
+            col("_graft_pos") === col("_graft_dv_pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
+  /** DELETE ... WHERE as MERGE-ON-READ (round 12; Delta's deletion-vector
+    * idea): instead of rewriting every file containing a matching row
+    * (copy-on-write, [[merge]]'s shape), publish a small DELETION VECTOR
+    * — (file, row position) pairs harvested from one predicate scan —
+    * and a new manifest referencing the same immutable data files plus
+    * the DV. Readers anti-join the DV out ([[read]]). This is the
+    * write-amplification tradeoff a 100 TB lake needs both sides of: a
+    * sparse delete touches kilobytes instead of rewriting terabytes;
+    * read cost is one broadcast anti-join until the next [[compact]] or
+    * [[merge]] rewrite materializes the deletes and clears the DVs
+    * (overwrite lineage — their rows become inert automatically, since
+    * the anti-join matches on file names no longer in the manifest).
+    *
+    * Deletes COMPOSE: the predicate scan sees only live rows (prior DVs
+    * applied), and the new version carries old DVs + the new one.
+    * CONDITIONAL commit (expectedVersion): a racing ingest aborts this
+    * delete — rows are never silently resurrected or double-counted; an
+    * aborted attempt leaves only a vacuumable DV orphan. Returns the new
+    * version, or the current one unchanged when nothing matched. */
+  def deleteWhere(spark: SparkSession, dir: Path,
+      condition: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions._
+    val vRead = versions(dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed snapshots"))
+    val files = readManifest(dir, vRead)
     require(files.nonEmpty,
-      s"version $v of $dir is a zero-file snapshot — nothing to read " +
-        "(commit an empty result with at least one schema-only part to make it readable)")
-    spark.read.parquet(files: _*)
+      s"version $vRead of $dir is a zero-file snapshot — nothing to delete from")
+    val dvs0 = readDvs(dir, vRead)
+    val withPos = spark.read.parquet(
+        files.map(f => dataDir(dir).resolve(f).toString): _*)
+      .withColumn("_graft_f",
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("_graft_pos", col("_metadata.row_index"))
+    val live =
+      if (dvs0.isEmpty) withPos
+      else withPos.join(broadcast(spark.read.parquet(
+          dvs0.map(f => dataDir(dir).resolve(f).toString): _*)
+          .select(col("f").as("_graft_dv_f"), col("pos").as("_graft_dv_pos"))),
+        col("_graft_f") === col("_graft_dv_f") &&
+          col("_graft_pos") === col("_graft_dv_pos"), "left_anti")
+    val newDead = live.filter(condition)
+      .select(col("_graft_f").as("f"), col("_graft_pos").as("pos"))
+    val staging = Files.createTempDirectory(dataDir(dir), ".dv-")
+    try {
+      newDead.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = listNames(staging)
+        .find(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      if (part.isEmpty) return vRead // zero matches → no-op, no version
+      // an empty result still writes a part; check emptiness cheaply off
+      // the staged footer instead of a second job over the data
+      val n = spark.read.parquet(staging.resolve(part.get).toString).count()
+      if (n == 0) return vRead
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val name = f"dv${vRead + 1}%05d-$token.parquet"
+      Files.move(staging.resolve(part.get), dataDir(dir).resolve(name))
+      fsync(dataDir(dir).resolve(name))
+      fsync(dataDir(dir))
+      if (!tryPublishManifest(dir, vRead + 1, files,
+          readStats(dir, vRead), txnId = None, dvs = dvs0 :+ name))
+        throw new java.util.ConcurrentModificationException(
+          s"delete on $dir lost the race for version ${vRead + 1} — " +
+            "re-read and retry (the orphaned DV is vacuumable)")
+      vRead + 1
+    } finally deleteRecursively(staging)
+  }
+
+  /** Deletion-vector files of a version (empty when none). */
+  def dvFiles(dir: Path, asOf: Option[Int] = None): Seq[String] =
+    readDvs(dir, resolveVersion(dir, asOf))
+
+  /** CHANGE FEED between two versions of an APPEND lineage: the rows of
+    * the data files `toV` references that `fromV` does not, with `toV`'s
+    * deletion vectors applied — an incremental consumer reads ONLY the
+    * new files (file-count-proportional, never a table rescan), which is
+    * what makes downstream incremental pipelines (e17's shape) cheap to
+    * feed from the log. On an overwrite lineage (compact/merge) the file
+    * diff is a REWRITE, not an insert set — callers consuming changes
+    * across maintenance boundaries diff snapshots instead (d14's
+    * operator); this method is the fast path for the ingest case. */
+  def readChanges(spark: SparkSession, dir: Path,
+      fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    val from = readManifest(dir, resolveVersion(dir, Some(fromV))).toSet
+    val to = readManifest(dir, resolveVersion(dir, Some(toV)))
+    val newFiles = to.filterNot(from)
+    if (newFiles.isEmpty)
+      read(spark, dir, Some(toV))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else readFiles(spark, dir, newFiles, readDvs(dir, toV))
   }
 
   /** Data files no manifest references (crashed commits, or files orphaned
     * by an overwrite lineage whose old versions were dropped externally) —
     * the vacuum candidate list. Never deletes; callers decide retention. */
   def orphans(dir: Path): Seq[Path] = {
-    val referenced = versions(dir).flatMap(readManifest(dir, _)).toSet
+    val referenced = versions(dir)
+      .flatMap(v => readManifest(dir, v) ++ readDvs(dir, v)).toSet
     if (!Files.isDirectory(dataDir(dir))) Seq.empty
     else listNames(dataDir(dir))
       .filter(n => n.endsWith(".parquet") && !referenced.contains(n))
@@ -592,7 +728,8 @@ object SnapshotLog {
   private[graft] def tryPublishManifest(
       dir: Path, v: Int, files: Seq[String],
       stats: Map[String, Map[String, ColEnv]] = Map.empty,
-      txnId: Option[String] = None): Boolean = {
+      txnId: Option[String] = None,
+      dvs: Seq[String] = Seq.empty): Boolean = {
     import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
@@ -613,8 +750,9 @@ object SnapshotLog {
     })
     val base = ("version" -> v) ~ ("files" -> files)
     val withStats = if (stats.isEmpty) base else base ~ ("stats" -> statsJson)
+    val withDvs = if (dvs.isEmpty) withStats else withStats ~ ("dvs" -> dvs)
     val json = JsonMethods.compact(JsonMethods.render(
-      txnId.fold(withStats)(t => withStats ~ ("txn" -> t))))
+      txnId.fold(withDvs)(t => withDvs ~ ("txn" -> t))))
     val target = manifestPath(dir, v)
     val tmp = Files.createTempFile(logDir(dir), ".manifest", ".tmp")
     try {
@@ -636,6 +774,16 @@ object SnapshotLog {
     JsonMethods.parse(Files.readString(manifestPath(dir, v))) \ "txn" match {
       case JString(t) => Some(t)
       case _ => None
+    }
+  }
+
+  /** Deletion-vector file names of manifest `v`; empty when absent. */
+  private def readDvs(dir: Path, v: Int): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(Files.readString(manifestPath(dir, v))) \ "dvs" match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Seq.empty
     }
   }
 

@@ -244,6 +244,84 @@ class SnapshotLogSpec extends AnyFunSuite {
       "copy-on-write merge must equal the full-table merge row-for-row")
   }
 
+  test("deletion-vector deletes are merge-on-read: zero data rewrite, composable, time-travel-safe") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.repartitionByRange(4, col("c_custkey")), dir)
+    val dataDir = dir.resolve("data")
+    val before = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> sha(p)).toMap
+    val v2 = SnapshotLog.deleteWhere(spark, dir, col("c_custkey") % 3 === 0)
+    val v3 = SnapshotLog.deleteWhere(spark, dir, col("c_mktsegment") === "BUILDING")
+    assert(v2 == 2 && v3 == 3)
+    // merge-on-read: the DATA file set is identical across all versions
+    // and every data file is byte-untouched; only DV files were added
+    assert(SnapshotLog.files(dir, Some(1)) == SnapshotLog.files(dir, Some(3)))
+    before.foreach { case (f, digest) =>
+      assert(sha(dataDir.resolve(f)) == digest, s"delete rewrote data file $f")
+    }
+    assert(SnapshotLog.dvFiles(dir, Some(1)).isEmpty &&
+      SnapshotLog.dvFiles(dir, Some(2)).size == 1 &&
+      SnapshotLog.dvFiles(dir, Some(3)).size == 2)
+    // deletes COMPOSE and time travel sees each stage exactly
+    val n = cust.count()
+    val nAfter1 = cust.filter(!(col("c_custkey") % 3 === 0)).count()
+    val nAfter2 = cust.filter(!(col("c_custkey") % 3 === 0) &&
+      col("c_mktsegment") =!= "BUILDING").count()
+    assert(SnapshotLog.read(spark, dir, Some(1)).count() == n)
+    assert(SnapshotLog.read(spark, dir, Some(2)).count() == nAfter1)
+    assert(SnapshotLog.read(spark, dir).count() == nAfter2)
+    assert(SnapshotLog.orphans(dir).isEmpty, "live DVs must not read as orphans")
+    // a delete matching nothing is a NO-OP: no version, no DV debris
+    assert(SnapshotLog.deleteWhere(spark, dir, col("c_custkey") < 0) == 3)
+    assert(SnapshotLog.versions(dir) == Seq(1, 2, 3))
+    // pruned reads apply DVs too
+    val mm = cust.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+    val pruned = SnapshotLog.readPruned(spark, dir, "c_custkey",
+      mm.getLong(0), mm.getLong(1)).count()
+    assert(pruned == nAfter2, "readPruned must be DV-aware")
+  }
+
+  test("rewrites materialize deletion vectors: compact clears them, merge honors them") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.repartitionByRange(4, col("c_custkey")), dir,
+      statsCols = Seq("c_custkey"))
+    SnapshotLog.deleteWhere(spark, dir, col("c_custkey") % 3 === 0)
+    val liveCount = cust.filter(!(col("c_custkey") % 3 === 0)).count()
+    // a copy-on-write merge after a DV delete must not resurrect dead
+    // rows in the files it rewrites
+    val mm = cust.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val changes = cust
+      .filter(col("c_custkey") <= mid && col("c_custkey") % 10 === 1)
+      .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+      .withColumn("_deleted", lit(false))
+    val vM = SnapshotLog.merge(spark, dir, changes, "c_custkey",
+      statsCols = Seq("c_custkey"))
+    val upsertKeysDead = changes.filter(col("c_custkey") % 3 === 0).count()
+    // every %10==1 lower-half key is upserted (alive again if it was
+    // dead — an upsert IS an insert-or-replace); everything else keeps
+    // the delete
+    val expectAfterMerge = cust
+      .filter(!(col("c_custkey") % 3 === 0) ||
+        (col("c_custkey") <= mid && col("c_custkey") % 10 === 1)).count()
+    assert(SnapshotLog.read(spark, dir, Some(vM)).count() == expectAfterMerge,
+      s"merge over DVs wrong (upserted-dead keys: $upsertKeysDead)")
+    // OPTIMIZE materializes the deletes: the compacted version has no
+    // DVs and exactly the live rows
+    val vC = SnapshotLog.compact(spark, dir, targetFiles = 2)
+    assert(SnapshotLog.dvFiles(dir, Some(vC)).isEmpty,
+      "overwrite lineage must clear deletion vectors")
+    assert(SnapshotLog.read(spark, dir).count() == expectAfterMerge)
+    // vacuum now reclaims the expired DVs along with the old lineage
+    val (_, deleted) = SnapshotLog.vacuum(dir, keepVersions = 1)
+    assert(deleted.exists(_.startsWith("dv")), "vacuum must reclaim dead DVs")
+    assert(SnapshotLog.read(spark, dir).count() == expectAfterMerge)
+    assert(liveCount < cust.count(), "the delete must have had matches")
+  }
+
   test("manifest publish is a CAS: a second writer at the same version loses cleanly") {
     val dir = Files.createTempDirectory("graft-snap")
     SnapshotLog.commit(Tables.region(spark, sf), dir)                    // v1
