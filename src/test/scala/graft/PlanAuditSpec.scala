@@ -89,6 +89,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("DV-aware snapshot reads broadcast the vector and keep column pruning") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dvplan")
+    val cust = Tables.customer(spark, sf)
+    graft.sources.SnapshotLog.commit(
+      cust.repartitionByRange(2, col("c_custkey")), dir)
+    graft.sources.SnapshotLog.deleteWhere(spark, dir, col("c_custkey") % 3 === 0)
+    val p = plan(graft.sources.SnapshotLog.read(spark, dir)
+      .select(col("c_mktsegment"), col("c_acctbal")))
+    // the dead-position side must build a broadcast anti join — a
+    // shuffled anti join would exchange the whole table to remove a
+    // handful of rows
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV anti-join must broadcast: $p")
+    // the metadata identity columns must not break projection pruning:
+    // unreferenced data columns stay out of the scan's read schema
+    assert(!p.contains("c_name"),
+      "unreferenced columns must stay pruned through the DV join")
+  }
+
   test("q33: json parsing reads only the referenced columns") {
     val p = plan(Relational.q33JsonStruct(spark, sf))
     assert(p.contains("event_id") && p.contains("props"))
