@@ -1367,7 +1367,121 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("c_mktsegment")))
   }
 
+  // ------------------------------------------ e33_snapshot_update_mor
+  /** UPDATE as MERGE-ON-READ ([[graft.sources.SnapshotLog.updateWhere]])
+    * — the DV-based row mutation completing the lakehouse write matrix
+    * (e29 copy-on-write MERGE, e31 DV DELETE): one base scan stages the
+    * matched rows, which split into a deletion vector killing the old
+    * row versions and an appended file carrying the updated ones — one
+    * atomic commit, every original data file byte-identical.
+    *
+    * COMPOSITION is the hard half, so the gate then DELETES half of the
+    * updated rows: keys ≡ 2 (mod 14) are exactly half of the updated
+    * keys ≡ 2 (mod 7), and those rows' live versions reside in the file
+    * the UPDATE appended — the delete's DV must target the NEW file (a
+    * reader that resolved positions against the original files would
+    * resurrect the pre-update rows; the in-gate check reads the second
+    * DV and requires appended-file hits).
+    *
+    * Structural gate: versions 1→2→3, the update appended files without
+    * touching v1's set, DV count 1→2, update preserved cardinality, the
+    * pre-update version still reads the original rows, second DV hits
+    * the appended file, zero orphans. The DuckDB-checked half: latest
+    * aggregates equal the raw table under the same CASE rewrite and
+    * NOT-predicate — a resurrected pre-update row, a lost update, or a
+    * doubly-applied SET hash-fails. */
+  def e33SnapshotUpdateMor(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e33")
+    val src = orders(s, d)
+    SnapshotLog.commit(src.repartitionByRange(8, col("o_orderkey")), dir)
+    val v1Files = SnapshotLog.files(dir, Some(1)).toSet
+    val v2 = SnapshotLog.updateWhere(s, dir, col("o_orderkey") % 7 === 2,
+      Map("o_orderpriority" -> lit("0-UPDATED"),
+        "o_totalprice" -> (col("o_totalprice") + lit(100000.0))))
+    val v2Files = SnapshotLog.files(dir, Some(2)).toSet
+    val appended = v2Files -- v1Files
+    val v3 = SnapshotLog.deleteWhere(s, dir, col("o_orderkey") % 14 === 2)
+    val secondDv = (SnapshotLog.dvFiles(dir, Some(3)).toSet --
+      SnapshotLog.dvFiles(dir, Some(2)).toSet).toSeq
+    val dvHitsAppended = secondDv.nonEmpty && s.read.parquet(
+        dir.resolve("data").resolve(secondDv.head).toString)
+      .filter(col("f").isin(appended.toSeq: _*)).count() > 0
+    val ok = v2 == 2 && v3 == 3 &&
+      (v1Files -- v2Files).isEmpty && appended.nonEmpty &&
+      SnapshotLog.files(dir, Some(3)).toSet == v2Files && // pure-DV delete
+      SnapshotLog.dvFiles(dir, Some(2)).size == 1 &&
+      SnapshotLog.dvFiles(dir, Some(3)).size == 2 &&
+      SnapshotLog.read(s, dir, Some(2)).count() == src.count() &&
+      SnapshotLog.read(s, dir, Some(1))
+        .filter(col("o_orderpriority") === "0-UPDATED").count() == 0 &&
+      dvHitsAppended &&
+      SnapshotLog.orphans(dir).isEmpty
+    val out = SnapshotLog.read(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("o_orderpriority")))
+  }
+
+  // ------------------------------------------ e34_snapshot_add_column
+  /** SCHEMA EVOLUTION in the snapshot log — ADD COLUMN, the Delta way
+    * (schema lives in the MANIFEST, not in file footers): generation 2
+    * commits a frame with a new derived `c_tier` column; the manifest
+    * records the evolved schema, so the latest read passes ONE explicit
+    * schema to the scan (zero mergeSchema footer inference — the cost
+    * that grows with file count at 100 TB) and generation-1 files
+    * null-fill the new column natively. Old versions keep their old
+    * schema: AS OF 1 reads without `c_tier` at all. Illegal evolutions
+    * fail fast at commit: dropping a column and retyping one are both
+    * rejected BEFORE the staging write (zero orphans), because an
+    * append that narrows the schema would corrupt every downstream
+    * reader of the latest version.
+    *
+    * Structural gate: exactly versions 1–2 exist (the two rejected
+    * commits landed nothing), v1's schema lacks / v2's has the column,
+    * the AS OF 1 read's columns are v1's schema, null-tier rows are
+    * exactly generation 1, zero orphans. The DuckDB-checked half: the
+    * latest read's tier aggregates equal the raw table under the same
+    * generation CASE — a leaked generation-1 tier value or a dropped
+    * generation-2 row hash-fails. */
+  def e34SnapshotAddColumn(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e34")
+    val base = customer(s, d)
+    SnapshotLog.commit(base.filter(col("c_custkey") % 2 === 0), dir)
+    val gen2 = base.filter(col("c_custkey") % 2 === 1)
+      .withColumn("c_tier",
+        when(col("c_acctbal") >= 5000, lit("gold")).otherwise(lit("std")))
+    SnapshotLog.commit(gen2, dir)
+    val dropRejected = scala.util.Try(SnapshotLog.commit(
+      base.filter(col("c_custkey") % 2 === 1).drop("c_mktsegment"), dir)).isFailure
+    val retypeRejected = scala.util.Try(SnapshotLog.commit(
+      gen2.withColumn("c_acctbal", col("c_acctbal").cast("string")), dir)).isFailure
+    val v1Schema = SnapshotLog.schemaOf(dir, Some(1)).get
+    val v2Schema = SnapshotLog.schemaOf(dir, Some(2)).get
+    val latest = SnapshotLog.read(s, dir)
+    val ok = SnapshotLog.versions(dir) == Seq(1, 2) &&
+      dropRejected && retypeRejected &&
+      !v1Schema.fieldNames.contains("c_tier") &&
+      v2Schema.fieldNames.contains("c_tier") &&
+      SnapshotLog.read(s, dir, Some(1)).columns
+        .sameElements(v1Schema.fieldNames) &&
+      latest.filter(col("c_tier").isNull).count() ==
+        base.filter(col("c_custkey") % 2 === 0).count() &&
+      SnapshotLog.orphans(dir).isEmpty
+    val out = latest
+      .groupBy(coalesce(col("c_tier"), lit("none")).as("tier"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("tier")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e34_snapshot_add_column" -> e34SnapshotAddColumn,
+    "e33_snapshot_update_mor" -> e33SnapshotUpdateMor,
     "e32_snapshot_changes" -> e32SnapshotChanges,
     "e31_snapshot_delete_dv" -> e31SnapshotDeleteDv,
     "e30_snapshot_vacuum" -> e30SnapshotVacuum,
@@ -1402,6 +1516,30 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // latest snapshot after MoR UPDATE then a DV delete of half the
+    // updated rows = the raw table under the same CASE rewrite and
+    // NOT-predicate; a resurrected pre-update row or doubled SET
+    // hash-fails
+    "e33_snapshot_update_mor" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 7 = 2 THEN '0-UPDATED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 100000.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE NOT (o_orderkey % 14 = 2))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // latest read after ADD COLUMN = the raw table under the same
+    // generation CASE; generation-1 rows must read the new column as
+    // NULL ('none'), generation-2 rows carry the derived tier
+    "e34_snapshot_add_column" ->
+      """SELECT CASE WHEN c_custkey % 2 = 1 THEN
+        |         (CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END)
+        |       ELSE 'none' END AS tier,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1 ORDER BY tier""".stripMargin,
     // the latest snapshot under two composed DV deletes = the raw table
     // under the composed NOT-predicates; a resurrected or doubly-counted
     // row hash-fails

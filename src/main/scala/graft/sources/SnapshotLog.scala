@@ -72,6 +72,65 @@ object SnapshotLog {
     * dataSkippingStringPrefixLength is 32 — same rationale). */
   private[graft] val StatsTruncateLen = 32
 
+  /** Nullability-and-metadata-normalized copy of a type: manifests store
+    * the table schema in this form so (a) old files missing an added
+    * column read as NULL without tripping a non-null assertion, and (b)
+    * schema-compatibility checks compare structure, not incidental field
+    * metadata or nullability flags of whatever frame happened to commit. */
+  private[graft] def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f => StructField(
+        f.name, asNullable(f.dataType), nullable = true, Metadata.empty)))
+      case a: ArrayType => ArrayType(asNullable(a.elementType), true)
+      case m: MapType =>
+        MapType(asNullable(m.keyType), asNullable(m.valueType), true)
+      case other => other
+    }
+  }
+
+  private[graft] def normSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    asNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The committed table schema of a version (None for pre-schema
+    * manifests, which read by inference as before). Round 12: commits
+    * record the frame's normalized schema in the manifest — the Delta
+    * design, where schema lives in the LOG, not in file footers — so (a)
+    * reads pass an explicit schema to the scan (zero mergeSchema footer
+    * reads, the cost that grows with file count), (b) ADD-COLUMN
+    * evolution works: old files simply null-fill the new column, and (c)
+    * incompatible appends (dropped or retyped columns) are rejected at
+    * commit time instead of corrupting downstream reads. */
+  def schemaOf(dir: Path, asOf: Option[Int] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaOfVersion(dir, resolveVersion(dir, asOf))
+
+  /** The APPEND evolution contract: every column of the version being
+    * appended onto must survive with its exact normalized type — adding
+    * columns is the only legal append evolution (old files null-fill
+    * them on read); drops and retypes require an explicit overwrite
+    * lineage, and readers of old versions keep the old schema either
+    * way. */
+  private def requireAppendCompatible(dir: Path, prevJson: String,
+      nextRaw: org.apache.spark.sql.types.StructType): Unit = {
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prevJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val next = normSchema(nextRaw)
+    prevSchema.fields.foreach { pf =>
+      val nf = next.fields.find(_.name == pf.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"append to $dir drops column '${pf.name}' — schema evolution " +
+            "may only ADD columns; use overwrite = true to start a new " +
+            "lineage"))
+      require(nf.dataType == pf.dataType,
+        s"append to $dir retypes column '${pf.name}' from " +
+          s"${pf.dataType.simpleString} to ${nf.dataType.simpleString} — " +
+          "retyping requires overwrite = true (a new lineage)")
+    }
+  }
+
   private def logDir(dir: Path) = dir.resolve("_graft_log")
   private def dataDir(dir: Path) = dir.resolve("data")
   private def manifestPath(dir: Path, v: Int) =
@@ -156,6 +215,11 @@ object SnapshotLog {
           s"conditional commit to $dir expected version $e but the next " +
             s"version is already $next — re-read the table and retry")
     }
+    // SCHEMA EVOLUTION fail-fast: reject a doomed append BEFORE paying
+    // the staging write (zero orphans for a rejected evolution); the CAS
+    // loop re-checks authoritatively against the version appended onto
+    if (!overwrite) versions(dir).lastOption.flatMap(readSchemaJson(dir, _))
+      .foreach(requireAppendCompatible(dir, _, df.schema))
     // stage next to data/ so promotion is a metadata rename (ParquetSink's
     // same-filesystem staging rule)
     val staging = Files.createTempDirectory(dataDir(dir), ".commit-")
@@ -188,6 +252,7 @@ object SnapshotLog {
       // files must be carried, not the stale snapshot's). Data files keep
       // their first-attempt name prefix — names are opaque; the manifest
       // is the only membership truth. Carried files keep their envelopes.
+      val schemaJson = normSchema(df.schema).json
       var committed = -1
       while (committed < 0) {
         val prev = versions(dir)
@@ -211,13 +276,18 @@ object SnapshotLog {
               readDvs(dir, pv)))
             .getOrElse((Seq.empty[String],
               Map.empty[String, Map[String, ColEnv]], Seq.empty[String]))
+        // authoritative re-check against the version actually appended
+        // onto (a racing writer may have evolved the schema since the
+        // fail-fast above)
+        if (!overwrite) prev.lastOption.flatMap(readSchemaJson(dir, _))
+          .foreach(requireAppendCompatible(dir, _, df.schema))
         val dropped = dropCarried.toSet
         val carried = carriedAll.filterNot(dropped)
         val carriedStats = carriedStatsAll -- dropped
         // DVs carry whole: rows referencing dropped data files are inert
         // (the read anti-join matches on file names no longer present)
         if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats,
-            txnId, carriedDvs))
+            txnId, carriedDvs, Some(schemaJson)))
           committed = v
       }
       committed
@@ -266,8 +336,9 @@ object SnapshotLog {
   def readPruned(spark: SparkSession, dir: Path, column: String,
       lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
     val (kept, skipped) = prunedFiles(dir, column, lo, hi, asOf)
-    readKeptOrEmpty(spark, dir, kept, skipped,
-      readDvs(dir, resolveVersion(dir, asOf)))
+    val v = resolveVersion(dir, asOf)
+    readKeptOrEmpty(spark, dir, kept, skipped, readDvs(dir, v),
+      schemaOfVersion(dir, v))
   }
 
   /** Shared tail of the pruned readers: read the kept files, or — when
@@ -281,12 +352,20 @@ object SnapshotLog {
     * prove the kept rows match). */
   private def readKeptOrEmpty(spark: SparkSession, dir: Path,
       kept: Seq[String], skipped: Seq[String],
-      dvs: Seq[String] = Seq.empty): DataFrame = {
+      dvs: Seq[String] = Seq.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val toRead = if (kept.nonEmpty) kept else skipped.take(1)
-    require(toRead.nonEmpty,
-      s"the resolved version of $dir is a zero-file snapshot — nothing to " +
-        "read (same contract as read(); commit at least one schema-only part)")
-    val df = readFiles(spark, dir, toRead, dvs)
+    if (toRead.isEmpty) {
+      // zero-file snapshot: readable iff the manifest recorded the schema
+      val s = schema.getOrElse(throw new IllegalStateException(
+        "the resolved version is a zero-file snapshot with no recorded " +
+          "schema — nothing to read (pre-schema manifests need at least " +
+          "one schema-only part)"))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+    }
+    val df = readFiles(spark, dir, toRead, dvs, schema)
     if (kept.nonEmpty) df
     else df.filter(org.apache.spark.sql.functions.lit(false))
   }
@@ -320,8 +399,9 @@ object SnapshotLog {
   def readPrunedString(spark: SparkSession, dir: Path, column: String,
       lo: String, hi: String, asOf: Option[Int] = None): DataFrame = {
     val (kept, skipped) = prunedFilesString(dir, column, lo, hi, asOf)
-    readKeptOrEmpty(spark, dir, kept, skipped,
-      readDvs(dir, resolveVersion(dir, asOf)))
+    val v = resolveVersion(dir, asOf)
+    readKeptOrEmpty(spark, dir, kept, skipped, readDvs(dir, v),
+      schemaOfVersion(dir, v))
   }
 
   private def pruneWith(dir: Path, column: String, asOf: Option[Int])(
@@ -537,7 +617,8 @@ object SnapshotLog {
     // DV-aware touched read: a previously-deleted row must not be
     // resurrected by the rewrite
     val base =
-      if (touched.nonEmpty) readFiles(spark, dir, touched, readDvs(dir, vRead))
+      if (touched.nonEmpty) readFiles(spark, dir, touched,
+        readDvs(dir, vRead), schemaOfVersion(dir, vRead))
       else read(spark, dir, Some(vRead)).filter(lit(false)) // schema only
     commit(Merge.merge(base, changes, key, seqCol), dir,
       statsCols = statsCols, expectedVersion = Some(vRead + 1),
@@ -551,11 +632,26 @@ object SnapshotLog {
   def read(spark: SparkSession, dir: Path, asOf: Option[Int] = None): DataFrame = {
     val v = resolveVersion(dir, asOf)
     val files = readManifest(dir, v)
-    require(files.nonEmpty,
-      s"version $v of $dir is a zero-file snapshot — nothing to read " +
-        "(commit an empty result with at least one schema-only part to make it readable)")
-    readFiles(spark, dir, files, readDvs(dir, v))
+    val schema = schemaOfVersion(dir, v)
+    if (files.isEmpty) {
+      // a zero-file snapshot (e.g. a full-table DELETE dropped every
+      // file) is readable iff its manifest carries the schema — the
+      // empty frame is then exact, not a guess
+      val s = schema.getOrElse(throw new IllegalStateException(
+        s"version $v of $dir is a zero-file snapshot with no recorded " +
+          "schema — nothing to read (pre-schema manifests need at least " +
+          "one schema-only part)"))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+    }
+    readFiles(spark, dir, files, readDvs(dir, v), schema)
   }
+
+  private def schemaOfVersion(dir: Path, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    readSchemaJson(dir, v).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   private def resolveVersion(dir: Path, asOf: Option[Int]): Int = {
     val vs = versions(dir)
@@ -572,9 +668,14 @@ object SnapshotLog {
     * small by construction; a delete that killed most of a file should
     * have been a copy-on-write [[merge]] instead). */
   private def readFiles(spark: SparkSession, dir: Path,
-      files: Seq[String], dvs: Seq[String]): DataFrame = {
+      files: Seq[String], dvs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions._
-    val base = spark.read.parquet(
+    // the manifest schema (when recorded) drives the scan: zero footer
+    // inference, and files written before an ADD COLUMN null-fill it
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val base = reader.parquet(
       files.map(f => dataDir(dir).resolve(f).toString): _*)
     if (dvs.isEmpty) base
     else {
@@ -618,45 +719,209 @@ object SnapshotLog {
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
     val files = readManifest(dir, vRead)
-    require(files.nonEmpty,
-      s"version $vRead of $dir is a zero-file snapshot — nothing to delete from")
+    if (files.isEmpty) return vRead // zero-file snapshot: nothing to delete
     val dvs0 = readDvs(dir, vRead)
-    val withPos = spark.read.parquet(
+    val schema = schemaOfVersion(dir, vRead)
+    val schemaJson = readSchemaJson(dir, vRead)
+    val live = liveWithPos(spark, dir, files, dvs0, schema)
+    // POLICY pass (one counting scan, pushdown-friendly): per-file dead
+    // vs live totals decide each file's cheapest representation —
+    //  - every live row dead  → DROP the file from the manifest
+    //                           (metadata-only; the full-file delete
+    //                           costs zero bytes of write and zero
+    //                           read-side anti-join forever)
+    //  - dead fraction ≥ `graft.dv.rewriteAtFraction` → COPY-ON-WRITE
+    //                           the survivors (a DV covering most of a
+    //                           file taxes every future read more than
+    //                           one rewrite; conf default 1.0 = never,
+    //                           the pure merge-on-read posture — lower
+    //                           it where read amplification dominates)
+    //  - else                 → DELETION VECTOR rows (sparse deletes
+    //                           touch kilobytes, the e31 path)
+    val perFile = live.groupBy(col("_graft_f"))
+      .agg(sum(when(condition, 1L).otherwise(0L)).as("dead"),
+        count(lit(1)).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (perFile.map(_._2).sum == 0) return vRead // no matches → no-op
+    val rewriteFrac =
+      spark.conf.get("graft.dv.rewriteAtFraction", "1.0").toDouble
+    var dropped = perFile.collect {
+      case (f, d, t) => (f, d == t) }.filter(_._2).map(_._1).toSet
+    // a legacy (pre-schema) lineage cannot represent a zero-file
+    // snapshot: keep one otherwise-dropped file DV-covered instead
+    if (schemaJson.isEmpty && dropped.size == files.size)
+      dropped = dropped - files.head
+    val rewrite = perFile.collect {
+      case (f, d, t) if !dropped(f) && d > 0 && d < t &&
+        d.toDouble / t >= rewriteFrac => f }.toSet
+    val dvTargets = perFile.collect {
+      case (f, d, _) if !dropped(f) && !rewrite(f) && d > 0 => f }.toSet
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory(dataDir(dir), ".dv-")
+    try {
+      var newDv: Seq[String] = Seq.empty
+      if (dvTargets.nonEmpty) {
+        live.filter(col("_graft_f").isin(dvTargets.toSeq: _*))
+          .filter(condition)
+          .select(col("_graft_f").as("f"), col("_graft_pos").as("pos"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(staging.resolve("dv").toString)
+        val part = listNames(staging.resolve("dv"))
+          .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+        val name = f"dv${vRead + 1}%05d-$token.parquet"
+        Files.move(staging.resolve("dv").resolve(part),
+          dataDir(dir).resolve(name))
+        fsync(dataDir(dir).resolve(name))
+        newDv = Seq(name)
+      }
+      var newData: Seq[String] = Seq.empty
+      var newStats: Map[String, Map[String, ColEnv]] = Map.empty
+      if (rewrite.nonEmpty) {
+        // survivors of the densely-deleted files, envelopes re-harvested
+        // on whatever columns their originals carried
+        val prevStats = readStats(dir, vRead)
+        val statCols = rewrite.flatMap(f =>
+          prevStats.get(f).map(_.keySet).getOrElse(Set.empty[String]))
+        live.filter(col("_graft_f").isin(rewrite.toSeq: _*))
+          .filter(!condition).drop("_graft_f", "_graft_pos")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(staging.resolve("rw").toString)
+        newData = listNames(staging.resolve("rw"))
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .sorted.zipWithIndex.map { case (p, i) =>
+            val name = f"c${vRead + 1}%05d-$token-$i%05d.parquet"
+            Files.move(staging.resolve("rw").resolve(p),
+              dataDir(dir).resolve(name))
+            fsync(dataDir(dir).resolve(name))
+            name
+          }
+        newStats = newData.map { n =>
+          n -> fileStats(dataDir(dir).resolve(n), statCols)
+        }.filter(_._2.nonEmpty).toMap
+      }
+      fsync(dataDir(dir))
+      val kept = files.filterNot(f => dropped(f) || rewrite(f))
+      // DVs referencing dropped/rewritten files stay carried and inert
+      // (the read anti-join matches on names no longer in the manifest)
+      if (!tryPublishManifest(dir, vRead + 1, kept ++ newData,
+          (readStats(dir, vRead) -- dropped -- rewrite) ++ newStats,
+          txnId = None, dvs = dvs0 ++ newDv, schemaJson = schemaJson))
+        throw new java.util.ConcurrentModificationException(
+          s"delete on $dir lost the race for version ${vRead + 1} — " +
+            "re-read and retry (the orphaned files are vacuumable)")
+      vRead + 1
+    } finally deleteRecursively(staging)
+  }
+
+  /** UPDATE ... SET as MERGE-ON-READ (round 12; the DV-based UPDATE
+    * Delta ships next to DV deletes): ONE base scan finds the matched
+    * rows; they are staged WITH their (file, position) identity, then
+    * split locally into (a) a deletion vector killing the old versions
+    * and (b) an appended data file carrying the updated rows — published
+    * together in one conditional commit, so readers see the update
+    * atomically and every untouched data file stays byte-identical.
+    * A sparse update touches kilobytes; a dense one should be a
+    * copy-on-write [[merge]] (same tradeoff as [[deleteWhere]]).
+    *
+    * `set` is applied SIMULTANEOUSLY over the pre-update row (standard
+    * UPDATE semantics — `a -> col("b"), b -> col("a")` swaps), must not
+    * retype a column, and composes with prior DVs (already-deleted rows
+    * are invisible to the predicate — never resurrected as updated
+    * rows). Returns the new version, or the current one when nothing
+    * matched. */
+  def updateWhere(spark: SparkSession, dir: Path,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Seq.empty): Int = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val vRead = versions(dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed snapshots"))
+    val files = readManifest(dir, vRead)
+    if (files.isEmpty) return vRead // zero-file snapshot: nothing matches
+    val dvs0 = readDvs(dir, vRead)
+    val schema = schemaOfVersion(dir, vRead)
+    val schemaJson = readSchemaJson(dir, vRead)
+    val live = liveWithPos(spark, dir, files, dvs0, schema)
+    val dataCols = live.columns.filterNot(c =>
+      c == "_graft_f" || c == "_graft_pos")
+    set.keys.foreach(k => require(dataCols.contains(k),
+      s"SET references unknown column '$k' (have ${dataCols.mkString(", ")})"))
+    val staged = live.filter(condition).select(
+      col("_graft_f") +: col("_graft_pos") +:
+        dataCols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
+    dataCols.foreach { c =>
+      require(asNullable(staged.schema(c).dataType) ==
+          asNullable(live.schema(c).dataType),
+        s"SET retypes column '$c' from " +
+          s"${live.schema(c).dataType.simpleString} to " +
+          s"${staged.schema(c).dataType.simpleString} — an UPDATE must " +
+          "preserve the table schema (cast the expression, or evolve the " +
+          "schema with a commit)")
+    }
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory(dataDir(dir), ".upd-")
+    try {
+      // the ONLY base-table scan: matched rows with their row identity
+      staged.write.mode("overwrite").parquet(staging.resolve("m").toString)
+      val matched = spark.read.parquet(staging.resolve("m").toString)
+      if (matched.isEmpty) return vRead // no matches → no-op, no version
+      // local split of just-matched rows: DV (old identities die) ...
+      matched.select(col("_graft_f").as("f"), col("_graft_pos").as("pos"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("dv").toString)
+      val dvPart = listNames(staging.resolve("dv"))
+        .find(n => n.startsWith("part-") && n.endsWith(".parquet")).get
+      val dvName = f"dv${vRead + 1}%05d-$token.parquet"
+      Files.move(staging.resolve("dv").resolve(dvPart),
+        dataDir(dir).resolve(dvName))
+      fsync(dataDir(dir).resolve(dvName))
+      // ... and the appended updated rows
+      matched.select(dataCols.map(col): _*)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(staging.resolve("u").toString)
+      val newData = listNames(staging.resolve("u"))
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .sorted.zipWithIndex.map { case (p, i) =>
+          val name = f"c${vRead + 1}%05d-$token-$i%05d.parquet"
+          Files.move(staging.resolve("u").resolve(p),
+            dataDir(dir).resolve(name))
+          fsync(dataDir(dir).resolve(name))
+          name
+        }
+      fsync(dataDir(dir))
+      val newStats = newData.map { n =>
+        n -> fileStats(dataDir(dir).resolve(n), statsCols.toSet)
+      }.filter(_._2.nonEmpty).toMap
+      if (!tryPublishManifest(dir, vRead + 1, files ++ newData,
+          readStats(dir, vRead) ++ newStats,
+          txnId = None, dvs = dvs0 :+ dvName, schemaJson = schemaJson))
+        throw new java.util.ConcurrentModificationException(
+          s"update on $dir lost the race for version ${vRead + 1} — " +
+            "re-read and retry (the orphaned files are vacuumable)")
+      vRead + 1
+    } finally deleteRecursively(staging)
+  }
+
+  /** Live rows of a file set with (file, position) row identity: the
+    * base scan plus the `_metadata` columns, prior deletion vectors
+    * anti-joined out — shared by [[deleteWhere]] and [[updateWhere]]. */
+  private def liveWithPos(spark: SparkSession, dir: Path,
+      files: Seq[String], dvs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val withPos = reader.parquet(
         files.map(f => dataDir(dir).resolve(f).toString): _*)
       .withColumn("_graft_f",
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("_graft_pos", col("_metadata.row_index"))
-    val live =
-      if (dvs0.isEmpty) withPos
-      else withPos.join(broadcast(spark.read.parquet(
-          dvs0.map(f => dataDir(dir).resolve(f).toString): _*)
-          .select(col("f").as("_graft_dv_f"), col("pos").as("_graft_dv_pos"))),
-        col("_graft_f") === col("_graft_dv_f") &&
-          col("_graft_pos") === col("_graft_dv_pos"), "left_anti")
-    val newDead = live.filter(condition)
-      .select(col("_graft_f").as("f"), col("_graft_pos").as("pos"))
-    val staging = Files.createTempDirectory(dataDir(dir), ".dv-")
-    try {
-      newDead.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = listNames(staging)
-        .find(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      if (part.isEmpty) return vRead // zero matches → no-op, no version
-      // an empty result still writes a part; check emptiness cheaply off
-      // the staged footer instead of a second job over the data
-      val n = spark.read.parquet(staging.resolve(part.get).toString).count()
-      if (n == 0) return vRead
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val name = f"dv${vRead + 1}%05d-$token.parquet"
-      Files.move(staging.resolve(part.get), dataDir(dir).resolve(name))
-      fsync(dataDir(dir).resolve(name))
-      fsync(dataDir(dir))
-      if (!tryPublishManifest(dir, vRead + 1, files,
-          readStats(dir, vRead), txnId = None, dvs = dvs0 :+ name))
-        throw new java.util.ConcurrentModificationException(
-          s"delete on $dir lost the race for version ${vRead + 1} — " +
-            "re-read and retry (the orphaned DV is vacuumable)")
-      vRead + 1
-    } finally deleteRecursively(staging)
+    if (dvs.isEmpty) withPos
+    else withPos.join(broadcast(spark.read.parquet(
+        dvs.map(f => dataDir(dir).resolve(f).toString): _*)
+        .select(col("f").as("_graft_dv_f"), col("pos").as("_graft_dv_pos"))),
+      col("_graft_f") === col("_graft_dv_f") &&
+        col("_graft_pos") === col("_graft_dv_pos"), "left_anti")
   }
 
   /** Deletion-vector files of a version (empty when none). */
@@ -681,7 +946,8 @@ object SnapshotLog {
     if (newFiles.isEmpty)
       read(spark, dir, Some(toV))
         .filter(org.apache.spark.sql.functions.lit(false))
-    else readFiles(spark, dir, newFiles, readDvs(dir, toV))
+    else readFiles(spark, dir, newFiles, readDvs(dir, toV),
+      schemaOfVersion(dir, toV))
   }
 
   /** Data files no manifest references (crashed commits, or files orphaned
@@ -729,7 +995,8 @@ object SnapshotLog {
       dir: Path, v: Int, files: Seq[String],
       stats: Map[String, Map[String, ColEnv]] = Map.empty,
       txnId: Option[String] = None,
-      dvs: Seq[String] = Seq.empty): Boolean = {
+      dvs: Seq[String] = Seq.empty,
+      schemaJson: Option[String] = None): Boolean = {
     import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
@@ -751,8 +1018,11 @@ object SnapshotLog {
     val base = ("version" -> v) ~ ("files" -> files)
     val withStats = if (stats.isEmpty) base else base ~ ("stats" -> statsJson)
     val withDvs = if (dvs.isEmpty) withStats else withStats ~ ("dvs" -> dvs)
+    // the table schema is stored as its Spark-JSON string — opaque to the
+    // manifest format, absent for pre-schema manifests (reads infer then)
+    val withSchema = schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
     val json = JsonMethods.compact(JsonMethods.render(
-      txnId.fold(withDvs)(t => withDvs ~ ("txn" -> t))))
+      txnId.fold(withSchema)(t => withSchema ~ ("txn" -> t))))
     val target = manifestPath(dir, v)
     val tmp = Files.createTempFile(logDir(dir), ".manifest", ".tmp")
     try {
@@ -765,6 +1035,16 @@ object SnapshotLog {
       }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** The schema JSON manifest `v` committed under, if any. */
+  private def readSchemaJson(dir: Path, v: Int): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(Files.readString(manifestPath(dir, v))) \ "schema" match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
   }
 
   /** The idempotency key manifest `v` committed under, if any. */

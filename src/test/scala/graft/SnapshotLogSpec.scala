@@ -364,6 +364,162 @@ class SnapshotLogSpec extends AnyFunSuite {
       SnapshotLog.read(spark, dir, Some(2)).count())
   }
 
+  test("updateWhere is merge-on-read: simultaneous SET, appended rows, zero rewrite") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation, dir)
+    val dataDir = dir.resolve("data")
+    val before = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> sha(p)).toMap
+    // simultaneous SET: a swap proves the expressions see the PRE-update
+    // row (sequential application would overwrite one side)
+    val v2 = SnapshotLog.updateWhere(spark, dir, col("n_nationkey") < 5,
+      Map("n_nationkey" -> col("n_regionkey"),
+        "n_regionkey" -> col("n_nationkey")))
+    assert(v2 == 2)
+    before.foreach { case (f, digest) =>
+      assert(sha(dataDir.resolve(f)) == digest, s"update rewrote data file $f")
+    }
+    assert(SnapshotLog.dvFiles(dir).size == 1)
+    assert((SnapshotLog.files(dir).toSet -- before.keySet).nonEmpty,
+      "the updated rows must land in an appended file")
+    val byName = SnapshotLog.read(spark, dir)
+      .select("n_name", "n_nationkey", "n_regionkey")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    nation.select("n_name", "n_nationkey", "n_regionkey").collect().foreach { r =>
+      val (name, k, rk) = (r.getString(0), r.getInt(1), r.getInt(2))
+      val expected = if (k < 5) (rk, k) else (k, rk)
+      assert(byName(name) == expected, s"row $name: got ${byName(name)}, want $expected")
+    }
+    assert(SnapshotLog.read(spark, dir).count() == nation.count(),
+      "an update must preserve cardinality")
+    assert(SnapshotLog.read(spark, dir, Some(1))
+      .collect().toSet == nation.collect().toSet,
+      "the pre-update version must read the original rows")
+    // zero matches → no-op, no version
+    assert(SnapshotLog.updateWhere(spark, dir, col("n_nationkey") === -1,
+      Map("n_name" -> lit("x"))) == 2)
+    // a SET that retypes a column is rejected
+    intercept[IllegalArgumentException](SnapshotLog.updateWhere(spark, dir,
+      lit(true), Map("n_nationkey" -> lit("not-a-long"))))
+    assert(SnapshotLog.orphans(dir).isEmpty)
+  }
+
+  test("updateWhere composes with prior DVs: dead rows are never resurrected as updates") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation, dir)
+    SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") === 3)
+    val v = SnapshotLog.updateWhere(spark, dir, col("n_nationkey") < 5,
+      Map("n_name" -> lit("upd")))
+    assert(v == 3)
+    val latest = SnapshotLog.read(spark, dir)
+    assert(latest.count() == nation.count() - 1)
+    assert(latest.filter(col("n_nationkey") === 3).count() == 0,
+      "the deleted row must stay dead through the update")
+    assert(latest.filter(col("n_name") === "upd").count() == 4,
+      "exactly the live matching rows (0,1,2,4) update")
+  }
+
+  test("delete policy: fully-dead files DROP from the manifest — metadata-only, no DV") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 5).coalesce(1), dir)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") >= 5).coalesce(1), dir)
+    val v1Only = SnapshotLog.files(dir, Some(1)).toSet
+    val v3 = SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") < 5)
+    assert(v3 == 3)
+    assert(SnapshotLog.files(dir, Some(3)).toSet ==
+      SnapshotLog.files(dir, Some(2)).toSet -- v1Only,
+      "the fully-dead slab must drop from the manifest")
+    assert(SnapshotLog.dvFiles(dir, Some(3)).isEmpty,
+      "a pure full-file delete needs no deletion vector")
+    assert(SnapshotLog.read(spark, dir).count() == nation.count() - 5)
+    assert(SnapshotLog.read(spark, dir, Some(2)).count() == nation.count(),
+      "time travel must still see the dropped slab")
+    assert(SnapshotLog.orphans(dir).isEmpty,
+      "the dropped file is still referenced by versions 1-2")
+  }
+
+  test("delete policy: rewriteAtFraction=0 is copy-on-write with identical survivors") {
+    val nation = Tables.nation(spark, sf)
+    val mkLog = () => {
+      val dir = Files.createTempDirectory("graft-snap")
+      SnapshotLog.commit(nation.repartitionByRange(2, col("n_nationkey")),
+        dir, statsCols = Seq("n_nationkey"))
+      dir
+    }
+    val dvDir = mkLog(); val cowDir = mkLog()
+    SnapshotLog.deleteWhere(spark, dvDir, col("n_nationkey") % 2 === 0)
+    spark.conf.set("graft.dv.rewriteAtFraction", "0.0")
+    try SnapshotLog.deleteWhere(spark, cowDir, col("n_nationkey") % 2 === 0)
+    finally spark.conf.unset("graft.dv.rewriteAtFraction")
+    // same logical result, opposite physical representation
+    assert(SnapshotLog.read(spark, dvDir).collect().toSet ==
+      SnapshotLog.read(spark, cowDir).collect().toSet)
+    assert(SnapshotLog.dvFiles(dvDir).size == 1 &&
+      SnapshotLog.dvFiles(cowDir).isEmpty)
+    assert(SnapshotLog.files(cowDir, Some(1)).toSet
+      .intersect(SnapshotLog.files(cowDir, Some(2)).toSet).isEmpty,
+      "copy-on-write must rewrite every touched file")
+    // the rewritten files re-harvest their envelopes: a range entirely
+    // above the data must prune them
+    val (kept, skipped) = SnapshotLog.prunedFiles(cowDir, "n_nationkey",
+      1000L, 2000L)
+    assert(kept.isEmpty && skipped.nonEmpty,
+      "rewritten survivors must carry fresh stats envelopes")
+  }
+
+  test("schema evolution: ADD COLUMN null-fills old files; old versions keep old schema") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val region = Tables.region(spark, sf)
+    SnapshotLog.commit(region, dir)
+    SnapshotLog.commit(region.withColumn("extra", col("r_regionkey") * 2), dir)
+    val latest = SnapshotLog.read(spark, dir)
+    assert(latest.columns.contains("extra"))
+    assert(latest.filter(col("extra").isNull).count() == region.count(),
+      "generation-1 files must null-fill the added column")
+    assert(latest.filter(col("extra").isNotNull).count() == region.count())
+    val v1Schema = SnapshotLog.schemaOf(dir, Some(1)).get
+    assert(!v1Schema.fieldNames.contains("extra"))
+    assert(SnapshotLog.read(spark, dir, Some(1)).columns
+      .sameElements(v1Schema.fieldNames),
+      "the old version must read with its own (pre-evolution) schema")
+    // illegal evolutions fail fast, BEFORE the staging write: zero orphans
+    intercept[IllegalArgumentException](
+      SnapshotLog.commit(region.drop("r_name"), dir))
+    intercept[IllegalArgumentException](SnapshotLog.commit(
+      region.withColumn("r_regionkey", col("r_regionkey").cast("string"))
+        .withColumn("extra", lit(1)), dir))
+    assert(SnapshotLog.versions(dir) == Seq(1, 2))
+    assert(SnapshotLog.orphans(dir).isEmpty,
+      "rejected evolutions must not leave staged debris")
+    // an overwrite lineage may change the schema freely
+    val v3 = SnapshotLog.commit(region.drop("r_name"), dir, overwrite = true)
+    assert(v3 == 3)
+    assert(!SnapshotLog.schemaOf(dir).get.fieldNames.contains("r_name"))
+    assert(SnapshotLog.read(spark, dir, Some(2)).columns.contains("r_name"),
+      "pre-overwrite versions keep the pre-overwrite schema")
+  }
+
+  test("a full-table delete yields a readable zero-file snapshot on a schema'd lineage") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val region = Tables.region(spark, sf)
+    SnapshotLog.commit(region, dir)
+    val v2 = SnapshotLog.deleteWhere(spark, dir, lit(true))
+    assert(v2 == 2)
+    assert(SnapshotLog.files(dir, Some(2)).isEmpty,
+      "a full-table delete drops every file (metadata-only)")
+    val empty = SnapshotLog.read(spark, dir)
+    assert(empty.count() == 0)
+    assert(empty.columns.sameElements(region.columns),
+      "the empty snapshot reads with the manifest schema")
+    assert(SnapshotLog.read(spark, dir, Some(1)).count() == region.count())
+    // and a delete against the empty snapshot is a no-op
+    assert(SnapshotLog.deleteWhere(spark, dir, lit(true)) == 2)
+  }
+
   test("two interleaved committers serialize: distinct versions, union lineage") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
