@@ -1479,7 +1479,62 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("tier")))
   }
 
+  // ------------------------------------------ e35_optimize_zorder
+  /** OPTIMIZE ... ZORDER BY on the snapshot log
+    * ([[graft.sources.SnapshotLog.compact]] with `zorderBy`) — layout
+    * maintenance as a lake operation: a round-robin-committed customer
+    * table (whose per-file envelopes span the full key range — the
+    * layout 100 TB ingest naturally produces) is rewritten as 16 files
+    * range-partitioned on the (c_custkey, c_nationkey) Morton curve, so
+    * the COMMITTED manifest envelopes tighten on BOTH dimensions and
+    * range reads prune files for either predicate from the one manifest
+    * read. A DV delete lands first, so the optimize also materializes
+    * the deletion vector under clustering (e27/e31's interplay).
+    *
+    * Structural gate, all measured quantities: pre-optimize the
+    * custkey/nationkey slabs prune ≤1/≤2 of 8 files (random layout —
+    * nothing to skip); post-optimize the custkey slab prunes ≥ 8/16 and
+    * the nationkey slab ≥ 4/16 (measured 11–12 and 7–11 across
+    * sf0.001/0.01/0.1 — curve-chunk clustering, weaker than e13's
+    * cell-aligned grid but real on both axes), DVs cleared, zero
+    * orphans beyond the replaced lineage retained for time travel. The
+    * DuckDB-checked half: the optimized snapshot's aggregates equal the
+    * raw table under the delete's NOT-predicate — clustering must be a
+    * logical no-op. */
+  def e35OptimizeZorder(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e35")
+    val base = customer(s, d)
+    SnapshotLog.commit(base.repartition(8), dir,
+      statsCols = Seq("c_custkey", "c_nationkey"))
+    SnapshotLog.deleteWhere(s, dir, col("c_custkey") % 10 === 7)
+    val mm = base.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+    val (lo, w) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0))
+    val (aLo, aHi) = (lo + w / 16, lo + (w * 3) / 16) // off-center slab
+    val preA = SnapshotLog.prunedFiles(dir, "c_custkey", aLo, aHi)
+    val preB = SnapshotLog.prunedFiles(dir, "c_nationkey", 2L, 5L)
+    val vZ = SnapshotLog.compact(s, dir, targetFiles = 16,
+      statsCols = Seq("c_custkey", "c_nationkey"),
+      zorderBy = Seq("c_custkey", "c_nationkey"))
+    val zA = SnapshotLog.prunedFiles(dir, "c_custkey", aLo, aHi)
+    val zB = SnapshotLog.prunedFiles(dir, "c_nationkey", 2L, 5L)
+    val ok = vZ == 3 &&
+      preA._2.size <= 1 && preB._2.size <= 2 && // random layout: no skip
+      zA._2.size >= 8 && zB._2.size >= 4 &&     // curve layout: both dims
+      SnapshotLog.dvFiles(dir).isEmpty &&       // optimize materialized DV
+      SnapshotLog.orphans(dir).isEmpty &&
+      SnapshotLog.read(s, dir, Some(2)).count() ==
+        base.filter(!(col("c_custkey") % 10 === 7)).count()
+    val out = SnapshotLog.read(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("c_mktsegment")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e35_optimize_zorder" -> e35OptimizeZorder,
     "e34_snapshot_add_column" -> e34SnapshotAddColumn,
     "e33_snapshot_update_mor" -> e33SnapshotUpdateMor,
     "e32_snapshot_changes" -> e32SnapshotChanges,
@@ -1530,6 +1585,14 @@ object EtlQueries {
         |              ELSE o_totalprice END AS o_totalprice
         |  FROM orders WHERE NOT (o_orderkey % 14 = 2))
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the z-ordered snapshot = the raw table under the delete's
+    // NOT-predicate; a clustering rewrite that lost, duplicated, or
+    // resurrected a row hash-fails
+    "e35_optimize_zorder" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE NOT (c_custkey % 10 = 7)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // latest read after ADD COLUMN = the raw table under the same
     // generation CASE; generation-1 rows must read the new column as
     // NULL ('none'), generation-2 rows carry the derived tier

@@ -543,13 +543,43 @@ object SnapshotLog {
     * against the fresh snapshot. Without the condition, a losing
     * compactor's retry would publish a rewrite of the STALE snapshot as
     * latest — silently dropping the racing ingest's rows. */
+  /** `zorderBy` (OPTIMIZE ... ZORDER BY, the Delta form): cluster the
+    * rewrite on the Morton curve of exactly two numeric columns —
+    * range-partitioned by the curve value (Delta's own OPTIMIZE ZORDER
+    * discipline: contiguous curve chunks, a real 100 TB shuffle shape),
+    * so the committed per-file envelopes tighten on BOTH dimensions and
+    * [[readPruned]] skips files for either predicate. Curve-chunk files
+    * can straddle cell boundaries (weaker than e13's cell-aligned grid,
+    * which needs a partitionBy layout the log's flat file set doesn't
+    * use) — the gate measures the pruning both ways. */
   def compact(spark: SparkSession, dir: Path, targetFiles: Int,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      zorderBy: Seq[String] = Seq.empty): Int = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      "zorderBy takes exactly two numeric columns (the 2-D Morton curve)")
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
-    commit(read(spark, dir, Some(vRead)).coalesce(targetFiles), dir,
-      overwrite = true, statsCols = statsCols,
+    val snap = read(spark, dir, Some(vRead))
+    val clustered =
+      if (zorderBy.isEmpty) snap.coalesce(targetFiles)
+      else {
+        import org.apache.spark.sql.functions._
+        import graft.functions.ZOrderFunctions.{code16, zorder2}
+        val Seq(a, b) = zorderBy
+        // clustering bounds: 4 scalars of model-sized metadata
+        val r = snap.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+          min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+        if (r.isNullAt(0)) snap.coalesce(targetFiles) // empty snapshot
+        else snap
+          .withColumn("_graft_zv", zorder2(
+            code16(col(a), r.getDouble(0), r.getDouble(1)),
+            code16(col(b), r.getDouble(2), r.getDouble(3))))
+          .repartitionByRange(targetFiles, col("_graft_zv"))
+          .sortWithinPartitions(col("_graft_zv"))
+          .drop("_graft_zv")
+      }
+    commit(clustered, dir, overwrite = true, statsCols = statsCols,
       expectedVersion = Some(vRead + 1))
   }
 

@@ -520,6 +520,26 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.deleteWhere(spark, dir, lit(true)) == 2)
   }
 
+  test("compact with zorderBy is a logical no-op; the curve column never leaks") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.repartition(4), dir,
+      statsCols = Seq("c_custkey", "c_nationkey"))
+    val before = SnapshotLog.read(spark, dir).collect().toSet
+    val vZ = SnapshotLog.compact(spark, dir, targetFiles = 8,
+      statsCols = Seq("c_custkey", "c_nationkey"),
+      zorderBy = Seq("c_custkey", "c_nationkey"))
+    assert(vZ == 2)
+    val after = SnapshotLog.read(spark, dir)
+    assert(!after.columns.contains("_graft_zv"),
+      "the clustering helper column must not reach the committed files")
+    assert(after.collect().toSet == before, "OPTIMIZE must be a logical no-op")
+    assert(SnapshotLog.schemaOf(dir).get.fieldNames
+      .sameElements(cust.schema.fieldNames))
+    intercept[IllegalArgumentException](SnapshotLog.compact(spark, dir,
+      targetFiles = 4, zorderBy = Seq("c_custkey"))) // curve is 2-D
+  }
+
   test("two interleaved committers serialize: distinct versions, union lineage") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
