@@ -15,7 +15,7 @@ object EtlQueries {
     * (the roundtrips measure the machinery, not /tmp's backing store), and
     * deleted at JVM exit — the returned DataFrame still reads the files
     * lazily, so eager deletion would break the query. */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
+  private[operators] def scratchDir(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val dir =
       if (Files.isDirectory(shm)) Files.createTempDirectory(shm, prefix)
@@ -336,7 +336,7 @@ object EtlQueries {
     * pressuring the same tmpfs that holds shuffle spill (spark.local.dir)
     * and distorting later measurements. The shutdown hook in [[scratchDir]]
     * stays as a backstop for queries that throw mid-flight. */
-  private def materializedThenClean(df: DataFrame, dir: java.nio.file.Path,
+  private[operators] def materializedThenClean(df: DataFrame, dir: java.nio.file.Path,
       order: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val out = CacheScope.localCheckpoint(df)
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)

@@ -83,6 +83,63 @@ object Similarity {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  // ----------------------------------------------- s12_tombstone_ann
+  /** ANN serving under DELETES — the index-maintenance half a vector
+    * store needs and most skip: the corpus lives in a snapshot log
+    * ([[graft.sources.SnapshotLog]]), a GDPR-style purge lands as a
+    * deletion-vector DELETE (kilobytes written, zero corpus rewrite,
+    * no index retrain), and the serving scan applies the DV as a
+    * broadcast anti-join BEFORE the cosine kernel — top-k is exact over
+    * the live corpus, and dead vectors can never resurface in a result.
+    * The serving shape stays s1's: one corpus scan, per-vector norms on
+    * the scan, the ≤[[MaxQueries]] query side broadcast, no corpus
+    * shuffle — the anti-join adds one broadcast probe per row, which is
+    * what makes delete-aware serving free at 100 TB (the alternative,
+    * rebuilding or filtering a materialized index per purge, rewrites
+    * terabytes).
+    *
+    * Structural gate: the delete was pure merge-on-read (data files
+    * byte-identical, one DV), the pre-delete version still serves the
+    * full corpus, and the purge provably BITES the result — at least
+    * one of s1's full-corpus top-5 members is purged, so the output
+    * differs from naive stale serving. Oracle: s1's exact-top-k CTE
+    * over the corpus under the purge's NOT-predicate. */
+  def s12TombstoneAnn(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = EtlQueries.scratchDir("graft-s12")
+    SnapshotLog.commit(
+      embeddings(s, d).repartitionByRange(8, col("vec_id")), dir)
+    val v2 = SnapshotLog.deleteWhere(s, dir, col("vec_id") % 5 === 2)
+    val live = SnapshotLog.read(s, dir)
+    val e = live.select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    val q = e.filter(isQuery)
+      .orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) /
+      sqrt(col("qn2") * col("n2"))
+    val topk = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+    // the purge must bite: the full corpus's top-5 contains purged ids
+    val staleHits = s1AnnBrute(s, d)
+      .filter(col("vec_id") % 5 === 2).count()
+    val ok = v2 == 2 &&
+      SnapshotLog.files(dir, Some(1)) == SnapshotLog.files(dir, Some(2)) &&
+      SnapshotLog.dvFiles(dir).size == 1 &&
+      SnapshotLog.read(s, dir, Some(1)).count() ==
+        embeddings(s, d).count() &&
+      staleHits > 0
+    EtlQueries.materializedThenClean(topk.filter(lit(ok)), dir,
+      Seq(col("q_id"), col("rank")))
+  }
+
   // ---------------------------------------------------------- s2_ann_lsh
   /** LSH-bucketed ANN: 32-bit signatures split into 8 bands of 4 bits; a
     * corpus vector is a candidate for a query iff it shares any band value.
@@ -532,6 +589,7 @@ object Similarity {
     "s8_maxsim" -> s8Maxsim,
     "s1_ann_brute" -> s1AnnBrute,
     "s11_range_search" -> s11RangeSearch,
+    "s12_tombstone_ann" -> s12TombstoneAnn,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
     "s4_ann_sq8" -> s4AnnSq8,
@@ -619,6 +677,11 @@ object Similarity {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "s8_maxsim" -> MaxSimOracle,
     "s1_ann_brute" -> ExactTopKOracle,
+    // s1's exact CTE over the corpus minus the purge — the oracle never
+    // sees the log, so a stale (DV-ignoring) serving path hash-fails
+    "s12_tombstone_ann" -> ExactTopKOracle.replace(
+      "AS v FROM embeddings)",
+      "AS v FROM embeddings WHERE NOT (vec_id % 5 = 2))"),
     // s1's float-portability rule: identical operation order -> identical
     // IEEE doubles, so the threshold compare is bit-portable too
     "s11_range_search" ->

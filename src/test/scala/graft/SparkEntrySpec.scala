@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 200 queries / 193 oracles") {
-    assert(SparkEntry.queries.size == 200,
+  test("registry counts match the documented 201 queries / 194 oracles") {
+    assert(SparkEntry.queries.size == 201,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 193,
+    assert(SparkEntry.oracleSql.size == 194,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
