@@ -1533,7 +1533,65 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("c_mktsegment")))
   }
 
+  // ------------------------------------------ e36_cdf_consumer
+  /** INCREMENTAL CHANGE-FEED CONSUMER — the downstream contract that
+    * makes e32's change feed useful: a consumer holds (cursor, partial
+    * aggregate) and folds each version's changes in with work bounded by
+    * that version's ADDED FILES (never a table rescan; decimal partial
+    * sums re-aggregate exactly, e17's algebra fed from the log instead
+    * of a time-column predicate). RESTART SAFETY is the version cursor:
+    * a consumer that crashed after version k bootstraps its partial from
+    * the AS-OF-k snapshot and folds (k, latest] — proven equal to the
+    * never-crashed fold, which is what makes the cursor (one int) the
+    * only durable consumer state a 100 TB pipeline needs.
+    *
+    * Structural gate: each step's change read opened exactly the
+    * version's added files, and the restart fold reproduces the straight
+    * fold row-for-row. The DuckDB-checked half: the folded aggregate
+    * equals the raw table's — a leaked, dropped, or double-counted
+    * slice hash-fails. */
+  def e36CdfConsumer(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e36")
+    val base = orders(s, d)
+    (0 until 5).foreach { i =>
+      SnapshotLog.commit(base.filter(col("o_orderkey") % 5 === i), dir)
+    }
+    def partialOf(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.dec2(col("o_totalprice"))).as("bal"))
+    def foldIn(state: DataFrame, fromV: Int, toV: Int): DataFrame = state
+      .unionByName(partialOf(SnapshotLog.readChanges(s, dir, fromV, toV)))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("bal")).as("bal"))
+    val vs = SnapshotLog.versions(dir)
+    // the never-crashed consumer: fold every version's delta
+    val straight = vs.tail.foldLeft(partialOf(
+      SnapshotLog.read(s, dir, Some(vs.head))))((st, v) => foldIn(st, v - 1, v))
+    // the restarted consumer: cursor says "crashed after version 2" —
+    // bootstrap the partial from the as-of snapshot, fold the rest
+    val cursor = 2
+    val resumed = vs.filter(_ > cursor).foldLeft(partialOf(
+      SnapshotLog.read(s, dir, Some(cursor))))((st, v) => foldIn(st, v - 1, v))
+    val boundedSteps = vs.tail.forall { v =>
+      SnapshotLog.readChanges(s, dir, v - 1, v)
+        .select(input_file_name()).distinct().count() ==
+        SnapshotLog.files(dir, Some(v)).size -
+          SnapshotLog.files(dir, Some(v - 1)).size
+    }
+    val key = (df: DataFrame) => df.select(col("o_orderstatus"),
+      col("n_rows"), col("bal").cast("string")).collect().toSet
+    val ok = boundedSteps && key(straight) == key(resumed)
+    val out = straight
+      .select(col("o_orderstatus"), col("n_rows"),
+        col("bal").cast("double").as("total_price"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("o_orderstatus")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e36_cdf_consumer" -> e36CdfConsumer,
     "e35_optimize_zorder" -> e35OptimizeZorder,
     "e34_snapshot_add_column" -> e34SnapshotAddColumn,
     "e33_snapshot_update_mor" -> e33SnapshotUpdateMor,
@@ -1585,6 +1643,12 @@ object EtlQueries {
         |              ELSE o_totalprice END AS o_totalprice
         |  FROM orders WHERE NOT (o_orderkey % 14 = 2))
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the folded change-feed aggregate = the raw table's; a leaked,
+    // dropped, or double-counted ingest slice hash-fails
+    "e36_cdf_consumer" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the z-ordered snapshot = the raw table under the delete's
     // NOT-predicate; a clustering rewrite that lost, duplicated, or
     // resurrected a row hash-fails
