@@ -739,12 +739,26 @@ object SnapshotLog {
     *
     * Deletes COMPOSE: the predicate scan sees only live rows (prior DVs
     * applied), and the new version carries old DVs + the new one.
-    * CONDITIONAL commit (expectedVersion): a racing ingest aborts this
-    * delete — rows are never silently resurrected or double-counted; an
-    * aborted attempt leaves only a vacuumable DV orphan. Returns the new
-    * version, or the current one unchanged when nothing matched. */
+    * OPTIMISTIC concurrency with REBASE-OVER-APPENDS (round 12): losing
+    * the publish race to an append-shaped commit (ingest, MoR update)
+    * does NOT abort — the delete serializes after the winner, applying
+    * its predicate to the winner's appended rows via one bounded delta
+    * scan (see the publish loop); a racing REWRITE (compact/merge/CoW)
+    * aborts with ConcurrentModificationException because the computed
+    * (file, position) identities may be stale — rows are never silently
+    * resurrected or double-counted either way, and an aborted attempt
+    * leaves only vacuumable orphans. Returns the new version, or the
+    * current one unchanged when nothing matched. */
   def deleteWhere(spark: SparkSession, dir: Path,
-      condition: org.apache.spark.sql.Column): Int = {
+      condition: org.apache.spark.sql.Column): Int =
+    deleteWhereHook(spark, dir, condition, () => ())
+
+  /** [[deleteWhere]] with a test seam fired after the delete's reads and
+    * writes but before the publish attempt — the deterministic way to
+    * exercise the rebase/abort race logic (SnapshotLogSpec). */
+  private[graft] def deleteWhereHook(spark: SparkSession, dir: Path,
+      condition: org.apache.spark.sql.Column,
+      beforePublish: () => Unit): Int = {
     import org.apache.spark.sql.functions._
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
@@ -831,15 +845,79 @@ object SnapshotLog {
       }
       fsync(dataDir(dir))
       val kept = files.filterNot(f => dropped(f) || rewrite(f))
-      // DVs referencing dropped/rewritten files stay carried and inert
-      // (the read anti-join matches on names no longer in the manifest)
-      if (!tryPublishManifest(dir, vRead + 1, kept ++ newData,
-          (readStats(dir, vRead) -- dropped -- rewrite) ++ newStats,
-          txnId = None, dvs = dvs0 ++ newDv, schemaJson = schemaJson))
-        throw new java.util.ConcurrentModificationException(
-          s"delete on $dir lost the race for version ${vRead + 1} — " +
-            "re-read and retry (the orphaned files are vacuumable)")
-      vRead + 1
+      beforePublish()
+      // OPTIMISTIC publish with REBASE-OVER-APPENDS (round 12): a delete
+      // that loses the race to an APPEND-shaped commit (ingest, MoR
+      // update) serializes AFTER it instead of aborting — SQL DELETE
+      // semantics at the later serialization point, so the predicate
+      // must also be applied to the rows the winner appended, and ONLY
+      // to those (one bounded delta scan per rebase, never a re-scan of
+      // the base). Sound because: (a) our DV rows stay valid — the
+      // winner's files are immutable and still present; (b) our DROP
+      // classifications stay valid — a racing DV only kills MORE rows
+      // of a file whose live rows all matched; (c) duplicated DV
+      // positions (both deletes killing the same row) are harmless in
+      // the anti-join. A racing REWRITE (compact / merge / CoW
+      // survivors) aborts instead: our (file, position) identities may
+      // reference files no longer in the manifest — and so does a race
+      // against our own copy-on-write path (`rewrite` nonempty), whose
+      // survivor files were computed from a superseded live set.
+      var committed = -1
+      while (committed < 0) {
+        val cur = versions(dir).last
+        if (cur == vRead) {
+          // DVs referencing dropped/rewritten files stay carried, inert
+          // (the read anti-join matches names no longer in the manifest)
+          if (tryPublishManifest(dir, vRead + 1, kept ++ newData,
+              (readStats(dir, vRead) -- dropped -- rewrite) ++ newStats,
+              txnId = None, dvs = dvs0 ++ newDv, schemaJson = schemaJson))
+            committed = vRead + 1
+          // else: someone just took vRead + 1 — loop into the rebase arm
+        } else {
+          val curManifest = readManifest(dir, cur)
+          val curSet = curManifest.toSet
+          if (rewrite.nonEmpty || !files.forall(curSet))
+            throw new java.util.ConcurrentModificationException(
+              s"delete on $dir lost the race to a rewrite (version $cur " +
+                "replaced files this delete read) — re-read and retry " +
+                "(the orphaned files are vacuumable)")
+          val curDvs = readDvs(dir, cur)
+          val addedFiles = curManifest.filterNot(files.toSet)
+          val addedDv: Seq[String] =
+            if (addedFiles.isEmpty) Seq.empty
+            else {
+              // predicate over the winner's rows only — their own DVs
+              // applied, the winner's (possibly evolved) schema driving
+              val dead = liveWithPos(spark, dir, addedFiles, curDvs,
+                  schemaOfVersion(dir, cur))
+                .filter(condition)
+                .select(col("_graft_f").as("f"), col("_graft_pos").as("pos"))
+              val rb = staging.resolve(s"rb$cur")
+              dead.coalesce(1).write.mode("overwrite").parquet(rb.toString)
+              val part = listNames(rb)
+                .find(n => n.startsWith("part-") && n.endsWith(".parquet"))
+              if (part.isEmpty ||
+                  spark.read.parquet(rb.resolve(part.get).toString).isEmpty)
+                Seq.empty // the winner's rows contain no matches
+              else {
+                val name = f"dv${cur + 1}%05d-$token-rb.parquet"
+                Files.move(rb.resolve(part.get), dataDir(dir).resolve(name))
+                fsync(dataDir(dir).resolve(name))
+                fsync(dataDir(dir))
+                Seq(name)
+              }
+            }
+          if (tryPublishManifest(dir, cur + 1,
+              curManifest.filterNot(dropped),
+              readStats(dir, cur) -- dropped,
+              txnId = None, dvs = curDvs ++ newDv ++ addedDv,
+              schemaJson = readSchemaJson(dir, cur)))
+            committed = cur + 1
+          // else: raced again — loop; a superseded rebase DV is a
+          // vacuumable orphan
+        }
+      }
+      committed
     } finally deleteRecursively(staging)
   }
 
@@ -857,8 +935,13 @@ object SnapshotLog {
     * UPDATE semantics — `a -> col("b"), b -> col("a")` swaps), must not
     * retype a column, and composes with prior DVs (already-deleted rows
     * are invisible to the predicate — never resurrected as updated
-    * rows). Returns the new version, or the current one when nothing
-    * matched. */
+    * rows). Races ABORT (conditional commit), deliberately without
+    * [[deleteWhere]]'s rebase-over-appends: a rebased update would have
+    * to re-evaluate SET expressions over the winner's rows and append a
+    * second data file mid-publish, and the CDC shapes that actually
+    * race ingest at volume go through [[merge]] — retry-on-abort is the
+    * honest contract here. Returns the new version, or the current one
+    * when nothing matched. */
   def updateWhere(spark: SparkSession, dir: Path,
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],

@@ -520,6 +520,52 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.deleteWhere(spark, dir, lit(true)) == 2)
   }
 
+  test("a delete rebases over a racing append: serialized after it, appended rows included") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 15), dir) // v1
+    // the race, deterministically: an ingest publishes v2 after the
+    // delete has read v1 and written its DV, before its publish attempt
+    val v = SnapshotLog.deleteWhereHook(spark, dir,
+      col("n_nationkey") % 2 === 0,
+      () => { SnapshotLog.commit(
+        nation.filter(col("n_nationkey") >= 15), dir); () })
+    assert(v == 3, "the delete must rebase to the version after the winner")
+    assert(SnapshotLog.versions(dir) == Seq(1, 2, 3))
+    // SQL semantics at the later serialization point: the predicate
+    // applied to the winner's appended rows too
+    val expect = nation.filter(col("n_nationkey") % 2 =!= 0).count()
+    assert(SnapshotLog.read(spark, dir).count() == expect,
+      "the rebased delete must also kill matching appended rows")
+    assert(SnapshotLog.read(spark, dir, Some(2)).count() == nation.count(),
+      "the winner's version is untouched")
+    assert(SnapshotLog.orphans(dir).isEmpty)
+    // a rebase whose delta contains NO matches publishes no extra DV
+    val v4 = SnapshotLog.deleteWhereHook(spark, dir,
+      col("n_nationkey") === 1,
+      () => { SnapshotLog.commit(
+        nation.filter(col("n_nationkey") === 1)
+          .withColumn("n_nationkey", col("n_nationkey") + 100), dir); () })
+    assert(v4 == 5)
+    assert(SnapshotLog.read(spark, dir).count() == expect - 1 + 1,
+      "kill n_nationkey=1, gain the appended 101 row")
+  }
+
+  test("a delete aborts on a racing rewrite: stale positions never publish") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation, dir)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.deleteWhereHook(spark, dir, col("n_nationkey") % 2 === 0,
+        () => { SnapshotLog.compact(spark, dir, targetFiles = 1); () })
+    }
+    // the compactor's version is the latest and fully intact
+    assert(SnapshotLog.read(spark, dir).count() == nation.count())
+    assert(SnapshotLog.dvFiles(dir).isEmpty)
+    // the aborted delete's DV is a vacuumable orphan, invisible to reads
+    assert(SnapshotLog.orphans(dir).nonEmpty)
+  }
+
   test("compact with zorderBy is a logical no-op; the curve column never leaks") {
     val dir = Files.createTempDirectory("graft-snap")
     val cust = Tables.customer(spark, sf)
