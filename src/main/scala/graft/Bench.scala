@@ -165,10 +165,13 @@ object Bench {
     // map also lands in a FILE next to the repo artifacts, so per-query
     // regression tracking survives ANY suite size regardless of what the
     // 2000-char stdout tail can carry (committed per round like NOTES).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"total":$total,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}","queries":$full,"spread":$fullSpread}""" + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] bench_full.json not written: $e") }
+    // SUBSET runs (SPARK_GRAFT_ONLY dev loops) must not clobber the
+    // committed full-suite baseline with a few-query map.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+        s"""{"total":$total,"failed":$failed,"sf":"${new java.io.File(sfDir).getName}","queries":$full,"spread":$fullSpread}""" + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] bench_full.json not written: $e") }
     // Stop Spark BEFORE printing the final lines so no executor/shutdown
     // log line can land after them — the driver's tail parse wants the
     // contract last.

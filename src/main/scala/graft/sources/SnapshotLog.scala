@@ -226,20 +226,13 @@ object SnapshotLog {
     try {
       df.write.mode("overwrite").option("compression", "zstd")
         .parquet(staging.toString)
-      val parts = listNames(staging)
-        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-        .sorted.map(staging.resolve)
       val attemptV = versions(dir).lastOption.getOrElse(0) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
-      val moved = parts.zipWithIndex.map { case (p, i) =>
-        // token-unique target: cannot exist, so no REPLACE_EXISTING — a
-        // crashed attempt leaves only unreferenced (vacuumable) orphans
-        val name = f"c$attemptV%05d-$token-$i%05d.parquet"
-        val target = dataDir(dir).resolve(name)
-        Files.move(p, target)
-        fsync(target) // bytes durable BEFORE any manifest references them
-        name
-      }
+      // token-unique targets: cannot exist, so no REPLACE_EXISTING — a
+      // crashed attempt leaves only unreferenced (vacuumable) orphans;
+      // bytes are fsynced durable BEFORE any manifest references them
+      val moved = moveParts(staging, dir,
+        i => f"c$attemptV%05d-$token-$i%05d.parquet")
       fsync(dataDir(dir)) // the new directory entries too
       // per-file column envelopes for DATA SKIPPING, harvested from the
       // parquet FOOTERS the write already produced — zero extra data scan
@@ -279,15 +272,25 @@ object SnapshotLog {
         // authoritative re-check against the version actually appended
         // onto (a racing writer may have evolved the schema since the
         // fail-fast above)
-        if (!overwrite) prev.lastOption.flatMap(readSchemaJson(dir, _))
-          .foreach(requireAppendCompatible(dir, _, df.schema))
+        val prevSchemaJson = prev.lastOption.flatMap(readSchemaJson(dir, _))
+        if (!overwrite)
+          prevSchemaJson.foreach(requireAppendCompatible(dir, _, df.schema))
+        // LEGACY lineages (pre-schema manifests) stay legacy on append:
+        // stamping this frame's schema would silently impose it on
+        // carried files that were never compatibility-checked against
+        // it (explicit-schema reads would drop/retype their columns).
+        // An overwrite — or the first commit — establishes the schema.
+        val publishSchema =
+          if (overwrite || prev.isEmpty || prevSchemaJson.isDefined)
+            Some(schemaJson)
+          else None
         val dropped = dropCarried.toSet
         val carried = carriedAll.filterNot(dropped)
         val carriedStats = carriedStatsAll -- dropped
         // DVs carry whole: rows referencing dropped data files are inert
         // (the read anti-join matches on file names no longer present)
         if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats,
-            txnId, carriedDvs, Some(schemaJson)))
+            txnId, carriedDvs, publishSchema))
           committed = v
       }
       committed
@@ -335,8 +338,11 @@ object SnapshotLog {
     * always read. String columns: use [[readPrunedString]]. */
   def readPruned(spark: SparkSession, dir: Path, column: String,
       lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
-    val (kept, skipped) = prunedFiles(dir, column, lo, hi, asOf)
+    // resolve the version ONCE: files, DVs, and schema must come from
+    // the same snapshot, or a commit landing mid-call tears the read
+    // (e.g. an update's DV applied to a file list missing its appends)
     val v = resolveVersion(dir, asOf)
+    val (kept, skipped) = prunedFiles(dir, column, lo, hi, Some(v))
     readKeptOrEmpty(spark, dir, kept, skipped, readDvs(dir, v),
       schemaOfVersion(dir, v))
   }
@@ -398,8 +404,9 @@ object SnapshotLog {
     * safety; kept files still need the caller's exact filter on top). */
   def readPrunedString(spark: SparkSession, dir: Path, column: String,
       lo: String, hi: String, asOf: Option[Int] = None): DataFrame = {
-    val (kept, skipped) = prunedFilesString(dir, column, lo, hi, asOf)
+    // same one-version resolution as readPruned (torn-snapshot hazard)
     val v = resolveVersion(dir, asOf)
+    val (kept, skipped) = prunedFilesString(dir, column, lo, hi, Some(v))
     readKeptOrEmpty(spark, dir, kept, skipped, readDvs(dir, v),
       schemaOfVersion(dir, v))
   }
@@ -570,7 +577,9 @@ object SnapshotLog {
         // clustering bounds: 4 scalars of model-sized metadata
         val r = snap.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
           min(col(b)).cast("double"), max(col(b)).cast("double")).head()
-        if (r.isNullAt(0)) snap.coalesce(targetFiles) // empty snapshot
+        // empty snapshot, or a dimension with no non-null values (e.g. a
+        // freshly ADDed column before backfill): nothing to cluster on
+        if (r.isNullAt(0) || r.isNullAt(2)) snap.coalesce(targetFiles)
         else snap
           .withColumn("_graft_zv", zorder2(
             code16(col(a), r.getDouble(0), r.getDouble(1)),
@@ -702,25 +711,15 @@ object SnapshotLog {
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions._
-    // the manifest schema (when recorded) drives the scan: zero footer
-    // inference, and files written before an ADD COLUMN null-fill it
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-    val base = reader.parquet(
-      files.map(f => dataDir(dir).resolve(f).toString): _*)
-    if (dvs.isEmpty) base
-    else {
-      val dv = spark.read.parquet(
-          dvs.map(f => dataDir(dir).resolve(f).toString): _*)
-        .select(col("f").as("_graft_dv_f"), col("pos").as("_graft_dv_pos"))
-      val cols = base.columns.toSeq
-      base
-        .withColumn("_graft_f",
-          substring_index(col("_metadata.file_path"), "/", -1))
-        .withColumn("_graft_pos", col("_metadata.row_index"))
-        .join(broadcast(dv),
-          col("_graft_f") === col("_graft_dv_f") &&
-            col("_graft_pos") === col("_graft_dv_pos"), "left_anti")
-        .select(cols.map(col): _*)
+    if (dvs.isEmpty) {
+      // the manifest schema (when recorded) drives the scan: zero footer
+      // inference, and files written before an ADD COLUMN null-fill it
+      val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+      reader.parquet(files.map(f => dataDir(dir).resolve(f).toString): _*)
+    } else {
+      val live = liveWithPos(spark, dir, files, dvs, schema)
+      live.select(live.columns.filterNot(_.startsWith("_graft_"))
+        .map(col).toSeq: _*)
     }
   }
 
@@ -789,8 +788,7 @@ object SnapshotLog {
     if (perFile.map(_._2).sum == 0) return vRead // no matches → no-op
     val rewriteFrac =
       spark.conf.get("graft.dv.rewriteAtFraction", "1.0").toDouble
-    var dropped = perFile.collect {
-      case (f, d, t) => (f, d == t) }.filter(_._2).map(_._1).toSet
+    var dropped = perFile.collect { case (f, d, t) if d == t => f }.toSet
     // a legacy (pre-schema) lineage cannot represent a zero-file
     // snapshot: keep one otherwise-dropped file DV-covered instead
     if (schemaJson.isEmpty && dropped.size == files.size)
@@ -826,19 +824,16 @@ object SnapshotLog {
         val prevStats = readStats(dir, vRead)
         val statCols = rewrite.flatMap(f =>
           prevStats.get(f).map(_.keySet).getOrElse(Set.empty[String]))
+        // SQL DELETE keeps rows whose predicate is NOT TRUE — false OR
+        // NULL; a bare !condition would silently drop NULL-predicate
+        // rows (the DV path and the dead count both treat NULL as kept)
         live.filter(col("_graft_f").isin(rewrite.toSeq: _*))
-          .filter(!condition).drop("_graft_f", "_graft_pos")
+          .filter(!coalesce(condition, lit(false)))
+          .drop("_graft_f", "_graft_pos")
           .write.mode("overwrite").option("compression", "zstd")
           .parquet(staging.resolve("rw").toString)
-        newData = listNames(staging.resolve("rw"))
-          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-          .sorted.zipWithIndex.map { case (p, i) =>
-            val name = f"c${vRead + 1}%05d-$token-$i%05d.parquet"
-            Files.move(staging.resolve("rw").resolve(p),
-              dataDir(dir).resolve(name))
-            fsync(dataDir(dir).resolve(name))
-            name
-          }
+        newData = moveParts(staging.resolve("rw"), dir,
+          i => f"c${vRead + 1}%05d-$token-$i%05d.parquet")
         newStats = newData.map { n =>
           n -> fileStats(dataDir(dir).resolve(n), statCols)
         }.filter(_._2.nonEmpty).toMap
@@ -993,15 +988,8 @@ object SnapshotLog {
       matched.select(dataCols.map(col): _*)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(staging.resolve("u").toString)
-      val newData = listNames(staging.resolve("u"))
-        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-        .sorted.zipWithIndex.map { case (p, i) =>
-          val name = f"c${vRead + 1}%05d-$token-$i%05d.parquet"
-          Files.move(staging.resolve("u").resolve(p),
-            dataDir(dir).resolve(name))
-          fsync(dataDir(dir).resolve(name))
-          name
-        }
+      val newData = moveParts(staging.resolve("u"), dir,
+        i => f"c${vRead + 1}%05d-$token-$i%05d.parquet")
       fsync(dataDir(dir))
       val newStats = newData.map { n =>
         n -> fileStats(dataDir(dir).resolve(n), statsCols.toSet)
@@ -1018,7 +1006,10 @@ object SnapshotLog {
 
   /** Live rows of a file set with (file, position) row identity: the
     * base scan plus the `_metadata` columns, prior deletion vectors
-    * anti-joined out — shared by [[deleteWhere]] and [[updateWhere]]. */
+    * anti-joined out (broadcast — dead positions are small by
+    * construction; a delete that killed most of a file should have been
+    * copy-on-write). The ONE place DV semantics live: [[readFiles]],
+    * [[deleteWhere]], and [[updateWhere]] all read through here. */
   private def liveWithPos(spark: SparkSession, dir: Path,
       files: Seq[String], dvs: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
@@ -1036,6 +1027,22 @@ object SnapshotLog {
       col("_graft_f") === col("_graft_dv_f") &&
         col("_graft_pos") === col("_graft_dv_pos"), "left_anti")
   }
+
+  /** Move a staging dir's part files into `data/` with durable,
+    * token-unique names — the shared tail of every file-producing write
+    * ([[commit]], [[deleteWhere]]'s copy-on-write arm, [[updateWhere]]).
+    * Returns the published names; the caller fsyncs the directory once
+    * after all moves. */
+  private def moveParts(staging: Path, dir: Path,
+      name: Int => String): Seq[String] =
+    listNames(staging)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted.zipWithIndex.map { case (p, i) =>
+        val n = name(i)
+        Files.move(staging.resolve(p), dataDir(dir).resolve(n))
+        fsync(dataDir(dir).resolve(n))
+        n
+      }
 
   /** Deletion-vector files of a version (empty when none). */
   def dvFiles(dir: Path, asOf: Option[Int] = None): Seq[String] =

@@ -520,6 +520,57 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.deleteWhere(spark, dir, lit(true)) == 2)
   }
 
+  test("DELETE keeps NULL-predicate rows on both the DV and copy-on-write paths") {
+    val src = Tables.region(spark, sf).withColumn("x",
+      when(col("r_regionkey") === 2, lit(null).cast("int"))
+        .otherwise(col("r_regionkey").cast("int")))
+    val n = src.count()
+    val mk = () => {
+      val dir = Files.createTempDirectory("graft-snap")
+      SnapshotLog.commit(src.coalesce(1), dir); dir
+    }
+    val dvDir = mk(); val cowDir = mk()
+    SnapshotLog.deleteWhere(spark, dvDir, col("x") === 0)
+    spark.conf.set("graft.dv.rewriteAtFraction", "0.0")
+    try SnapshotLog.deleteWhere(spark, cowDir, col("x") === 0)
+    finally spark.conf.unset("graft.dv.rewriteAtFraction")
+    // SQL DELETE removes rows whose predicate is TRUE; NULL is kept
+    Seq(dvDir, cowDir).foreach { d =>
+      val back = SnapshotLog.read(spark, d)
+      assert(back.count() == n - 1, s"$d: exactly the x=0 row dies")
+      assert(back.filter(col("x").isNull).count() == 1,
+        s"$d: the NULL-predicate row must survive the delete")
+    }
+    assert(SnapshotLog.read(spark, dvDir).collect().toSet ==
+      SnapshotLog.read(spark, cowDir).collect().toSet)
+  }
+
+  test("appends never stamp a schema onto a legacy (pre-schema) lineage") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val region = Tables.region(spark, sf)
+    SnapshotLog.commit(region, dir)
+    // simulate an old log: strip the schema member from the manifest
+    val m = dir.resolve("_graft_log").resolve("v00001.json")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val stripped = JsonMethods.parse(Files.readString(m)) match {
+      case JObject(fields) => JObject(fields.filterNot(_._1 == "schema"))
+      case other => other
+    }
+    Files.writeString(m, JsonMethods.compact(JsonMethods.render(stripped)))
+    assert(SnapshotLog.schemaOf(dir).isEmpty)
+    // an append with EXTRA columns is accepted (legacy lineages are
+    // unchecked) but must NOT stamp its schema: carried legacy files
+    // were never verified against it
+    SnapshotLog.commit(region.withColumn("extra", lit(1)), dir)
+    assert(SnapshotLog.schemaOf(dir).isEmpty,
+      "an unchecked append must not impose a schema on legacy files")
+    assert(SnapshotLog.read(spark, dir).count() == 2 * region.count())
+    // an overwrite establishes the schema'd lineage
+    SnapshotLog.commit(region, dir, overwrite = true)
+    assert(SnapshotLog.schemaOf(dir).isDefined)
+  }
+
   test("a delete rebases over a racing append: serialized after it, appended rows included") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
