@@ -51,6 +51,16 @@ object PipelineExt {
     // holding ~3x the pair data until the runner's releaseAll
     freePairs()
 
+    ccLabels(edges).select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The d7 label-propagation + pointer-jumping loop over an undirected
+    * edge frame (src, dst) — factored so d24's incremental maintenance
+    * runs the identical kernel on its affected subgraph. Returns
+    * (id, comp) with comp = min node id per component; nodes appear iff
+    * they carry an edge. */
+  private def ccLabels(edges: DataFrame): DataFrame = {
     var labels = CacheScope.localCheckpoint(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
 
@@ -88,8 +98,76 @@ object PipelineExt {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"d7: component labels not converged after $maxRounds rounds")
-    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        s"cc: component labels not converged after $maxRounds rounds")
+    labels
+  }
+
+  // ------------------------------------------ d24_incremental_cc
+  /** INCREMENTAL connected-components maintenance — the daily form of
+    * d7 a 100 TB dedup pipeline actually runs: yesterday's cluster
+    * labels are state, today's delta contributes NEW near-dup edges,
+    * and the update recomputes ONLY the affected subgraph. New edges
+    * can only MERGE components (edges are never deleted), so a
+    * component untouched by any new edge keeps its exact label set;
+    * the components bridged by new edges — plus previously-unseen
+    * nodes — form the affected subgraph, and d7's kernel ([[ccLabels]])
+    * reruns on just their edges. Work scales with the DELTA's blast
+    * radius, not the corpus: the three keyed joins that assemble the
+    * subgraph are |E|-linear scans with semi-join pruning, and the
+    * iterative kernel only ever shuffles affected-subgraph rows.
+    *
+    * The gate splits d3's pair set into "yesterday" (no endpoint ≡ 0
+    * mod 25) and "today's delta" (the rest), carries yesterday's labels,
+    * applies the delta incrementally, and emits the stitched labels.
+    * In-gate: the subgraph is PROVABLY restricted (fewer edges than the
+    * full graph, fewer affected than total components). The oracle is
+    * d7's full-recompute recursive CTE over ALL pairs — label equality
+    * with a from-scratch run is exactly the incremental-maintenance
+    * contract, and a stitch that leaked, lost, or mislabeled one node
+    * hash-fails.
+    *
+    * Bench note: the gate's wall time is dominated by CONSTRUCTING
+    * yesterday's state (a full CC over the old graph — production
+    * pipelines carry those labels as persisted state, e17's pattern);
+    * the incremental APPLY is the subgraph kernel run, whose work the
+    * in-gate edge/component counts bound. Do not read the gate total as
+    * the apply cost. */
+  def d24IncrementalCc(s: SparkSession, d: String): DataFrame = {
+    val (pairs, freePairs) = CacheScope.localCheckpointReleasable(
+      Dedup.d3Pairs(s, d).select(col("a_id"), col("b_id")))
+    val isNew = col("a_id") % 25 === 0 || col("b_id") % 25 === 0
+    def undirected(p: DataFrame): DataFrame =
+      p.select(col("a_id"), col("b_id")).union(
+        p.select(col("b_id"), col("a_id"))).toDF("src", "dst")
+    val oldEdges = CacheScope.localCheckpoint(undirected(pairs.filter(!isNew)))
+    val newEdges = CacheScope.localCheckpoint(undirected(pairs.filter(isNew)))
+    val nAllEdges = pairs.count() * 2
+    freePairs()
+    // yesterday's state: labels over the old graph
+    val oldLabels = CacheScope.localCheckpoint(ccLabels(oldEdges))
+    val totalComps = oldLabels.select(col("comp")).distinct().count()
+    // components an incoming edge touches; endpoints unseen yesterday
+    // need no entry — they join the subgraph as their own seed
+    val affected = CacheScope.localCheckpoint(
+      newEdges.select(col("src").as("id")).distinct()
+        .join(oldLabels, Seq("id"))
+        .select(col("comp")).distinct())
+    val nAffected = affected.count()
+    // the affected subgraph: members' edges + the delta. An old edge's
+    // endpoints share one old component, so pruning on src is exact.
+    val members = oldLabels.join(affected, Seq("comp"), "left_semi")
+    val subEdges = CacheScope.localCheckpoint(
+      oldEdges.join(members.select(col("id").as("src")), Seq("src"),
+        "left_semi").union(newEdges))
+    val nSubEdges = subEdges.count()
+    val subLabels = ccLabels(subEdges)
+    // stitch: untouched components keep yesterday's exact labels
+    val result = oldLabels.join(affected, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(subLabels)
+    val ok = nSubEdges < nAllEdges && nAffected < totalComps
+    result.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .filter(lit(ok))
       .orderBy(col("doc_id"))
   }
 
@@ -804,6 +882,7 @@ object PipelineExt {
     "d19_lpa_communities" -> d19LpaCommunities,
     "d20_dedup_full" -> d20DedupFull,
     "d7_dup_clusters" -> d7DupClusters,
+    "d24_incremental_cc" -> d24IncrementalCc,
     "d12_dup_clusters_star" -> d12DupClustersStar,
     "t7_redact_pii" -> t7RedactPii,
     "t8_token_mix" -> t8TokenMix,
@@ -927,6 +1006,26 @@ object PipelineExt {
     // transitive closure via recursive CTE over the same d3 pair semantics;
     // cluster id = min reachable doc id
     "d7_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(a.w, b.w))) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+        |FROM reach GROUP BY src
+        |ORDER BY doc_id""".stripMargin,
+    // d24 maintains the identical labels incrementally: the full-
+    // recompute CTE IS the maintenance contract (stitched == scratch)
+    "d24_incremental_cc" ->
       """WITH RECURSIVE t AS (SELECT doc_id, source,
         |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
         |  FROM documents),

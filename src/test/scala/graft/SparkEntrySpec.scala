@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 202 queries / 195 oracles") {
-    assert(SparkEntry.queries.size == 202,
+  test("registry counts match the documented 203 queries / 196 oracles") {
+    assert(SparkEntry.queries.size == 203,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 195,
+    assert(SparkEntry.oracleSql.size == 196,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
