@@ -44,7 +44,11 @@ object ScaleProbe {
     "d7_dup_clusters", "d12_dup_clusters_star", "d18_pagerank",
     "d19_lpa_communities", "d20_dedup_full", "d21_triangle_count",
     "d9_fuzzy_link", "d22_containment", "d23_containment_decontam",
-    "d5_simhash_dup",
+    "d5_simhash_dup", "d24_incremental_cc",
+    // lakehouse: s12 commits the replica's embeddings into a snapshot
+    // log, DV-deletes a fifth, and serves exact ANN over the live rows —
+    // the probe covers commit + DV publish + DV-anti-joined scan at scale
+    "s12_tombstone_ann",
     "t9_repetition", "t18_bm25",
     "m8_cdc_chunking", "m10_phash_neardup", "s1_ann_brute",
     // the one STREAMING probe: q75's wall time carries ~2 fixed engine
