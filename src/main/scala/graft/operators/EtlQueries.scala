@@ -1402,6 +1402,15 @@ object EtlQueries {
     val v2Files = SnapshotLog.files(dir, Some(2)).toSet
     val appended = v2Files -- v1Files
     val v3 = SnapshotLog.deleteWhere(s, dir, col("o_orderkey") % 14 === 2)
+    // SPARSITY assumption made loud (mirrors s12): the pure-DV check
+    // below (files(v3)==v2Files) relies on no file being 100% dead under
+    // the %14 predicate — deleteWhere DROPs fully-dead files by design,
+    // so a layout shift should fail here with a diagnosis, not via a
+    // silent ok=false empty result.
+    require(SnapshotLog.files(dir, Some(3)).toSet == v2Files,
+      "e33 gate assumption broken: the o_orderkey % 14 delete fully " +
+        "killed a data file (deleteWhere dropped it) — the delete is no " +
+        "longer sparse at this layout; re-slice the commit partitioning")
     val secondDv = (SnapshotLog.dvFiles(dir, Some(3)).toSet --
       SnapshotLog.dvFiles(dir, Some(2)).toSet).toSeq
     val dvHitsAppended = secondDv.nonEmpty && s.read.parquet(

@@ -110,6 +110,16 @@ object Similarity {
     SnapshotLog.commit(
       embeddings(s, d).repartitionByRange(8, col("vec_id")), dir)
     val v2 = SnapshotLog.deleteWhere(s, dir, col("vec_id") % 5 === 2)
+    // SPARSITY assumption made loud: the gate's files(v1)==files(v2)
+    // check below relies on no range-partitioned file being 100% dead
+    // under the %5 predicate (deleteWhere DROPs fully-dead files from
+    // the manifest, by design). A testdata layout shift that
+    // concentrates a key residue into one file should fail HERE with a
+    // diagnosis, not via a silent ok=false empty result.
+    require(SnapshotLog.files(dir, Some(1)) == SnapshotLog.files(dir, Some(v2)),
+      "s12 gate assumption broken: the vec_id % 5 purge fully killed a " +
+        "data file (deleteWhere dropped it) — the purge is no longer " +
+        "sparse at this layout; re-slice the commit partitioning")
     val live = SnapshotLog.read(s, dir)
     val e = live.select(col("vec_id"), col("embedding"),
       VectorOps.norm2(col("embedding")).as("n2"))

@@ -112,14 +112,20 @@ object SnapshotLog {
     * columns is the only legal append evolution (old files null-fill
     * them on read); drops and retypes require an explicit overwrite
     * lineage, and readers of old versions keep the old schema either
-    * way. */
+    * way. Column names match under the engine's own resolution rule
+    * (`spark.sql.caseSensitive`, default false) — an append differing
+    * only in name case resolves as the SAME column in every Spark read,
+    * so rejecting it as a dropped column would contradict the engine. */
   private def requireAppendCompatible(dir: Path, prevJson: String,
-      nextRaw: org.apache.spark.sql.types.StructType): Unit = {
+      nextRaw: org.apache.spark.sql.types.StructType,
+      caseSensitive: Boolean): Unit = {
     val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prevJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val next = normSchema(nextRaw)
+    def sameName(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     prevSchema.fields.foreach { pf =>
-      val nf = next.fields.find(_.name == pf.name).getOrElse(
+      val nf = next.fields.find(f => sameName(f.name, pf.name)).getOrElse(
         throw new IllegalArgumentException(
           s"append to $dir drops column '${pf.name}' — schema evolution " +
             "may only ADD columns; use overwrite = true to start a new " +
@@ -218,8 +224,10 @@ object SnapshotLog {
     // SCHEMA EVOLUTION fail-fast: reject a doomed append BEFORE paying
     // the staging write (zero orphans for a rejected evolution); the CAS
     // loop re-checks authoritatively against the version appended onto
+    val caseSensitive = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
     if (!overwrite) versions(dir).lastOption.flatMap(readSchemaJson(dir, _))
-      .foreach(requireAppendCompatible(dir, _, df.schema))
+      .foreach(requireAppendCompatible(dir, _, df.schema, caseSensitive))
     // stage next to data/ so promotion is a metadata rename (ParquetSink's
     // same-filesystem staging rule)
     val staging = Files.createTempDirectory(dataDir(dir), ".commit-")
@@ -274,7 +282,8 @@ object SnapshotLog {
         // fail-fast above)
         val prevSchemaJson = prev.lastOption.flatMap(readSchemaJson(dir, _))
         if (!overwrite)
-          prevSchemaJson.foreach(requireAppendCompatible(dir, _, df.schema))
+          prevSchemaJson.foreach(
+            requireAppendCompatible(dir, _, df.schema, caseSensitive))
         // LEGACY lineages (pre-schema manifests) stay legacy on append:
         // stamping this frame's schema would silently impose it on
         // carried files that were never compatibility-checked against
@@ -857,8 +866,22 @@ object SnapshotLog {
       // reference files no longer in the manifest — and so does a race
       // against our own copy-on-write path (`rewrite` nonempty), whose
       // survivor files were computed from a superseded live set.
+      // BOUNDED retries: each lost race to an append costs another delta
+      // scan and orphans another rebase DV file — under sustained ingest
+      // contention an unbounded loop would livelock the delete while
+      // accumulating orphans. After the cap, abort loudly: the caller
+      // retries from a fresh read (the standard optimistic-concurrency
+      // contract), and everything staged so far is vacuumable.
+      val maxRebases = 8
+      var rebases = 0
       var committed = -1
       while (committed < 0) {
+        if (rebases > maxRebases)
+          throw new java.util.ConcurrentModificationException(
+            s"delete on $dir lost the publish race $rebases times under " +
+              "sustained append contention — re-read and retry (orphaned " +
+              "rebase DVs are vacuumable)")
+        rebases += 1
         val cur = versions(dir).last
         if (cur == vRead) {
           // DVs referencing dropped/rewritten files stay carried, inert

@@ -503,6 +503,26 @@ class SnapshotLogSpec extends AnyFunSuite {
       "pre-overwrite versions keep the pre-overwrite schema")
   }
 
+  test("append compatibility resolves column names the way the engine does (case-insensitive by default)") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val region = Tables.region(spark, sf)
+    SnapshotLog.commit(region, dir)
+    // Spark resolves columns case-insensitively by default, so an append
+    // differing only in name case is the SAME column to every read —
+    // rejecting it as a dropped column would contradict the engine
+    val v2 = SnapshotLog.commit(
+      region.withColumnRenamed("r_name", "R_NAME"), dir)
+    assert(v2 == 2)
+    assert(SnapshotLog.read(spark, dir).count() == region.count() * 2)
+    // a REAL drop is still rejected
+    intercept[IllegalArgumentException](
+      SnapshotLog.commit(region.drop("r_name"), dir))
+    // and a retype hiding behind a case change is still a retype
+    intercept[IllegalArgumentException](SnapshotLog.commit(
+      region.withColumn("r_name", col("r_regionkey"))
+        .withColumnRenamed("r_name", "R_NAME"), dir))
+  }
+
   test("a full-table delete yields a readable zero-file snapshot on a schema'd lineage") {
     val dir = Files.createTempDirectory("graft-snap")
     val region = Tables.region(spark, sf)
