@@ -1599,7 +1599,90 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("o_orderstatus")))
   }
 
+  // ------------------------------------------ e37_cdf_delete_aware
+  /** DELETE-AWARE CHANGE DATA FEED
+    * ([[graft.sources.SnapshotLog.readChangesCdf]]) — the contract e36's
+    * insert-only feed cannot carry: once a lineage contains DV deletes,
+    * file drops, or MoR updates, an added-files diff under-reports (the
+    * round-12 gap: a pure-DV delete yielded an EMPTY delta, so a
+    * consumer's fold silently kept deleted rows forever). The CDF emits
+    * `_change_type`-tagged insert AND delete rows — Delta's CDF shape —
+    * and the fold becomes signed: snapshot(from) + inserts − deletes =
+    * snapshot(to), exactly, across every write verb. Work per step stays
+    * bounded by the step's added/dropped files and new DV sizes.
+    *
+    * The lineage: three key-sliced ingests, then a sparse DV DELETE
+    * (o_orderkey % 5 — the version whose legacy delta was EMPTY), then a
+    * MoR UPDATE (+50000 on % 7 = 3 — a DV and an appended file in ONE
+    * commit, so its step emits both signs). A consumer bootstraps from
+    * the version-2 cursor and folds signed partials to the end.
+    *
+    * Structural gate: the delete step emits deletes and NO inserts while
+    * legacy readChanges REFUSES it loudly (and still serves the
+    * pure-append step), the update step emits both signs with preimages
+    * carrying PRE-update prices, insert steps open only added files, and
+    * the signed fold equals the direct snapshot aggregate row-for-row.
+    * The DuckDB-checked half: the folded aggregate equals the raw table
+    * under the composed NOT-predicate + CASE rewrite — a kept-deleted
+    * row, lost update, or double-counted preimage hash-fails. */
+  def e37CdfDeleteAware(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e37")
+    val base = orders(s, d)
+    (0 until 3).foreach { i =>
+      SnapshotLog.commit(base.filter(col("o_orderkey") % 3 === i)
+        .repartitionByRange(4, col("o_orderkey")), dir)
+    }
+    val v4 = SnapshotLog.deleteWhere(s, dir, col("o_orderkey") % 5 === 0)
+    val v5 = SnapshotLog.updateWhere(s, dir, col("o_orderkey") % 7 === 3,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(50000.0))))
+    // signed partial: +1 rows accumulate, −1 rows retract — the algebra
+    // that makes a delete-aware fold exact (count and decimal sum both
+    // commute with the sign)
+    def partial(df: DataFrame, w: org.apache.spark.sql.Column): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(w).as("n_rows"),
+        sum(Relational.dec2(col("o_totalprice")) * w).as("bal"))
+    val cursor = 2
+    val cdf = SnapshotLog.readChangesCdf(s, dir, cursor, v5)
+    val folded = partial(SnapshotLog.read(s, dir, Some(cursor)), lit(1L))
+      .unionByName(partial(cdf,
+        when(col("_change_type") === "insert", 1L).otherwise(-1L)))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("bal")).as("bal"))
+    val s34 = SnapshotLog.readChangesCdf(s, dir, 3, 4)
+    val s45 = SnapshotLog.readChangesCdf(s, dir, 4, 5)
+    val legacyRefuses = scala.util.Try(
+      SnapshotLog.readChanges(s, dir, 3, 4).count()).isFailure
+    val appendStepServes = scala.util.Try(
+      SnapshotLog.readChanges(s, dir, 1, 2).count()).isSuccess
+    val insertStepBounded = SnapshotLog.readChangesCdf(s, dir, 2, 3)
+      .filter(col("_change_type") === "insert")
+      .select(input_file_name()).distinct().count() ==
+      SnapshotLog.files(dir, Some(3)).size - SnapshotLog.files(dir, Some(2)).size
+    val key = (df: DataFrame) => df.select(col("o_orderstatus"),
+      col("n_rows"), col("bal").cast("string")).collect().toSet
+    val direct = partial(SnapshotLog.read(s, dir, Some(v5)), lit(1L))
+    // preimage VALUES (pre-update prices on the delete side) need no
+    // separate check: a postimage leaking into the delete preimages
+    // would shift the fold's bal by 50000·n and fail both the fold
+    // equality below and the DuckDB hash
+    val ok = v4 == 4 && v5 == 5 &&
+      s34.filter(col("_change_type") === "delete").count() > 0 &&
+      s34.filter(col("_change_type") === "insert").count() == 0 &&
+      s45.filter(col("_change_type") === "delete").count() > 0 &&
+      s45.filter(col("_change_type") === "insert").count() > 0 &&
+      legacyRefuses && appendStepServes && insertStepBounded &&
+      key(folded) == key(direct)
+    val out = folded
+      .select(col("o_orderstatus"), col("n_rows"),
+        col("bal").cast("double").as("total_price"))
+      .filter(lit(ok))
+    materializedThenClean(out, dir, Seq(col("o_orderstatus")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e37_cdf_delete_aware" -> e37CdfDeleteAware,
     "e36_cdf_consumer" -> e36CdfConsumer,
     "e35_optimize_zorder" -> e35OptimizeZorder,
     "e34_snapshot_add_column" -> e34SnapshotAddColumn,
@@ -1638,6 +1721,18 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the signed CDF fold (bootstrap + inserts − deletes across a DV
+    // delete and a MoR update) = the raw table under the composed
+    // NOT-predicate + CASE rewrite; a kept-deleted row, lost update, or
+    // double-counted preimage hash-fails
+    "e37_cdf_delete_aware" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 3
+        |                     THEN o_totalprice + 50000.0
+        |                     ELSE o_totalprice END AS DECIMAL(12,2)))
+        |       AS DOUBLE) AS total_price
+        |FROM orders WHERE NOT (o_orderkey % 5 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // latest snapshot after MoR UPDATE then a DV delete of half the
     // updated rows = the raw table under the same CASE rewrite and
     // NOT-predicate; a resurrected pre-update row or doubled SET

@@ -1076,21 +1076,138 @@ object SnapshotLog {
     * deletion vectors applied — an incremental consumer reads ONLY the
     * new files (file-count-proportional, never a table rescan), which is
     * what makes downstream incremental pipelines (e17's shape) cheap to
-    * feed from the log. On an overwrite lineage (compact/merge) the file
-    * diff is a REWRITE, not an insert set — callers consuming changes
-    * across maintenance boundaries diff snapshots instead (d14's
-    * operator); this method is the fast path for the ingest case. */
+    * feed from the log.
+    *
+    * INSERT-ONLY BY CONTRACT (round 13): the range must not cross a
+    * version that dropped files or changed the deletion-vector set —
+    * such a version (DV delete, file-drop delete, MoR update, compact,
+    * merge) has DELETE semantics that a files-added diff cannot
+    * represent, and returning the added rows alone would make a
+    * downstream fold silently keep deleted rows forever. Those ranges
+    * FAIL LOUDLY here; consumers that need row-level semantics across
+    * mutations use [[readChangesCdf]], which emits `_change_type`-tagged
+    * insert AND delete rows and folds exactly across every verb. */
   def readChanges(spark: SparkSession, dir: Path,
       fromV: Int, toV: Int): DataFrame = {
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
     val from = readManifest(dir, resolveVersion(dir, Some(fromV))).toSet
     val to = readManifest(dir, resolveVersion(dir, Some(toV)))
+    // append-lineage guard: a dropped file or a DV-set change anywhere in
+    // the range is a delete in disguise — refuse rather than under-report.
+    // Compared on the range's endpoints plus every surviving intermediate
+    // manifest (drops and DV additions persist in later manifests, so
+    // vacuumed gaps cannot hide one).
+    val range = versions(dir).filter(v => v >= fromV && v <= toV)
+    range.sliding(2).foreach {
+      case Seq(p, v) =>
+        val mp = readManifest(dir, p).toSet
+        val mv = readManifest(dir, v).toSet
+        require(mp.subsetOf(mv) && readDvs(dir, p).toSet == readDvs(dir, v).toSet,
+          s"readChanges($fromV, $toV) on $dir crosses version $v, which " +
+            "dropped files or changed deletion vectors (a DELETE/UPDATE/" +
+            "rewrite) — an added-files diff would silently omit its " +
+            "deletes; use readChangesCdf for _change_type-tagged rows")
+      case _ => ()
+    }
     val newFiles = to.filterNot(from)
     if (newFiles.isEmpty)
       read(spark, dir, Some(toV))
         .filter(org.apache.spark.sql.functions.lit(false))
     else readFiles(spark, dir, newFiles, readDvs(dir, toV),
       schemaOfVersion(dir, toV))
+  }
+
+  /** CHANGE DATA FEED between two versions — the Delta CDF shape: every
+    * row is tagged `_change_type` ('insert' | 'delete') and
+    * `_commit_version`, and the feed is FOLD-EXACT across every write
+    * verb this log has: snapshot(toV) = snapshot(fromV) + inserts −
+    * deletes, row for row. Per version step (consecutive surviving
+    * manifests in the range):
+    *
+    *  - files ADDED by the step emit their rows as inserts (the step's
+    *    own DVs applied — a row dead at birth never appears);
+    *  - files DROPPED by the step emit their prior LIVE rows as delete
+    *    preimages (the full-file-dead arm of [[deleteWhere]], and the
+    *    replaced files of compact/merge rewrites);
+    *  - DV positions NEW in the step, on carried files, emit the rows
+    *    they killed as delete preimages (the sparse [[deleteWhere]] arm
+    *    and [[updateWhere]]'s kill-half; the update's new rows arrive
+    *    via the added-file arm, so an update is delete+insert — the
+    *    Delta `update_preimage`/`postimage` split collapsed to the
+    *    fold-relevant signs).
+    *
+    * Work per step is bounded by the step's added + dropped files and
+    * new DV sizes — an ingest costs its slice, a sparse delete costs its
+    * kilobytes, and only a full rewrite (compact) costs a table's worth
+    * of delete+insert rows, which is what a rewrite IS to a row-level
+    * consumer (Delta's CDF makes the same charge). Schema evolution
+    * within the range union-fills by name: steps before an ADD COLUMN
+    * emit NULL for it. Vacuumed intermediate versions collapse into
+    * their successor's step; the fold stays exact because file and DV
+    * set differences compose. */
+  def readChangesCdf(spark: SparkSession, dir: Path,
+      fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    resolveVersion(dir, Some(fromV)); resolveVersion(dir, Some(toV))
+    val range = versions(dir).filter(v => v >= fromV && v <= toV)
+    val steps = range.sliding(2).collect { case Seq(p, v) => (p, v) }.toSeq
+    def tag(df: DataFrame, tpe: String, v: Int): DataFrame = df
+      .withColumn("_change_type", lit(tpe))
+      .withColumn("_commit_version", lit(v))
+    val frames: Seq[DataFrame] = steps.flatMap { case (p, v) =>
+      val mp = readManifest(dir, p)
+      val mv = readManifest(dir, v)
+      val added = mv.filterNot(mp.toSet)
+      val dropped = mp.filterNot(mv.toSet)
+      val dvP = readDvs(dir, p)
+      val dvNew = readDvs(dir, v).filterNot(dvP.toSet)
+      val inserts =
+        if (added.isEmpty) None
+        else Some(tag(readFiles(spark, dir, added, readDvs(dir, v),
+          schemaOfVersion(dir, v)), "insert", v))
+      val dropDeletes =
+        if (dropped.isEmpty) None
+        else Some(tag(readFiles(spark, dir, dropped, dvP,
+          schemaOfVersion(dir, p)), "delete", v))
+      val dvDeletes =
+        if (dvNew.isEmpty) None
+        else {
+          // positions newly dead this step, on CARRIED files only: a new
+          // DV row on a dropped file is already covered by the drop arm,
+          // and one on an added file was excluded from its inserts. New
+          // DV files may repeat already-dead positions (rebase dedup rule
+          // — "duplicates are harmless in the anti-join"), so the prior
+          // DV set is anti-joined out rather than assumed disjoint.
+          val carried = mp.toSet.intersect(mv.toSet)
+          val newDead0 = spark.read.parquet(
+            dvNew.map(f => dataDir(dir).resolve(f).toString): _*)
+            .filter(col("f").isin(carried.toSeq: _*))
+          val newDead = (if (dvP.isEmpty) newDead0
+            else newDead0.join(broadcast(spark.read.parquet(
+                dvP.map(f => dataDir(dir).resolve(f).toString): _*)),
+              Seq("f", "pos"), "left_anti")).distinct()
+          // preimages: only the files the new positions actually touch
+          val hitFiles = newDead.select(col("f")).distinct()
+            .collect().map(_.getString(0)).toSeq // bounded by file count
+          if (hitFiles.isEmpty) None
+          else {
+            val pre = liveWithPos(spark, dir, hitFiles, dvP,
+              schemaOfVersion(dir, p))
+              .join(broadcast(newDead
+                .select(col("f").as("_graft_dv_f"), col("pos").as("_graft_dv_pos"))),
+                col("_graft_f") === col("_graft_dv_f") &&
+                  col("_graft_pos") === col("_graft_dv_pos"))
+            Some(tag(pre.select(pre.columns
+              .filterNot(_.startsWith("_graft_")).map(col).toSeq: _*),
+              "delete", v))
+          }
+        }
+      Seq(inserts, dropDeletes, dvDeletes).flatten
+    }
+    if (frames.isEmpty)
+      tag(read(spark, dir, Some(toV)), "insert", toV).filter(lit(false))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Data files no manifest references (crashed commits, or files orphaned

@@ -622,6 +622,93 @@ class SnapshotLogSpec extends AnyFunSuite {
       "kill n_nationkey=1, gain the appended 101 row")
   }
 
+  test("CDF folds exactly across DV deletes, file drops, updates, and rebases; readChanges refuses them") {
+    import org.apache.spark.sql.DataFrame
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    // v1/v2: two single-file ingest slices (drop arm needs a whole file)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 15).coalesce(1), dir)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") >= 15).coalesce(1), dir)
+    // v3: sparse DV delete across both files
+    SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") % 5 === 2)
+    // v4: MoR update (DV + appended file in one commit)
+    SnapshotLog.updateWhere(spark, dir, col("n_nationkey") % 5 === 3,
+      Map("n_name" -> lit("UPDATED")))
+    // v5: full-file delete — drops the >= 15 slice's file
+    SnapshotLog.deleteWhere(spark, dir,
+      col("n_nationkey") >= 15 && col("n_name") =!= "UPDATED")
+    // v6: a delete that REBASES over a racing append
+    SnapshotLog.deleteWhereHook(spark, dir, col("n_nationkey") === 1,
+      () => { SnapshotLog.commit(
+        nation.filter(col("n_nationkey") === 1)
+          .withColumn("n_nationkey", col("n_nationkey") + 100), dir); () })
+    val latest = SnapshotLog.versions(dir).last
+    // the fold: for every starting cursor, snapshot(from) + inserts −
+    // deletes must equal snapshot(latest) as a multiset
+    def key(df: DataFrame) = df.select(col("n_nationkey"), col("n_name"))
+      .collect().groupBy(identity).view.mapValues(_.length).toMap
+    def folded(fromV: Int): Map[org.apache.spark.sql.Row, Int] = {
+      val cdf = SnapshotLog.readChangesCdf(spark, dir, fromV, latest)
+      val ins = key(cdf.filter(col("_change_type") === "insert"))
+      val del = key(cdf.filter(col("_change_type") === "delete"))
+      val start = key(SnapshotLog.read(spark, dir, Some(fromV)))
+      (start.keySet ++ ins.keySet ++ del.keySet).map { k =>
+        k -> (start.getOrElse(k, 0) + ins.getOrElse(k, 0) - del.getOrElse(k, 0))
+      }.filter(_._2 != 0).toMap
+    }
+    val truth = key(SnapshotLog.read(spark, dir, Some(latest)))
+    SnapshotLog.versions(dir).dropRight(1).foreach { fromV =>
+      assert(folded(fromV) == truth, s"CDF fold from v$fromV diverged")
+    }
+    // the delete-shaped versions emit delete rows (the e31 failure mode
+    // was an EMPTY delta); the update emits both signs
+    val s3 = SnapshotLog.readChangesCdf(spark, dir, 2, 3)
+    assert(s3.filter(col("_change_type") === "delete").count() > 0 &&
+      s3.filter(col("_change_type") === "insert").count() == 0)
+    val s4 = SnapshotLog.readChangesCdf(spark, dir, 3, 4)
+    assert(s4.filter(col("_change_type") === "delete").count() > 0 &&
+      s4.filter(col("_change_type") === "insert").count() > 0)
+    val s4del = s4.filter(col("_change_type") === "delete")
+    assert(s4del.filter(col("n_name") === "UPDATED").count() == 0,
+      "update delete-preimages carry PRE-update values")
+    // legacy readChanges REFUSES any range crossing a delete/update
+    // (v6 is the racing append itself — a legal pure-append step)
+    Seq(3, 4, 5, latest).foreach { v =>
+      intercept[IllegalArgumentException](
+        SnapshotLog.readChanges(spark, dir, v - 1, v).count())
+    }
+    intercept[IllegalArgumentException]( // range-crossing, not just step
+      SnapshotLog.readChanges(spark, dir, 1, latest).count())
+    // ... but still serves the pure-append steps
+    assert(SnapshotLog.readChanges(spark, dir, 1, 2).count() ==
+      nation.filter(col("n_nationkey") >= 15).count())
+    assert(SnapshotLog.readChanges(spark, dir, 5, 6).count() == 1,
+      "the racing append's own step is a legal insert-only feed")
+    // a same-version range is an empty feed, tagged and schema-correct
+    val empty = SnapshotLog.readChangesCdf(spark, dir, latest, latest)
+    assert(empty.count() == 0 && empty.columns.contains("_change_type"))
+  }
+
+  test("CDF across a compact charges the rewrite as delete+insert and still folds") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val region = Tables.region(spark, sf)
+    SnapshotLog.commit(region, dir)
+    SnapshotLog.deleteWhere(spark, dir, col("r_regionkey") === 0)
+    SnapshotLog.compact(spark, dir, targetFiles = 1)
+    val cdf = SnapshotLog.readChangesCdf(spark, dir, 1, 3)
+    val ins = cdf.filter(col("_change_type") === "insert")
+    val del = cdf.filter(col("_change_type") === "delete")
+    // the compact drops v2's live rows and re-inserts them; combined
+    // with v2's DV delete the fold nets to the final snapshot
+    assert(del.count() == 1 + (region.count() - 1)) // DV kill + dropped file's live rows
+    assert(ins.count() == region.count() - 1)
+    val fold = ins.select(col("r_regionkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(fold.toSeq == SnapshotLog.read(spark, dir)
+      .select(col("r_regionkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("a delete aborts on a racing rewrite: stale positions never publish") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
