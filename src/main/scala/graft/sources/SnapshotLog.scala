@@ -435,6 +435,186 @@ object SnapshotLog {
     }
   }
 
+  /** A NECESSARY per-column range implied by a mutation predicate —
+    * the file-pruning contract of [[deleteWhere]]/[[updateWhere]]: every
+    * row satisfying the predicate must fall inside the range, so a file
+    * whose committed envelope cannot overlap it provably contains no
+    * matches and is never opened by the policy/match scan. The range may
+    * be LOOSER than the predicate (strict bounds widen to inclusive,
+    * un-analyzable conjuncts contribute nothing) — looseness only costs
+    * reads, never correctness. */
+  private[graft] sealed trait PredRange
+  private[graft] final case class IntRange(lo: Long, hi: Long) extends PredRange
+  private[graft] final case class StrRange(lo: String, hi: Option[String])
+    extends PredRange
+
+  /** Resolve a user-built predicate Column against a table schema and
+    * extract its necessary ranges — the one entry point
+    * [[deleteWhere]]/[[updateWhere]] and the specs share. Resolution
+    * goes through the engine's own analyzer (an empty frame + Filter),
+    * so type-coercion casts land exactly where every later read will put
+    * them, and [[requiredRanges]] sees the same resolved tree. */
+  private[graft] def mutationRanges(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cond: org.apache.spark.sql.Column): Map[String, PredRange] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    org.apache.spark.sql.GraftBridge.analyzedPlan(empty.filter(cond))
+      .collectFirst { case f: Filter => requiredRanges(f.condition) }
+      .getOrElse(Map.empty)
+  }
+
+  /** Extract the necessary per-column ranges of a RESOLVED predicate:
+    *
+    *  - AND intersects per-column ranges (both sides must hold; an empty
+    *    intersection means the predicate is unsatisfiable on that column
+    *    — every file prunes, the delete is a provable no-op);
+    *  - OR takes the convex hull per column, and only for columns
+    *    constrained on BOTH branches (a one-sided constraint is not
+    *    necessary for the disjunction);
+    *  - leaves are comparisons between a column (possibly under the
+    *    analyzer's integral-widening cast) and a foldable literal
+    *    (=, <, <=, >, >=, IN, BETWEEN-as-AND) of integral / date /
+    *    timestamp / string type — matching [[ColEnv]]'s two shapes.
+    *    Strict bounds round outward to inclusive (sound). Anything else
+    *    (arithmetic over the column, UDFs, unit-changing casts, %)
+    *    yields no constraint and simply reads. */
+  private[graft] def requiredRanges(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, PredRange] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def colName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      // the analyzer widens the column side for a mixed-width compare;
+      // integral widening is value-preserving, so the envelope (physical
+      // units) still bounds the cast value — unit-changing casts do not
+      case c: Cast if integral(c.dataType) && integral(c.child.dataType) =>
+        colName(c.child)
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Either[Long, String]] =
+      if (!x.foldable) None
+      else x.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType =>
+          Option(x.eval()).map(n =>
+            scala.util.Left(n.asInstanceOf[Number].longValue))
+        case StringType => Option(x.eval()).map(s => scala.util.Right(s.toString))
+        case _ => None
+      }
+    def range(v: Either[Long, String], lo: Boolean, hi: Boolean): PredRange =
+      v match {
+        case scala.util.Left(n) => IntRange(if (lo) n else Long.MinValue,
+          if (hi) n else Long.MaxValue)
+        case scala.util.Right(s) =>
+          StrRange(if (lo) s else "", if (hi) Some(s) else None)
+      }
+    def leaf(c: Option[String], v: Option[Either[Long, String]],
+        lo: Boolean, hi: Boolean): Map[String, PredRange] =
+      (for (cc <- c; vv <- v) yield Map(cc -> range(vv, lo, hi)))
+        .getOrElse(Map.empty)
+    def intersect(a: PredRange, b: PredRange): Option[PredRange] = (a, b) match {
+      case (IntRange(l1, h1), IntRange(l2, h2)) =>
+        Some(IntRange(math.max(l1, l2), math.min(h1, h2)))
+      case (StrRange(l1, h1), StrRange(l2, h2)) =>
+        Some(StrRange(if (utf8Cmp(l1, l2) >= 0) l1 else l2,
+          (h1, h2) match {
+            case (Some(x), Some(y)) => Some(if (utf8Cmp(x, y) <= 0) x else y)
+            case (x, y) => x.orElse(y)
+          }))
+      case _ => None // type conflict: contribute nothing (read)
+    }
+    def hull(a: PredRange, b: PredRange): Option[PredRange] = (a, b) match {
+      case (IntRange(l1, h1), IntRange(l2, h2)) =>
+        Some(IntRange(math.min(l1, l2), math.max(h1, h2)))
+      case (StrRange(l1, h1), StrRange(l2, h2)) =>
+        Some(StrRange(if (utf8Cmp(l1, l2) <= 0) l1 else l2,
+          for (x <- h1; y <- h2) yield if (utf8Cmp(x, y) >= 0) x else y))
+      case _ => None
+    }
+    e match {
+      case And(l, r) =>
+        val a = requiredRanges(l); val b = requiredRanges(r)
+        (a.keySet ++ b.keySet).flatMap { k =>
+          (a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) => intersect(x, y).map(k -> _)
+            case (x, y) => x.orElse(y).map(k -> _)
+          }
+        }.toMap
+      case Or(l, r) =>
+        val a = requiredRanges(l); val b = requiredRanges(r)
+        a.keySet.intersect(b.keySet)
+          .flatMap(k => hull(a(k), b(k)).map(k -> _)).toMap
+      case EqualTo(l, r) =>
+        leaf(colName(l), litVal(r), lo = true, hi = true) ++
+          leaf(colName(r), litVal(l), lo = true, hi = true)
+      case GreaterThan(l, r) => // col > v → [v, ∞) inclusive-widened
+        leaf(colName(l), litVal(r), lo = true, hi = false) ++
+          leaf(colName(r), litVal(l), lo = false, hi = true)
+      case GreaterThanOrEqual(l, r) =>
+        leaf(colName(l), litVal(r), lo = true, hi = false) ++
+          leaf(colName(r), litVal(l), lo = false, hi = true)
+      case LessThan(l, r) => // col < v → (−∞, v] inclusive-widened
+        leaf(colName(l), litVal(r), lo = false, hi = true) ++
+          leaf(colName(r), litVal(l), lo = true, hi = false)
+      case LessThanOrEqual(l, r) =>
+        leaf(colName(l), litVal(r), lo = false, hi = true) ++
+          leaf(colName(r), litVal(l), lo = true, hi = false)
+      case In(v, list) if list.nonEmpty =>
+        colName(v) match {
+          case Some(c) =>
+            val vals = list.map(litVal)
+            if (vals.exists(_.isEmpty)) Map.empty
+            else {
+              val rs = vals.flatten.map(range(_, lo = true, hi = true))
+              rs.tail.foldLeft(Option(rs.head))(
+                  (acc, r) => acc.flatMap(hull(_, r)))
+                .map(m => Map(c -> m)).getOrElse(Map.empty)
+            }
+          case None => Map.empty
+        }
+      case _ => Map.empty
+    }
+  }
+
+  /** Does a committed envelope overlap a necessary range? A mismatch of
+    * shapes (or no constraint) reads conservatively. */
+  private def rangeOverlaps(r: PredRange, env: ColEnv): Boolean = (r, env) match {
+    case (IntRange(lo, hi), IntEnv(mn, mx)) => mx >= lo && mn <= hi
+    case (StrRange(lo, hi), StrEnv(mn, emx)) =>
+      emx.forall(utf8Cmp(_, lo) >= 0) && hi.forall(utf8Cmp(mn, _) <= 0)
+    case _ => true
+  }
+
+  /** Partition a manifest into (candidates, provably-untouched) for a
+    * mutation predicate, from the committed envelopes alone — the same
+    * decision [[readPruned]] makes for reads, applied to DELETE/UPDATE:
+    * a file is a candidate unless SOME constrained column's envelope
+    * misses its necessary range. Files without an envelope for a
+    * constrained column are candidates (sound). */
+  private def pruneForPredicate(files: Seq[String],
+      stats: Map[String, Map[String, ColEnv]],
+      ranges: Map[String, PredRange]): (Seq[String], Seq[String]) =
+    if (ranges.isEmpty) (files, Seq.empty)
+    else files.partition { f =>
+      ranges.forall { case (c, r) =>
+        stats.get(f).flatMap(_.get(c)).forall(rangeOverlaps(r, _))
+      }
+    }
+
+  /** Dev/gate observability seam: (files scanned, manifest files) of the
+    * most recent [[deleteWhere]]/[[updateWhere]] predicate scan on this
+    * JVM — how e38 proves a keyed sparse mutation opened strictly fewer
+    * files than the manifest lists. Not part of the API surface. */
+  private[graft] val lastMutationScan =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
   /** Unsigned UTF-8 byte comparison — identical to code-point order and
     * to Spark's UTF8String / parquet's UNSIGNED binary ordering. */
   private[graft] def utf8Cmp(a: String, b: String): Int =
@@ -775,7 +955,24 @@ object SnapshotLog {
     val dvs0 = readDvs(dir, vRead)
     val schema = schemaOfVersion(dir, vRead)
     val schemaJson = readSchemaJson(dir, vRead)
-    val live = liveWithPos(spark, dir, files, dvs0, schema)
+    val stats0 = readStats(dir, vRead)
+    // ENVELOPE PRUNING (round 13): the predicate's necessary per-column
+    // ranges ([[requiredRanges]]) are probed against the committed
+    // envelopes BEFORE any data is read — a file whose envelope misses a
+    // necessary range provably contains no matching row, so it is never
+    // opened by the policy scan and carries untouched (dead = 0 by
+    // construction). This is what keeps a keyed sparse delete (GDPR
+    // purge) opening candidate slabs only at 100 TB, the same decision
+    // [[readPruned]] makes for reads and [[merge]] makes per changeset
+    // key. Un-analyzable predicates read everything, as before.
+    // (legacy pre-schema lineages skip pruning — no schema to resolve
+    // the predicate against; they read everything, as before round 13)
+    val ranges = schema.map(mutationRanges(spark, _, condition))
+      .getOrElse(Map.empty[String, PredRange])
+    val (candidates, _) = pruneForPredicate(files, stats0, ranges)
+    lastMutationScan.set((candidates.size, files.size))
+    if (candidates.isEmpty) return vRead // provably no matches anywhere
+    val live = liveWithPos(spark, dir, candidates, dvs0, schema)
     // POLICY pass (one counting scan, pushdown-friendly): per-file dead
     // vs live totals decide each file's cheapest representation —
     //  - every live row dead  → DROP the file from the manifest
@@ -830,9 +1027,8 @@ object SnapshotLog {
       if (rewrite.nonEmpty) {
         // survivors of the densely-deleted files, envelopes re-harvested
         // on whatever columns their originals carried
-        val prevStats = readStats(dir, vRead)
         val statCols = rewrite.flatMap(f =>
-          prevStats.get(f).map(_.keySet).getOrElse(Set.empty[String]))
+          stats0.get(f).map(_.keySet).getOrElse(Set.empty[String]))
         // SQL DELETE keeps rows whose predicate is NOT TRUE — false OR
         // NULL; a bare !condition would silently drop NULL-predicate
         // rows (the DV path and the dead count both treat NULL as kept)
@@ -887,7 +1083,7 @@ object SnapshotLog {
           // DVs referencing dropped/rewritten files stay carried, inert
           // (the read anti-join matches names no longer in the manifest)
           if (tryPublishManifest(dir, vRead + 1, kept ++ newData,
-              (readStats(dir, vRead) -- dropped -- rewrite) ++ newStats,
+              (stats0 -- dropped -- rewrite) ++ newStats,
               txnId = None, dvs = dvs0 ++ newDv, schemaJson = schemaJson))
             committed = vRead + 1
           // else: someone just took vRead + 1 — loop into the rebase arm
@@ -900,7 +1096,10 @@ object SnapshotLog {
                 "replaced files this delete read) — re-read and retry " +
                 "(the orphaned files are vacuumable)")
           val curDvs = readDvs(dir, cur)
-          val addedFiles = curManifest.filterNot(files.toSet)
+          // the winner's appended files get the same envelope pruning —
+          // a pruned added file provably contains no predicate matches
+          val (addedFiles, _) = pruneForPredicate(
+            curManifest.filterNot(files.toSet), readStats(dir, cur), ranges)
           val addedDv: Seq[String] =
             if (addedFiles.isEmpty) Seq.empty
             else {
@@ -973,7 +1172,15 @@ object SnapshotLog {
     val dvs0 = readDvs(dir, vRead)
     val schema = schemaOfVersion(dir, vRead)
     val schemaJson = readSchemaJson(dir, vRead)
-    val live = liveWithPos(spark, dir, files, dvs0, schema)
+    val stats0 = readStats(dir, vRead)
+    // same envelope pruning as [[deleteWhere]]: the match scan opens only
+    // files whose envelopes can contain a predicate row (see there)
+    val (candidates, _) = pruneForPredicate(files, stats0,
+      schema.map(mutationRanges(spark, _, condition))
+        .getOrElse(Map.empty[String, PredRange]))
+    lastMutationScan.set((candidates.size, files.size))
+    if (candidates.isEmpty) return vRead // provably no matches anywhere
+    val live = liveWithPos(spark, dir, candidates, dvs0, schema)
     val dataCols = live.columns.filterNot(c =>
       c == "_graft_f" || c == "_graft_pos")
     set.keys.foreach(k => require(dataCols.contains(k),
@@ -1018,7 +1225,7 @@ object SnapshotLog {
         n -> fileStats(dataDir(dir).resolve(n), statsCols.toSet)
       }.filter(_._2.nonEmpty).toMap
       if (!tryPublishManifest(dir, vRead + 1, files ++ newData,
-          readStats(dir, vRead) ++ newStats,
+          stats0 ++ newStats,
           txnId = None, dvs = dvs0 :+ dvName, schemaJson = schemaJson))
         throw new java.util.ConcurrentModificationException(
           s"update on $dir lost the race for version ${vRead + 1} — " +

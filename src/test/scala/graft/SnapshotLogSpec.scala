@@ -622,6 +622,79 @@ class SnapshotLogSpec extends AnyFunSuite {
       "kill n_nationkey=1, gain the appended 101 row")
   }
 
+  test("requiredRanges: AND intersects, OR hulls, strict bounds widen, junk reads everything") {
+    import SnapshotLog.{IntRange, StrRange}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("j", LongType), StructField("s", StringType)))
+    def rr(c: org.apache.spark.sql.Column) =
+      SnapshotLog.mutationRanges(spark, schema, c)
+    assert(rr(col("k") === 5) == Map("k" -> IntRange(5, 5)))
+    assert(rr(lit(5) === col("k")) == Map("k" -> IntRange(5, 5)))
+    assert(rr(col("k") > 5 && col("k") <= 10) == Map("k" -> IntRange(5, 10)),
+      "strict > widens to inclusive (sound)")
+    assert(rr(col("k").between(3, 9)) == Map("k" -> IntRange(3, 9)))
+    assert(rr(col("k") === 2 || col("k") === 8) == Map("k" -> IntRange(2, 8)))
+    assert(rr(col("k") === 2 || col("j") === 8).isEmpty,
+      "one-sided OR constraints are not necessary")
+    assert(rr(col("k") % 3 === 0).isEmpty, "arithmetic over the column reads")
+    assert(rr(col("k") === 2 && col("j") % 3 === 0) == Map("k" -> IntRange(2, 2)),
+      "an un-analyzable conjunct costs nothing on the other conjunct")
+    assert(rr(col("s") === "abc") == Map("s" -> StrRange("abc", Some("abc"))))
+    assert(rr(col("s") >= "b" && col("s") < "c") ==
+      Map("s" -> StrRange("b", Some("c"))))
+    assert(rr(col("k").isin(3, 9, 6)) == Map("k" -> IntRange(3, 9)))
+    rr(col("k") < 2 && col("k") > 5) match {
+      case m => assert(m.get("k").exists {
+        case IntRange(lo, hi) => lo > hi
+        case _ => false
+      }, "an unsatisfiable AND yields an empty range (prunes everything)")
+    }
+  }
+
+  test("DELETE/UPDATE open only envelope-candidate files; results identical to the unpruned twin") {
+    val ords = Tables.orders(spark, sf)
+    val mm = ords.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (mn, w) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0))
+    val (aLo, aHi) = (mn + w / 4, mn + w / 4 + w / 8)
+    def mk(statsCols: Seq[String]) = {
+      val dir = Files.createTempDirectory("graft-snap")
+      SnapshotLog.commit(ords.repartitionByRange(8, col("o_orderkey")), dir,
+        statsCols = statsCols)
+      dir
+    }
+    val pruned = mk(Seq("o_orderkey")); val blind = mk(Nil)
+    val cond = col("o_orderkey").between(aLo, aHi) &&
+      col("o_orderkey") % 3 === 0
+    SnapshotLog.deleteWhere(spark, pruned, cond)
+    val (pScan, pTotal) = SnapshotLog.lastMutationScan.get()
+    assert(pScan >= 1 && pScan < pTotal,
+      s"the keyed delete must open strictly fewer files ($pScan of $pTotal)")
+    SnapshotLog.deleteWhere(spark, blind, cond)
+    val (bScan, bTotal) = SnapshotLog.lastMutationScan.get()
+    assert(bScan == bTotal, "no envelopes → no pruning, still correct")
+    assert(SnapshotLog.read(spark, pruned).collect().toSet ==
+      SnapshotLog.read(spark, blind).collect().toSet,
+      "pruning must be result-invisible")
+    // updateWhere prunes the same way, and the update is identical
+    val uset = Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0)))
+    // statsCols on the update so ITS appended file carries envelopes too
+    // (an unenveloped appended file conservatively reads forever after)
+    SnapshotLog.updateWhere(spark, pruned, col("o_orderkey") <= aLo, uset,
+      statsCols = Seq("o_orderkey"))
+    val (uScan, uTotal) = SnapshotLog.lastMutationScan.get()
+    assert(uScan >= 1 && uScan < uTotal)
+    SnapshotLog.updateWhere(spark, blind, col("o_orderkey") <= aLo, uset)
+    assert(SnapshotLog.read(spark, pruned).collect().toSet ==
+      SnapshotLog.read(spark, blind).collect().toSet)
+    // a provably-out-of-range delete is a no-op: zero files opened,
+    // no version published
+    val vBefore = SnapshotLog.versions(pruned).last
+    assert(SnapshotLog.deleteWhere(spark, pruned,
+      col("o_orderkey") > mm.getLong(1) + 1000000L) == vBefore)
+    assert(SnapshotLog.lastMutationScan.get()._1 == 0)
+  }
+
   test("CDF folds exactly across DV deletes, file drops, updates, and rebases; readChanges refuses them") {
     import org.apache.spark.sql.DataFrame
     val dir = Files.createTempDirectory("graft-snap")
