@@ -747,7 +747,17 @@ object SnapshotLog {
     * [[readPruned]] skips files for either predicate. Curve-chunk files
     * can straddle cell boundaries (weaker than e13's cell-aligned grid,
     * which needs a partitionBy layout the log's flat file set doesn't
-    * use) — the gate measures the pruning both ways. */
+    * use) — the gate measures the pruning both ways.
+    *
+    * DECIDED 2-D, not generalized to N (the d4-note pattern): the Morton
+    * interleave does extend to N columns, but each added dimension
+    * halves the per-dimension bits inside the fixed curve word (16 → 10
+    * → 8 at N=2/3/4 for a 32-bit value), and the measured e35 pruning
+    * margins (8/16, 4/16 floors) are calibrated to the 16-bit codes —
+    * an N-ary variant needs its own measured floors before it earns a
+    * gate, and no current operator asks for one. Revisit only with a
+    * concrete 3-D workload; [[graft.functions.ZOrderFunctions.zorder2]]
+    * is where the interleave would generalize. */
   def compact(spark: SparkSession, dir: Path, targetFiles: Int,
       statsCols: Seq[String] = Seq.empty,
       zorderBy: Seq[String] = Seq.empty): Int = {
@@ -779,6 +789,53 @@ object SnapshotLog {
       }
     commit(clustered, dir, overwrite = true, statsCols = statsCols,
       expectedVersion = Some(vRead + 1))
+  }
+
+  /** OPTIMIZE as BIN-PACKING (round 13; Delta's real OPTIMIZE shape,
+    * where [[compact]] is OPTIMIZE-everything): only files SMALLER than
+    * `smallFileBytes` rewrite — coalesced into ~`targetFileBytes` files
+    * with their deletion-vector rows materialized — while every file at
+    * or above the threshold CARRIES byte-identical through the manifest
+    * (`dropCarried` copy-on-write surgery, [[merge]]'s machinery). At
+    * 100 TB this is the difference between layout maintenance that costs
+    * the small-file tail an ingest actually produced and a full-table
+    * rewrite — the terabyte rewrite the DV machinery exists to avoid.
+    *
+    * DV interplay: the rewrite reads the small files MERGE-ON-READ (their
+    * dead rows materialize away); DV files carry whole, so entries on
+    * carried large files keep filtering and entries on the dropped small
+    * files go inert (the anti-join matches names no longer in the
+    * manifest). Carried files keep their committed envelopes without
+    * re-harvest; rewritten files re-harvest on the union of their
+    * originals' stat columns plus `statsCols`.
+    *
+    * Races abort, never lose rows: the commit is CONDITIONAL on landing
+    * exactly one version past the snapshot it read (compact's contract) —
+    * a racing ingest aborts the bin-pack (orphans vacuumable), which
+    * simply re-runs against the fresh snapshot. Fewer than two small
+    * files → no-op, no version published. Returns the (possibly
+    * unchanged) latest version. */
+  def binPack(spark: SparkSession, dir: Path, smallFileBytes: Long,
+      targetFileBytes: Long, statsCols: Seq[String] = Seq.empty): Int = {
+    require(smallFileBytes >= 1 && targetFileBytes >= 1,
+      "thresholds must be positive")
+    val vRead = versions(dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed snapshots"))
+    val manifest = readManifest(dir, vRead)
+    val sized = manifest.map(f => f -> Files.size(dataDir(dir).resolve(f)))
+    val small = sized.filter(_._2 < smallFileBytes).map(_._1)
+    if (small.size < 2) return vRead // nothing worth packing
+    val stats0 = readStats(dir, vRead)
+    val rows = readFiles(spark, dir, small, readDvs(dir, vRead),
+      schemaOfVersion(dir, vRead)) // merge-on-read: their DVs materialize
+    val smallBytes = sized.filter(s => small.contains(s._1)).map(_._2).sum
+    val nOut = math.max(1L,
+      (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val harvest = (small.flatMap(f =>
+      stats0.get(f).map(_.keySet).getOrElse(Set.empty[String])) ++
+      statsCols).distinct
+    commit(rows.coalesce(nOut), dir, statsCols = harvest,
+      expectedVersion = Some(vRead + 1), dropCarried = small)
   }
 
   /** MERGE INTO the snapshot log — row-level mutation as a new version,

@@ -797,6 +797,50 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.orphans(dir).nonEmpty)
   }
 
+  test("binPack rewrites only the small tail: large files byte-identical, DVs honored") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val cust = Tables.customer(spark, sf)
+    // one large slab + four small ingest slices
+    SnapshotLog.commit(cust.filter(col("c_custkey") % 5 =!= 0).coalesce(1),
+      dir, statsCols = Seq("c_custkey"))
+    (0 to 3).foreach { i =>
+      SnapshotLog.commit(cust.filter(col("c_custkey") % 20 === (5 * i)).coalesce(1),
+        dir, statsCols = Seq("c_custkey"))
+    }
+    val v5Files = SnapshotLog.files(dir, Some(5))
+    val data = dir.resolve("data")
+    val sizes = v5Files.map(f => f -> Files.size(data.resolve(f))).toMap
+    val largest = sizes.maxBy(_._2)._1
+    val threshold = sizes(largest) // everything strictly smaller packs
+    // a DV delete whose rows live in BOTH the large file and the smalls
+    SnapshotLog.deleteWhere(spark, dir, col("c_custkey") % 7 === 3)
+    val shaBefore = sha(data.resolve(largest))
+    val before = SnapshotLog.read(spark, dir).collect().toSet
+    val v7 = SnapshotLog.binPack(spark, dir, threshold, targetFileBytes = 1L << 30)
+    assert(v7 == 7)
+    val after = SnapshotLog.files(dir, Some(7))
+    assert(after.contains(largest), "the large file must carry")
+    assert(sha(data.resolve(largest)) == shaBefore, "carried = byte-identical")
+    val rewritten = after.filterNot(_ == largest)
+    assert(rewritten.nonEmpty && rewritten.size < 4,
+      s"the four small files must pack into fewer (got ${rewritten.size})")
+    assert(SnapshotLog.dvFiles(dir, Some(7)).nonEmpty,
+      "DV files carry (large-file entries must keep filtering)")
+    assert(SnapshotLog.read(spark, dir).collect().toSet == before,
+      "bin-packing is a logical no-op over the live rows")
+    // the rewritten files materialized their DV rows; the large file's
+    // dead rows are still filtered by the carried DV
+    val rewrittenRows = spark.read.parquet(
+      rewritten.map(f => data.resolve(f).toString): _*)
+    assert(rewrittenRows.filter(col("c_custkey") % 7 === 3).count() == 0,
+      "small-file DV rows must materialize away in the rewrite")
+    assert(SnapshotLog.read(spark, dir, Some(6)).collect().toSet == before,
+      "the pre-pack version still reads")
+    // fewer than two small files -> no-op, no version
+    assert(SnapshotLog.binPack(spark, dir, 1L, 1L << 30) == 7)
+    assert(SnapshotLog.orphans(dir).isEmpty)
+  }
+
   test("compact with zorderBy is a logical no-op; the curve column never leaks") {
     val dir = Files.createTempDirectory("graft-snap")
     val cust = Tables.customer(spark, sf)

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 205 queries / 198 oracles") {
-    assert(SparkEntry.queries.size == 205,
+  test("registry counts match the documented 206 queries / 199 oracles") {
+    assert(SparkEntry.queries.size == 206,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 198,
+    assert(SparkEntry.oracleSql.size == 199,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
