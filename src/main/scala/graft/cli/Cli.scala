@@ -73,6 +73,22 @@ object Cli {
         * `--no-physical-fidelity` keeps output Spark-readable instead
         * (see ParquetSink.Options.physicalFidelity). */
       physicalFidelity: Boolean = true,
+      /** lake-verb options (the snapshot-log lifecycle at the CLI surface;
+        * see [[runLake]]): commit/merge/optimize/read share these. */
+      lakeOverwrite: Boolean = false,
+      lakeStatsCols: Seq[String] = Seq.empty,
+      lakeTxnId: Option[String] = None,
+      lakeAsOf: Option[Int] = None,
+      lakeKeepVersions: Int = 1,
+      lakeKey: Option[String] = None,
+      lakeSeqCol: Option[String] = None,
+      lakeTargetFiles: Int = 32,
+      lakeZorderBy: Seq[String] = Seq.empty,
+      lakeSmallFileBytes: Option[Long] = None,
+      lakeTargetFileBytes: Long = 128L << 20,
+      lakeChanges: Option[(Int, Int)] = None,
+      lakeCdf: Option[(Int, Int)] = None,
+      lakeSet: Vector[String] = Vector.empty,
       /** -1 = quiet, 0 = default, N = -v count (logging.rs:4-25 parity) */
       verbosity: Int = 0,
       /** --prompt (reference connection.rs:49-77, where it triggers the
@@ -117,6 +133,24 @@ object Cli {
         case "--jdbc-bounds" :: v :: t => c = c.copy(jdbcBounds = Some(parseBounds(v))); t
         case "--incremental-column" :: v :: t => c = c.copy(incrementalColumn = Some(v)); t
         case "--state-path" :: v :: t => c = c.copy(statePath = Some(v)); t
+        case "--overwrite" :: t => c = c.copy(lakeOverwrite = true); t
+        case "--stats-cols" :: v :: t =>
+          c = c.copy(lakeStatsCols = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)); t
+        case "--txn-id" :: v :: t => c = c.copy(lakeTxnId = Some(v)); t
+        case "--as-of" :: v :: t => c = c.copy(lakeAsOf = Some(v.toInt)); t
+        case "--keep-versions" :: v :: t => c = c.copy(lakeKeepVersions = v.toInt); t
+        case "--key" :: v :: t => c = c.copy(lakeKey = Some(v)); t
+        case "--seq-col" :: v :: t => c = c.copy(lakeSeqCol = Some(v)); t
+        case "--target-files" :: v :: t => c = c.copy(lakeTargetFiles = v.toInt); t
+        case "--zorder-by" :: v :: t =>
+          c = c.copy(lakeZorderBy = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)); t
+        case "--small-file-bytes" :: v :: t =>
+          c = c.copy(lakeSmallFileBytes = Some(parseBytes(v))); t
+        case "--target-file-bytes" :: v :: t =>
+          c = c.copy(lakeTargetFileBytes = parseBytes(v)); t
+        case "--changes" :: v :: t => c = c.copy(lakeChanges = Some(parseRange(v))); t
+        case "--cdf" :: v :: t => c = c.copy(lakeCdf = Some(parseRange(v))); t
+        case "--set" :: v :: t => c = c.copy(lakeSet = c.lakeSet :+ v); t
         case "--prompt" :: t => c = c.copy(promptPassword = true); t
         case ("-v" | "--verbose") :: t => c = c.copy(verbosity = c.verbosity.max(0) + 1); t
         case ("-q" | "--quiet") :: t => c = c.copy(verbosity = -1); t
@@ -186,6 +220,21 @@ object Cli {
     (version, encodings.map { case (col, _) => col -> false }.toMap)
   }
 
+  /** `FROM:TO` version range for --changes/--cdf. */
+  private def parseRange(v: String): (Int, Int) = v.split(":", 2) match {
+    case Array(lo, hi) =>
+      try {
+        val (l, h) = (lo.trim.toInt, hi.trim.toInt)
+        require(l <= h, s"version range FROM $l exceeds TO $h")
+        (l, h)
+      } catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"invalid version range '$v'; expected FROM:TO integers")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"invalid version range '$v'; expected FROM:TO")
+  }
+
   /** `LOW:HIGH` partition bounds for --jdbc-bounds. */
   private def parseBounds(v: String): (Long, Long) = v.split(":", 2) match {
     case Array(lo, hi) =>
@@ -214,10 +263,19 @@ object Cli {
   }
 
   val usage: String =
-    """usage: graft <query|insert|exec|list-drivers|list-data-sources|completions> [options]
+    """usage: graft <query|insert|exec|lake|list-drivers|list-data-sources|completions> [options]
       |  query  [opts] <out.par|-> <sql|-> [param …]
       |  insert [opts] <in.parquet> <table>        (-c <jdbc-url> required)
       |  exec   [opts] <statement> <in.parquet>    (-c <jdbc-url> required)
+      |  lake   <commit|delete|update|merge|optimize|vacuum|versions|read> <table-dir> …
+      |         commit <dir> <in.parquet> [--overwrite] [--stats-cols a,b] [--txn-id ID]
+      |         delete <dir> <sql-predicate>            (merge-on-read deletion vector)
+      |         update <dir> <sql-predicate> --set col=expr [--set …]
+      |         merge  <dir> <changes.parquet> --key COL [--seq-col COL]
+      |         optimize <dir> [--target-files N] [--zorder-by a,b]
+      |                  [--small-file-bytes B [--target-file-bytes B]] (bin-pack)
+      |         vacuum <dir> [--keep-versions N]
+      |         read   <dir> <out.par|-> [--as-of N | --changes F:T | --cdf F:T]
       |options: --connection-string/-c URL, --tables-dir DIR, --batch-size-row N,
       |  --batch-size-memory BYTES, --row-groups-per-file N, --file-size-threshold BYTES,
       |  --column-compression-default CODEC, --column-compression-level-default N,
@@ -288,6 +346,7 @@ object Cli {
       case "query" => runQuery(conf)
       case "insert" => runInsert(conf)
       case "exec" => runExec(conf)
+      case "lake" => println(runLake(conf))
       case "list-drivers" => listDrivers().foreach(println)
       case "list-data-sources" => listDataSources().foreach(println)
       case "completions" =>
@@ -460,6 +519,115 @@ object Cli {
       spark, Paths.get(file)), statement, url, conf.batchSizeRow)
   }
 
+  /** The snapshot-log lifecycle as CLI verbs — the library's lakehouse
+    * write matrix (e24–e39's operators) made operable the way the
+    * reference's insert/exec/query are (src/main.rs:51-77's surface
+    * philosophy, beyond-reference capability):
+    *
+    *   lake commit   <dir> <in.parquet>      [--overwrite] [--stats-cols a,b] [--txn-id ID]
+    *   lake delete   <dir> <sql-predicate>                         (DV merge-on-read)
+    *   lake update   <dir> <sql-predicate> --set col=expr [--set …] [--stats-cols …]
+    *   lake merge    <dir> <changes.parquet> --key COL [--seq-col COL] [--stats-cols …]
+    *   lake optimize <dir> [--target-files N] [--zorder-by a,b]
+    *                       [--small-file-bytes B [--target-file-bytes B]]  (bin-pack mode)
+    *   lake vacuum   <dir> [--keep-versions N]
+    *   lake versions <dir>
+    *   lake read     <dir> <out.par|-> [--as-of N] [--changes F:T] [--cdf F:T]
+    *
+    * Predicates and SET right-hand sides are Spark SQL expressions over
+    * the table's columns (`o_orderkey % 3 = 0`, `price + 100`). Returns
+    * the human-readable summary `main` prints, so specs can drive the
+    * exact surface. */
+  def runLake(conf: Conf, sparkOpt: Option[SparkSession] = None): String = {
+    import org.apache.spark.sql.functions.expr
+    import graft.sources.SnapshotLog
+    val verb = conf.positional.headOption.getOrElse(
+      throw new IllegalArgumentException(s"lake needs a verb\n$usage"))
+    val rest = conf.positional.tail
+    def dir = Paths.get(rest.headOption.getOrElse(
+      throw new IllegalArgumentException(s"lake $verb needs a table dir\n$usage")))
+    lazy val spark = sparkOpt.getOrElse(session(conf.verbosity))
+    verb match {
+      case "commit" =>
+        val Vector(_, in) = rest: @unchecked
+        val v = SnapshotLog.commit(
+          graft.sources.PhysicalFormat.readSparkCompatible(spark, Paths.get(in)),
+          dir, overwrite = conf.lakeOverwrite,
+          statsCols = conf.lakeStatsCols, txnId = conf.lakeTxnId)
+        s"committed version $v"
+      case "delete" =>
+        val Vector(_, pred) = rest: @unchecked
+        val v = SnapshotLog.deleteWhere(spark, dir, expr(pred))
+        s"deleted; latest version $v"
+      case "update" =>
+        val Vector(_, pred) = rest: @unchecked
+        require(conf.lakeSet.nonEmpty, "lake update needs at least one --set col=expr")
+        val sets = conf.lakeSet.map { s =>
+          s.split("=", 2) match {
+            case Array(cl, e) if cl.trim.nonEmpty && e.trim.nonEmpty =>
+              cl.trim -> expr(e.trim)
+            case _ => throw new IllegalArgumentException(
+              s"invalid --set '$s'; expected COLUMN=EXPRESSION")
+          }
+        }.toMap
+        val v = SnapshotLog.updateWhere(spark, dir, expr(pred), sets,
+          statsCols = conf.lakeStatsCols)
+        s"updated; latest version $v"
+      case "merge" =>
+        val Vector(_, changes) = rest: @unchecked
+        val key = conf.lakeKey.getOrElse(
+          throw new IllegalArgumentException("lake merge requires --key COL"))
+        val raw = graft.sources.PhysicalFormat.readSparkCompatible(
+          spark, Paths.get(changes))
+        // a changeset without the _deleted marker is a pure upsert batch —
+        // the common CDC export shape; delete-carrying changesets bring
+        // their own column (Merge.merge's contract)
+        val changeDf =
+          if (raw.columns.contains("_deleted")) raw
+          else raw.withColumn("_deleted", org.apache.spark.sql.functions.lit(false))
+        val v = SnapshotLog.merge(spark, dir, changeDf,
+          key, seqCol = conf.lakeSeqCol, statsCols = conf.lakeStatsCols)
+        s"merged version $v"
+      case "optimize" =>
+        val v = conf.lakeSmallFileBytes match {
+          case Some(small) => SnapshotLog.binPack(spark, dir, small,
+            conf.lakeTargetFileBytes, statsCols = conf.lakeStatsCols)
+          case None => SnapshotLog.compact(spark, dir, conf.lakeTargetFiles,
+            statsCols = conf.lakeStatsCols, zorderBy = conf.lakeZorderBy)
+        }
+        s"optimized; latest version $v"
+      case "vacuum" =>
+        val (expired, deleted) = SnapshotLog.vacuum(dir, conf.lakeKeepVersions)
+        s"expired versions ${expired.mkString(",")}; " +
+          s"deleted ${deleted.size} data files"
+      case "versions" =>
+        val vs = SnapshotLog.versions(dir)
+        vs.map { v =>
+          val n = SnapshotLog.files(dir, Some(v)).size
+          val d = SnapshotLog.dvFiles(dir, Some(v)).size
+          s"v$v files=$n dvs=$d"
+        }.mkString("\n")
+      case "read" =>
+        val Vector(_, out) = rest: @unchecked
+        val df = (conf.lakeChanges, conf.lakeCdf) match {
+          case (Some((f, t)), None) => SnapshotLog.readChanges(spark, dir, f, t)
+          case (None, Some((f, t))) => SnapshotLog.readChangesCdf(spark, dir, f, t)
+          case (None, None) => SnapshotLog.read(spark, dir, conf.lakeAsOf)
+          case _ => throw new IllegalArgumentException(
+            "--changes and --cdf are mutually exclusive")
+        }
+        val written = ParquetSink.write(df, out, ParquetSink.Options(
+          compression = conf.columnCompressionDefault,
+          rowGroupsPerFile = conf.rowGroupsPerFile,
+          fileSizeThresholdBytes = conf.fileSizeThreshold,
+          suffixLength = conf.suffixLength,
+          noEmptyFile = conf.noEmptyFile))
+        s"wrote ${written.size} file(s)"
+      case other => throw new IllegalArgumentException(
+        s"unknown lake verb '$other'\n$usage")
+    }
+  }
+
   /** ODBC connection-string attribute escaping (connection.rs:55-61):
     * values containing special characters are brace-wrapped with `}`
     * doubled. Used when appending UID/PWD to an ODBC-style connection
@@ -492,7 +660,8 @@ object Cli {
     conf.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
 
   private val subcommands =
-    Seq("query", "insert", "exec", "list-drivers", "list-data-sources", "completions")
+    Seq("query", "insert", "exec", "lake", "list-drivers", "list-data-sources",
+      "completions")
 
   /** Shell completion scripts (reference main.rs:363-367 generates via
     * clap_complete for bash/zsh/fish/elvish/powershell — all five shells
