@@ -998,12 +998,17 @@ object SnapshotLog {
       condition: org.apache.spark.sql.Column): Int =
     deleteWhereHook(spark, dir, condition, () => ())
 
-  /** [[deleteWhere]] with a test seam fired after the delete's reads and
-    * writes but before the publish attempt — the deterministic way to
-    * exercise the rebase/abort race logic (SnapshotLogSpec). */
+  /** [[deleteWhere]] with test seams — the deterministic way to exercise
+    * the rebase/abort race logic (SnapshotLogSpec): `beforePublish` fires
+    * once, after the delete's reads and writes but before the publish
+    * loop; `beforeAttempt(n)` fires inside the loop immediately before
+    * the n-th CAS publish (after that attempt's payload — including any
+    * rebase DV — is staged), so a competitor committed there races the
+    * exact window a real concurrent ingest would. */
   private[graft] def deleteWhereHook(spark: SparkSession, dir: Path,
       condition: org.apache.spark.sql.Column,
-      beforePublish: () => Unit): Int = {
+      beforePublish: () => Unit,
+      beforeAttempt: Int => Unit = _ => ()): Int = {
     import org.apache.spark.sql.functions._
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
@@ -1139,6 +1144,7 @@ object SnapshotLog {
         if (cur == vRead) {
           // DVs referencing dropped/rewritten files stay carried, inert
           // (the read anti-join matches names no longer in the manifest)
+          beforeAttempt(rebases)
           if (tryPublishManifest(dir, vRead + 1, kept ++ newData,
               (stats0 -- dropped -- rewrite) ++ newStats,
               txnId = None, dvs = dvs0 ++ newDv, schemaJson = schemaJson))
@@ -1181,6 +1187,7 @@ object SnapshotLog {
                 Seq(name)
               }
             }
+          beforeAttempt(rebases)
           if (tryPublishManifest(dir, cur + 1,
               curManifest.filterNot(dropped),
               readStats(dir, cur) -- dropped,

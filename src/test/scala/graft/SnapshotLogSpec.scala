@@ -887,4 +887,94 @@ class SnapshotLogSpec extends AnyFunSuite {
     val c1 = SnapshotLog.read(spark, dir, Some(1)).count()
     assert(c1 == 10 || c1 == 15, "v1 is exactly one writer's commit")
   }
+
+  test("a delete that loses the publish race TWICE rebases twice; superseded rebase DVs orphan") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation, dir) // v1: keys 0..24
+    def shifted(i: Int) =
+      nation.withColumn("n_nationkey", col("n_nationkey") + lit(100 * i))
+    // competitor appends land exactly in each CAS window (the
+    // beforeAttempt seam fires immediately before each publish):
+    // attempt 1's publish at vRead+1 loses to append A; attempt 2's
+    // rebase publish loses to append B; attempt 3 rebases over BOTH
+    // appends' files and wins — the loop's double-loss interleaving,
+    // executed rather than reasoned.
+    val v = SnapshotLog.deleteWhereHook(spark, dir,
+      col("n_nationkey") % 2 === 0, () => (), {
+        case 1 => SnapshotLog.commit(shifted(1), dir); ()
+        case 2 => SnapshotLog.commit(shifted(2), dir); ()
+        case _ => ()
+      })
+    assert(v == 4, "two lost races serialize the delete at v4")
+    assert(SnapshotLog.versions(dir) == Seq(1, 2, 3, 4))
+    // SQL semantics at the FINAL serialization point: evens dead in the
+    // base and in both racing appends
+    val got = SnapshotLog.read(spark, dir).select("n_nationkey")
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    val want = (0 to 2).flatMap(i =>
+      (0 until 25).collect { case k if k % 2 == 1 => 100L * i + k }).toSet
+    assert(got == want, "base + both appends, predicate applied to all three")
+    // both appends' own versions are untouched by the delete
+    assert(SnapshotLog.read(spark, dir, Some(2)).count() == 50)
+    assert(SnapshotLog.read(spark, dir, Some(3)).count() == 75)
+    // attempt 2's rebase DV (covering append A only) was superseded by
+    // attempt 3's — it must be an orphan, referenced by no manifest
+    assert(SnapshotLog.orphans(dir).nonEmpty,
+      "the superseded rebase DV is a vacuumable orphan")
+    val (expired, deleted) = SnapshotLog.vacuum(dir, keepVersions = 4)
+    assert(expired.isEmpty && deleted.nonEmpty,
+      "vacuum reclaims the superseded rebase DV without expiring versions")
+    assert(SnapshotLog.read(spark, dir).select("n_nationkey")
+      .collect().map(_.getAs[Number](0).longValue).toSet == want)
+  }
+
+  test("a LIVE two-thread delete-vs-ingest race: every row accounted at the serialization point") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation, dir) // v1
+    def shifted(i: Int) =
+      nation.withColumn("n_nationkey", col("n_nationkey") + lit(100 * i))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val ingest = pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+        def call(): Seq[Int] = {
+          start.await()
+          (1 to 4).map(i => SnapshotLog.commit(shifted(i), dir))
+        }
+      })
+      val delete = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") % 2 === 0)
+        }
+      })
+      start.countDown()
+      val appendVs = ingest.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      val vD = delete.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      // five writers → five consecutive versions, wherever the delete
+      // happened to serialize this run
+      assert((appendVs :+ vD).sorted == Seq(2, 3, 4, 5, 6),
+        s"appends $appendVs and delete $vD must serialize distinctly")
+      // expected rows reconstructed from the REAL serialization order:
+      // an append that published BEFORE the delete has the predicate
+      // applied to its rows (rebase-over-appends semantics); an append
+      // that published after keeps its evens
+      val odd = (0 until 25).filter(_ % 2 == 1).map(_.toLong)
+      val all = (0 until 25).map(_.toLong)
+      val want = odd.toSet ++ appendVs.zipWithIndex.flatMap { case (av, idx) =>
+        (if (av < vD) odd else all).map(_ + 100L * (idx + 1))
+      }
+      val got = SnapshotLog.read(spark, dir).select("n_nationkey")
+        .collect().map(_.getAs[Number](0).longValue).toSet
+      assert(got == want,
+        s"both threads' rows accounted for (delete serialized at v$vD)")
+      // whatever raced, nothing staged leaked: orphans are vacuumable
+      // rebase leftovers only, and vacuuming them is read-invisible
+      SnapshotLog.vacuum(dir, keepVersions = 1)
+      assert(SnapshotLog.read(spark, dir).select("n_nationkey")
+        .collect().map(_.getAs[Number](0).longValue).toSet == want)
+    } finally pool.shutdown()
+  }
 }
