@@ -131,8 +131,24 @@ object PipelineExt {
     * pipelines carry those labels as persisted state, e17's pattern);
     * the incremental APPLY is the subgraph kernel run, whose work the
     * in-gate edge/component counts bound. Do not read the gate total as
-    * the apply cost. */
-  def d24IncrementalCc(s: SparkSession, d: String): DataFrame = {
+    * the apply cost — the [[d24Construct]]/[[d24Apply]] split is the
+    * measurement seam (ScaleProbe prints both phases per scale; NOTES
+    * records the numbers per round). */
+  def d24IncrementalCc(s: SparkSession, d: String): DataFrame =
+    d24Apply(d24Construct(s, d))
+
+  /** Yesterday's carried state, plus the bound inputs the gate check
+    * needs. Every member frame is eagerly checkpointed — construct cost
+    * is paid HERE, which is what makes the split timable. */
+  private[graft] final case class D24State(
+      oldEdges: DataFrame, newEdges: DataFrame, oldLabels: DataFrame,
+      nAllEdges: Long, totalComps: Long)
+
+  /** d24's CONSTRUCT phase: build "yesterday" — the old graph's edges and
+    * its converged labels. In production this is persisted state carried
+    * between runs, not recomputed; the gate rebuilds it from scratch,
+    * which dominates the gate's wall time. */
+  private[graft] def d24Construct(s: SparkSession, d: String): D24State = {
     val (pairs, freePairs) = CacheScope.localCheckpointReleasable(
       Dedup.d3Pairs(s, d).select(col("a_id"), col("b_id")))
     val isNew = col("a_id") % 25 === 0 || col("b_id") % 25 === 0
@@ -146,6 +162,14 @@ object PipelineExt {
     // yesterday's state: labels over the old graph
     val oldLabels = CacheScope.localCheckpoint(ccLabels(oldEdges))
     val totalComps = oldLabels.select(col("comp")).distinct().count()
+    D24State(oldEdges, newEdges, oldLabels, nAllEdges, totalComps)
+  }
+
+  /** d24's APPLY phase — the actual incremental-maintenance cost: affected
+    * components, subgraph assembly, the kernel rerun on subgraph edges
+    * only, and the stitch. Work tracks the delta's blast radius. */
+  private[graft] def d24Apply(st: D24State): DataFrame = {
+    import st._
     // components an incoming edge touches; endpoints unseen yesterday
     // need no entry — they join the subgraph as their own seed
     val affected = CacheScope.localCheckpoint(

@@ -108,15 +108,19 @@ object ScaleProbe {
     require(missing.isEmpty, s"probe names not in SparkEntry.queries: $missing")
     // dev subset (e.g. the x30 run probes only the linear-class ops):
     // SPARK_GRAFT_PROBE_ONLY=d3_ngram_jaccard,d22_containment
-    val selected = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = probeOnly
       .map { only =>
-        val unknown = only -- probeNames.toSet
+        val unknown = only -- probeNames.toSet -- lakeNames.toSet -
+          "d24_construct" - "d24_apply"
         require(unknown.isEmpty,
           s"SPARK_GRAFT_PROBE_ONLY names not in the probe set: $unknown")
         probeNames.filter(only.contains)
       }
       .getOrElse(probeNames)
+    def extraSelected(name: String): Boolean =
+      probeOnly.forall(_.contains(name))
 
     // SPARK_GRAFT_EXPLAIN=1: after timing, print the EXECUTED (post-AQE)
     // plan on each dir — a probe anomaly is usually a runtime re-plan
@@ -172,11 +176,143 @@ object ScaleProbe {
       (name, t1, tR, ratio, exp)
     }
 
-    val json = rows.map { case (n, t1, tR, r, e) =>
+    // ---- d24 phase split (round 13): the gate's wall is dominated by
+    // CONSTRUCTING yesterday's state (production carries it persisted);
+    // the APPLY phase is the actual maintenance cost whose sub-linearity
+    // is the scale claim. Timing each phase separately keeps a regression
+    // in the incremental path from hiding inside construction noise.
+    val d24Rows: Seq[(String, Double, Double, Double, Double)] =
+      if (!extraSelected("d24_construct") && !extraSelected("d24_apply"))
+        Seq.empty
+      else {
+        import graft.operators.{CacheScope, PipelineExt}
+        def phases(dir: String): (Double, Double) = {
+          def t(f: => Unit): Double = {
+            System.gc(); val t0 = System.nanoTime(); f
+            (System.nanoTime() - t0) / 1e9
+          }
+          // warm once (JIT + codegen state), then measure fresh builds
+          PipelineExt.d24Apply(PipelineExt.d24Construct(spark, dir))
+            .queryExecution.toRdd.count()
+          CacheScope.releaseAll(blocking = true)
+          val times = (1 to 2).map { _ =>
+            var st: PipelineExt.D24State = null
+            val tc = t { st = PipelineExt.d24Construct(spark, dir) }
+            val ta = t {
+              PipelineExt.d24Apply(st).queryExecution.toRdd.count(); ()
+            }
+            CacheScope.releaseAll(blocking = true)
+            (tc, ta)
+          }
+          (times.map(_._1).min, times.map(_._2).min)
+        }
+        val (c1, a1) = phases(base)
+        val (cR, aR) = phases(scaleDir)
+        Seq(("d24_construct", c1, cR), ("d24_apply", a1, aR)).map {
+          case (n, t1, tR) =>
+            val ratio = if (t1 > 0 && tR > 0) tR / t1 else -1.0
+            val exp = if (ratio > 0) math.log(ratio) / math.log(factor) else -1.0
+            println(f"[scaleprobe] $n%-26s t1=$t1%7.2fs t$factor=$tR%7.2fs ratio=$ratio%6.2f exp=$exp%5.2f")
+            (n, t1, tR, ratio, exp)
+        }
+      }
+
+    // ---- lakehouse mutation probes (round 13): MoR DELETE / MoR UPDATE /
+    // copy-on-write MERGE against a snapshot-logged documents table whose
+    // FILE COUNT grows linearly with the corpus, while the mutation's
+    // keyed blast radius stays fixed (a ~100-id zone ≈ one file at every
+    // scale). Sub-linear wall = the mutation's work tracks touched files,
+    // not corpus size — the envelope-pruned scan + DV/CoW write posture.
+    val lakeRows: Seq[(String, Double, Double, Double, Double)] = {
+      val wanted = lakeNames.filter(extraSelected)
+      if (wanted.isEmpty) Seq.empty
+      else {
+        val t1 = lakeTimes(spark, base)
+        val tR = lakeTimes(spark, scaleDir)
+        wanted.map { n =>
+          val (a, b) = (t1(n), tR(n))
+          val ratio = if (a > 0 && b > 0) b / a else -1.0
+          val exp = if (ratio > 0) math.log(ratio) / math.log(factor) else -1.0
+          println(f"[scaleprobe] $n%-26s t1=$a%7.2fs t$factor=$b%7.2fs ratio=$ratio%6.2f exp=$exp%5.2f")
+          (n, a, b, ratio, exp)
+        }
+      }
+    }
+
+    val json = (rows ++ d24Rows ++ lakeRows).map { case (n, t1, tR, r, e) =>
       f""""$n":{"t1":$t1%.3f,"tR":$tR%.3f,"ratio":$r%.3f,"exp":$e%.3f}"""
     }.mkString(",")
     println(s"""{"metric":"scaleprobe","base":"$base","factor":$factor,"queries":{$json}}""")
     spark.stop()
+  }
+
+  private val lakeNames =
+    Seq("lake_delete_mor", "lake_update_mor", "lake_merge_cow")
+
+  /** Time the three lakehouse mutation verbs against a snapshot-logged
+    * copy of `corpus`'s documents table. The table is range-laid-out on
+    * doc_id with ~500-id files and doc_id envelopes; every mutation
+    * targets its own fixed-width key zone (disjoint zones, so runs don't
+    * interact), each verb warms once untimed, and the reported number is
+    * the min of two timed runs. The merge changeset is checkpointed
+    * BEFORE the timed window — in production it's the already-arrived CDC
+    * batch, not work the merge does. */
+  private def lakeTimes(spark: SparkSession, corpus: String): Map[String, Double] = {
+    import graft.sources.SnapshotLog
+    import graft.operators.CacheScope
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    val n = docs.count()
+    val nFiles = math.max(10L, n / 500L).toInt
+    val idMax = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lakeprobe")
+    try {
+      SnapshotLog.commit(docs.repartitionByRange(nFiles, col("doc_id")), dir,
+        statsCols = Seq("doc_id"))
+      val W = 100L
+      def zone(i: Int) = {
+        val lo = idMax / 24 + i * (idMax / 12)
+        col("doc_id").between(lo, lo + W - 1)
+      }
+      def timed(f: => Unit): Double = {
+        System.gc(); val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      val bump = Map("n_chars" -> (col("n_chars") + lit(1L)))
+      def changeset(i: Int, insBase: Long) =
+        SnapshotLog.read(spark, dir).filter(zone(i))
+          .withColumn("n_chars", col("n_chars") + lit(7L))
+          .unionByName(spark.range(50).select(
+            (col("id") + insBase).as("doc_id"),
+            lit("probe-insert").as("text"), lit("xx").as("lang"),
+            lit("probe").as("source"), lit(12L).as("n_chars")))
+          .withColumn("_deleted", lit(false))
+      // warm each verb's code path on its own zone
+      SnapshotLog.deleteWhere(spark, dir, zone(0))
+      SnapshotLog.updateWhere(spark, dir, zone(1), bump,
+        statsCols = Seq("doc_id"))
+      SnapshotLog.merge(spark, dir,
+        CacheScope.localCheckpoint(changeset(2, idMax + 1000)), "doc_id",
+        statsCols = Seq("doc_id"))
+      CacheScope.releaseAll(blocking = true)
+      val tDel = (3 to 4).map(i =>
+        timed(SnapshotLog.deleteWhere(spark, dir, zone(i)))).min
+      val tUpd = (5 to 6).map(i =>
+        timed(SnapshotLog.updateWhere(spark, dir, zone(i), bump,
+          statsCols = Seq("doc_id")))).min
+      val tMrg = (7 to 8).map { i =>
+        val cs = CacheScope.localCheckpoint(changeset(i, idMax + 2000 + i * 100))
+        val t = timed(SnapshotLog.merge(spark, dir, cs, "doc_id",
+          statsCols = Seq("doc_id")))
+        CacheScope.releaseAll(blocking = true)
+        t
+      }.min
+      Map("lake_delete_mor" -> tDel, "lake_update_mor" -> tUpd,
+        "lake_merge_cow" -> tMrg)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Build the R×-replicated corpus at `out` if absent (presence of the
