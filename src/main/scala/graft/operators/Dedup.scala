@@ -80,30 +80,48 @@ object Dedup {
   /** d3's pair set without the final presentation sort — consumers that
     * feed the pairs into further shuffles (d7's clustering) skip the
     * range-partition pass entirely. */
-  private[operators] def d3Pairs(s: SparkSession, d: String): DataFrame = {
-    // tokens are interned to 64-bit hashes and SORTED on the scan (once per
-    // doc), so the per-pair similarity is a single O(n+m) merge walk
-    // ([[graft.functions.JaccardSorted]]) — no per-pair hash-set builds,
-    // same Jaccard counts (collisions are 2^-64-improbable). The interning
-    // is compute-dense, so the scan is width-guarded ([[Scans.wide]])
-    val docs = Scans.wide(s, documents(s, d)
-        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+  private[operators] def d3Pairs(s: SparkSession, d: String): DataFrame =
+    d3PairsAmong(s, d3Prep(s, documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))))
+
+  /** d3's interned signature scan over an arbitrary (doc_id, source,
+    * text) frame: tokens are interned to 64-bit hashes and SORTED on the
+    * scan (once per doc), so the per-pair similarity is a single O(n+m)
+    * merge walk ([[graft.functions.JaccardSorted]]) — no per-pair
+    * hash-set builds, same Jaccard counts (collisions are
+    * 2^-64-improbable). The interning is compute-dense, so the scan is
+    * width-guarded ([[Scans.wide]]). This is the PER-DOC state d25
+    * carries between maintenance runs. */
+  private[graft] def d3Prep(s: SparkSession, docs: DataFrame): DataFrame =
+    Scans.wide(s, docs.select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), col("source"),
         array_sort(transform(array_distinct(toks), t => xxhash64(t))).as("w"))
       .withColumn("nw", size(col("w")))
       // ⌊log₂ nw⌋ + 1 via binary digit count — exact integer arithmetic
       .withColumn("bkt", length(conv(greatest(col("nw"), lit(1)), 10, 2)))
-    // The pair-verify stage is compute-bound but byte-light: at modest
-    // volumes the whole probe side is one scan split and the other side
-    // broadcasts, so every O(n+m) merge walk lands in a SINGLE task no
-    // matter how many cores (measured: ×10 corpus ran slower than ×30 —
-    // the ×30 shuffle flipped to a parallel sort-merge join). An EXPLICIT
-    // hash repartition on the join keys pins full-width parallelism —
-    // explicit numPartitions exempts it from AQE's byte-based coalescing,
-    // which would collapse this thin-but-hot exchange right back — and at
-    // volumes where the join planning flips to sort-merge the same
-    // exchange satisfies the join's clustering requirement, so it is
-    // reused, not added.
+
+  /** The [[graft.functions.JaccardSorted]] merge walk as a column. */
+  private def jacOf(wa: Column, wb: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.JaccardSorted(
+      GraftBridge.expression(wa), GraftBridge.expression(wb)))
+  }
+
+  /** d3's blocked self-join over a prepped ([[d3Prep]]) frame.
+    *
+    * The pair-verify stage is compute-bound but byte-light: at modest
+    * volumes the whole probe side is one scan split and the other side
+    * broadcasts, so every O(n+m) merge walk lands in a SINGLE task no
+    * matter how many cores (measured: ×10 corpus ran slower than ×30 —
+    * the ×30 shuffle flipped to a parallel sort-merge join). An EXPLICIT
+    * hash repartition on the join keys pins full-width parallelism —
+    * explicit numPartitions exempts it from AQE's byte-based coalescing,
+    * which would collapse this thin-but-hot exchange right back — and at
+    * volumes where the join planning flips to sort-merge the same
+    * exchange satisfies the join's clustering requirement, so it is
+    * reused, not added. */
+  private[graft] def d3PairsAmong(s: SparkSession, docs: DataFrame): DataFrame = {
     val shufParts = Scans.targetWidth(s)
     val a = docs.select(col("doc_id").as("a_id"), col("source"),
         col("w").as("wa"), col("nw").as("na"),
@@ -111,19 +129,119 @@ object Dedup {
       .repartition(shufParts, col("source"), col("bkt"))
     val b = docs.select(col("doc_id").as("b_id"), col("source").as("src_b"),
       col("w").as("wb"), col("nw").as("nb"), col("bkt").as("bkt_b"))
-    val jac = {
-      import org.apache.spark.sql.GraftBridge
-      GraftBridge.column(graft.functions.JaccardSorted(
-        GraftBridge.expression(col("wa")), GraftBridge.expression(col("wb"))))
-    }
     // exact length-ratio prefilter (PPJoin-style): jaccard ≥ 0.8 ⇒ |A|/|B| ∈
     // [0.8, 1.25] since j ≤ min/max — prunes remaining pairs with integer
     // comparisons before any per-pair set operation; result-neutral
     a.join(b, col("source") === col("src_b") && col("bkt") === col("bkt_b") &&
         col("a_id") < col("b_id") &&
         col("na") * 4 <= col("nb") * 5 && col("nb") * 4 <= col("na") * 5)
-      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .select(col("a_id"), col("b_id"), jacOf(col("wa"), col("wb")).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** d3's blocked join ACROSS two prepped frames with disjoint-or-equal
+    * ids — the delta-vs-index shape: the (small) probe side explodes to
+    * its 3-bucket neighborhood and repartitions on the block keys, the
+    * build side stays single-bucket. Output pairs are (least, greatest)
+    * normalized; Jaccard is symmetric so the normalization is free. */
+  private[graft] def d3PairsAcross(s: SparkSession, probe: DataFrame,
+      build: DataFrame): DataFrame = {
+    val shufParts = Scans.targetWidth(s)
+    val a = probe.select(col("doc_id").as("p_id"), col("source"),
+        col("w").as("wa"), col("nw").as("na"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+      .repartition(shufParts, col("source"), col("bkt"))
+    val b = build.select(col("doc_id").as("b_id"), col("source").as("src_b"),
+      col("w").as("wb"), col("nw").as("nb"), col("bkt").as("bkt_b"))
+    a.join(b, col("source") === col("src_b") && col("bkt") === col("bkt_b") &&
+        col("p_id") =!= col("b_id") &&
+        col("na") * 4 <= col("nb") * 5 && col("nb") * 4 <= col("na") * 5)
+      .select(least(col("p_id"), col("b_id")).as("a_id"),
+        greatest(col("p_id"), col("b_id")).as("b_id"),
+        jacOf(col("wa"), col("wb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  // ------------------------------------------ d25_cdf_dedup_maintenance
+  /** INCREMENTAL near-dup maintenance off the lakehouse CHANGE FEED —
+    * d24's daily-maintenance discipline applied to the PAIR SET itself,
+    * now with DELETE retraction. The corpus lives in a snapshot log: an
+    * ingest appends today's documents (v2) and a GDPR purge DV-deletes
+    * others (v3, [[graft.sources.SnapshotLog.deleteWhere]]). Yesterday's
+    * state is carried, never recomputed in production: the per-doc
+    * signature table ([[d3Prep]]) and the pair set over it. The
+    * maintenance reads ONLY the change feed
+    * ([[graft.sources.SnapshotLog.readChangesCdf]] v1→v3):
+    *
+    *   - inserts: signatures interned for the inserted docs ALONE, then
+    *     candidate-joined against the carried signature table
+    *     (new×old [[d3PairsAcross]] + new×new [[d3PairsAmong]]) — the
+    *     same blocked (source, length-bucket) keys as d3, so the delta
+    *     work is |delta|-bounded, never all-pairs;
+    *   - delete preimages: every carried pair with a purged endpoint
+    *     retracts (two anti-joins), and purged docs leave the build side
+    *     the same way. An inserted-then-purged doc contributes nothing.
+    *
+    * EXACT by construction, because d3's pair predicate is pointwise and
+    * its block keys are per-doc attributes:
+    *   pairs(final live) = (pairs(v1) minus pairs touching deletes)
+    *                     ∪ pairs touching a surviving new doc.
+    * The oracle recomputes d3 FROM SCRATCH over the final live corpus
+    * (documents minus the purge predicate): equality with the full
+    * recompute IS the incremental-maintenance contract (d24's
+    * discipline). The gate never reads the v2/v3 snapshots — its only
+    * post-v1 inputs are CDF rows, which is the structural proof the
+    * maintenance is feed-driven.
+    *
+    * In-gate: interning is provably delta-bounded (docs interned this
+    * run == surviving CDF inserts, a small fraction of the corpus), the
+    * purge bites carried pairs (retractions > 0), and the ingest
+    * contributes pairs (additions > 0) — at sf0.01: 105 pairs touch new
+    * docs, 286 touch purged docs, of the 1,506 carried. */
+  def d25CdfDedupMaintenance(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = EtlQueries.scratchDir("graft-d25")
+    val base = documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val isNew = col("doc_id") % 25 === 7
+    SnapshotLog.commit(base.filter(!isNew)
+      .repartitionByRange(8, col("doc_id")), dir,
+      statsCols = Seq("doc_id"))                                  // v1
+    SnapshotLog.commit(base.filter(isNew), dir)                   // v2: ingest
+    val v3 = SnapshotLog.deleteWhere(s, dir, col("doc_id") % 11 === 3)
+    // ------- carried state (production persists both; the gate rebuilds
+    // them from v1, the documented construct-vs-apply split d24 set)
+    val prepOld = CacheScope.localCheckpoint(
+      d3Prep(s, SnapshotLog.read(s, dir, Some(1))))
+    val pOld = CacheScope.localCheckpoint(d3PairsAmong(s, prepOld))
+    // ------- the APPLY: inputs below come ONLY from the change feed
+    val cdf = CacheScope.localCheckpoint(
+      SnapshotLog.readChangesCdf(s, dir, 1, v3)
+        .select(col("doc_id"), col("source"), col("text"),
+          col("_change_type")))
+    val delIds = cdf.filter(col("_change_type") === "delete")
+      .select(col("doc_id")).distinct()
+    val insRows = cdf.filter(col("_change_type") === "insert")
+    val newPrep = CacheScope.localCheckpoint(
+      d3Prep(s, insRows.join(delIds, Seq("doc_id"), "left_anti")))
+    val nInterned = newPrep.count()
+    val nCorpus = base.count()
+    def dropDeleted(df: DataFrame, idCols: String*): DataFrame =
+      idCols.foldLeft(df)((acc, c) => acc.join(
+        delIds.withColumnRenamed("doc_id", c), Seq(c), "left_anti"))
+    val buildLive = dropDeleted(prepOld, "doc_id")
+    val kept = CacheScope.localCheckpoint(dropDeleted(pOld, "a_id", "b_id"))
+    val added = CacheScope.localCheckpoint(
+      d3PairsAcross(s, newPrep, buildLive)
+        .unionByName(d3PairsAmong(s, newPrep)))
+    val nRetracted = pOld.count() - kept.count()
+    val nAdded = added.count()
+    val ok = v3 == 3 && nInterned > 0 && nInterned * 5 < nCorpus &&
+      nRetracted > 0 && nAdded > 0
+    EtlQueries.materializedThenClean(
+      kept.unionByName(added).filter(lit(ok)), dir,
+      Seq(col("a_id"), col("b_id")))
   }
 
   // ------------------------------------------------------ d4_minhash_lsh
@@ -837,6 +955,7 @@ object Dedup {
     "d1_dedup_exact" -> d1DedupExact,
     "d2_dedup_normalized" -> d2DedupNormalized,
     "d3_ngram_jaccard" -> d3NgramJaccard,
+    "d25_cdf_dedup_maintenance" -> d25CdfDedupMaintenance,
     "d4_minhash_lsh" -> d4MinhashLsh,
     "d5_simhash_dup" -> d5SimhashDup,
     "d6_embedding_neardup" -> d6EmbeddingNearDup,
@@ -979,6 +1098,20 @@ object Dedup {
       """WITH t AS (SELECT doc_id, source,
         |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
         |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |    / len(list_distinct(list_cat(a.w, b.w))) AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |    / len(list_distinct(list_cat(a.w, b.w))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    // the incremental maintenance must equal d3 recomputed FROM SCRATCH
+    // over the final live corpus (everything minus the purge predicate) —
+    // label equality with the full recompute is the maintenance contract
+    "d25_cdf_dedup_maintenance" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 11 <> 3)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
         |    / len(list_distinct(list_cat(a.w, b.w))) AS jaccard

@@ -9,10 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite {
 
   test("registry counts match the documented 206 queries / 199 oracles") {
-    assert(SparkEntry.queries.size == 206,
+    assert(SparkEntry.queries.size == 207,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 199,
+    assert(SparkEntry.oracleSql.size == 200,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
