@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotLog
+
+/** The delta-encoded manifest format (round 13 — the Delta-log
+  * checkpoint idea over plain JSON): eligible versions publish only the
+  * diff against v−1, every `checkpointEvery`-th version (and every
+  * structural step: schema change, overwrite-shaped diff) publishes a
+  * full checkpoint. The contract under test: RESOLUTION IS EXACT — a log
+  * written with deltas reads identically, version for version, to one
+  * written all-checkpoints — and vacuum can never strand a delta whose
+  * base expired. */
+class SnapshotDeltaSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def withCheckpointEvery[A](k: Int)(f: => A): A = {
+    val old = SnapshotLog.checkpointEvery
+    SnapshotLog.checkpointEvery = k
+    try f finally SnapshotLog.checkpointEvery = old
+  }
+
+  private def manifestJson(dir: java.nio.file.Path, v: Int): String =
+    Files.readString(dir.resolve("_graft_log").resolve(f"v$v%05d.json"))
+
+  private def isDelta(dir: java.nio.file.Path, v: Int): Boolean =
+    manifestJson(dir, v).contains("\"base\"")
+
+  /** The full write matrix against one log dir; returns the last version. */
+  private def driveLifecycle(dir: java.nio.file.Path): Int = {
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 10).coalesce(1),
+      dir, statsCols = Seq("n_nationkey"))                               // v1
+    SnapshotLog.commit(
+      nation.filter(col("n_nationkey").between(10, 19)).coalesce(1),
+      dir, statsCols = Seq("n_nationkey"))                               // v2
+    SnapshotLog.commit(nation.filter(col("n_nationkey") >= 20).coalesce(1),
+      dir, statsCols = Seq("n_nationkey"))                               // v3
+    SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") % 3 === 0)    // v4
+    SnapshotLog.updateWhere(spark, dir, col("n_nationkey") === 7,
+      Map("n_regionkey" -> (col("n_regionkey") + lit(100))),
+      statsCols = Seq("n_nationkey"))                                    // v5
+    val changes = nation.filter(col("n_nationkey").isin(1, 2))
+      .withColumn("n_regionkey",
+        when(col("n_nationkey") === 1, lit(55)).otherwise(col("n_regionkey")))
+      .withColumn("_deleted", col("n_nationkey") === 2)
+      .unionByName(nation.filter(col("n_nationkey") === 4)
+        .withColumn("n_nationkey", lit(99))
+        .withColumn("_deleted", lit(false)))
+    SnapshotLog.merge(spark, dir, changes, "n_nationkey",
+      statsCols = Seq("n_nationkey"))                                    // v6
+    SnapshotLog.compact(spark, dir, targetFiles = 1)                     // v7
+  }
+
+  test("a delta-encoded log resolves identically to an all-checkpoint twin, every version") {
+    val full = Files.createTempDirectory("graft-delta-a")
+    val delta = Files.createTempDirectory("graft-delta-b")
+    val lastF = withCheckpointEvery(1)(driveLifecycle(full))
+    val lastD = withCheckpointEvery(4)(driveLifecycle(delta))
+    assert(lastF == 7 && lastD == 7)
+    // the delta log actually used the format: appends/mutations encode as
+    // deltas, the cadence version and the structural steps checkpoint
+    assert(!isDelta(delta, 1), "v1 has no base — always a checkpoint")
+    assert((2 to 3).forall(isDelta(delta, _)), "plain appends are deltas")
+    assert(!isDelta(delta, 4), "v4 is the checkpointEvery cadence version")
+    assert(isDelta(delta, 5) && isDelta(delta, 6),
+      "MoR update and file-granular merge are deltas")
+    assert(!isDelta(delta, 7), "compact rewrites everything — checkpoint")
+    assert((1 to 7).forall(v => !isDelta(full, v)),
+      "checkpointEvery=1 must reproduce the pre-round-13 format exactly")
+    // resolution contract: every version reads identically on both logs
+    (1 to 7).foreach { v =>
+      val a = SnapshotLog.read(spark, full, Some(v)).collect().toSet
+      val b = SnapshotLog.read(spark, delta, Some(v)).collect().toSet
+      assert(a == b, s"version $v diverged between delta and checkpoint logs")
+      assert(SnapshotLog.schemaOf(full, Some(v)).map(_.json) ==
+        SnapshotLog.schemaOf(delta, Some(v)).map(_.json))
+    }
+    // the change feed crosses delta boundaries identically (file names
+    // differ per log — compare the logical change rows)
+    def cdf(d: java.nio.file.Path) =
+      SnapshotLog.readChangesCdf(spark, d, 1, 6).collect().toSet
+    assert(cdf(full) == cdf(delta))
+    // a delta manifest is small: the v5 MoR update touched one file of
+    // three — its delta must be well under its own v4 checkpoint's bytes
+    assert(manifestJson(delta, 5).length < manifestJson(delta, 4).length,
+      "a sparse mutation's delta manifest must be smaller than a checkpoint")
+    assert(SnapshotLog.orphans(full).isEmpty && SnapshotLog.orphans(delta).isEmpty)
+  }
+
+  test("vacuum materializes a surviving delta whose base expires; chains above it keep working") {
+    val dir = Files.createTempDirectory("graft-delta-v")
+    withCheckpointEvery(100) {
+      val nation = Tables.nation(spark, sf)
+      (0 until 5).foreach { i =>
+        SnapshotLog.commit(nation.filter(col("n_nationkey") % 5 === i)
+          .coalesce(1), dir)                                      // v1..v5
+      }
+      assert((2 to 5).forall(isDelta(dir, _)))
+      val (expired, _) = SnapshotLog.vacuum(dir, keepVersions = 2)
+      assert(expired == Seq(1, 2, 3))
+      // v4's base (v3) expired → v4 was materialized as a checkpoint;
+      // v5's base (v4) survives → v5 stays a delta and still resolves
+      assert(!isDelta(dir, 4), "the oldest kept version must checkpoint")
+      assert(isDelta(dir, 5), "a delta on a surviving base needs no rewrite")
+      assert(SnapshotLog.read(spark, dir, Some(4)).count() == 20)
+      assert(SnapshotLog.read(spark, dir, Some(5)).count() == 25)
+      assert(SnapshotLog.orphans(dir).isEmpty)
+      // expiring down to one version materializes the last delta too
+      SnapshotLog.vacuum(dir, keepVersions = 1)
+      assert(!isDelta(dir, 5))
+      assert(SnapshotLog.read(spark, dir).count() == 25)
+    }
+  }
+
+  test("txn idempotency and schema evolution cross the delta format") {
+    val dir = Files.createTempDirectory("graft-delta-t")
+    withCheckpointEvery(100) {
+      val nation = Tables.nation(spark, sf)
+      SnapshotLog.commit(nation.filter(col("n_nationkey") < 20), dir)   // v1
+      val v2 = SnapshotLog.commit(nation.filter(col("n_nationkey") >= 20),
+        dir, txnId = Some("batch-42"))                                  // v2 delta
+      assert(v2 == 2 && isDelta(dir, 2))
+      // replay: the txn key reads off the delta manifest directly
+      assert(SnapshotLog.commit(nation.filter(col("n_nationkey") >= 20),
+        dir, txnId = Some("batch-42")) == 2, "txn replay across a delta")
+      assert(SnapshotLog.versions(dir) == Seq(1, 2))
+      // ADD-COLUMN evolution publishes a new schema → always a checkpoint
+      val v3 = SnapshotLog.commit(
+        nation.filter(col("n_nationkey") === 0)
+          .withColumn("extra", lit(7)), dir)
+      assert(v3 == 3 && !isDelta(dir, 3),
+        "a schema step must checkpoint — deltas inherit their base's schema")
+      val latest = SnapshotLog.read(spark, dir)
+      assert(latest.columns.contains("extra"))
+      assert(latest.filter(col("extra").isNull).count() == 25,
+        "old files null-fill the added column through the delta chain")
+    }
+  }
+}
