@@ -546,9 +546,16 @@ object Cli {
     val rest = conf.positional.tail
     def dir = Paths.get(rest.headOption.getOrElse(
       throw new IllegalArgumentException(s"lake $verb needs a table dir\n$usage")))
+    // arity guard: a missing or extra positional is a usage error, not a
+    // MatchError stack trace from the Vector destructure below
+    def arity(n: Int, shape: String): Unit =
+      if (rest.size != n) throw new IllegalArgumentException(
+        s"lake $verb needs exactly: $shape (got ${rest.size} " +
+          s"positional(s))\n$usage")
     lazy val spark = sparkOpt.getOrElse(session(conf.verbosity))
     verb match {
       case "commit" =>
+        arity(2, "TABLE_DIR IN_PARQUET")
         val Vector(_, in) = rest: @unchecked
         val v = SnapshotLog.commit(
           graft.sources.PhysicalFormat.readSparkCompatible(spark, Paths.get(in)),
@@ -556,10 +563,12 @@ object Cli {
           statsCols = conf.lakeStatsCols, txnId = conf.lakeTxnId)
         s"committed version $v"
       case "delete" =>
+        arity(2, "TABLE_DIR PREDICATE")
         val Vector(_, pred) = rest: @unchecked
         val v = SnapshotLog.deleteWhere(spark, dir, expr(pred))
         s"deleted; latest version $v"
       case "update" =>
+        arity(2, "TABLE_DIR PREDICATE")
         val Vector(_, pred) = rest: @unchecked
         require(conf.lakeSet.nonEmpty, "lake update needs at least one --set col=expr")
         val sets = conf.lakeSet.map { s =>
@@ -574,6 +583,7 @@ object Cli {
           statsCols = conf.lakeStatsCols)
         s"updated; latest version $v"
       case "merge" =>
+        arity(2, "TABLE_DIR CHANGES_PARQUET")
         val Vector(_, changes) = rest: @unchecked
         val key = conf.lakeKey.getOrElse(
           throw new IllegalArgumentException("lake merge requires --key COL"))
@@ -589,6 +599,7 @@ object Cli {
           key, seqCol = conf.lakeSeqCol, statsCols = conf.lakeStatsCols)
         s"merged version $v"
       case "optimize" =>
+        arity(1, "TABLE_DIR")
         val v = conf.lakeSmallFileBytes match {
           case Some(small) => SnapshotLog.binPack(spark, dir, small,
             conf.lakeTargetFileBytes, statsCols = conf.lakeStatsCols)
@@ -597,10 +608,12 @@ object Cli {
         }
         s"optimized; latest version $v"
       case "vacuum" =>
+        arity(1, "TABLE_DIR")
         val (expired, deleted) = SnapshotLog.vacuum(dir, conf.lakeKeepVersions)
         s"expired versions ${expired.mkString(",")}; " +
           s"deleted ${deleted.size} data files"
       case "versions" =>
+        arity(1, "TABLE_DIR")
         val vs = SnapshotLog.versions(dir)
         vs.map { v =>
           val n = SnapshotLog.files(dir, Some(v)).size
@@ -608,7 +621,14 @@ object Cli {
           s"v$v files=$n dvs=$d"
         }.mkString("\n")
       case "read" =>
+        arity(2, "TABLE_DIR OUT_PARQUET")
         val Vector(_, out) = rest: @unchecked
+        // --as-of is the snapshot verb; silently discarding it under
+        // --changes/--cdf would serve feed rows to a time-travel request
+        if (conf.lakeAsOf.isDefined &&
+            (conf.lakeChanges.isDefined || conf.lakeCdf.isDefined))
+          throw new IllegalArgumentException(
+            "--as-of cannot combine with --changes/--cdf")
         val df = (conf.lakeChanges, conf.lakeCdf) match {
           case (Some((f, t)), None) => SnapshotLog.readChanges(spark, dir, f, t)
           case (None, Some((f, t))) => SnapshotLog.readChangesCdf(spark, dir, f, t)

@@ -238,13 +238,32 @@ object SnapshotLog {
     // loop re-checks authoritatively against the version appended onto
     val caseSensitive = df.sparkSession.conf
       .get("spark.sql.caseSensitive", "false").toBoolean
-    if (!overwrite) versions(dir).lastOption.flatMap(readSchemaJson(dir, _))
-      .foreach(requireAppendCompatible(dir, _, df.schema, caseSensitive))
+    val prevJsonFast = if (overwrite) None
+      else versions(dir).lastOption.flatMap(readSchemaJson(dir, _))
+    prevJsonFast.foreach(
+      requireAppendCompatible(dir, _, df.schema, caseSensitive))
+    // CASING ALIGNMENT: under case-insensitive resolution an accepted
+    // append may spell an existing column with different case. The TABLE
+    // owns its casing — matching columns rename to the manifest spelling
+    // BEFORE staging, so the written files and the stamped schema stay
+    // uniformly cased and a later caseSensitive=true reader resolves
+    // every file (an appender-cased manifest would silently null-fill
+    // the pre-append files there). Genuinely new columns (ADD COLUMN)
+    // keep the appender's spelling.
+    val aligned = prevJsonFast match {
+      case Some(pj) if !caseSensitive =>
+        val prev = org.apache.spark.sql.types.DataType.fromJson(pj)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val renamed = df.columns.map(c =>
+          prev.fields.find(_.name.equalsIgnoreCase(c)).map(_.name).getOrElse(c))
+        if (renamed.sameElements(df.columns)) df else df.toDF(renamed.toSeq: _*)
+      case _ => df
+    }
     // stage next to data/ so promotion is a metadata rename (ParquetSink's
     // same-filesystem staging rule)
     val staging = Files.createTempDirectory(dataDir(dir), ".commit-")
     try {
-      df.write.mode("overwrite").option("compression", "zstd")
+      aligned.write.mode("overwrite").option("compression", "zstd")
         .parquet(staging.toString)
       val attemptV = versions(dir).lastOption.getOrElse(0) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
@@ -265,7 +284,7 @@ object SnapshotLog {
       // files must be carried, not the stale snapshot's). Data files keep
       // their first-attempt name prefix — names are opaque; the manifest
       // is the only membership truth. Carried files keep their envelopes.
-      val schemaJson = normSchema(df.schema).json
+      val schemaJson = normSchema(aligned.schema).json
       var committed = -1
       while (committed < 0) {
         val prev = versions(dir)
@@ -295,7 +314,7 @@ object SnapshotLog {
         val prevSchemaJson = prev.lastOption.flatMap(readSchemaJson(dir, _))
         if (!overwrite)
           prevSchemaJson.foreach(
-            requireAppendCompatible(dir, _, df.schema, caseSensitive))
+            requireAppendCompatible(dir, _, aligned.schema, caseSensitive))
         // LEGACY lineages (pre-schema manifests) stay legacy on append:
         // stamping this frame's schema would silently impose it on
         // carried files that were never compatibility-checked against
@@ -501,12 +520,24 @@ object SnapshotLog {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    def width(dt: DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 4
+      case LongType => 8
+      case _ => 0
+    }
     def colName(x: Expression): Option[String] = x match {
       case a: AttributeReference => Some(a.name)
       // the analyzer widens the column side for a mixed-width compare;
-      // integral widening is value-preserving, so the envelope (physical
-      // units) still bounds the cast value — unit-changing casts do not
-      case c: Cast if integral(c.dataType) && integral(c.child.dataType) =>
+      // integral WIDENING is value-preserving, so the envelope (physical
+      // units) still bounds the cast value. A NARROWING cast is not —
+      // under non-ANSI semantics CAST(4294967301L AS INT) wraps to 5, so
+      // a row outside the envelope's range can satisfy the predicate;
+      // unwrapping it would prune a file that holds a matching row.
+      // Narrowing (and unit-changing) casts yield no constraint: read.
+      case c: Cast if integral(c.dataType) && integral(c.child.dataType) &&
+          width(c.dataType) >= width(c.child.dataType) =>
         colName(c.child)
       case _ => None
     }
@@ -598,6 +629,10 @@ object SnapshotLog {
   /** Does a committed envelope overlap a necessary range? A mismatch of
     * shapes (or no constraint) reads conservatively. */
   private def rangeOverlaps(r: PredRange, env: ColEnv): Boolean = (r, env) match {
+    // an INVERTED range (lo > hi — an unsatisfiable AND) overlaps nothing:
+    // without the check, an envelope straddling both bounds would read
+    case (IntRange(lo, hi), _) if lo > hi => false
+    case (StrRange(lo, hi), _) if hi.exists(utf8Cmp(lo, _) > 0) => false
     case (IntRange(lo, hi), IntEnv(mn, mx)) => mx >= lo && mn <= hi
     case (StrRange(lo, hi), StrEnv(mn, emx)) =>
       emx.forall(utf8Cmp(_, lo) >= 0) && hi.forall(utf8Cmp(mn, _) <= 0)
@@ -612,13 +647,22 @@ object SnapshotLog {
     * constrained column are candidates (sound). */
   private def pruneForPredicate(files: Seq[String],
       stats: Map[String, Map[String, ColEnv]],
-      ranges: Map[String, PredRange]): (Seq[String], Seq[String]) =
-    if (ranges.isEmpty) (files, Seq.empty)
+      ranges: Map[String, PredRange]): (Seq[String], Seq[String]) = {
+    // an INVERTED necessary range (lo > hi, from intersecting an
+    // unsatisfiable AND) falsifies the whole predicate on every row —
+    // prune everything, including files with no envelope at all
+    val unsatisfiable = ranges.values.exists {
+      case IntRange(lo, hi) => lo > hi
+      case StrRange(lo, hi) => hi.exists(utf8Cmp(lo, _) > 0)
+    }
+    if (unsatisfiable) (Seq.empty, files)
+    else if (ranges.isEmpty) (files, Seq.empty)
     else files.partition { f =>
       ranges.forall { case (c, r) =>
         stats.get(f).flatMap(_.get(c)).forall(rangeOverlaps(r, _))
       }
     }
+  }
 
   /** Dev/gate observability seam: (files scanned, manifest files) of the
     * most recent [[deleteWhere]]/[[updateWhere]] predicate scan on this
@@ -835,12 +879,13 @@ object SnapshotLog {
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
     val manifest = readManifest(dir, vRead)
     val sized = manifest.map(f => f -> Files.size(dataDir(dir).resolve(f)))
-    val small = sized.filter(_._2 < smallFileBytes).map(_._1)
+    val smallSized = sized.filter(_._2 < smallFileBytes)
+    val small = smallSized.map(_._1)
     if (small.size < 2) return vRead // nothing worth packing
     val stats0 = readStats(dir, vRead)
     val rows = readFiles(spark, dir, small, readDvs(dir, vRead),
       schemaOfVersion(dir, vRead)) // merge-on-read: their DVs materialize
-    val smallBytes = sized.filter(s => small.contains(s._1)).map(_._2).sum
+    val smallBytes = smallSized.map(_._2).sum
     val nOut = math.max(1L,
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val harvest = (small.flatMap(f =>
@@ -1462,17 +1507,30 @@ object SnapshotLog {
           // DV files may repeat already-dead positions (rebase dedup rule
           // — "duplicates are harmless in the anti-join"), so the prior
           // DV set is anti-joined out rather than assumed disjoint.
-          val carried = mp.toSet.intersect(mv.toSet)
-          val newDead0 = spark.read.parquet(
+          // carried = manifest minus (added ∪ dropped); filter by
+          // anti-joining the SMALL complement rather than enumerating the
+          // carried set — an isin over ~every file name would build a
+          // million-literal In expression at the table sizes this feed
+          // targets
+          val notCarried = (added ++ dropped).distinct
+          import spark.implicits._
+          val newDeadAll = spark.read.parquet(
             dvNew.map(f => dataDir(dir).resolve(f).toString): _*)
-            .filter(col("f").isin(carried.toSeq: _*))
+          val newDead0 =
+            if (notCarried.isEmpty) newDeadAll
+            else newDeadAll.join(broadcast(notCarried.toDF("f")),
+              Seq("f"), "left_anti")
           val newDead = (if (dvP.isEmpty) newDead0
             else newDead0.join(broadcast(spark.read.parquet(
                 dvP.map(f => dataDir(dir).resolve(f).toString): _*)),
               Seq("f", "pos"), "left_anti")).distinct()
           // preimages: only the files the new positions actually touch
+          // (driver-side carried check: an inert DV row referencing a
+          // file in neither manifest must not reach the preimage read)
+          val carried = mp.toSet.intersect(mv.toSet)
           val hitFiles = newDead.select(col("f")).distinct()
             .collect().map(_.getString(0)).toSeq // bounded by file count
+            .filter(carried.contains)
           if (hitFiles.isEmpty) None
           else {
             val pre = liveWithPos(spark, dir, hitFiles, dvP,
@@ -1719,16 +1777,20 @@ object SnapshotLog {
       stats: Map[String, Map[String, ColEnv]], dvs: Seq[String],
       schemaJson: Option[String])
 
-  /** Resolved-state memo. Manifests are immutable once published (CAS
-    * hard link, never replaced), so caching is sound; the key carries the
-    * file SIZE so the two sanctioned in-place content changes — a spec
-    * surgically editing a manifest, and [[vacuum]]'s delta→checkpoint
-    * materialization — read fresh (both change the byte count). Bounded
-    * LRU so a long-lived session over many logs stays flat. */
+  /** Resolved-state memo. The key is CONTENT-ADDRESSED (path, version,
+    * SHA-256 of the manifest bytes): the cache's job is to skip re-PARSING
+    * and re-walking a delta's base chain, not to skip the single file
+    * read — and content addressing makes every rewrite-at-the-same-path
+    * scenario safe by construction: a spec surgically editing a manifest,
+    * [[vacuum]]'s delta→checkpoint materialization, and a log directory
+    * deleted and re-created at the same path (where size, mtime
+    * granularity, and even the INODE can all recur — observed: tmpfs
+    * reused the freed inode, so a (path, size, fileKey) key served the
+    * dead lineage). Bounded LRU so a long-lived session stays flat. */
   private val stateCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Int, Long), LogState](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Int, String), LogState](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, Long), LogState]): Boolean =
+          e: java.util.Map.Entry[(String, Int, String), LogState]): Boolean =
         size() > 256
     })
 
@@ -1768,10 +1830,14 @@ object SnapshotLog {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val mp = manifestPath(dir, v)
-    val key = (dir.toAbsolutePath.normalize.toString, v, Files.size(mp))
+    val bytes = Files.readAllBytes(mp)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    val key = (dir.toAbsolutePath.normalize.toString, v, sha)
     val hit = stateCache.get(key)
     if (hit != null) return hit
-    val j = JsonMethods.parse(Files.readString(mp))
+    val j = JsonMethods.parse(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     val st = (j \ "base") match {
       case JInt(b) =>
         val base = stateOf(dir, b.toInt)

@@ -45,6 +45,11 @@ object ScaleProbe {
     "d19_lpa_communities", "d20_dedup_full", "d21_triangle_count",
     "d9_fuzzy_link", "d22_containment", "d23_containment_decontam",
     "d5_simhash_dup", "d24_incremental_cc",
+    // CDF-driven pair maintenance: gate wall is construct-dominated like
+    // d24 (yesterday's signature table + pair set rebuilt in-gate); the
+    // probe tracks the whole gate — the apply's delta is a fixed corpus
+    // fraction, so sub-linearity mirrors d3's blocked-join class
+    "d25_cdf_dedup_maintenance",
     // lakehouse: s12 commits the replica's embeddings into a snapshot
     // log, DV-deletes a fifth, and serves exact ANN over the live rows —
     // the probe covers commit + DV publish + DV-anti-joined scan at scale
@@ -247,7 +252,8 @@ object ScaleProbe {
   }
 
   private val lakeNames =
-    Seq("lake_delete_mor", "lake_update_mor", "lake_merge_cow")
+    Seq("lake_delete_mor", "lake_update_mor", "lake_merge_cow",
+      "lake_manifest_delta_bytes", "lake_manifest_ckpt_bytes")
 
   /** Time the three lakehouse mutation verbs against a snapshot-logged
     * copy of `corpus`'s documents table. The table is range-laid-out on
@@ -306,8 +312,31 @@ object ScaleProbe {
         CacheScope.releaseAll(blocking = true)
         t
       }.min
+      // metadata-scale evidence (round 13 delta manifests): the largest
+      // DELTA manifest the mutations published vs the largest CHECKPOINT
+      // — the delta should stay flat as the corpus (and so the table's
+      // file count) grows, while the checkpoint is honestly O(files),
+      // paid once per checkpointInterval versions
+      val logd = dir.resolve("_graft_log")
+      val manifestSizes = {
+        val st = java.nio.file.Files.list(logd)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+            .map { p =>
+              val isDelta = java.nio.file.Files.readString(p).contains("\"base\"")
+              (isDelta, java.nio.file.Files.size(p))
+            }.toVector
+        } finally st.close()
+      }
+      val deltaBytes = manifestSizes.collect { case (true, n) => n }
+      val ckptBytes = manifestSizes.collect { case (false, n) => n }
       Map("lake_delete_mor" -> tDel, "lake_update_mor" -> tUpd,
-        "lake_merge_cow" -> tMrg)
+        "lake_merge_cow" -> tMrg,
+        "lake_manifest_delta_bytes" ->
+          (if (deltaBytes.isEmpty) -1.0 else deltaBytes.max.toDouble),
+        "lake_manifest_ckpt_bytes" ->
+          (if (ckptBytes.isEmpty) -1.0 else ckptBytes.max.toDouble))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

@@ -134,5 +134,20 @@ class CliLakeSpec extends AnyFunSuite {
       Cli.parse(Seq("lake", "read", "/tmp/x", "out", "--cdf", "junk")))
     intercept[IllegalArgumentException](lake("read", "/tmp/does-not-exist",
       "out", "--changes", "1:2", "--cdf", "1:2"))
+    // wrong POSITIONAL arity is a usage error, never a MatchError
+    def usageError(args: String*): Unit = {
+      val e = intercept[IllegalArgumentException](lake(args: _*))
+      assert(e.getMessage.contains("needs exactly"), s"got: ${e.getMessage}")
+    }
+    usageError("delete", "/tmp/x")                       // predicate missing
+    usageError("commit", "/tmp/x")                       // input missing
+    usageError("commit", "/tmp/x", "in.parquet", "junk") // extra positional
+    usageError("read", "/tmp/x")                         // output missing
+    usageError("vacuum", "/tmp/x", "junk")               // extra positional
+    // --as-of is the snapshot verb: combining it with a feed read must
+    // fail, not silently serve feed rows to a time-travel request
+    val e = intercept[IllegalArgumentException](lake("read", "/tmp/x", "out",
+      "--as-of", "3", "--changes", "1:2"))
+    assert(e.getMessage.contains("--as-of"))
   }
 }

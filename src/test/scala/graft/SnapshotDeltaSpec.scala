@@ -115,6 +115,35 @@ class SnapshotDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("a log directory deleted and re-created at the same path never serves the dead lineage") {
+    val dir = Files.createTempDirectory("graft-delta-r")
+    val region = Tables.region(spark, sf)
+    SnapshotLog.commit(region, dir)
+    val firstFiles = SnapshotLog.files(dir).toSet
+    assert(SnapshotLog.read(spark, dir).count() == region.count())
+    // wipe and rebuild the SAME path — same version, and the manifest's
+    // byte count is plausibly identical (file names differ only in their
+    // fixed-width random token), so a size-only cache key would hit
+    def wipe(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => Files.deleteIfExists(q))
+    }
+    wipe(dir)
+    Files.createDirectories(dir)
+    SnapshotLog.commit(region, dir)
+    val secondFiles = SnapshotLog.files(dir).toSet
+    assert(secondFiles != firstFiles,
+      "fresh lineage must list its own (token-distinct) files")
+    assert(SnapshotLog.read(spark, dir).count() == region.count(),
+      "reads must resolve the NEW lineage, never cached dead state")
+    // a follow-up append must carry the new lineage's files, not phantoms
+    SnapshotLog.commit(region, dir)
+    assert(SnapshotLog.files(dir).toSet.intersect(firstFiles).isEmpty)
+    assert(SnapshotLog.read(spark, dir).count() == 2 * region.count())
+    assert(SnapshotLog.orphans(dir).isEmpty)
+  }
+
   test("txn idempotency and schema evolution cross the delta format") {
     val dir = Files.createTempDirectory("graft-delta-t")
     withCheckpointEvery(100) {

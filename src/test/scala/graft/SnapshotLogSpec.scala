@@ -514,6 +514,15 @@ class SnapshotLogSpec extends AnyFunSuite {
       region.withColumnRenamed("r_name", "R_NAME"), dir)
     assert(v2 == 2)
     assert(SnapshotLog.read(spark, dir).count() == region.count() * 2)
+    // the TABLE owns its casing: the accepted append aligns to the
+    // manifest spelling (files + stamped schema), so a caseSensitive=true
+    // reader resolves every file instead of null-filling half the rows
+    assert(SnapshotLog.schemaOf(dir).get.fieldNames.contains("r_name") &&
+      !SnapshotLog.schemaOf(dir).get.fieldNames.contains("R_NAME"),
+      "an append must not restamp the manifest with its own casing")
+    assert(SnapshotLog.read(spark, dir)
+      .filter(col("r_name").isNull).count() == 0,
+      "every file must resolve the column under the table's casing")
     // a REAL drop is still rejected
     intercept[IllegalArgumentException](
       SnapshotLog.commit(region.drop("r_name"), dir))
@@ -626,7 +635,17 @@ class SnapshotLogSpec extends AnyFunSuite {
     import SnapshotLog.{IntRange, StrRange}
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", LongType),
-      StructField("j", LongType), StructField("s", StringType)))
+      StructField("j", LongType), StructField("s", StringType),
+      StructField("i", IntegerType)))
+    // WIDENING casts unwrap (value-preserving — the envelope still
+    // bounds); NARROWING casts must NOT: non-ANSI CAST(big AS INT) wraps,
+    // so a row outside the range can satisfy the predicate and pruning
+    // on the unwrapped column would skip its file
+    assert(SnapshotLog.mutationRanges(spark, schema,
+      col("i").cast("long") === 5) == Map("i" -> IntRange(5, 5)))
+    assert(SnapshotLog.mutationRanges(spark, schema,
+      col("k").cast("int") === 5).isEmpty,
+      "a narrowing cast over the column must read everything")
     def rr(c: org.apache.spark.sql.Column) =
       SnapshotLog.mutationRanges(spark, schema, c)
     assert(rr(col("k") === 5) == Map("k" -> IntRange(5, 5)))
@@ -693,6 +712,16 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.deleteWhere(spark, pruned,
       col("o_orderkey") > mm.getLong(1) + 1000000L) == vBefore)
     assert(SnapshotLog.lastMutationScan.get()._1 == 0)
+    // an UNSATISFIABLE predicate (inverted necessary range) prunes every
+    // file — including ones without envelopes — on BOTH table layouts
+    assert(SnapshotLog.deleteWhere(spark, pruned,
+      col("o_orderkey") < aLo && col("o_orderkey") > aHi) == vBefore)
+    assert(SnapshotLog.lastMutationScan.get()._1 == 0)
+    val vBlind = SnapshotLog.versions(blind).last
+    assert(SnapshotLog.deleteWhere(spark, blind,
+      col("o_orderkey") < aLo && col("o_orderkey") > aHi) == vBlind)
+    assert(SnapshotLog.lastMutationScan.get()._1 == 0,
+      "unsatisfiable predicates prune stat-less files too")
   }
 
   test("CDF folds exactly across DV deletes, file drops, updates, and rebases; readChanges refuses them") {

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 206 queries / 199 oracles") {
+  test("registry counts match the documented 207 queries / 200 oracles") {
     assert(SparkEntry.queries.size == 207,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
