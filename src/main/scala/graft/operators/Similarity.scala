@@ -150,6 +150,117 @@ object Similarity {
       Seq(col("q_id"), col("rank")))
   }
 
+  // ------------------------------------------ s13_cdf_ann_maintenance
+  /** INCREMENTAL ANN-index maintenance off the change feed — the
+    * maintenance trilogy's ANN leg (d24 graph labels, d25 pair set, s13
+    * the serving index). The vector corpus lives in a snapshot log: an
+    * ingest appends today's vectors (v2), a purge DV-deletes others
+    * (v3). Carried state is the SQ8 serving index built over v1 — the
+    * FROZEN per-dimension quantizer bounds and the code table
+    * (production retrains bounds on a slow cadence, never per batch).
+    * The maintenance reads ONLY the change feed
+    * ([[graft.sources.SnapshotLog.readChangesCdf]] 1→v3):
+    *
+    *   - inserts encode with the frozen bounds
+    *     ([[graft.functions.QuantizeFunctions.sq8Encode]] clamps
+    *     out-of-range values; the rescore window absorbs the drift) and
+    *     append to the code table — encode work is |delta|-bounded;
+    *   - delete preimages anti-join their vec_ids out of the code table
+    *     — a GDPR purge costs the index NOTHING to rebuild.
+    *
+    * Serving is s4's shape over the maintained codes: ADC ranking on
+    * the 4×-smaller code table, exact rescore of the top-[[Sq8Rescore]]
+    * against the live snapshot — result-IDENTICAL to brute force over
+    * the final live corpus (s4's measured-margin argument), so the gate
+    * shares the exact top-k oracle under the purge's NOT-predicate
+    * (s12's discipline, with the index now maintained incrementally
+    * rather than the corpus scanned). The gate never reads the v2/v3
+    * snapshots for maintenance — codes change only via CDF rows.
+    * In-gate: encode work provably delta-bounded, the purge bites both
+    * the carried codes and the would-be results, and the delete was
+    * pure merge-on-read (s12's loud sparsity assumption). The query set
+    * is purge-free and ingest-free by congruence (vec_id ≡ 0 mod 50
+    * intersects neither ≡ 7 mod 25 nor ≡ 4 mod 10), so recall shifts
+    * come only from corpus membership — exactly what the oracle pins. */
+  def s13CdfAnnMaintenance(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    import graft.functions.QuantizeFunctions
+    val dir = EtlQueries.scratchDir("graft-s13")
+    val emb = embeddings(s, d)
+    val isNewVec = col("vec_id") % 25 === 7
+    SnapshotLog.commit(emb.filter(!isNewVec)
+      .repartitionByRange(8, col("vec_id")), dir,
+      statsCols = Seq("vec_id"))                                   // v1
+    SnapshotLog.commit(emb.filter(isNewVec), dir)                  // v2
+    val v3 = SnapshotLog.deleteWhere(s, dir, col("vec_id") % 10 === 4)
+    require(SnapshotLog.files(dir, Some(2)) == SnapshotLog.files(dir, Some(v3)),
+      "s13 gate assumption broken: the vec_id % 10 purge fully killed a " +
+        "data file (deleteWhere dropped it) — re-slice the commit layout")
+    // ---- carried state (production persists both): frozen bounds +
+    // code table over v1 — the construct phase, d24's discipline
+    val v1live = SnapshotLog.read(s, dir, Some(1))
+    val dim = Sq8Index.Dim
+    val b = v1live.agg(
+      min(element_at(col("embedding"), 1).cast("double")).as("a0"),
+      (1 until dim).map(i =>
+        min(element_at(col("embedding"), i + 1).cast("double"))) ++
+        (0 until dim).map(i =>
+          max(element_at(col("embedding"), i + 1).cast("double"))): _*).head
+    val lo = (0 until dim).map(b.getDouble)
+    val step = (0 until dim).map(i => (b.getDouble(dim + i) - b.getDouble(i)) / 255.0)
+    val codesOld = CacheScope.localCheckpoint(v1live.select(col("vec_id"),
+      QuantizeFunctions.sq8Encode(col("embedding"), lo, step).as("code")))
+    // ---- the APPLY: everything below sources from the change feed
+    val cdf = CacheScope.localCheckpoint(
+      SnapshotLog.readChangesCdf(s, dir, 1, v3)
+        .select(col("vec_id"), col("embedding"), col("_change_type")))
+    val delIds = cdf.filter(col("_change_type") === "delete")
+      .select(col("vec_id")).distinct()
+    val insLive = cdf.filter(col("_change_type") === "insert")
+      .join(delIds, Seq("vec_id"), "left_anti")
+    val codesNew = CacheScope.localCheckpoint(insLive.select(col("vec_id"),
+      QuantizeFunctions.sq8Encode(col("embedding"), lo, step).as("code")))
+    val nEncoded = codesNew.count()
+    val keptOld = codesOld.join(delIds, Seq("vec_id"), "left_anti")
+    val codes = CacheScope.localCheckpoint(keptOld.unionByName(codesNew))
+    val nDropped = codesOld.count() - keptOld.count()
+    // ---- serving: s4's ADC ranking over the MAINTAINED codes, exact
+    // rescore against the live snapshot
+    val live = SnapshotLog.read(s, dir)
+    val q = live.filter(isQuery)
+      .orderBy(col("vec_id")).limit(MaxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        VectorOps.norm2(col("embedding")).as("qn2"))
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("vec_id"))
+    val cand = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn2"),
+        QuantizeFunctions.sq8AdcDot(col("qv"), col("code"), lo, step).as("adot"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= Sq8Rescore)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn2"))
+    val full = live.select(col("vec_id"), col("embedding"),
+      VectorOps.norm2(col("embedding")).as("n2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cos = VectorOps.dot(col("qv"), col("embedding")) /
+      sqrt(col("qn2") * col("n2"))
+    val topk = full.join(broadcast(cand), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+    // the purge must bite the would-be results (s12's staleness probe)
+    val staleHits = s1AnnBrute(s, d)
+      .filter(col("vec_id") % 10 === 4).count()
+    val ok = v3 == 3 && nEncoded > 0 && nEncoded * 5 < emb.count() &&
+      nDropped > 0 && staleHits > 0 &&
+      SnapshotLog.dvFiles(dir, Some(v3)).size == 1
+    EtlQueries.materializedThenClean(topk.filter(lit(ok)), dir,
+      Seq(col("q_id"), col("rank")))
+  }
+
   // ---------------------------------------------------------- s2_ann_lsh
   /** LSH-bucketed ANN: 32-bit signatures split into 8 bands of 4 bits; a
     * corpus vector is a candidate for a query iff it shares any band value.
@@ -600,6 +711,7 @@ object Similarity {
     "s1_ann_brute" -> s1AnnBrute,
     "s11_range_search" -> s11RangeSearch,
     "s12_tombstone_ann" -> s12TombstoneAnn,
+    "s13_cdf_ann_maintenance" -> s13CdfAnnMaintenance,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ann_ivf" -> s3AnnIvf,
     "s4_ann_sq8" -> s4AnnSq8,
@@ -692,6 +804,12 @@ object Similarity {
     "s12_tombstone_ann" -> ExactTopKOracle.replace(
       "AS v FROM embeddings)",
       "AS v FROM embeddings WHERE NOT (vec_id % 5 = 2))"),
+    // the CDF-maintained index must serve exactly what a from-scratch
+    // exact search over the final live corpus serves — the maintenance
+    // contract, s12's oracle under this gate's purge predicate
+    "s13_cdf_ann_maintenance" -> ExactTopKOracle.replace(
+      "AS v FROM embeddings)",
+      "AS v FROM embeddings WHERE NOT (vec_id % 10 = 4))"),
     // s1's float-portability rule: identical operation order -> identical
     // IEEE doubles, so the threshold compare is bit-portable too
     "s11_range_search" ->

@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 207 queries / 200 oracles") {
-    assert(SparkEntry.queries.size == 207,
+  test("registry counts match the documented 208 queries / 201 oracles") {
+    assert(SparkEntry.queries.size == 208,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 200,
+    assert(SparkEntry.oracleSql.size == 201,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
