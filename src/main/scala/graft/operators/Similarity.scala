@@ -199,15 +199,7 @@ object Similarity {
     // ---- carried state (production persists both): frozen bounds +
     // code table over v1 — the construct phase, d24's discipline
     val v1live = SnapshotLog.read(s, dir, Some(1))
-    val dim = Sq8Index.Dim
-    val b = v1live.agg(
-      min(element_at(col("embedding"), 1).cast("double")).as("a0"),
-      (1 until dim).map(i =>
-        min(element_at(col("embedding"), i + 1).cast("double"))) ++
-        (0 until dim).map(i =>
-          max(element_at(col("embedding"), i + 1).cast("double"))): _*).head
-    val lo = (0 until dim).map(b.getDouble)
-    val step = (0 until dim).map(i => (b.getDouble(dim + i) - b.getDouble(i)) / 255.0)
+    val (lo, step) = Sq8Index.boundsOf(v1live)
     val codesOld = CacheScope.localCheckpoint(v1live.select(col("vec_id"),
       QuantizeFunctions.sq8Encode(col("embedding"), lo, step).as("code")))
     // ---- the APPLY: everything below sources from the change feed

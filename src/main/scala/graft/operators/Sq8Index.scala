@@ -40,24 +40,31 @@ object Sq8Index {
     "SPARK_GRAFT_SQ8_DIR", "graft-sq8",
     Paths.get(d).resolve("embeddings.parquet"), s"$FormatVersion-d$Dim")
 
+  /** Per-dimension SQ8 quantizer bounds of an `embedding` frame in ONE
+    * scan with map-side partial aggregation: 2×Dim plain min/max
+    * aggregates over element_at projections. The posexplode alternative
+    * materializes Dim rows per vector before its own partial aggregation
+    * — the saving is that row-blowup in the scan stage (its shuffle was
+    * already only Dim rows per task), for the same 128 numbers. Shared
+    * by the persisted index build and s13's carried-state construction,
+    * so the quantizer recipe cannot silently diverge between them. */
+  def boundsOf(e: DataFrame): (Seq[Double], Seq[Double]) = {
+    val b = e.agg(
+      min(element_at(col("embedding"), 1).cast("double")).as("a0"),
+      (1 until Dim).map(i =>
+        min(element_at(col("embedding"), i + 1).cast("double"))) ++
+        (0 until Dim).map(i =>
+          max(element_at(col("embedding"), i + 1).cast("double"))): _*).head
+    val lo = (0 until Dim).map(b.getDouble)
+    val step = (0 until Dim).map(i => (b.getDouble(Dim + i) - b.getDouble(i)) / 255.0)
+    (lo, step)
+  }
+
   /** Build bounds + codes if absent; returns the index directory. */
   def ensure(s: SparkSession, d: String): Path =
     IndexLifecycle.ensureBuilt(indexDir(d)) { staging =>
       val e = embeddings(s, d)
-      // per-dimension bounds in ONE scan with map-side partial aggregation:
-      // 2×Dim plain min/max aggregates over element_at projections. The
-      // posexplode alternative materializes Dim rows per vector before its
-      // own partial aggregation — the saving is that row-blowup in the
-      // scan stage (its shuffle was already only Dim rows per task), for
-      // the same 128 numbers.
-      val b = e.agg(
-        min(element_at(col("embedding"), 1).cast("double")).as("a0"),
-        (1 until Dim).map(i =>
-          min(element_at(col("embedding"), i + 1).cast("double"))) ++
-          (0 until Dim).map(i =>
-            max(element_at(col("embedding"), i + 1).cast("double"))): _*).head
-      val lo = (0 until Dim).map(b.getDouble)
-      val step = (0 until Dim).map(i => (b.getDouble(Dim + i) - b.getDouble(i)) / 255.0)
+      val (lo, step) = boundsOf(e)
       import s.implicits._
       Seq((lo, step)).toDF("lo", "step")
         .write.mode("overwrite").parquet(staging.resolve("bounds").toString)

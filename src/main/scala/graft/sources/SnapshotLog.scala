@@ -299,22 +299,41 @@ object SnapshotLog {
               s"advanced to $v — re-read the table and retry (orphaned " +
               "parts are vacuumable)")
         }
+        val prevState = prev.lastOption.map(pv => stateOf(dir, pv))
         val (carriedAll, carriedStatsAll, carriedDvs) =
           if (overwrite)
             (Seq.empty[String], Map.empty[String, Map[String, ColEnv]],
               Seq.empty[String])
-          else prev.lastOption
-            .map(pv => (readManifest(dir, pv), readStats(dir, pv),
-              readDvs(dir, pv)))
+          else prevState
+            .map(st => (st.files, st.stats, st.dvs))
             .getOrElse((Seq.empty[String],
               Map.empty[String, Map[String, ColEnv]], Seq.empty[String]))
         // authoritative re-check against the version actually appended
         // onto (a racing writer may have evolved the schema since the
         // fail-fast above)
-        val prevSchemaJson = prev.lastOption.flatMap(readSchemaJson(dir, _))
+        val prevSchemaJson = prevState.flatMap(_.schemaJson)
         if (!overwrite)
           prevSchemaJson.foreach(
             requireAppendCompatible(dir, _, aligned.schema, caseSensitive))
+        // the casing ALIGNMENT above was computed (and the files staged)
+        // against the pre-staging schema snapshot; if a racing writer
+        // established or changed column casing since, publishing would
+        // resurrect the appender-cased-manifest defect the alignment
+        // exists to prevent — abort instead (optimistic-concurrency
+        // contract: the caller retries, which re-aligns and re-stages;
+        // the orphaned parts are vacuumable)
+        if (!overwrite && !caseSensitive) prevSchemaJson.foreach { pj =>
+          val prevS = org.apache.spark.sql.types.DataType.fromJson(pj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val misaligned = aligned.schema.fields.exists(f =>
+            prevS.fields.exists(p =>
+              p.name.equalsIgnoreCase(f.name) && p.name != f.name))
+          if (misaligned)
+            throw new java.util.ConcurrentModificationException(
+              s"append to $dir raced a schema-casing change: the staged " +
+                "files were aligned to a superseded column spelling — " +
+                "retry the commit (orphaned parts are vacuumable)")
+        }
         // LEGACY lineages (pre-schema manifests) stay legacy on append:
         // stamping this frame's schema would silently impose it on
         // carried files that were never compatibility-checked against
@@ -382,9 +401,10 @@ object SnapshotLog {
     // the same snapshot, or a commit landing mid-call tears the read
     // (e.g. an update's DV applied to a file list missing its appends)
     val v = resolveVersion(dir, asOf)
+    val st = stateOf(dir, v)
     val (kept, skipped) = prunedFiles(dir, column, lo, hi, Some(v))
-    readKeptOrEmpty(spark, dir, kept, skipped, readDvs(dir, v),
-      schemaOfVersion(dir, v))
+    readKeptOrEmpty(spark, dir, kept, skipped, st.dvs,
+      schemaFromJson(st.schemaJson))
   }
 
   /** Shared tail of the pruned readers: read the kept files, or — when
@@ -446,9 +466,10 @@ object SnapshotLog {
       lo: String, hi: String, asOf: Option[Int] = None): DataFrame = {
     // same one-version resolution as readPruned (torn-snapshot hazard)
     val v = resolveVersion(dir, asOf)
+    val st = stateOf(dir, v)
     val (kept, skipped) = prunedFilesString(dir, column, lo, hi, Some(v))
-    readKeptOrEmpty(spark, dir, kept, skipped, readDvs(dir, v),
-      schemaOfVersion(dir, v))
+    readKeptOrEmpty(spark, dir, kept, skipped, st.dvs,
+      schemaFromJson(st.schemaJson))
   }
 
   private def pruneWith(dir: Path, column: String, asOf: Option[Int])(
@@ -457,8 +478,9 @@ object SnapshotLog {
     require(vs.nonEmpty, s"$dir has no committed snapshots")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v does not exist in $dir (have $vs)")
-    val stats = readStats(dir, v)
-    readManifest(dir, v).partition { f =>
+    val st = stateOf(dir, v)
+    val stats = st.stats
+    st.files.partition { f =>
       stats.get(f).flatMap(_.get(column)) match {
         case Some(env) => overlaps(env)
         case None => true // unknown → must read
@@ -628,11 +650,14 @@ object SnapshotLog {
 
   /** Does a committed envelope overlap a necessary range? A mismatch of
     * shapes (or no constraint) reads conservatively. */
+  /** An INVERTED necessary range (lo > hi, produced by intersecting an
+    * unsatisfiable AND) — the predicate is FALSE on every row. */
+  private def unsatisfiableRange(r: PredRange): Boolean = r match {
+    case IntRange(lo, hi) => lo > hi
+    case StrRange(lo, hi) => hi.exists(utf8Cmp(lo, _) > 0)
+  }
+
   private def rangeOverlaps(r: PredRange, env: ColEnv): Boolean = (r, env) match {
-    // an INVERTED range (lo > hi — an unsatisfiable AND) overlaps nothing:
-    // without the check, an envelope straddling both bounds would read
-    case (IntRange(lo, hi), _) if lo > hi => false
-    case (StrRange(lo, hi), _) if hi.exists(utf8Cmp(lo, _) > 0) => false
     case (IntRange(lo, hi), IntEnv(mn, mx)) => mx >= lo && mn <= hi
     case (StrRange(lo, hi), StrEnv(mn, emx)) =>
       emx.forall(utf8Cmp(_, lo) >= 0) && hi.forall(utf8Cmp(mn, _) <= 0)
@@ -648,14 +673,9 @@ object SnapshotLog {
   private def pruneForPredicate(files: Seq[String],
       stats: Map[String, Map[String, ColEnv]],
       ranges: Map[String, PredRange]): (Seq[String], Seq[String]) = {
-    // an INVERTED necessary range (lo > hi, from intersecting an
-    // unsatisfiable AND) falsifies the whole predicate on every row —
-    // prune everything, including files with no envelope at all
-    val unsatisfiable = ranges.values.exists {
-      case IntRange(lo, hi) => lo > hi
-      case StrRange(lo, hi) => hi.exists(utf8Cmp(lo, _) > 0)
-    }
-    if (unsatisfiable) (Seq.empty, files)
+    // an unsatisfiable necessary range falsifies the whole predicate on
+    // every row — prune everything, including files with no envelope
+    if (ranges.values.exists(unsatisfiableRange)) (Seq.empty, files)
     else if (ranges.isEmpty) (files, Seq.empty)
     else files.partition { f =>
       ranges.forall { case (c, r) =>
@@ -877,14 +897,15 @@ object SnapshotLog {
       "thresholds must be positive")
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
-    val manifest = readManifest(dir, vRead)
+    val st0 = stateOf(dir, vRead)
+    val manifest = st0.files
     val sized = manifest.map(f => f -> Files.size(dataDir(dir).resolve(f)))
     val smallSized = sized.filter(_._2 < smallFileBytes)
     val small = smallSized.map(_._1)
     if (small.size < 2) return vRead // nothing worth packing
-    val stats0 = readStats(dir, vRead)
-    val rows = readFiles(spark, dir, small, readDvs(dir, vRead),
-      schemaOfVersion(dir, vRead)) // merge-on-read: their DVs materialize
+    val stats0 = st0.stats
+    val rows = readFiles(spark, dir, small, st0.dvs,
+      schemaFromJson(st0.schemaJson)) // merge-on-read: their DVs materialize
     val smallBytes = smallSized.map(_._2).sum
     val nOut = math.max(1L,
       (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -931,8 +952,9 @@ object SnapshotLog {
     import org.apache.spark.sql.functions._
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
-    val manifest = readManifest(dir, vRead)
-    val stats = readStats(dir, vRead)
+    val stM = stateOf(dir, vRead)
+    val manifest = stM.files
+    val stats = stM.stats
     val keyIsIntegral = changes.schema(key).dataType match {
       case _: org.apache.spark.sql.types.LongType |
            _: org.apache.spark.sql.types.IntegerType |
@@ -960,7 +982,7 @@ object SnapshotLog {
     // resurrected by the rewrite
     val base =
       if (touched.nonEmpty) readFiles(spark, dir, touched,
-        readDvs(dir, vRead), schemaOfVersion(dir, vRead))
+        stM.dvs, schemaFromJson(stM.schemaJson))
       else read(spark, dir, Some(vRead)).filter(lit(false)) // schema only
     commit(Merge.merge(base, changes, key, seqCol), dir,
       statsCols = statsCols, expectedVersion = Some(vRead + 1),
@@ -973,8 +995,9 @@ object SnapshotLog {
     * — the merge-on-read path. */
   def read(spark: SparkSession, dir: Path, asOf: Option[Int] = None): DataFrame = {
     val v = resolveVersion(dir, asOf)
-    val files = readManifest(dir, v)
-    val schema = schemaOfVersion(dir, v)
+    val st = stateOf(dir, v) // one resolution: files, DVs, schema together
+    val files = st.files
+    val schema = schemaFromJson(st.schemaJson)
     if (files.isEmpty) {
       // a zero-file snapshot (e.g. a full-table DELETE dropped every
       // file) is readable iff its manifest carries the schema — the
@@ -986,14 +1009,17 @@ object SnapshotLog {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), s)
     }
-    readFiles(spark, dir, files, readDvs(dir, v), schema)
+    readFiles(spark, dir, files, st.dvs, schema)
   }
 
   private def schemaOfVersion(dir: Path, v: Int)
       : Option[org.apache.spark.sql.types.StructType] =
-    readSchemaJson(dir, v).map(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    schemaFromJson(readSchemaJson(dir, v))
+
+  private def schemaFromJson(j: Option[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    j.map(x => org.apache.spark.sql.types.DataType.fromJson(x)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   private def resolveVersion(dir: Path, asOf: Option[Int]): Int = {
     val vs = versions(dir)
@@ -1069,12 +1095,13 @@ object SnapshotLog {
     import org.apache.spark.sql.functions._
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
-    val files = readManifest(dir, vRead)
+    val st0 = stateOf(dir, vRead) // one resolution for the whole scan
+    val files = st0.files
     if (files.isEmpty) return vRead // zero-file snapshot: nothing to delete
-    val dvs0 = readDvs(dir, vRead)
-    val schema = schemaOfVersion(dir, vRead)
-    val schemaJson = readSchemaJson(dir, vRead)
-    val stats0 = readStats(dir, vRead)
+    val dvs0 = st0.dvs
+    val schema = schemaFromJson(st0.schemaJson)
+    val schemaJson = st0.schemaJson
+    val stats0 = st0.stats
     // ENVELOPE PRUNING (round 13): the predicate's necessary per-column
     // ranges ([[requiredRanges]]) are probed against the committed
     // envelopes BEFORE any data is read — a file whose envelope misses a
@@ -1208,25 +1235,26 @@ object SnapshotLog {
             committed = vRead + 1
           // else: someone just took vRead + 1 — loop into the rebase arm
         } else {
-          val curManifest = readManifest(dir, cur)
+          val stCur = stateOf(dir, cur) // one resolution per rebase pass
+          val curManifest = stCur.files
           val curSet = curManifest.toSet
           if (rewrite.nonEmpty || !files.forall(curSet))
             throw new java.util.ConcurrentModificationException(
               s"delete on $dir lost the race to a rewrite (version $cur " +
                 "replaced files this delete read) — re-read and retry " +
                 "(the orphaned files are vacuumable)")
-          val curDvs = readDvs(dir, cur)
+          val curDvs = stCur.dvs
           // the winner's appended files get the same envelope pruning —
           // a pruned added file provably contains no predicate matches
           val (addedFiles, _) = pruneForPredicate(
-            curManifest.filterNot(files.toSet), readStats(dir, cur), ranges)
+            curManifest.filterNot(files.toSet), stCur.stats, ranges)
           val addedDv: Seq[String] =
             if (addedFiles.isEmpty) Seq.empty
             else {
               // predicate over the winner's rows only — their own DVs
               // applied, the winner's (possibly evolved) schema driving
               val dead = liveWithPos(spark, dir, addedFiles, curDvs,
-                  schemaOfVersion(dir, cur))
+                  schemaFromJson(stCur.schemaJson))
                 .filter(condition)
                 .select(col("_graft_f").as("f"), col("_graft_pos").as("pos"))
               val rb = staging.resolve(s"rb$cur")
@@ -1247,9 +1275,9 @@ object SnapshotLog {
           beforeAttempt(rebases)
           if (tryPublishManifest(dir, cur + 1,
               curManifest.filterNot(dropped),
-              readStats(dir, cur) -- dropped,
+              stCur.stats -- dropped,
               txnId = None, dvs = curDvs ++ newDv ++ addedDv,
-              schemaJson = readSchemaJson(dir, cur)))
+              schemaJson = stCur.schemaJson))
             committed = cur + 1
           // else: raced again — loop; a superseded rebase DV is a
           // vacuumable orphan
@@ -1288,12 +1316,13 @@ object SnapshotLog {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
-    val files = readManifest(dir, vRead)
+    val st0 = stateOf(dir, vRead) // one resolution for the whole scan
+    val files = st0.files
     if (files.isEmpty) return vRead // zero-file snapshot: nothing matches
-    val dvs0 = readDvs(dir, vRead)
-    val schema = schemaOfVersion(dir, vRead)
-    val schemaJson = readSchemaJson(dir, vRead)
-    val stats0 = readStats(dir, vRead)
+    val dvs0 = st0.dvs
+    val schema = schemaFromJson(st0.schemaJson)
+    val schemaJson = st0.schemaJson
+    val stats0 = st0.stats
     // same envelope pruning as [[deleteWhere]]: the match scan opens only
     // files whose envelopes can contain a predicate row (see there)
     val (candidates, _) = pruneForPredicate(files, stats0,
@@ -1428,9 +1457,10 @@ object SnapshotLog {
     val range = versions(dir).filter(v => v >= fromV && v <= toV)
     range.sliding(2).foreach {
       case Seq(p, v) =>
-        val mp = readManifest(dir, p).toSet
-        val mv = readManifest(dir, v).toSet
-        require(mp.subsetOf(mv) && readDvs(dir, p).toSet == readDvs(dir, v).toSet,
+        val stP = stateOf(dir, p); val stV = stateOf(dir, v)
+        val mp = stP.files.toSet
+        val mv = stV.files.toSet
+        require(mp.subsetOf(mv) && stP.dvs.toSet == stV.dvs.toSet,
           s"readChanges($fromV, $toV) on $dir crosses version $v, which " +
             "dropped files or changed deletion vectors (a DELETE/UPDATE/" +
             "rewrite) — an added-files diff would silently omit its " +
@@ -1441,8 +1471,10 @@ object SnapshotLog {
     if (newFiles.isEmpty)
       read(spark, dir, Some(toV))
         .filter(org.apache.spark.sql.functions.lit(false))
-    else readFiles(spark, dir, newFiles, readDvs(dir, toV),
-      schemaOfVersion(dir, toV))
+    else {
+      val stTo = stateOf(dir, toV)
+      readFiles(spark, dir, newFiles, stTo.dvs, schemaFromJson(stTo.schemaJson))
+    }
   }
 
   /** CHANGE DATA FEED between two versions — the Delta CDF shape: every
@@ -1484,20 +1516,21 @@ object SnapshotLog {
       .withColumn("_change_type", lit(tpe))
       .withColumn("_commit_version", lit(v))
     val frames: Seq[DataFrame] = steps.flatMap { case (p, v) =>
-      val mp = readManifest(dir, p)
-      val mv = readManifest(dir, v)
+      val stP = stateOf(dir, p); val stV = stateOf(dir, v)
+      val mp = stP.files
+      val mv = stV.files
       val added = mv.filterNot(mp.toSet)
       val dropped = mp.filterNot(mv.toSet)
-      val dvP = readDvs(dir, p)
-      val dvNew = readDvs(dir, v).filterNot(dvP.toSet)
+      val dvP = stP.dvs
+      val dvNew = stV.dvs.filterNot(dvP.toSet)
       val inserts =
         if (added.isEmpty) None
-        else Some(tag(readFiles(spark, dir, added, readDvs(dir, v),
-          schemaOfVersion(dir, v)), "insert", v))
+        else Some(tag(readFiles(spark, dir, added, stV.dvs,
+          schemaFromJson(stV.schemaJson)), "insert", v))
       val dropDeletes =
         if (dropped.isEmpty) None
         else Some(tag(readFiles(spark, dir, dropped, dvP,
-          schemaOfVersion(dir, p)), "delete", v))
+          schemaFromJson(stP.schemaJson)), "delete", v))
       val dvDeletes =
         if (dvNew.isEmpty) None
         else {
@@ -1534,7 +1567,7 @@ object SnapshotLog {
           if (hitFiles.isEmpty) None
           else {
             val pre = liveWithPos(spark, dir, hitFiles, dvP,
-              schemaOfVersion(dir, p))
+              schemaFromJson(stP.schemaJson))
               .join(broadcast(newDead
                 .select(col("f").as("_graft_dv_f"), col("pos").as("_graft_dv_pos"))),
                 col("_graft_f") === col("_graft_dv_f") &&
@@ -1556,7 +1589,7 @@ object SnapshotLog {
     * the vacuum candidate list. Never deletes; callers decide retention. */
   def orphans(dir: Path): Seq[Path] = {
     val referenced = versions(dir)
-      .flatMap(v => readManifest(dir, v) ++ readDvs(dir, v)).toSet
+      .flatMap { v => val st = stateOf(dir, v); st.files ++ st.dvs }.toSet
     if (!Files.isDirectory(dataDir(dir))) Seq.empty
     else listNames(dataDir(dir))
       .filter(n => n.endsWith(".parquet") && !referenced.contains(n))
@@ -1786,7 +1819,11 @@ object SnapshotLog {
     * deleted and re-created at the same path (where size, mtime
     * granularity, and even the INODE can all recur — observed: tmpfs
     * reused the freed inode, so a (path, size, fileKey) key served the
-    * dead lineage). Bounded LRU so a long-lived session stays flat. */
+    * dead lineage). The residual cost is one file read + hash per call —
+    * so every OPERATION resolves its version's state ONCE and
+    * destructures (files/stats/dvs/schema), rather than calling the four
+    * accessors separately; keep that discipline in new code. Bounded LRU
+    * so a long-lived session stays flat. */
   private val stateCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Int, String), LogState](64, 0.75f, true) {
       override def removeEldestEntry(
