@@ -115,6 +115,91 @@ class SnapshotDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("commit metadata is O(changed files) at file-count scale: one append to a 10k-file table costs bytes") {
+    val dir = Files.createTempDirectory("graft-delta-m")
+    Files.createDirectories(dir.resolve("_graft_log"))
+    withCheckpointEvery(10) {
+      // synthesize the manifest layer directly (tryPublishManifest is the
+      // format; no data files needed to measure metadata cost)
+      val tenK = (0 until 10000).map(i => f"c00001-aaaaaaaa-$i%05d.parquet")
+      assert(SnapshotLog.tryPublishManifest(dir, 1, tenK))       // checkpoint
+      assert(SnapshotLog.tryPublishManifest(dir, 2,
+        tenK :+ "c00002-bbbbbbbb-00000.parquet"))                // delta
+      val ckptBytes = manifestJson(dir, 1).length
+      val deltaBytes = manifestJson(dir, 2).length
+      assert(isDelta(dir, 2) && !isDelta(dir, 1))
+      assert(ckptBytes > 300000,
+        s"the 10k-file checkpoint is honestly O(files): $ckptBytes B")
+      assert(deltaBytes < 200,
+        s"appending ONE file to a 10k-file table must cost bytes of " +
+          s"manifest, got $deltaBytes B")
+      // resolution returns the exact 10,001-file sequence
+      assert(SnapshotLog.files(dir, Some(2)).size == 10001)
+      assert(SnapshotLog.files(dir, Some(2)).last ==
+        "c00002-bbbbbbbb-00000.parquet")
+    }
+  }
+
+  test("a delta whose base manifest was externally deleted fails loudly, never silently") {
+    val dir = Files.createTempDirectory("graft-delta-x")
+    withCheckpointEvery(100) {
+      val nation = Tables.nation(spark, sf)
+      SnapshotLog.commit(nation.filter(col("n_nationkey") < 10), dir)  // v1
+      SnapshotLog.commit(nation.filter(col("n_nationkey") >= 10), dir) // v2 delta
+      assert(isDelta(dir, 2))
+      // an external actor (NOT vacuum, which materializes first) deletes
+      // the base — resolution must throw, not fabricate a partial state
+      Files.delete(dir.resolve("_graft_log").resolve("v00001.json"))
+      intercept[Exception](SnapshotLog.read(spark, dir, Some(2)).count())
+    }
+  }
+
+  test("a LIVE two-thread merge-vs-merge race: exactly one copy-on-write wins, no rows lost") {
+    val dir = Files.createTempDirectory("graft-delta-mm")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation.repartitionByRange(4, col("n_nationkey")),
+      dir, statsCols = Seq("n_nationkey"))                             // v1
+    def changes(bump: Int) = nation.filter(col("n_nationkey") < 5)
+      .withColumn("n_regionkey", col("n_regionkey") + lit(bump))
+      .withColumn("_deleted", lit(false))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      def mergeTask(bump: Int) =
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+          def call(): Either[Throwable, Int] = {
+            start.await()
+            try Right(SnapshotLog.merge(spark, dir, changes(bump),
+              "n_nationkey", statsCols = Seq("n_nationkey")))
+            catch { case e: java.util.ConcurrentModificationException =>
+              Left(e) }
+          }
+        })
+      val (fa, fb) = (mergeTask(100), mergeTask(200))
+      start.countDown()
+      val results = Seq(fa, fb)
+        .map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      val wins = results.collect { case Right(v) => v }
+      // a merge is a CONDITIONAL copy-on-write: when both raced the same
+      // version, exactly one serializes and the loser aborts rather than
+      // publishing a rewrite computed from a superseded file set; when
+      // the timing happened to serialize them, both land (the second
+      // merge's upsert replaces the first's rows — CDC semantics)
+      assert(wins.nonEmpty, "at least one merge must commit")
+      assert(SnapshotLog.read(spark, dir).count() == nation.count(),
+        "no base rows may be lost to the race")
+      if (results.exists(_.isLeft)) {
+        assert(wins.size == 1 && SnapshotLog.versions(dir).last == 2,
+          "the losing copy-on-write must abort without publishing")
+      } else {
+        assert(SnapshotLog.versions(dir) == Seq(1, 2, 3),
+          "serialized merges land on consecutive versions")
+        assert(SnapshotLog.orphans(dir).isEmpty,
+          "no aborts → no staged debris")
+      }
+    } finally pool.shutdown()
+  }
+
   test("a log directory deleted and re-created at the same path never serves the dead lineage") {
     val dir = Files.createTempDirectory("graft-delta-r")
     val region = Tables.region(spark, sf)
