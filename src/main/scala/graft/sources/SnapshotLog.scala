@@ -1504,7 +1504,18 @@ object SnapshotLog {
     * within the range union-fills by name: steps before an ADD COLUMN
     * emit NULL for it. Vacuumed intermediate versions collapse into
     * their successor's step; the fold stays exact because file and DV
-    * set differences compose. */
+    * set differences compose.
+    *
+    * DECIDED: no Structured-Streaming "tail the data directory" source
+    * (the d4-note pattern). A parquet file stream over `data/` looks
+    * like the natural streaming twin of this feed, but it reads files
+    * the MANIFEST never committed — a crashed commit's orphans, a
+    * racing writer's staged parts — and chokes on DV files (different
+    * schema, same directory). The manifest is the only membership
+    * truth, so the correct streaming consumer is the e36 shape: a
+    * (version cursor, fold state) pair driven by this method per
+    * trigger — crash-resume is the cursor, exactness is the fold
+    * contract above, and no orphan can ever leak into the stream. */
   def readChangesCdf(spark: SparkSession, dir: Path,
       fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions._
