@@ -531,6 +531,7 @@ object Cli {
     *   lake optimize <dir> [--target-files N] [--zorder-by a,b]
     *                       [--small-file-bytes B [--target-file-bytes B]]  (bin-pack mode)
     *   lake vacuum   <dir> [--keep-versions N]
+    *   lake orphans  <dir>                       (vacuum dry-run: list debris)
     *   lake versions <dir>
     *   lake read     <dir> <out.par|-> [--as-of N] [--changes F:T] [--cdf F:T]
     *
@@ -612,6 +613,15 @@ object Cli {
         val (expired, deleted) = SnapshotLog.vacuum(dir, conf.lakeKeepVersions)
         s"expired versions ${expired.mkString(",")}; " +
           s"deleted ${deleted.size} data files"
+      case "orphans" =>
+        // the vacuum candidate list WITHOUT deleting — the ops dry-run:
+        // crashed-commit debris, aborted-merge parts, superseded rebase
+        // DVs; everything here is invisible to reads and reclaimable
+        arity(1, "TABLE_DIR")
+        val os = SnapshotLog.orphans(dir)
+        if (os.isEmpty) "no orphans"
+        else os.map(p => s"${p.getFileName} (${Files.size(p)} B)")
+          .mkString("\n")
       case "versions" =>
         arity(1, "TABLE_DIR")
         val vs = SnapshotLog.versions(dir)

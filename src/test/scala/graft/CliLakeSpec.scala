@@ -91,10 +91,15 @@ class CliLakeSpec extends AnyFunSuite {
       cdf.filter(col("_change_type") === "delete").count() > 0)
 
     // VACUUM down to the compacted version
+    // orphans: the vacuum dry-run — plant debris, list it, vacuum it away
+    Files.writeString(dir.resolve("data").resolve("c99999-junk.parquet"), "x")
+    val oOut = lake("orphans", dir.toString)
+    assert(oOut.contains("c99999-junk.parquet") && oOut.contains("(1 B)"))
     val vOut = lake("vacuum", dir.toString, "--keep-versions", "1")
     assert(vOut.startsWith("expired versions 1,2,3,4,5,6"))
     assert(SnapshotLog.versions(dir) == Seq(7))
     assert(SnapshotLog.read(spark, dir).collect().toSet == latest)
+    assert(lake("orphans", dir.toString) == "no orphans")
   }
 
   test("lake optimize --small-file-bytes bin-packs instead of compacting") {
