@@ -72,6 +72,28 @@ object SnapshotLog {
     * dataSkippingStringPrefixLength is 32 — same rationale). */
   private[graft] val StatsTruncateLen = 32
 
+  /** Highest manifest format this reader understands. Round 14: every new
+    * manifest carries an explicit `"format"` member (2 = the current
+    * delta-or-checkpoint encoding with per-file meta); manifests WITHOUT
+    * the member are format 1 (the round-13-and-earlier shapes, which this
+    * reader still resolves — the member's absence is itself the version).
+    * A manifest stamped with a HIGHER format fails loudly by NAME in
+    * [[stateOf]] instead of presenting as "malformed manifest" — the
+    * Delta minReaderVersion idea, which is what makes every future format
+    * step safe for stragglers. */
+  private[graft] val FormatVersion = 2
+
+  /** Per-file physical metadata recorded at commit time (round 14; the
+    * Delta/Iceberg size+numRecords convention): the writer has both for
+    * free at staging — size from the filesystem entry it just moved, rows
+    * from the footer it already opens for envelopes — and recording them
+    * makes layout decisions metadata-only: [[binPack]]'s pack decision
+    * costs zero stat calls against the storage layer, and COUNT(*) over a
+    * snapshot ([[metadataCount]]) reads manifests + DV files only. Files
+    * committed before round 14 have no meta; every consumer falls back to
+    * the storage layer for exactly those files. */
+  private[graft] final case class FileMeta(size: Long, rows: Long)
+
   /** Nullability-and-metadata-normalized copy of a type: manifests store
     * the table schema in this form so (a) old files missing an added
     * column read as NULL without tripping a non-null assertion, and (b)
@@ -273,12 +295,16 @@ object SnapshotLog {
       val moved = moveParts(staging, dir,
         i => f"c$attemptV%05d-$token-$i%05d.parquet")
       fsync(dataDir(dir)) // the new directory entries too
-      // per-file column envelopes for DATA SKIPPING, harvested from the
-      // parquet FOOTERS the write already produced — zero extra data scan
-      // (the Delta/Iceberg stats-at-commit idea); see [[readPruned]]
-      val stats = moved.map { n =>
-        n -> fileStats(dataDir(dir).resolve(n), statsCols.toSet)
-      }.filter(_._2.nonEmpty).toMap
+      // per-file column envelopes for DATA SKIPPING plus {size, rows}
+      // meta, harvested from the parquet FOOTERS the write already
+      // produced — zero extra data scan (the Delta/Iceberg
+      // stats-at-commit idea); see [[readPruned]], [[binPack]],
+      // [[metadataCount]]
+      val harvested = moved.map { n =>
+        n -> harvestFile(dataDir(dir).resolve(n), statsCols.toSet) }
+      val stats = harvested.map { case (n, (_, s)) => n -> s }
+        .filter(_._2.nonEmpty).toMap
+      val meta = harvested.map { case (n, (m, _)) => n -> m }.toMap
       // CAS publish loop: each round re-reads the log so the carry-over
       // is the CURRENT latest manifest (a lost race means the winner's
       // files must be carried, not the stale snapshot's). Data files keep
@@ -300,14 +326,15 @@ object SnapshotLog {
               "parts are vacuumable)")
         }
         val prevState = prev.lastOption.map(pv => stateOf(dir, pv))
-        val (carriedAll, carriedStatsAll, carriedDvs) =
+        val (carriedAll, carriedStatsAll, carriedDvs, carriedMetaAll) =
           if (overwrite)
             (Seq.empty[String], Map.empty[String, Map[String, ColEnv]],
-              Seq.empty[String])
+              Seq.empty[String], Map.empty[String, FileMeta])
           else prevState
-            .map(st => (st.files, st.stats, st.dvs))
+            .map(st => (st.files, st.stats, st.dvs, st.meta))
             .getOrElse((Seq.empty[String],
-              Map.empty[String, Map[String, ColEnv]], Seq.empty[String]))
+              Map.empty[String, Map[String, ColEnv]], Seq.empty[String],
+              Map.empty[String, FileMeta]))
         // authoritative re-check against the version actually appended
         // onto (a racing writer may have evolved the schema since the
         // fail-fast above)
@@ -346,10 +373,11 @@ object SnapshotLog {
         val dropped = dropCarried.toSet
         val carried = carriedAll.filterNot(dropped)
         val carriedStats = carriedStatsAll -- dropped
+        val carriedMeta = carriedMetaAll -- dropped
         // DVs carry whole: rows referencing dropped data files are inert
         // (the read anti-join matches on file names no longer present)
         if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats,
-            txnId, carriedDvs, publishSchema))
+            txnId, carriedDvs, publishSchema, carriedMeta ++ meta))
           committed = v
       }
       committed
@@ -730,21 +758,37 @@ object SnapshotLog {
     }
   }
 
-  /** Footer-harvested envelope per requested column. INT32/INT64
-    * physical columns (long, int, date-days, TIMESTAMP micros, unscaled
-    * small decimals) produce [[IntEnv]]; STRING-annotated BINARY columns
-    * produce [[StrEnv]] with outward-rounded truncation (see [[ColEnv]]).
-    * A column gets an envelope only if EVERY row group carries non-null
-    * statistics for it; anything partial would make pruning unsound, so
-    * it is dropped and the file simply always reads. */
-  private def fileStats(p: Path, cols: Set[String]): Map[String, ColEnv] = {
-    if (cols.isEmpty) return Map.empty
+  /** Footer harvest at commit time: per-file [[FileMeta]] (size from the
+    * filesystem entry the writer just moved, rows from the footer's block
+    * counts) plus the envelope per requested column — ONE footer open
+    * serves both, and both land in the manifest so later layout decisions
+    * ([[binPack]], [[metadataCount]]) never go back to the storage layer.
+    *
+    * Envelope rules: INT32/INT64 physical columns (long, int, date-days,
+    * TIMESTAMP micros, unscaled small decimals) produce [[IntEnv]];
+    * STRING-annotated BINARY columns produce [[StrEnv]] with
+    * outward-rounded truncation (see [[ColEnv]]). A column gets an
+    * envelope only if EVERY row group carries non-null statistics for it;
+    * anything partial would make pruning unsound, so it is dropped and
+    * the file simply always reads. */
+  private def harvestFile(p: Path, cols: Set[String])
+      : (FileMeta, Map[String, ColEnv]) = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toString), conf))
     try {
       val blocks = fr.getFooter.getBlocks.asScala.toSeq
+      val meta = FileMeta(Files.size(p), blocks.map(_.getRowCount).sum)
+      (meta, fileStatsOf(blocks, cols))
+    } finally fr.close()
+  }
+
+  private def fileStatsOf(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      cols: Set[String]): Map[String, ColEnv] = {
+    {
+      if (cols.isEmpty) return Map.empty
       if (blocks.isEmpty) return Map.empty
       cols.flatMap { c =>
         val perBlock: Seq[ColEnv] = blocks.flatMap { b =>
@@ -784,7 +828,7 @@ object SnapshotLog {
                 .max(Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)))))
         }
       }.toMap
-    } finally fr.close()
+    }
   }
 
   /** The data files version `v` (default latest) resolves to — the
@@ -797,24 +841,181 @@ object SnapshotLog {
     readManifest(dir, v)
   }
 
+  /** COUNT(*) over a snapshot from METADATA ONLY (round 14; the
+    * Delta/Iceberg numRecords idea): the manifest's per-file row counts
+    * sum to the physical total, and the version's deletion vectors —
+    * small parquet by construction — subtract their DISTINCT dead
+    * positions on manifest files (rebase DVs may duplicate a position,
+    * and inert entries reference files no longer in the manifest, so the
+    * raw DV row count is NOT the dead count). No data file is opened:
+    * the inputs are one manifest resolution plus the DV files. Returns
+    * None when any manifest file predates per-file meta — the caller
+    * falls back to a real scan; a mixed answer would be silently wrong. */
+  def metadataCount(spark: SparkSession, dir: Path,
+      asOf: Option[Int] = None): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    val v = resolveVersion(dir, asOf)
+    val st = stateOf(dir, v)
+    if (st.files.isEmpty) return Some(0L)
+    if (!st.files.forall(st.meta.contains)) return None
+    val total = st.files.map(st.meta(_).rows).sum
+    val dead =
+      if (st.dvs.isEmpty) 0L
+      else {
+        // live-file filter via a join, never an isin over the manifest —
+        // an In over ~every file name would build a million-literal
+        // expression at the table sizes the meta exists for
+        val filesDf = spark.createDataFrame(
+          st.files.map(Tuple1(_))).toDF("f")
+        spark.read.parquet(
+            st.dvs.map(f => dataDir(dir).resolve(f).toString): _*)
+          .select(col("f"), col("pos")).distinct()
+          .join(filesDf, Seq("f"), "left_semi")
+          .count()
+      }
+    Some(total - dead)
+  }
+
+  /** Stage a frame's parquet output into `data/` with durable,
+    * token-unique names and harvest each file's meta + envelopes — the
+    * shared write half of every layout rewrite ([[compact]], [[binPack]],
+    * [[merge]]); the publish half is [[publishRewrite]]. `nameV` only
+    * seeds the file-name prefix (names are opaque; the manifest is the
+    * membership truth, so a rebase landing at a later version keeps the
+    * original prefix — [[commit]]'s own discipline). */
+  private def stageFrame(df: DataFrame, dir: Path, nameV: Int,
+      statCols: Set[String]): (Seq[String],
+        Map[String, Map[String, ColEnv]], Map[String, FileMeta]) = {
+    val staging = Files.createTempDirectory(dataDir(dir), ".rw-")
+    try {
+      df.write.mode("overwrite").option("compression", "zstd")
+        .parquet(staging.toString)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val moved = moveParts(staging, dir,
+        i => f"c$nameV%05d-$token-$i%05d.parquet")
+      fsync(dataDir(dir))
+      val harvested = moved.map(n =>
+        n -> harvestFile(dataDir(dir).resolve(n), statCols))
+      (moved,
+        harvested.map { case (n, (_, s)) => n -> s }
+          .filter(_._2.nonEmpty).toMap,
+        harvested.map { case (n, (m, _)) => n -> m }.toMap)
+    } finally deleteRecursively(staging)
+  }
+
+  /** Publish a REWRITE — a new version whose semantics are "replace
+    * exactly `readSet` with `outputs`, carry everything else" — with
+    * FILE-GRANULAR conflict resolution (round 14; Delta's logical
+    * conflict-detection rules, replacing the version-granular
+    * `expectedVersion` abort that let ANY racing commit kill a layout
+    * rewrite — the livelock that kept OPTIMIZE from ever landing under a
+    * sustained ingest stream). A rewrite that loses the version CAS
+    * REBASES over the winner when the race is provably disjoint, and
+    * aborts loudly only on a TRUE overlap:
+    *
+    *  - the winner dropped or rewrote a file in `readSet` → ABORT (the
+    *    rewrite's outputs were derived from files that are no longer the
+    *    truth);
+    *  - the winner added deletion-vector entries touching `readSet` →
+    *    ABORT (the outputs would resurrect the winner's deleted rows;
+    *    decided by reading the new DV files — kilobytes by construction);
+    *  - the winner changed the table schema → ABORT (the outputs were
+    *    written under the old schema);
+    *  - the winner added files and `conflictWithAdded` says they overlap
+    *    the rewrite's row-level semantics (MERGE keys vs the new files'
+    *    envelopes; always false for row-preserving layout ops) → ABORT;
+    *  - otherwise REBASE: new state = winner's files − readSet +
+    *    outputs, stats/meta likewise, the winner's DVs carried (entries
+    *    on readSet files go inert — the anti-join matches names no
+    *    longer in the manifest).
+    *
+    * Retries are BOUNDED ([[deleteWhere]]'s contract): past the cap the
+    * rewrite aborts loudly and the caller re-runs from a fresh read;
+    * every abort leaves only vacuumable orphans, no manifest. */
+  private def publishRewrite(spark: SparkSession, dir: Path, vRead: Int,
+      st0: LogState, readSet: Set[String], outputs: Seq[String],
+      outputStats: Map[String, Map[String, ColEnv]],
+      outputMeta: Map[String, FileMeta], opName: String,
+      conflictWithAdded: (Seq[String], LogState) => Boolean = (_, _) => false,
+      beforeAttempt: Int => Unit = _ => ()): Int = {
+    val maxRetries = 8
+    var tries = 0
+    while (true) {
+      tries += 1
+      if (tries > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"$opName on $dir lost the publish race $maxRetries times under " +
+            "sustained commit contention — re-read and retry (orphaned " +
+            "output files are vacuumable)")
+      val cur = versions(dir).last
+      val stCur = if (cur == vRead) st0 else stateOf(dir, cur)
+      if (cur != vRead) {
+        def conflict(why: String): Nothing =
+          throw new java.util.ConcurrentModificationException(
+            s"$opName on $dir conflicts with a racing commit (version " +
+              s"$cur): $why — re-run against the fresh snapshot (orphaned " +
+              "output files are vacuumable)")
+        if (stCur.schemaJson != st0.schemaJson)
+          conflict("the table schema changed; the rewrite's outputs were " +
+            "written under the superseded schema")
+        val curSet = stCur.files.toSet
+        if (!readSet.forall(curSet))
+          conflict("it dropped or rewrote files this rewrite read")
+        val dvNew = stCur.dvs.filterNot(st0.dvs.toSet)
+        if (dvNew.nonEmpty) {
+          val dvTouched = spark.read.parquet(
+              dvNew.map(f => dataDir(dir).resolve(f).toString): _*)
+            .select("f").distinct()
+            .collect().map(_.getString(0)) // bounded by file count
+          if (dvTouched.exists(readSet))
+            conflict("it deleted rows (new deletion vectors) in files " +
+              "this rewrite read; the outputs would resurrect them")
+        }
+        val added = stCur.files.filterNot(st0.files.toSet)
+        if (added.nonEmpty && conflictWithAdded(added, stCur))
+          conflict("it appended rows that overlap this rewrite's row-" +
+            "level semantics (key envelopes intersect the changeset)")
+      }
+      beforeAttempt(tries)
+      // DV carry rule: on a FULL rewrite (readSet covers every file of
+      // the snapshot — compact) the pre-rewrite DVs are provably inert
+      // (each entry references a file in readSet, dropped now, or a file
+      // already absent) and are dropped from the manifest; racing
+      // winners' NEW DVs always carry — the conflict check proved they
+      // touch only surviving files. Partial rewrites carry every DV
+      // (entries on readSet files go inert in the anti-join).
+      val inertDvs: Set[String] =
+        if (st0.files.forall(readSet)) st0.dvs.toSet else Set.empty
+      if (tryPublishManifest(dir, cur + 1,
+          stCur.files.filterNot(readSet) ++ outputs,
+          (stCur.stats -- readSet) ++ outputStats,
+          txnId = None, dvs = stCur.dvs.filterNot(inertDvs),
+          schemaJson = st0.schemaJson,
+          meta = (stCur.meta -- readSet) ++ outputMeta))
+        return cur + 1
+      // else: someone took cur+1 since we read — loop re-checks against
+      // the fresh winner (cumulative diffs vs st0 stay correct: every
+      // check compares the CURRENT state to the snapshot we read)
+    }
+    -1 // unreachable
+  }
+
   /** OPTIMIZE — rewrite the latest version's rows into `targetFiles`
-    * size-targeted files as a NEW version that is a logical no-op: the
-    * compacted manifest lists only the new files (overwrite lineage),
+    * size-targeted files as a NEW version that is a logical no-op,
     * while every pre-compaction version keeps reading the original small
     * files untouched (e24's physical-retain property), so time travel
     * survives maintenance and a reader mid-query on vN never races the
     * compactor. The small files become unreferenced only when the old
     * versions are vacuumed — the Delta OPTIMIZE + VACUUM split.
     *
-    * Compact-vs-ingest races ABORT LOUDLY, never lose rows: this is a
-    * read-modify-write, so the commit is CONDITIONAL on landing exactly
-    * one version past the snapshot it read (`expectedVersion`); if an
-    * ingest publishes in between, the compactor gets
-    * ConcurrentModificationException (its output files stay as
-    * vacuumable orphans, no manifest published) and simply re-runs
-    * against the fresh snapshot. Without the condition, a losing
-    * compactor's retry would publish a rewrite of the STALE snapshot as
-    * latest — silently dropping the racing ingest's rows. */
+    * Compact-vs-ingest races REBASE when provably disjoint (round 14,
+    * [[publishRewrite]]): a racing pure APPEND no longer aborts the
+    * compactor — the rewrite republishes as "winner's appends + compacted
+    * outputs", since compaction reads ALL of its snapshot's files and an
+    * append touches none of them. A racing mutation of the files it read
+    * (drop, rewrite, new DV entries) or a schema change still aborts
+    * loudly with ConcurrentModificationException — rows are never lost
+    * either way, and an abort leaves only vacuumable orphans. */
   /** `zorderBy` (OPTIMIZE ... ZORDER BY, the Delta form): cluster the
     * rewrite on the Morton curve of exactly two numeric columns —
     * range-partitioned by the curve value (Delta's own OPTIMIZE ZORDER
@@ -836,12 +1037,20 @@ object SnapshotLog {
     * is where the interleave would generalize. */
   def compact(spark: SparkSession, dir: Path, targetFiles: Int,
       statsCols: Seq[String] = Seq.empty,
-      zorderBy: Seq[String] = Seq.empty): Int = {
+      zorderBy: Seq[String] = Seq.empty): Int =
+    compactHook(spark, dir, targetFiles, statsCols, zorderBy, _ => ())
+
+  /** [[compact]] with the [[binPackHook]] seam: `beforeAttempt(n)` fires
+    * immediately before the n-th CAS publish. */
+  private[graft] def compactHook(spark: SparkSession, dir: Path,
+      targetFiles: Int, statsCols: Seq[String], zorderBy: Seq[String],
+      beforeAttempt: Int => Unit): Int = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     require(zorderBy.isEmpty || zorderBy.size == 2,
       "zorderBy takes exactly two numeric columns (the 2-D Morton curve)")
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
+    val st0 = stateOf(dir, vRead)
     val snap = read(spark, dir, Some(vRead))
     val clustered =
       if (zorderBy.isEmpty) snap.coalesce(targetFiles)
@@ -863,8 +1072,15 @@ object SnapshotLog {
           .sortWithinPartitions(col("_graft_zv"))
           .drop("_graft_zv")
       }
-    commit(clustered, dir, overwrite = true, statsCols = statsCols,
-      expectedVersion = Some(vRead + 1))
+    // the compaction read is merge-on-read (DVs materialize away in the
+    // outputs); the carried DV files go inert once the read set leaves
+    // the manifest. readSet = EVERY file of the snapshot — so a racing
+    // append is always disjoint and rebases, while any racing mutation
+    // of existing data is a true overlap and aborts.
+    val (outs, oStats, oMeta) =
+      stageFrame(clustered, dir, vRead + 1, statsCols.toSet)
+    publishRewrite(spark, dir, vRead, st0, st0.files.toSet,
+      outs, oStats, oMeta, opName = "compact", beforeAttempt = beforeAttempt)
   }
 
   /** OPTIMIZE as BIN-PACKING (round 13; Delta's real OPTIMIZE shape,
@@ -885,21 +1101,49 @@ object SnapshotLog {
     * re-harvest; rewritten files re-harvest on the union of their
     * originals' stat columns plus `statsCols`.
     *
-    * Races abort, never lose rows: the commit is CONDITIONAL on landing
-    * exactly one version past the snapshot it read (compact's contract) —
-    * a racing ingest aborts the bin-pack (orphans vacuumable), which
-    * simply re-runs against the fresh snapshot. Fewer than two small
+    * Races resolve at FILE granularity (round 14, [[publishRewrite]]):
+    * a racing commit that is disjoint from the small-file read set — a
+    * pure append, a delete/DV on carried-large files only — REBASES
+    * (both sides land); a racing mutation of the small files themselves,
+    * or a schema change, aborts loudly (orphans vacuumable) and the pack
+    * re-runs against the fresh snapshot. Fewer than two small
     * files → no-op, no version published. Returns the (possibly
     * unchanged) latest version. */
+  /** FS stat calls the most recent [[binPack]] pack decision made on this
+    * JVM — 0 when every manifest file carried committed {size, rows} meta
+    * (the round-14 contract: the pack decision reads the manifest, not
+    * the storage layer). Dev/spec observability seam, not API. */
+  private[graft] val lastPackFsStats =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def binPack(spark: SparkSession, dir: Path, smallFileBytes: Long,
-      targetFileBytes: Long, statsCols: Seq[String] = Seq.empty): Int = {
+      targetFileBytes: Long, statsCols: Seq[String] = Seq.empty): Int =
+    binPackHook(spark, dir, smallFileBytes, targetFileBytes, statsCols,
+      _ => ())
+
+  /** [[binPack]] with [[deleteWhereHook]]'s test-seam discipline:
+    * `beforeAttempt(n)` fires immediately before the n-th CAS publish,
+    * after that attempt's outputs are staged — a competitor committed
+    * there races the exact window a real concurrent ingest would, which
+    * is how the race specs/gates prove BOTH sides land. */
+  private[graft] def binPackHook(spark: SparkSession, dir: Path,
+      smallFileBytes: Long, targetFileBytes: Long, statsCols: Seq[String],
+      beforeAttempt: Int => Unit): Int = {
     require(smallFileBytes >= 1 && targetFileBytes >= 1,
       "thresholds must be positive")
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
     val st0 = stateOf(dir, vRead)
     val manifest = st0.files
-    val sized = manifest.map(f => f -> Files.size(dataDir(dir).resolve(f)))
+    // the pack decision is METADATA-ONLY for files with committed meta
+    // (round 14); only pre-meta legacy files fall back to a stat call —
+    // at object-store scale that fallback is the O(|files|) listing cost
+    // the manifest meta exists to eliminate
+    lastPackFsStats.set(0)
+    val sized = manifest.map(f => f -> st0.meta.get(f).map(_.size).getOrElse {
+      lastPackFsStats.incrementAndGet()
+      Files.size(dataDir(dir).resolve(f))
+    })
     val smallSized = sized.filter(_._2 < smallFileBytes)
     val small = smallSized.map(_._1)
     if (small.size < 2) return vRead // nothing worth packing
@@ -912,8 +1156,10 @@ object SnapshotLog {
     val harvest = (small.flatMap(f =>
       stats0.get(f).map(_.keySet).getOrElse(Set.empty[String])) ++
       statsCols).distinct
-    commit(rows.coalesce(nOut), dir, statsCols = harvest,
-      expectedVersion = Some(vRead + 1), dropCarried = small)
+    val (outs, oStats, oMeta) =
+      stageFrame(rows.coalesce(nOut), dir, vRead + 1, harvest.toSet)
+    publishRewrite(spark, dir, vRead, st0, small.toSet, outs, oStats, oMeta,
+      opName = "binPack", beforeAttempt = beforeAttempt)
   }
 
   /** MERGE INTO the snapshot log — row-level mutation as a new version,
@@ -928,10 +1174,16 @@ object SnapshotLog {
     *  3. only the touched files are read and merged with the changeset
     *     ([[Merge.merge]] semantics: `_deleted=true` drops, other rows
     *     replace-or-insert, `seqCol` resolves in-changeset duplicates);
-    *  4. the rewrite commits CONDITIONALLY (`expectedVersion`) with the
-    *     untouched files CARRIED — a racing ingest aborts the merge
-    *     (ConcurrentModificationException, orphans vacuumable) instead
-    *     of losing either side's rows.
+    *  4. the rewrite publishes through [[publishRewrite]] with the
+    *     untouched files CARRIED and FILE-GRANULAR conflict resolution
+    *     (round 14): a racing append whose files' key envelopes are
+    *     PROVABLY DISJOINT from the changeset keys rebases (both sides
+    *     land — the merge could not have touched the winner's rows); an
+    *     append that may contain a changeset key (envelope overlap, or
+    *     no envelope to prove otherwise) aborts, because serializing the
+    *     merge after it would have to upsert into the winner's rows too
+    *     — Delta's ConcurrentAppendException rule. Racing mutations of
+    *     the touched files abort as every rewrite does.
     *
     * Soundness of the touched test: a base row whose key appears in the
     * changeset must live in a file whose envelope contains that key, so
@@ -948,7 +1200,15 @@ object SnapshotLog {
     * rewrite-everything, still correct). Returns the new version. */
   def merge(spark: SparkSession, dir: Path, changes: DataFrame, key: String,
       seqCol: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty): Int =
+    mergeHook(spark, dir, changes, key, seqCol, statsCols, _ => ())
+
+  /** [[merge]] with the [[binPackHook]] seam: `beforeAttempt(n)` fires
+    * immediately before the n-th CAS publish — the deterministic way to
+    * race a commit against the merge's publish window in specs. */
+  private[graft] def mergeHook(spark: SparkSession, dir: Path,
+      changes: DataFrame, key: String, seqCol: Option[String],
+      statsCols: Seq[String], beforeAttempt: Int => Unit): Int = {
     import org.apache.spark.sql.functions._
     val vRead = versions(dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed snapshots"))
@@ -984,9 +1244,31 @@ object SnapshotLog {
       if (touched.nonEmpty) readFiles(spark, dir, touched,
         stM.dvs, schemaFromJson(stM.schemaJson))
       else read(spark, dir, Some(vRead)).filter(lit(false)) // schema only
-    commit(Merge.merge(base, changes, key, seqCol), dir,
-      statsCols = statsCols, expectedVersion = Some(vRead + 1),
-      dropCarried = touched)
+    val (outs, oStats, oMeta) = stageFrame(
+      Merge.merge(base, changes, key, seqCol), dir, vRead + 1,
+      statsCols.toSet)
+    // racing-append conflict test (publishRewrite's callback): the same
+    // envelope probe that decided `touched`, aimed at the WINNER's added
+    // files — overlap (or no envelope to prove its absence, or a
+    // non-integral key) means the serialized-later merge would have had
+    // to upsert into the winner's rows, so the rewrite must abort
+    val conflictAdded: (Seq[String], LogState) => Boolean =
+      if (!keyIsIntegral) (_, _) => true
+      else (added, stCur) => {
+        val envs = added.map(f => stCur.stats.get(f).flatMap(_.get(key)))
+        envs.exists(e => !e.exists(_.isInstanceOf[IntEnv])) || {
+          val envDf = spark.createDataFrame(added.zip(envs).collect {
+            case (f, Some(e: IntEnv)) => (f, e.lo, e.hi)
+          }).toDF("_file", "_lo", "_hi")
+          !changes.select(col(key).cast("long").as("_k")).distinct()
+            .join(broadcast(envDf),
+              col("_k") >= col("_lo") && col("_k") <= col("_hi"))
+            .isEmpty
+        }
+      }
+    publishRewrite(spark, dir, vRead, stM, touched.toSet,
+      outs, oStats, oMeta, opName = "merge",
+      conflictWithAdded = conflictAdded, beforeAttempt = beforeAttempt)
   }
 
   /** Read the table AS OF `asOf` (default: latest committed version).
@@ -1170,6 +1452,7 @@ object SnapshotLog {
       }
       var newData: Seq[String] = Seq.empty
       var newStats: Map[String, Map[String, ColEnv]] = Map.empty
+      var newMeta: Map[String, FileMeta] = Map.empty
       if (rewrite.nonEmpty) {
         // survivors of the densely-deleted files, envelopes re-harvested
         // on whatever columns their originals carried
@@ -1185,9 +1468,11 @@ object SnapshotLog {
           .parquet(staging.resolve("rw").toString)
         newData = moveParts(staging.resolve("rw"), dir,
           i => f"c${vRead + 1}%05d-$token-$i%05d.parquet")
-        newStats = newData.map { n =>
-          n -> fileStats(dataDir(dir).resolve(n), statCols)
-        }.filter(_._2.nonEmpty).toMap
+        val harvested = newData.map(n =>
+          n -> harvestFile(dataDir(dir).resolve(n), statCols))
+        newStats = harvested.map { case (n, (_, s)) => n -> s }
+          .filter(_._2.nonEmpty).toMap
+        newMeta = harvested.map { case (n, (m, _)) => n -> m }.toMap
       }
       fsync(dataDir(dir))
       val kept = files.filterNot(f => dropped(f) || rewrite(f))
@@ -1231,7 +1516,8 @@ object SnapshotLog {
           beforeAttempt(rebases)
           if (tryPublishManifest(dir, vRead + 1, kept ++ newData,
               (stats0 -- dropped -- rewrite) ++ newStats,
-              txnId = None, dvs = dvs0 ++ newDv, schemaJson = schemaJson))
+              txnId = None, dvs = dvs0 ++ newDv, schemaJson = schemaJson,
+              meta = (st0.meta -- dropped -- rewrite) ++ newMeta))
             committed = vRead + 1
           // else: someone just took vRead + 1 — loop into the rebase arm
         } else {
@@ -1277,7 +1563,8 @@ object SnapshotLog {
               curManifest.filterNot(dropped),
               stCur.stats -- dropped,
               txnId = None, dvs = curDvs ++ newDv ++ addedDv,
-              schemaJson = stCur.schemaJson))
+              schemaJson = stCur.schemaJson,
+              meta = stCur.meta -- dropped))
             committed = cur + 1
           // else: raced again — loop; a superseded rebase DV is a
           // vacuumable orphan
@@ -1371,12 +1658,15 @@ object SnapshotLog {
       val newData = moveParts(staging.resolve("u"), dir,
         i => f"c${vRead + 1}%05d-$token-$i%05d.parquet")
       fsync(dataDir(dir))
-      val newStats = newData.map { n =>
-        n -> fileStats(dataDir(dir).resolve(n), statsCols.toSet)
-      }.filter(_._2.nonEmpty).toMap
+      val harvested = newData.map(n =>
+        n -> harvestFile(dataDir(dir).resolve(n), statsCols.toSet))
+      val newStats = harvested.map { case (n, (_, s)) => n -> s }
+        .filter(_._2.nonEmpty).toMap
+      val newMeta = harvested.map { case (n, (m, _)) => n -> m }.toMap
       if (!tryPublishManifest(dir, vRead + 1, files ++ newData,
           stats0 ++ newStats,
-          txnId = None, dvs = dvs0 :+ dvName, schemaJson = schemaJson))
+          txnId = None, dvs = dvs0 :+ dvName, schemaJson = schemaJson,
+          meta = st0.meta ++ newMeta))
         throw new java.util.ConcurrentModificationException(
           s"update on $dir lost the race for version ${vRead + 1} — " +
             "re-read and retry (the orphaned files are vacuumable)")
@@ -1657,13 +1947,16 @@ object SnapshotLog {
     if (baseV > cut) return
     val st = stateOf(dir, v)
     val txn = readTxn(dir, v)
-    val base = ("version" -> v) ~ ("files" -> st.files)
+    val base = ("version" -> v) ~ ("format" -> FormatVersion) ~
+      ("files" -> st.files)
     val withStats = if (st.stats.isEmpty) base
       else base ~ ("stats" -> statsJsonOf(st.stats))
     val withDvs = if (st.dvs.isEmpty) withStats else withStats ~ ("dvs" -> st.dvs)
     val withSchema = st.schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
+    val withMeta = if (st.meta.isEmpty) withSchema
+      else withSchema ~ ("meta" -> metaJsonOf(st.meta))
     val json = JsonMethods.compact(JsonMethods.render(
-      txn.fold(withSchema)(t => withSchema ~ ("txn" -> t))))
+      txn.fold(withMeta)(t => withMeta ~ ("txn" -> t))))
     val tmp = Files.createTempFile(logDir(dir), ".ckpt", ".tmp")
     try {
       Files.writeString(tmp, json)
@@ -1707,7 +2000,8 @@ object SnapshotLog {
     * checkpoint should be written instead. */
   private def deltaJson(dir: Path, v: Int, files: Seq[String],
       stats: Map[String, Map[String, ColEnv]], dvs: Seq[String],
-      schemaJson: Option[String]): Option[org.json4s.JsonAST.JObject] = {
+      schemaJson: Option[String],
+      meta: Map[String, FileMeta]): Option[org.json4s.JsonAST.JObject] = {
     import org.json4s._
     import org.json4s.JsonDSL._
     if (v <= 1 || checkpointEvery <= 1 || v % checkpointEvery == 0) return None
@@ -1729,17 +2023,29 @@ object SnapshotLog {
     // does)
     val statsAdd = stats.filter { case (f, e) => !base.stats.get(f).contains(e) }
     val statsDrop = (base.stats.keySet -- stats.keySet -- remove).toSeq.sorted
+    // meta delta: adds for files new to the state (a file's physical meta
+    // never changes — files are immutable); kept files never lose meta
+    val metaAdd = meta.filter { case (f, m) => !base.meta.get(f).contains(m) }
     val deltaWeight = add.size + remove.size + dvAdd.size + dvRemove.size +
-      statsAdd.size + statsDrop.size
-    if (deltaWeight >= files.size + dvs.size + stats.size) return None
-    var d: JObject = ("version" -> v) ~ ("base" -> (v - 1))
+      statsAdd.size + statsDrop.size + metaAdd.size
+    if (deltaWeight >= files.size + dvs.size + stats.size + meta.size) return None
+    var d: JObject = ("version" -> v) ~ ("format" -> FormatVersion) ~
+      ("base" -> (v - 1))
     if (add.nonEmpty) d = d ~ ("add" -> add)
     if (remove.nonEmpty) d = d ~ ("remove" -> remove)
     if (statsAdd.nonEmpty) d = d ~ ("stats" -> statsJsonOf(statsAdd))
     if (statsDrop.nonEmpty) d = d ~ ("statsDrop" -> statsDrop)
     if (dvAdd.nonEmpty) d = d ~ ("dvAdd" -> dvAdd)
     if (dvRemove.nonEmpty) d = d ~ ("dvRemove" -> dvRemove)
+    if (metaAdd.nonEmpty) d = d ~ ("meta" -> metaJsonOf(metaAdd))
     Some(d)
+  }
+
+  private def metaJsonOf(meta: Map[String, FileMeta]): org.json4s.JValue = {
+    import org.json4s._
+    JObject(meta.toList.map { case (f, FileMeta(sz, rw)) =>
+      f -> (JArray(List(JLong(sz), JLong(rw))): JValue)
+    })
   }
 
   private[graft] def tryPublishManifest(
@@ -1747,7 +2053,8 @@ object SnapshotLog {
       stats: Map[String, Map[String, ColEnv]] = Map.empty,
       txnId: Option[String] = None,
       dvs: Seq[String] = Seq.empty,
-      schemaJson: Option[String] = None): Boolean = {
+      schemaJson: Option[String] = None,
+      meta: Map[String, FileMeta] = Map.empty): Boolean = {
     import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
@@ -1759,17 +2066,22 @@ object SnapshotLog {
     // string envelope (null max = unbounded above after truncation).
     // DELTA vs CHECKPOINT (round 13): eligible versions publish only the
     // diff against v−1 ([[deltaJson]]); checkpoints carry the full state.
+    // Every new manifest stamps its "format" ([[FormatVersion]]).
     // The CAS below is format-blind — both shapes publish identically.
-    val body: JObject = deltaJson(dir, v, files, stats, dvs, schemaJson)
+    val body: JObject = deltaJson(dir, v, files, stats, dvs, schemaJson, meta)
       .getOrElse {
-        val base = ("version" -> v) ~ ("files" -> files)
+        val base = ("version" -> v) ~ ("format" -> FormatVersion) ~
+          ("files" -> files)
         val withStats =
           if (stats.isEmpty) base else base ~ ("stats" -> statsJsonOf(stats))
         val withDvs = if (dvs.isEmpty) withStats else withStats ~ ("dvs" -> dvs)
         // the table schema is stored as its Spark-JSON string — opaque to
         // the manifest format, absent for pre-schema manifests (reads
         // infer then)
-        schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
+        val withSchema =
+          schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
+        if (meta.isEmpty) withSchema
+        else withSchema ~ ("meta" -> metaJsonOf(meta))
       }
     val json = JsonMethods.compact(JsonMethods.render(
       txnId.fold(body)(t => body ~ ("txn" -> t))))
@@ -1819,28 +2131,56 @@ object SnapshotLog {
   /** The full logical state a manifest version resolves to. */
   private final case class LogState(files: Seq[String],
       stats: Map[String, Map[String, ColEnv]], dvs: Seq[String],
-      schemaJson: Option[String])
+      schemaJson: Option[String],
+      meta: Map[String, FileMeta] = Map.empty)
 
   /** Resolved-state memo. The key is CONTENT-ADDRESSED (path, version,
     * SHA-256 of the manifest bytes): the cache's job is to skip re-PARSING
     * and re-walking a delta's base chain, not to skip the single file
-    * read — and content addressing makes every rewrite-at-the-same-path
-    * scenario safe by construction: a spec surgically editing a manifest,
-    * [[vacuum]]'s delta→checkpoint materialization, and a log directory
-    * deleted and re-created at the same path (where size, mtime
-    * granularity, and even the INODE can all recur — observed: tmpfs
-    * reused the freed inode, so a (path, size, fileKey) key served the
-    * dead lineage). The residual cost is one file read + hash per call —
-    * so every OPERATION resolves its version's state ONCE and
-    * destructures (files/stats/dvs/schema), rather than calling the four
-    * accessors separately; keep that discipline in new code. Bounded LRU
-    * so a long-lived session stays flat. */
-  private val stateCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Int, String), LogState](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, String), LogState]): Boolean =
-        size() > 256
-    })
+    * read — and content addressing makes rewrite-at-the-same-path
+    * scenarios safe for the LEAF being resolved: a spec surgically
+    * editing a manifest, [[vacuum]]'s delta→checkpoint materialization,
+    * and a log directory deleted and re-created at the same path (where
+    * size, mtime granularity, and even the INODE can all recur —
+    * observed: tmpfs reused the freed inode, so a (path, size, fileKey)
+    * key served the dead lineage). SCOPE (round-14 advisor note): for a
+    * DELTA leaf the cached state also depends on its BASE CHAIN's
+    * content, which the key deliberately does not cover — hashing the
+    * chain would force chain-length file reads on every hit, the exact
+    * cost the memo exists to avoid. The contract is therefore: base
+    * manifests may only ever be rewritten CONTENT-IDENTICALLY (which is
+    * what every in-house writer does — manifests are immutable once
+    * published, and materializeCheckpoint rewrites to the same logical
+    * state); an external tool rewriting a base to a different state under
+    * an unchanged delta leaf is outside the log's contract. The residual
+    * cost is one file read + hash per call — so every OPERATION resolves
+    * its version's state ONCE and destructures (files/stats/dvs/schema),
+    * rather than calling the accessors separately; keep that discipline
+    * in new code. Bounded by RETAINED WEIGHT, not entry count (round-14
+    * advisor note): a LogState holds ~O(files) refs, so at the
+    * million-file scale this format targets a count-bounded cache could
+    * pin gigabytes of driver heap — eviction is LRU while the summed
+    * per-entry weight (file + stats + dv refs) exceeds the cap. */
+  private object stateCache {
+    private val MaxWeight = 4L << 20 // ~4M refs ≈ tens of MB of strings
+    private val map =
+      new java.util.LinkedHashMap[(String, Int, String), LogState](64, 0.75f, true)
+    private var weight = 0L
+    private def weightOf(st: LogState): Long =
+      st.files.size.toLong + st.stats.size + st.dvs.size + st.meta.size + 1
+    def get(k: (String, Int, String)): LogState =
+      map.synchronized(map.get(k))
+    def put(k: (String, Int, String), st: LogState): Unit = map.synchronized {
+      val prev = map.put(k, st)
+      weight += weightOf(st) - (if (prev == null) 0L else weightOf(prev))
+      val it = map.entrySet().iterator()
+      while (weight > MaxWeight && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { weight -= weightOf(e.getValue); it.remove() }
+        else return // never evict the entry just inserted
+      }
+    }
+  }
 
   private def parseStatsMember(j: org.json4s.JValue): Map[String, Map[String, ColEnv]] = {
     import org.json4s._
@@ -1868,6 +2208,12 @@ object SnapshotLog {
     }
   }
 
+  /** Manifest file reads performed by [[stateOf]] on this JVM — the
+    * observability seam that lets specs pin metadata I/O counts (the
+    * single-pass CDF contract measures through it). Not an API. */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Resolve manifest `v` to its full [[LogState]]. A CHECKPOINT manifest
     * (the original format: a "files" member, no "base") is the state; a
     * DELTA manifest (a "base" member, round 13) applies its add/remove
@@ -1878,6 +2224,7 @@ object SnapshotLog {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val mp = manifestPath(dir, v)
+    manifestReads.incrementAndGet()
     val bytes = Files.readAllBytes(mp)
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map("%02x".format(_)).mkString
@@ -1886,31 +2233,73 @@ object SnapshotLog {
     if (hit != null) return hit
     val j = JsonMethods.parse(
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    requireSupportedFormat(j, dir, v)
     val st = (j \ "base") match {
-      case JInt(b) =>
-        val base = stateOf(dir, b.toInt)
-        val remove = strArr(j \ "remove").toSet
-        val dvRemove = strArr(j \ "dvRemove").toSet
-        val statsDrop = strArr(j \ "statsDrop").toSet
-        LogState(
-          base.files.filterNot(remove) ++ strArr(j \ "add"),
-          (base.stats -- remove -- statsDrop) ++ parseStatsMember(j \ "stats"),
-          base.dvs.filterNot(dvRemove) ++ strArr(j \ "dvAdd"),
-          base.schemaJson)
-      case _ =>
-        val files = (j \ "files") match {
-          case JArray(xs) => xs.collect { case JString(s) => s }
-          case _ =>
-            throw new IllegalStateException(s"malformed manifest v$v in $dir")
-        }
-        LogState(files, parseStatsMember(j \ "stats"), strArr(j \ "dvs"),
-          (j \ "schema") match {
-            case JString(s) => Some(s)
-            case _ => None
-          })
+      case JInt(b) => applyDelta(stateOf(dir, b.toInt), j)
+      case _ => parseCheckpoint(j, dir, v)
     }
     stateCache.put(key, st)
     st
+  }
+
+  /** Fail loudly — naming the format — on a manifest stamped with a
+    * format this reader does not understand (see [[FormatVersion]]); a
+    * missing member is format 1 and always readable. */
+  private def requireSupportedFormat(j: org.json4s.JValue, dir: Path,
+      v: Int): Unit = {
+    import org.json4s._
+    (j \ "format") match {
+      case JInt(f) if f.toInt > FormatVersion =>
+        throw new IllegalStateException(
+          s"manifest v$v in $dir was written by format ${f.toInt}, but " +
+            s"this reader supports formats up to $FormatVersion — read " +
+            "the table with a newer graft build")
+      case _ => ()
+    }
+  }
+
+  /** Apply a delta manifest's members to its base's resolved state — the
+    * one place delta semantics live; [[stateOf]]'s chain walk and the
+    * single-pass range resolver both reconstruct through here. */
+  private def applyDelta(base: LogState, j: org.json4s.JValue): LogState = {
+    val remove = strArr(j \ "remove").toSet
+    val dvRemove = strArr(j \ "dvRemove").toSet
+    val statsDrop = strArr(j \ "statsDrop").toSet
+    LogState(
+      base.files.filterNot(remove) ++ strArr(j \ "add"),
+      (base.stats -- remove -- statsDrop) ++ parseStatsMember(j \ "stats"),
+      base.dvs.filterNot(dvRemove) ++ strArr(j \ "dvAdd"),
+      base.schemaJson,
+      (base.meta -- remove) ++ parseMetaMember(j \ "meta"))
+  }
+
+  private def parseCheckpoint(j: org.json4s.JValue, dir: Path,
+      v: Int): LogState = {
+    import org.json4s._
+    val files = (j \ "files") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ =>
+        throw new IllegalStateException(s"malformed manifest v$v in $dir")
+    }
+    LogState(files, parseStatsMember(j \ "stats"), strArr(j \ "dvs"),
+      (j \ "schema") match {
+        case JString(s) => Some(s)
+        case _ => None
+      },
+      parseMetaMember(j \ "meta"))
+  }
+
+  /** Parse the `"meta"` member — {file: [size, rows]}; absent for
+    * pre-round-14 manifests (every consumer falls back to the storage
+    * layer for files without meta). */
+  private def parseMetaMember(j: org.json4s.JValue): Map[String, FileMeta] = {
+    import org.json4s._
+    j match {
+      case JObject(files) => files.collect {
+        case (f, JArray(List(sz, rw))) => f -> FileMeta(asLong(sz), asLong(rw))
+      }.toMap
+      case _ => Map.empty
+    }
   }
 
   private def asLong(v: org.json4s.JValue): Long = v match {

@@ -324,7 +324,12 @@ object ScaleProbe {
           import scala.jdk.CollectionConverters._
           st.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
             .map { p =>
-              val isDelta = java.nio.file.Files.readString(p).contains("\"base\"")
+              // top-level member test via the parser, not a substring —
+              // a stats column literally named 'base' must not
+              // misclassify a checkpoint as a delta (advisor note)
+              val isDelta = (org.json4s.jackson.JsonMethods.parse(
+                java.nio.file.Files.readString(p)) \ "base")
+                .isInstanceOf[org.json4s.JInt]
               (isDelta, java.nio.file.Files.size(p))
             }.toVector
         } finally st.close()

@@ -25,8 +25,11 @@ class SnapshotDeltaSpec extends AnyFunSuite {
   private def manifestJson(dir: java.nio.file.Path, v: Int): String =
     Files.readString(dir.resolve("_graft_log").resolve(f"v$v%05d.json"))
 
+  // parse, don't substring: a checkpoint whose stats carry a column
+  // literally named 'base' must not classify as a delta (advisor note)
   private def isDelta(dir: java.nio.file.Path, v: Int): Boolean =
-    manifestJson(dir, v).contains("\"base\"")
+    (org.json4s.jackson.JsonMethods.parse(manifestJson(dir, v)) \ "base")
+      .isInstanceOf[org.json4s.JInt]
 
   /** The full write matrix against one log dir; returns the last version. */
   private def driveLifecycle(dir: java.nio.file.Path): Int = {

@@ -958,6 +958,225 @@ class SnapshotLogSpec extends AnyFunSuite {
       .collect().map(_.getAs[Number](0).longValue).toSet == want)
   }
 
+  // ------------------------------------------------- round 14: manifest
+  // format member, per-file {size, rows} meta, file-granular rewrite races
+
+  private def manifestJsonOf(dir: java.nio.file.Path, v: Int): String =
+    Files.readString(dir.resolve("_graft_log").resolve(f"v$v%05d.json"))
+
+  test("manifests stamp their format; a higher-format manifest fails loudly BY NAME") {
+    val dir = Files.createTempDirectory("graft-snap")
+    SnapshotLog.commit(Tables.region(spark, sf), dir)
+    SnapshotLog.commit(Tables.region(spark, sf), dir)
+    (1 to 2).foreach { v =>
+      val f = org.json4s.jackson.JsonMethods.parse(manifestJsonOf(dir, v)) \ "format"
+      assert(f == org.json4s.JInt(2), s"v$v must stamp format 2, got $f")
+    }
+    // a manifest from the future: the error must NAME the format, not
+    // present as 'malformed manifest' (the round-13 failure shape)
+    Files.writeString(dir.resolve("_graft_log").resolve("v00003.json"),
+      """{"version":3,"format":99,"files":[]}""")
+    val e = intercept[IllegalStateException](SnapshotLog.read(spark, dir))
+    assert(e.getMessage.contains("format 99") &&
+      e.getMessage.contains("up to 2"),
+      s"unsupported-format error must name both versions: ${e.getMessage}")
+  }
+
+  /** Strip the `"meta"` member from every manifest — the surgical way to
+    * simulate a pre-round-14 lineage for the fallback paths. */
+  private def stripMeta(dir: java.nio.file.Path): Unit = {
+    import org.json4s._
+    SnapshotLog.versions(dir).foreach { v =>
+      val p = dir.resolve("_graft_log").resolve(f"v$v%05d.json")
+      val stripped = org.json4s.jackson.JsonMethods
+        .parse(Files.readString(p)) match {
+          case JObject(fields) => JObject(fields.filterNot(_._1 == "meta"))
+          case other => other
+        }
+      // trailing space: even a manifest that had no meta member must
+      // change bytes, or the content-addressed state memo legitimately
+      // serves the pre-strip resolution for an unchanged delta leaf
+      // (the documented rewrite-content-identical cache contract)
+      Files.writeString(p,
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(stripped)) + " ")
+    }
+  }
+
+  test("binPack's pack decision is metadata-only: zero FS stat calls; legacy lineages fall back") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.filter(col("c_custkey") % 5 =!= 0).coalesce(1),
+      dir, statsCols = Seq("c_custkey"))
+    (0 to 2).foreach { i =>
+      SnapshotLog.commit(
+        cust.filter(col("c_custkey") % 15 === (5 * i)).coalesce(1), dir,
+        statsCols = Seq("c_custkey"))
+    }
+    val data = dir.resolve("data")
+    val sizes = SnapshotLog.files(dir)
+      .map(f => f -> Files.size(data.resolve(f))).toMap
+    val threshold = sizes.values.max
+    val before = SnapshotLog.read(spark, dir).count()
+    val vP = SnapshotLog.binPack(spark, dir, threshold, 1L << 30)
+    assert(SnapshotLog.lastPackFsStats.get() == 0,
+      "a meta-complete lineage must decide the pack from the manifest alone")
+    assert(SnapshotLog.read(spark, dir, Some(vP)).count() == before)
+    // legacy lineage: no meta anywhere → the decision stats the filesystem
+    stripMeta(dir)
+    SnapshotLog.binPack(spark, dir, 1L, 1L << 30) // no-op pack, decision still runs
+    assert(SnapshotLog.lastPackFsStats.get() == SnapshotLog.files(dir).size,
+      "a meta-less lineage must fall back to one stat per manifest file")
+  }
+
+  test("metadataCount is exact across appends, DV deletes, updates, and drops; meta-less lineages decline") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.repartitionByRange(4, col("c_custkey")), dir,
+      statsCols = Seq("c_custkey"))
+    def checkExact(): Unit = {
+      val meta = SnapshotLog.metadataCount(spark, dir)
+      assert(meta.contains(SnapshotLog.read(spark, dir).count()),
+        s"metadata count $meta must equal the scan count")
+    }
+    checkExact()                                              // plain commit
+    SnapshotLog.commit(cust.filter(col("c_custkey") % 9 === 1)
+      .withColumn("c_custkey", col("c_custkey") + lit(100000L)), dir)
+    checkExact()                                              // append
+    SnapshotLog.deleteWhere(spark, dir, col("c_custkey") % 7 === 3)
+    checkExact()                                              // sparse DV
+    SnapshotLog.updateWhere(spark, dir, col("c_custkey") % 11 === 5,
+      Map("c_acctbal" -> (col("c_acctbal") + lit(1.0))))
+    checkExact()                                              // DV + append
+    SnapshotLog.deleteWhere(spark, dir, col("c_custkey") > 100000L)
+    checkExact()                       // full-file drop → inert DV entries
+    // a historical version stays exact too
+    assert(SnapshotLog.metadataCount(spark, dir, Some(1))
+      .contains(SnapshotLog.read(spark, dir, Some(1)).count()))
+    stripMeta(dir)
+    assert(SnapshotLog.metadataCount(spark, dir).isEmpty,
+      "a lineage without complete per-file meta must decline, not guess")
+  }
+
+  test("binPack REBASES over a racing disjoint append: both land, large file carried") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val data = dir.resolve("data")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.filter(col("c_custkey") % 5 =!= 0).coalesce(1),
+      dir, statsCols = Seq("c_custkey"))
+    (0 to 2).foreach { i =>
+      SnapshotLog.commit(
+        cust.filter(col("c_custkey") % 15 === (5 * i)).coalesce(1), dir,
+        statsCols = Seq("c_custkey"))
+    }
+    val v4Files = SnapshotLog.files(dir, Some(4))
+    val sizes = v4Files.map(f => f -> Files.size(data.resolve(f))).toMap
+    val largest = sizes.maxBy(_._2)._1
+    val shaBefore = sha(data.resolve(largest))
+    val baseCount = SnapshotLog.read(spark, dir).count()
+    val racer = cust.filter(col("c_custkey") % 15 === 10)
+      .withColumn("c_custkey", col("c_custkey") + lit(200000L))
+    val racerCount = racer.count()
+    var injected = false
+    val vP = SnapshotLog.binPackHook(spark, dir, sizes(largest), 1L << 30,
+      Seq.empty, beforeAttempt = n => if (n == 1) {
+        SnapshotLog.commit(racer.coalesce(1), dir) // v5 — wins the race
+        injected = true
+      })
+    assert(injected && vP == 6,
+      s"the pack must rebase past the racing append and land at v6, got $vP")
+    val after = SnapshotLog.files(dir, Some(vP))
+    assert(after.contains(largest) && sha(data.resolve(largest)) == shaBefore,
+      "the carried large file must survive the rebase byte-identical")
+    assert(SnapshotLog.read(spark, dir, Some(vP)).count() ==
+      baseCount + racerCount, "both sides' rows must land")
+    assert(SnapshotLog.read(spark, dir, Some(vP))
+      .filter(col("c_custkey") > 200000L).count() == racerCount,
+      "the racing append's rows are all present after the rebase")
+    // the rebase carried the winner's meta too: count stays metadata-only
+    assert(SnapshotLog.metadataCount(spark, dir)
+      .contains(baseCount + racerCount))
+  }
+
+  test("binPack ABORTS when the racing commit touched its read set; nothing published") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val data = dir.resolve("data")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.filter(col("c_custkey") % 5 =!= 0).coalesce(1),
+      dir, statsCols = Seq("c_custkey"))
+    (0 to 2).foreach { i =>
+      SnapshotLog.commit(
+        cust.filter(col("c_custkey") % 15 === (5 * i)).coalesce(1), dir,
+        statsCols = Seq("c_custkey"))
+    }
+    val sizes = SnapshotLog.files(dir)
+      .map(f => f -> Files.size(data.resolve(f))).toMap
+    val largest = sizes.maxBy(_._2)._1
+    // a key that lives in a SMALL file (%15==0 slice → not in the %5!=0
+    // large slab): the racing delete's DV lands on a read-set file
+    val smallKey = cust.filter(col("c_custkey") % 15 === 0)
+      .agg(min(col("c_custkey"))).head().getLong(0)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.binPackHook(spark, dir, sizes(largest), 1L << 30,
+        Seq.empty, beforeAttempt = n => if (n == 1) {
+          SnapshotLog.deleteWhere(spark, dir, col("c_custkey") === smallKey)
+        })
+    }
+    // the delete won; the aborted pack left only vacuumable orphans
+    assert(SnapshotLog.read(spark, dir)
+      .filter(col("c_custkey") === smallKey).count() == 0)
+    assert(SnapshotLog.orphans(dir).nonEmpty,
+      "the aborted pack's staged outputs are orphans")
+    SnapshotLog.vacuum(dir, keepVersions = 1)
+    assert(SnapshotLog.orphans(dir).isEmpty)
+  }
+
+  test("compact REBASES over a racing append; merge rebases on key-disjoint appends and aborts on overlap") {
+    // compact half
+    val dir = Files.createTempDirectory("graft-snap")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation, dir, statsCols = Seq("n_nationkey"))
+    SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") % 5 === 0) // DVs
+    val racer = nation.withColumn("n_nationkey", col("n_nationkey") + lit(100))
+    val vC = SnapshotLog.compactHook(spark, dir, 1, Seq("n_nationkey"),
+      Seq.empty, beforeAttempt = n => if (n == 1) {
+        SnapshotLog.commit(racer, dir, statsCols = Seq("n_nationkey"))
+      })
+    assert(vC == 4, s"compact lands after the racing append, got $vC")
+    assert(SnapshotLog.dvFiles(dir, Some(vC)).isEmpty,
+      "the full rewrite drops its now-inert DVs even across a rebase")
+    val got = SnapshotLog.read(spark, dir).select("n_nationkey")
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    val want = (0 until 25).filter(_ % 5 != 0).map(_.toLong).toSet ++
+      (0 until 25).map(_ + 100L)
+    assert(got == want, "compacted survivors + the racer's appends")
+
+    // merge half: key-disjoint racer rebases...
+    val dir2 = Files.createTempDirectory("graft-snap")
+    SnapshotLog.commit(nation.repartitionByRange(3, col("n_nationkey")),
+      dir2, statsCols = Seq("n_nationkey"))
+    val changes = nation.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", lit("MERGED")).withColumn("_deleted", lit(false))
+    val vM = SnapshotLog.mergeHook(spark, dir2, changes, "n_nationkey",
+      None, Seq("n_nationkey"), beforeAttempt = n => if (n == 1) {
+        SnapshotLog.commit(racer, dir2, statsCols = Seq("n_nationkey")) // keys 100+
+      })
+    assert(vM == 3, s"merge lands after the key-disjoint append, got $vM")
+    assert(SnapshotLog.read(spark, dir2).count() == 50)
+    assert(SnapshotLog.read(spark, dir2)
+      .filter(col("n_name") === "MERGED").count() == 5)
+    // ...and a key-OVERLAPPING racer aborts (its appended envelope
+    // contains changeset keys, so the serialized-later merge would have
+    // had to upsert into the winner's rows)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.mergeHook(spark, dir2, changes, "n_nationkey",
+        None, Seq("n_nationkey"), beforeAttempt = n => if (n == 1) {
+          SnapshotLog.commit(nation.filter(col("n_nationkey") < 3), dir2,
+            statsCols = Seq("n_nationkey"))
+        })
+    }
+  }
+
   test("a LIVE two-thread delete-vs-ingest race: every row accounted at the serialization point") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
