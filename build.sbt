@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites run SEQUENTIALLY: several specs pin JVM-global observability
+// seams (SnapshotLog.manifestReads / lastPackFsStats / lastMutationScan)
+// whose counts a concurrently-running suite would pollute; Spark itself
+// already parallelizes each test's jobs across local[*] cores, so
+// suite-level parallelism buys little here.
+Test / parallelExecution := false
 run / fork := true
 // Forked `run` output defaults to sbt's LoggedOutput, which prefixes every
 // program line with "[info] " — that prefix is why the driver failed to

@@ -232,6 +232,34 @@ class SnapshotDeltaSpec extends AnyFunSuite {
     assert(SnapshotLog.orphans(dir).isEmpty)
   }
 
+  test("a long-range CDF scan resolves in ONE forward pass: O(range) manifest reads, fold still exact") {
+    val dir = Files.createTempDirectory("graft-delta")
+    val nation = Tables.nation(spark, sf)
+    withCheckpointEvery(10) {
+      (0 until 30).foreach { i =>
+        SnapshotLog.commit(
+          nation.filter(col("n_nationkey") === (i % 25)).coalesce(1), dir)
+      }
+      SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") === 0) // v31
+      val range = SnapshotLog.versions(dir)
+      val before = SnapshotLog.manifestReads.get()
+      val cdf = SnapshotLog.readChangesCdf(spark, dir, 1, range.last)
+      val metaReads = SnapshotLog.manifestReads.get() - before
+      // single-pass contract: one read per range version plus the first
+      // version's chain walk (bounded by the checkpoint interval) — the
+      // per-step stateOf form costs ~2× the range even on memo hits, and
+      // O(range × chain) when the range overflows the memo
+      assert(metaReads <= range.size + SnapshotLog.checkpointEvery + 2,
+        s"CDF over ${range.size} versions cost $metaReads manifest reads")
+      // and the forward-carried states still fold exactly
+      val ins = cdf.filter(col("_change_type") === "insert").count()
+      val del = cdf.filter(col("_change_type") === "delete").count()
+      assert(SnapshotLog.read(spark, dir, Some(1)).count() + ins - del ==
+        SnapshotLog.read(spark, dir).count(),
+        "snapshot(from) + inserts − deletes must equal snapshot(to)")
+    }
+  }
+
   test("txn idempotency and schema evolution cross the delta format") {
     val dir = Files.createTempDirectory("graft-delta-t")
     withCheckpointEvery(100) {
