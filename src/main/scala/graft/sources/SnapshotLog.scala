@@ -230,15 +230,33 @@ object SnapshotLog {
     * `expectedVersion` — an unconditional retry after a lost race could
     * drop a name the racing winner still references semantically; the
     * conditional abort makes the read-modify-write safe. */
+  /** `partitionBy` (round 14; Delta's partitionBy as LOG metadata over a
+    * FLAT file layout): the staged write hive-partitions on a string
+    * DUPLICATE of each partition column (`_graft_p_<col>`), so every
+    * produced file holds exactly one partition-value tuple while the
+    * ORIGINAL columns stay in the data — reads need no value
+    * re-injection, and the per-file values parsed from the staging
+    * directory names land in the manifest (`"part"`) next to the
+    * partition spec (`"partCols"`). Partition pruning
+    * ([[prunedFilesPartition]], [[readPrunedPartition]]) and the
+    * mutation scans then skip files from the manifest alone, COMPOSED
+    * with envelopes. Appends to a partitioned lineage must use the same
+    * spec (or none — their files simply carry no values and are never
+    * partition-pruned; the conservative read stays sound); changing the
+    * spec requires an overwrite lineage. */
   def commit(df: DataFrame, dir: Path, overwrite: Boolean = false,
       statsCols: Seq[String] = Seq.empty,
       txnId: Option[String] = None,
       expectedVersion: Option[Int] = None,
-      dropCarried: Seq[String] = Seq.empty): Int = {
+      dropCarried: Seq[String] = Seq.empty,
+      partitionBy: Seq[String] = Seq.empty): Int = {
     require(dropCarried.isEmpty || expectedVersion.isDefined,
       "dropCarried (copy-on-write) requires expectedVersion — an " +
         "unconditional commit may retry against a manifest the drop list " +
         "was not computed from")
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partitionBy references unknown column '$c' (have " +
+        s"${df.columns.mkString(", ")})"))
     Files.createDirectories(dataDir(dir))
     Files.createDirectories(logDir(dir))
     // replay fast path: this txn already committed — nothing to write
@@ -285,15 +303,28 @@ object SnapshotLog {
     // same-filesystem staging rule)
     val staging = Files.createTempDirectory(dataDir(dir), ".commit-")
     try {
-      aligned.write.mode("overwrite").option("compression", "zstd")
-        .parquet(staging.toString)
+      if (partitionBy.isEmpty)
+        aligned.write.mode("overwrite").option("compression", "zstd")
+          .parquet(staging.toString)
+      else {
+        // hive-partition on string DUPLICATES so the original columns
+        // stay in the files (no read-side value re-injection, ever)
+        import org.apache.spark.sql.functions.col
+        val staged = partitionBy.foldLeft(aligned)((d, c) =>
+          d.withColumn("_graft_p_" + c, col(c).cast("string")))
+        staged.write.mode("overwrite").option("compression", "zstd")
+          .partitionBy(partitionBy.map("_graft_p_" + _): _*)
+          .parquet(staging.toString)
+      }
       val attemptV = versions(dir).lastOption.getOrElse(0) + 1
       val token = java.util.UUID.randomUUID().toString.take(8)
       // token-unique targets: cannot exist, so no REPLACE_EXISTING — a
       // crashed attempt leaves only unreferenced (vacuumable) orphans;
       // bytes are fsynced durable BEFORE any manifest references them
-      val moved = moveParts(staging, dir,
+      val movedWithPart = movePartsTree(staging, dir,
         i => f"c$attemptV%05d-$token-$i%05d.parquet")
+      val moved = movedWithPart.map(_._1)
+      val partVals = movedWithPart.filter(_._2.nonEmpty).toMap
       fsync(dataDir(dir)) // the new directory entries too
       // per-file column envelopes for DATA SKIPPING plus {size, rows}
       // meta, harvested from the parquet FOOTERS the write already
@@ -335,6 +366,27 @@ object SnapshotLog {
             .getOrElse((Seq.empty[String],
               Map.empty[String, Map[String, ColEnv]], Seq.empty[String],
               Map.empty[String, FileMeta]))
+        val carriedPartAll =
+          if (overwrite) Map.empty[String, Map[String, Option[String]]]
+          else prevState.map(_.part).getOrElse(Map.empty)
+        // the table owns its partition spec: an append under a DIFFERENT
+        // spec is rejected (a re-layout is an overwrite lineage); an
+        // append with no partitionBy is allowed — its files carry no
+        // values and are never partition-pruned (sound)
+        val prevPartCols =
+          if (overwrite) Seq.empty
+          else prevState.map(_.partCols).getOrElse(Seq.empty)
+        if (!overwrite && prevPartCols.nonEmpty && partitionBy.nonEmpty &&
+            partitionBy != prevPartCols)
+          throw new IllegalArgumentException(
+            s"append to $dir partitioned by ${partitionBy.mkString(",")} " +
+              s"but the table is partitioned by ${prevPartCols.mkString(",")}" +
+              " — the partition spec is table metadata; use overwrite = " +
+              "true to re-layout")
+        val publishPartCols =
+          if (overwrite || prev.isEmpty) partitionBy
+          else if (prevPartCols.nonEmpty) prevPartCols
+          else partitionBy
         // authoritative re-check against the version actually appended
         // onto (a racing writer may have evolved the schema since the
         // fail-fast above)
@@ -374,10 +426,12 @@ object SnapshotLog {
         val carried = carriedAll.filterNot(dropped)
         val carriedStats = carriedStatsAll -- dropped
         val carriedMeta = carriedMetaAll -- dropped
+        val carriedPart = carriedPartAll -- dropped
         // DVs carry whole: rows referencing dropped data files are inert
         // (the read anti-join matches on file names no longer present)
         if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats,
-            txnId, carriedDvs, publishSchema, carriedMeta ++ meta))
+            txnId, carriedDvs, publishSchema, carriedMeta ++ meta,
+            publishPartCols, carriedPart ++ partVals))
           committed = v
       }
       committed
@@ -496,6 +550,60 @@ object SnapshotLog {
     val v = resolveVersion(dir, asOf)
     val st = stateOf(dir, v)
     val (kept, skipped) = prunedFilesString(dir, column, lo, hi, Some(v))
+    readKeptOrEmpty(spark, dir, kept, skipped, st.dvs,
+      schemaFromJson(st.schemaJson))
+  }
+
+  /** The table's partition spec at a version (round 14; empty for
+    * unpartitioned lineages). */
+  def partitionColumns(dir: Path, asOf: Option[Int] = None): Seq[String] =
+    stateOf(dir, resolveVersion(dir, asOf)).partCols
+
+  /** Per-file partition values at a version — {file: {col: value}},
+    * None = the null partition; files committed without partitionBy
+    * (pre-round-14, update appends, rewrite outputs) are absent. */
+  def partitionValuesOf(dir: Path, asOf: Option[Int] = None)
+      : Map[String, Map[String, Option[String]]] =
+    stateOf(dir, resolveVersion(dir, asOf)).part
+
+  /** (kept, skipped) by PARTITION VALUES alone: a file is kept unless
+    * every filtered column has a recorded value and some value misses
+    * its filter set — the hive-layout coarse prune, decided from the one
+    * manifest read (no listing, no footer). Values compare as the exact
+    * strings the layout wrote (a long partition value 7 is "7"). Files
+    * without recorded values always read (sound). */
+  def prunedFilesPartition(dir: Path, partFilter: Map[String, Set[String]],
+      asOf: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val st = stateOf(dir, resolveVersion(dir, asOf))
+    st.files.partition { f =>
+      partFilter.forall { case (c, wanted) =>
+        st.part.get(f).flatMap(_.get(c)) match {
+          case Some(Some(v)) => wanted.contains(v)
+          case Some(None) => false // null partition never equals a value
+          case None => true // no recorded value → must read
+        }
+      }
+    }
+  }
+
+  /** Read AS OF a version with PARTITION pruning COMPOSED with integer
+    * envelope skipping — the round-14 hive-layout contract: the file set
+    * is the intersection of [[prunedFilesPartition]]'s coarse decision
+    * and [[prunedFiles]]'s fine one, from the same single manifest
+    * resolution. Kept files still need the caller's exact filter on top
+    * (pruning removes provably-empty work, it proves nothing about kept
+    * rows). */
+  def readPrunedPartition(spark: SparkSession, dir: Path,
+      partFilter: Map[String, Set[String]],
+      column: String, lo: Long, hi: Long,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = resolveVersion(dir, asOf)
+    val st = stateOf(dir, v)
+    val (keptP, _) = prunedFilesPartition(dir, partFilter, Some(v))
+    val keptPSet = keptP.toSet
+    val (keptE, _) = prunedFiles(dir, column, lo, hi, Some(v))
+    val kept = keptE.filter(keptPSet)
+    val skipped = st.files.filterNot(kept.toSet)
     readKeptOrEmpty(spark, dir, kept, skipped, st.dvs,
       schemaFromJson(st.schemaJson))
   }
@@ -692,22 +800,46 @@ object SnapshotLog {
     case _ => true
   }
 
+  /** Does a file's recorded PARTITION VALUE for a constrained column
+    * fall inside a necessary range? Missing value → true (conservative
+    * read). A null-partition value satisfies no range constraint — SQL
+    * comparisons with NULL are never TRUE, so a file holding only the
+    * null partition provably contains no predicate match on that
+    * column. Integer ranges parse the hive string value; an unparseable
+    * value reads conservatively. */
+  private def partValueOverlaps(r: PredRange, v: Option[String]): Boolean =
+    v match {
+      case None => false // the null partition: col <op> literal is never TRUE
+      case Some(s) => r match {
+        case IntRange(lo, hi) =>
+          scala.util.Try(s.toLong).toOption
+            .forall(n => n >= lo && n <= hi)
+        case StrRange(lo, hi) =>
+          utf8Cmp(s, lo) >= 0 && hi.forall(utf8Cmp(s, _) <= 0)
+      }
+    }
+
   /** Partition a manifest into (candidates, provably-untouched) for a
-    * mutation predicate, from the committed envelopes alone — the same
-    * decision [[readPruned]] makes for reads, applied to DELETE/UPDATE:
-    * a file is a candidate unless SOME constrained column's envelope
-    * misses its necessary range. Files without an envelope for a
-    * constrained column are candidates (sound). */
+    * mutation predicate — the same decision [[readPruned]] makes for
+    * reads, applied to DELETE/UPDATE, COMPOSED from both metadata
+    * sources (round 14): a file is a candidate unless SOME constrained
+    * column's envelope misses its necessary range OR its recorded
+    * partition value falls outside it. Files without an envelope or
+    * partition value for a constrained column are candidates (sound). */
   private def pruneForPredicate(files: Seq[String],
       stats: Map[String, Map[String, ColEnv]],
-      ranges: Map[String, PredRange]): (Seq[String], Seq[String]) = {
+      ranges: Map[String, PredRange],
+      part: Map[String, Map[String, Option[String]]] = Map.empty)
+      : (Seq[String], Seq[String]) = {
     // an unsatisfiable necessary range falsifies the whole predicate on
     // every row — prune everything, including files with no envelope
     if (ranges.values.exists(unsatisfiableRange)) (Seq.empty, files)
     else if (ranges.isEmpty) (files, Seq.empty)
     else files.partition { f =>
       ranges.forall { case (c, r) =>
-        stats.get(f).flatMap(_.get(c)).forall(rangeOverlaps(r, _))
+        stats.get(f).flatMap(_.get(c)).forall(rangeOverlaps(r, _)) &&
+          part.get(f).flatMap(_.get(c))
+            .forall(partValueOverlaps(r, _))
       }
     }
   }
@@ -991,7 +1123,11 @@ object SnapshotLog {
           (stCur.stats -- readSet) ++ outputStats,
           txnId = None, dvs = stCur.dvs.filterNot(inertDvs),
           schemaJson = st0.schemaJson,
-          meta = (stCur.meta -- readSet) ++ outputMeta))
+          meta = (stCur.meta -- readSet) ++ outputMeta,
+          // rewrite outputs carry no partition values (they may mix
+          // partitions) — sound: they are never partition-pruned
+          partCols = stCur.partCols,
+          part = stCur.part -- readSet))
         return cur + 1
       // else: someone took cur+1 since we read — loop re-checks against
       // the fresh winner (cumulative diffs vs st0 stay correct: every
@@ -1397,7 +1533,7 @@ object SnapshotLog {
     // the predicate against; they read everything, as before round 13)
     val ranges = schema.map(mutationRanges(spark, _, condition))
       .getOrElse(Map.empty[String, PredRange])
-    val (candidates, _) = pruneForPredicate(files, stats0, ranges)
+    val (candidates, _) = pruneForPredicate(files, stats0, ranges, st0.part)
     lastMutationScan.set((candidates.size, files.size))
     if (candidates.isEmpty) return vRead // provably no matches anywhere
     val live = liveWithPos(spark, dir, candidates, dvs0, schema)
@@ -1517,7 +1653,9 @@ object SnapshotLog {
           if (tryPublishManifest(dir, vRead + 1, kept ++ newData,
               (stats0 -- dropped -- rewrite) ++ newStats,
               txnId = None, dvs = dvs0 ++ newDv, schemaJson = schemaJson,
-              meta = (st0.meta -- dropped -- rewrite) ++ newMeta))
+              meta = (st0.meta -- dropped -- rewrite) ++ newMeta,
+              partCols = st0.partCols,
+              part = st0.part -- dropped -- rewrite))
             committed = vRead + 1
           // else: someone just took vRead + 1 — loop into the rebase arm
         } else {
@@ -1533,7 +1671,8 @@ object SnapshotLog {
           // the winner's appended files get the same envelope pruning —
           // a pruned added file provably contains no predicate matches
           val (addedFiles, _) = pruneForPredicate(
-            curManifest.filterNot(files.toSet), stCur.stats, ranges)
+            curManifest.filterNot(files.toSet), stCur.stats, ranges,
+            stCur.part)
           val addedDv: Seq[String] =
             if (addedFiles.isEmpty) Seq.empty
             else {
@@ -1564,7 +1703,9 @@ object SnapshotLog {
               stCur.stats -- dropped,
               txnId = None, dvs = curDvs ++ newDv ++ addedDv,
               schemaJson = stCur.schemaJson,
-              meta = stCur.meta -- dropped))
+              meta = stCur.meta -- dropped,
+              partCols = stCur.partCols,
+              part = stCur.part -- dropped))
             committed = cur + 1
           // else: raced again — loop; a superseded rebase DV is a
           // vacuumable orphan
@@ -1614,7 +1755,7 @@ object SnapshotLog {
     // files whose envelopes can contain a predicate row (see there)
     val (candidates, _) = pruneForPredicate(files, stats0,
       schema.map(mutationRanges(spark, _, condition))
-        .getOrElse(Map.empty[String, PredRange]))
+        .getOrElse(Map.empty[String, PredRange]), st0.part)
     lastMutationScan.set((candidates.size, files.size))
     if (candidates.isEmpty) return vRead // provably no matches anywhere
     val live = liveWithPos(spark, dir, candidates, dvs0, schema)
@@ -1666,7 +1807,8 @@ object SnapshotLog {
       if (!tryPublishManifest(dir, vRead + 1, files ++ newData,
           stats0 ++ newStats,
           txnId = None, dvs = dvs0 :+ dvName, schemaJson = schemaJson,
-          meta = st0.meta ++ newMeta))
+          meta = st0.meta ++ newMeta,
+          partCols = st0.partCols, part = st0.part))
         throw new java.util.ConcurrentModificationException(
           s"update on $dir lost the race for version ${vRead + 1} — " +
             "re-read and retry (the orphaned files are vacuumable)")
@@ -1713,6 +1855,57 @@ object SnapshotLog {
         fsync(dataDir(dir).resolve(n))
         n
       }
+
+  /** [[moveParts]] for a possibly hive-partitioned staging tree: walks
+    * `col=value` directory levels, FLATTENS every part file into `data/`
+    * under the log's token-unique names, and returns each file's
+    * partition values parsed from its directory path (the `_graft_p_`
+    * duplicate-column prefix stripped, hive %XX escapes decoded, the
+    * hive default-partition marker → None). A flat staging tree returns
+    * empty value maps — the unpartitioned [[commit]] path. */
+  private def movePartsTree(staging: Path, dir: Path, name: Int => String)
+      : Seq[(String, Map[String, Option[String]])] = {
+    def leaves(p: Path, vals: Map[String, Option[String]])
+        : Seq[(Path, Map[String, Option[String]])] =
+      listNames(p).sorted.flatMap { n =>
+        val child = p.resolve(n)
+        if (Files.isDirectory(child) && n.contains("=")) {
+          val i = n.indexOf('=')
+          val c = n.take(i).stripPrefix("_graft_p_")
+          val raw = n.drop(i + 1)
+          val v = if (raw == "__HIVE_DEFAULT_PARTITION__") None
+            else Some(unescapePathName(raw))
+          leaves(child, vals + (c -> v))
+        } else if (!Files.isDirectory(child) &&
+            n.startsWith("part-") && n.endsWith(".parquet"))
+          Seq((child, vals))
+        else Seq.empty
+      }
+    leaves(staging, Map.empty).zipWithIndex.map { case ((p, vals), i) =>
+      val n = name(i)
+      Files.move(p, dataDir(dir).resolve(n))
+      fsync(dataDir(dir).resolve(n))
+      (n, vals)
+    }
+  }
+
+  /** Decode hive path escaping (`%XX` for each escaped char — the
+    * convention Spark's ExternalCatalogUtils.escapePathName writes; NOT
+    * URL decoding, which would also turn '+' into a space). */
+  private[graft] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) { // two hex digits after '%'
+        val hex = s.substring(i + 1, i + 3)
+        val code = try Integer.parseInt(hex, 16) catch { case _: Exception => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Deletion-vector files of a version (empty when none). */
   def dvFiles(dir: Path, asOf: Option[Int] = None): Seq[String] =
@@ -1960,8 +2153,12 @@ object SnapshotLog {
     val withSchema = st.schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
     val withMeta = if (st.meta.isEmpty) withSchema
       else withSchema ~ ("meta" -> metaJsonOf(st.meta))
+    val withPartCols = if (st.partCols.isEmpty) withMeta
+      else withMeta ~ ("partCols" -> st.partCols)
+    val withPart = if (st.part.isEmpty) withPartCols
+      else withPartCols ~ ("part" -> partJsonOf(st.part))
     val json = JsonMethods.compact(JsonMethods.render(
-      txn.fold(withMeta)(t => withMeta ~ ("txn" -> t))))
+      txn.fold(withPart)(t => withPart ~ ("txn" -> t))))
     val tmp = Files.createTempFile(logDir(dir), ".ckpt", ".tmp")
     try {
       Files.writeString(tmp, json)
@@ -2006,12 +2203,16 @@ object SnapshotLog {
   private def deltaJson(dir: Path, v: Int, files: Seq[String],
       stats: Map[String, Map[String, ColEnv]], dvs: Seq[String],
       schemaJson: Option[String],
-      meta: Map[String, FileMeta]): Option[org.json4s.JsonAST.JObject] = {
+      meta: Map[String, FileMeta],
+      partCols: Seq[String],
+      part: Map[String, Map[String, Option[String]]])
+      : Option[org.json4s.JsonAST.JObject] = {
     import org.json4s._
     import org.json4s.JsonDSL._
     if (v <= 1 || checkpointEvery <= 1 || v % checkpointEvery == 0) return None
     val base = try stateOf(dir, v - 1) catch { case _: Exception => return None }
     if (base.schemaJson != schemaJson) return None
+    if (base.partCols != partCols) return None // spec change → checkpoint
     val newSet = files.toSet
     val remove = base.files.filterNot(newSet)
     val baseKeptSet = base.files.toSet -- remove
@@ -2031,9 +2232,11 @@ object SnapshotLog {
     // meta delta: adds for files new to the state (a file's physical meta
     // never changes — files are immutable); kept files never lose meta
     val metaAdd = meta.filter { case (f, m) => !base.meta.get(f).contains(m) }
+    val partAdd = part.filter { case (f, p) => !base.part.get(f).contains(p) }
     val deltaWeight = add.size + remove.size + dvAdd.size + dvRemove.size +
-      statsAdd.size + statsDrop.size + metaAdd.size
-    if (deltaWeight >= files.size + dvs.size + stats.size + meta.size) return None
+      statsAdd.size + statsDrop.size + metaAdd.size + partAdd.size
+    if (deltaWeight >= files.size + dvs.size + stats.size + meta.size +
+        part.size) return None
     var d: JObject = ("version" -> v) ~ ("format" -> FormatVersion) ~
       ("base" -> (v - 1))
     if (add.nonEmpty) d = d ~ ("add" -> add)
@@ -2043,6 +2246,7 @@ object SnapshotLog {
     if (dvAdd.nonEmpty) d = d ~ ("dvAdd" -> dvAdd)
     if (dvRemove.nonEmpty) d = d ~ ("dvRemove" -> dvRemove)
     if (metaAdd.nonEmpty) d = d ~ ("meta" -> metaJsonOf(metaAdd))
+    if (partAdd.nonEmpty) d = d ~ ("part" -> partJsonOf(partAdd))
     Some(d)
   }
 
@@ -2053,13 +2257,26 @@ object SnapshotLog {
     })
   }
 
+  private def partJsonOf(part: Map[String, Map[String, Option[String]]])
+      : org.json4s.JValue = {
+    import org.json4s._
+    JObject(part.toList.map { case (f, cols) =>
+      f -> (JObject(cols.toList.map { case (c, v) =>
+        c -> v.fold(JNull: JValue)(JString(_))
+      }): JValue)
+    })
+  }
+
   private[graft] def tryPublishManifest(
       dir: Path, v: Int, files: Seq[String],
       stats: Map[String, Map[String, ColEnv]] = Map.empty,
       txnId: Option[String] = None,
       dvs: Seq[String] = Seq.empty,
       schemaJson: Option[String] = None,
-      meta: Map[String, FileMeta] = Map.empty): Boolean = {
+      meta: Map[String, FileMeta] = Map.empty,
+      partCols: Seq[String] = Seq.empty,
+      part: Map[String, Map[String, Option[String]]] = Map.empty)
+      : Boolean = {
     import org.json4s._
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
@@ -2073,7 +2290,8 @@ object SnapshotLog {
     // diff against v−1 ([[deltaJson]]); checkpoints carry the full state.
     // Every new manifest stamps its "format" ([[FormatVersion]]).
     // The CAS below is format-blind — both shapes publish identically.
-    val body: JObject = deltaJson(dir, v, files, stats, dvs, schemaJson, meta)
+    val body: JObject = deltaJson(dir, v, files, stats, dvs, schemaJson,
+        meta, partCols, part)
       .getOrElse {
         val base = ("version" -> v) ~ ("format" -> FormatVersion) ~
           ("files" -> files)
@@ -2085,8 +2303,14 @@ object SnapshotLog {
         // infer then)
         val withSchema =
           schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
-        if (meta.isEmpty) withSchema
-        else withSchema ~ ("meta" -> metaJsonOf(meta))
+        val withMeta =
+          if (meta.isEmpty) withSchema
+          else withSchema ~ ("meta" -> metaJsonOf(meta))
+        val withPartCols =
+          if (partCols.isEmpty) withMeta
+          else withMeta ~ ("partCols" -> partCols)
+        if (part.isEmpty) withPartCols
+        else withPartCols ~ ("part" -> partJsonOf(part))
       }
     val json = JsonMethods.compact(JsonMethods.render(
       txnId.fold(body)(t => body ~ ("txn" -> t))))
@@ -2133,11 +2357,19 @@ object SnapshotLog {
   private def readStats(dir: Path, v: Int): Map[String, Map[String, ColEnv]] =
     stateOf(dir, v).stats
 
-  /** The full logical state a manifest version resolves to. */
+  /** The full logical state a manifest version resolves to.
+    * `partCols` is the table's partition spec (Delta's partitionBy,
+    * round 14 — empty for unpartitioned lineages); `part` records each
+    * file's partition values as the strings the hive layout would put in
+    * directory names (None = the null partition). Files without recorded
+    * values — pre-round-14 commits, update-appended files, rewrite
+    * outputs — are simply never partition-pruned (sound). */
   private final case class LogState(files: Seq[String],
       stats: Map[String, Map[String, ColEnv]], dvs: Seq[String],
       schemaJson: Option[String],
-      meta: Map[String, FileMeta] = Map.empty)
+      meta: Map[String, FileMeta] = Map.empty,
+      partCols: Seq[String] = Seq.empty,
+      part: Map[String, Map[String, Option[String]]] = Map.empty)
 
   /** Resolved-state memo. The key is CONTENT-ADDRESSED (path, version,
     * SHA-256 of the manifest bytes): the cache's job is to skip re-PARSING
@@ -2323,7 +2555,9 @@ object SnapshotLog {
       (base.stats -- remove -- statsDrop) ++ parseStatsMember(j \ "stats"),
       base.dvs.filterNot(dvRemove) ++ strArr(j \ "dvAdd"),
       base.schemaJson,
-      (base.meta -- remove) ++ parseMetaMember(j \ "meta"))
+      (base.meta -- remove) ++ parseMetaMember(j \ "meta"),
+      base.partCols, // a partition-spec change always checkpoints
+      (base.part -- remove) ++ parsePartMember(j \ "part"))
   }
 
   private def parseCheckpoint(j: org.json4s.JValue, dir: Path,
@@ -2339,7 +2573,26 @@ object SnapshotLog {
         case JString(s) => Some(s)
         case _ => None
       },
-      parseMetaMember(j \ "meta"))
+      parseMetaMember(j \ "meta"),
+      strArr(j \ "partCols"),
+      parsePartMember(j \ "part"))
+  }
+
+  /** Parse the `"part"` member — {file: {col: "value" | null}}; null is
+    * the hive default (null) partition. Absent for unpartitioned or
+    * pre-round-14 manifests. */
+  private def parsePartMember(j: org.json4s.JValue)
+      : Map[String, Map[String, Option[String]]] = {
+    import org.json4s._
+    j match {
+      case JObject(files) => files.collect { case (f, JObject(cols)) =>
+        f -> cols.collect {
+          case (c, JString(v)) => c -> Option(v)
+          case (c, JNull) => c -> (None: Option[String])
+        }.toMap
+      }.toMap
+      case _ => Map.empty
+    }
   }
 
   /** Parse the `"meta"` member — {file: [size, rows]}; absent for

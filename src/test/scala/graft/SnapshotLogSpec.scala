@@ -1177,6 +1177,71 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned commits record spec + per-file values; hostile values and nulls round-trip") {
+    val dir = Files.createTempDirectory("graft-snap")
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a=b"), (2L, "a=b"), (3L, "c d"), (4L, "x%y/z"), (5L, null)
+    ).toDF("id", "grp")
+    SnapshotLog.commit(df.repartition(col("grp")), dir,
+      partitionBy = Seq("grp"))
+    assert(SnapshotLog.partitionColumns(dir) == Seq("grp"))
+    val vals = SnapshotLog.partitionValuesOf(dir)
+    assert(vals.nonEmpty && vals.values.map(_("grp")).toSet ==
+      Set(Some("a=b"), Some("c d"), Some("x%y/z"), None),
+      s"hive escapes and the null partition must round-trip: $vals")
+    // the ORIGINAL column stays in the data — reads re-inject nothing
+    assert(SnapshotLog.read(spark, dir).select("id", "grp")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
+      Set((1L, Some("a=b")), (2L, Some("a=b")), (3L, Some("c d")),
+        (4L, Some("x%y/z")), (5L, None)))
+    // partition-only pruning: exactly the a=b files are kept
+    val (kept, skipped) = SnapshotLog.prunedFilesPartition(dir,
+      Map("grp" -> Set("a=b")))
+    assert(kept.nonEmpty && skipped.nonEmpty &&
+      kept.forall(f => vals(f)("grp").contains("a=b")))
+    // a mutation on a partition value opens ONLY that partition's files
+    // — composed into pruneForPredicate via the recorded values, no
+    // statsCols needed on the string column
+    SnapshotLog.deleteWhere(spark, dir, col("grp") === "c d")
+    val scan = SnapshotLog.lastMutationScan.get()
+    assert(scan._1 >= 1 && scan._1 < scan._2,
+      s"partition-valued delete must open a strict file subset, got $scan")
+    assert(SnapshotLog.read(spark, dir).count() == 4)
+    // the null partition prunes under any value constraint (NULL is
+    // never equal): the no-op delete publishes nothing
+    val vBefore = SnapshotLog.versions(dir).last
+    assert(SnapshotLog.deleteWhere(spark, dir,
+      col("grp") === "no such value") == vBefore)
+    assert(SnapshotLog.lastMutationScan.get()._1 == 0,
+      "a never-matching partition value must prune every valued file")
+  }
+
+  test("the partition spec is table metadata: mismatched appends reject, unpartitioned appends degrade soundly") {
+    val dir = Files.createTempDirectory("graft-snap")
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "grp")
+    SnapshotLog.commit(df, dir, partitionBy = Seq("grp"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(df, dir, partitionBy = Seq("id"))
+    }
+    // an unpartitioned append is legal: its files carry no values and
+    // are never partition-pruned — conservative, still correct
+    SnapshotLog.commit(Seq((3L, "a")).toDF("id", "grp"), dir)
+    assert(SnapshotLog.partitionColumns(dir) == Seq("grp"),
+      "the spec survives an unpartitioned append")
+    val (kept, _) = SnapshotLog.prunedFilesPartition(dir,
+      Map("grp" -> Set("b")))
+    // the unvalued append file must be KEPT (it might contain 'b')
+    val vals = SnapshotLog.partitionValuesOf(dir)
+    assert(kept.exists(f => !vals.contains(f)),
+      "files without recorded values always read")
+    assert(SnapshotLog.read(spark, dir).count() == 3)
+    // overwrite re-layouts freely
+    SnapshotLog.commit(df, dir, overwrite = true, partitionBy = Seq("id"))
+    assert(SnapshotLog.partitionColumns(dir) == Seq("id"))
+  }
+
   test("a LIVE two-thread delete-vs-ingest race: every row accounted at the serialization point") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
