@@ -89,6 +89,8 @@ object Cli {
       lakeChanges: Option[(Int, Int)] = None,
       lakeCdf: Option[(Int, Int)] = None,
       lakeSet: Vector[String] = Vector.empty,
+      lakePartitionBy: Seq[String] = Seq.empty,
+      lakeJson: Boolean = false,
       /** -1 = quiet, 0 = default, N = -v count (logging.rs:4-25 parity) */
       verbosity: Int = 0,
       /** --prompt (reference connection.rs:49-77, where it triggers the
@@ -144,6 +146,10 @@ object Cli {
         case "--target-files" :: v :: t => c = c.copy(lakeTargetFiles = v.toInt); t
         case "--zorder-by" :: v :: t =>
           c = c.copy(lakeZorderBy = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)); t
+        case "--partition-by" :: v :: t =>
+          c = c.copy(lakePartitionBy =
+            v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)); t
+        case "--json" :: t => c = c.copy(lakeJson = true); t
         case "--small-file-bytes" :: v :: t =>
           c = c.copy(lakeSmallFileBytes = Some(parseBytes(v))); t
         case "--target-file-bytes" :: v :: t =>
@@ -524,14 +530,14 @@ object Cli {
     * reference's insert/exec/query are (src/main.rs:51-77's surface
     * philosophy, beyond-reference capability):
     *
-    *   lake commit   <dir> <in.parquet>      [--overwrite] [--stats-cols a,b] [--txn-id ID]
+    *   lake commit   <dir> <in.parquet>      [--overwrite] [--stats-cols a,b] [--txn-id ID] [--partition-by a,b]
     *   lake delete   <dir> <sql-predicate>                         (DV merge-on-read)
     *   lake update   <dir> <sql-predicate> --set col=expr [--set …] [--stats-cols …]
     *   lake merge    <dir> <changes.parquet> --key COL [--seq-col COL] [--stats-cols …]
     *   lake optimize <dir> [--target-files N] [--zorder-by a,b]
     *                       [--small-file-bytes B [--target-file-bytes B]]  (bin-pack mode)
     *   lake vacuum   <dir> [--keep-versions N]
-    *   lake orphans  <dir>                       (vacuum dry-run: list debris)
+    *   lake orphans  <dir> [--json]             (vacuum dry-run: list debris)
     *   lake versions <dir>
     *   lake read     <dir> <out.par|-> [--as-of N] [--changes F:T] [--cdf F:T]
     *
@@ -561,7 +567,8 @@ object Cli {
         val v = SnapshotLog.commit(
           graft.sources.PhysicalFormat.readSparkCompatible(spark, Paths.get(in)),
           dir, overwrite = conf.lakeOverwrite,
-          statsCols = conf.lakeStatsCols, txnId = conf.lakeTxnId)
+          statsCols = conf.lakeStatsCols, txnId = conf.lakeTxnId,
+          partitionBy = conf.lakePartitionBy)
         s"committed version $v"
       case "delete" =>
         arity(2, "TABLE_DIR PREDICATE")
@@ -619,7 +626,16 @@ object Cli {
         // DVs; everything here is invisible to reads and reclaimable
         arity(1, "TABLE_DIR")
         val os = SnapshotLog.orphans(dir)
-        if (os.isEmpty) "no orphans"
+        if (conf.lakeJson) {
+          // scriptable dry-run (round 14): one JSON object; bytes come
+          // from the filesystem because orphans are by definition in NO
+          // manifest — there is no metadata to read them from
+          val items = os.map(p =>
+            "{\"file\":\"" + p.getFileName + "\",\"bytes\":" +
+              Files.size(p) + "}")
+          "{\"orphans\":[" + items.mkString(",") + "],\"count\":" +
+            os.size + ",\"totalBytes\":" + os.map(Files.size(_)).sum + "}"
+        } else if (os.isEmpty) "no orphans"
         else os.map(p => s"${p.getFileName} (${Files.size(p)} B)")
           .mkString("\n")
       case "versions" =>

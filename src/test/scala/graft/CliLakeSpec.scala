@@ -127,6 +127,31 @@ class CliLakeSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, dir).count() == region.count() + 2)
   }
 
+  test("lake orphans --json is scriptable; lake commit --partition-by records values") {
+    val work = Files.createTempDirectory("graft-clilake")
+    val dir = work.resolve("tbl")
+    val in = work.resolve("in.parquet")
+    Tables.nation(spark, sf).write.parquet(in.toString)
+    assert(lake("commit", dir.toString, in.toString,
+      "--partition-by", "n_regionkey") == "committed version 1")
+    assert(SnapshotLog.partitionColumns(dir) == Seq("n_regionkey"))
+    assert(SnapshotLog.partitionValuesOf(dir).values
+      .flatMap(_.get("n_regionkey")).flatten.toSet ==
+      Set("0", "1", "2", "3", "4"))
+    // clean table → empty-but-valid JSON
+    val empty = org.json4s.jackson.JsonMethods.parse(
+      lake("orphans", dir.toString, "--json"))
+    assert((empty \ "count") == org.json4s.JInt(0))
+    // plant debris; the JSON carries name + bytes + totals
+    Files.writeString(dir.resolve("data").resolve("c99999-zz.parquet"), "junk")
+    val j = org.json4s.jackson.JsonMethods.parse(
+      lake("orphans", dir.toString, "--json"))
+    assert((j \ "count") == org.json4s.JInt(1) &&
+      (j \ "totalBytes") == org.json4s.JInt(4))
+    assert(((j \ "orphans")(0) \ "file") ==
+      org.json4s.JString("c99999-zz.parquet"))
+  }
+
   test("lake argv validation fails loudly") {
     intercept[IllegalArgumentException](lake("frobnicate", "/tmp/x"))
     intercept[IllegalArgumentException](lake("update", "/tmp/x", "a = 1"))
