@@ -1069,7 +1069,9 @@ object SnapshotLog {
       outputStats: Map[String, Map[String, ColEnv]],
       outputMeta: Map[String, FileMeta], opName: String,
       conflictWithAdded: (Seq[String], LogState) => Boolean = (_, _) => false,
-      beforeAttempt: Int => Unit = _ => ()): Int = {
+      beforeAttempt: Int => Unit = _ => (),
+      outputPart: Map[String, Map[String, Option[String]]] = Map.empty)
+      : Int = {
     val maxRetries = 8
     var tries = 0
     while (true) {
@@ -1124,10 +1126,12 @@ object SnapshotLog {
           txnId = None, dvs = stCur.dvs.filterNot(inertDvs),
           schemaJson = st0.schemaJson,
           meta = (stCur.meta -- readSet) ++ outputMeta,
-          // rewrite outputs carry no partition values (they may mix
-          // partitions) — sound: they are never partition-pruned
+          // outputs carry partition values only when the caller proved
+          // them single-partition (binPack's per-group packing); a
+          // partition-mixing rewrite leaves its outputs unvalued —
+          // sound: they are simply never partition-pruned
           partCols = stCur.partCols,
-          part = stCur.part -- readSet))
+          part = (stCur.part -- readSet) ++ outputPart))
         return cur + 1
       // else: someone took cur+1 since we read — loop re-checks against
       // the fresh winner (cumulative diffs vs st0 stay correct: every
@@ -1237,6 +1241,13 @@ object SnapshotLog {
     * re-harvest; rewritten files re-harvest on the union of their
     * originals' stat columns plus `statsCols`.
     *
+    * PARTITION-AWARE (round 14): on a partitioned lineage the small
+    * files group by their recorded partition values and pack per group,
+    * so the outputs stay single-partition and keep their values —
+    * partition pruning survives layout maintenance (Delta's OPTIMIZE
+    * packs within partitions for the same reason). Unvalued files form
+    * one group of their own.
+    *
     * Races resolve at FILE granularity (round 14, [[publishRewrite]]):
     * a racing commit that is disjoint from the small-file read set — a
     * pure append, a delete/DV on carried-large files only — REBASES
@@ -1281,21 +1292,43 @@ object SnapshotLog {
       Files.size(dataDir(dir).resolve(f))
     })
     val smallSized = sized.filter(_._2 < smallFileBytes)
-    val small = smallSized.map(_._1)
-    if (small.size < 2) return vRead // nothing worth packing
+    val sizeOf = smallSized.toMap
     val stats0 = st0.stats
-    val rows = readFiles(spark, dir, small, st0.dvs,
-      schemaFromJson(st0.schemaJson)) // merge-on-read: their DVs materialize
-    val smallBytes = smallSized.map(_._2).sum
-    val nOut = math.max(1L,
-      (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val harvest = (small.flatMap(f =>
-      stats0.get(f).map(_.keySet).getOrElse(Set.empty[String])) ++
-      statsCols).distinct
-    val (outs, oStats, oMeta) =
-      stageFrame(rows.coalesce(nOut), dir, vRead + 1, harvest.toSet)
-    publishRewrite(spark, dir, vRead, st0, small.toSet, outs, oStats, oMeta,
-      opName = "binPack", beforeAttempt = beforeAttempt)
+    // PARTITION-AWARE packing (round 14; Delta's OPTIMIZE discipline):
+    // small files group by their recorded partition-value tuple and each
+    // group packs SEPARATELY, so the rewritten outputs are provably
+    // single-partition and KEEP their values in the manifest — layout
+    // maintenance never degrades partition pruning. Files without
+    // recorded values (unpartitioned lineages, update appends) form one
+    // unvalued group — exactly the pre-round-14 behavior.
+    val groups = smallSized.map(_._1)
+      .groupBy(f => st0.part.getOrElse(f, Map.empty[String, Option[String]]))
+      .toSeq.filter(_._2.size >= 2) // a lone small file is already packed
+    if (groups.isEmpty) return vRead // nothing worth packing
+    var outputs = Seq.empty[String]
+    var oStats = Map.empty[String, Map[String, ColEnv]]
+    var oMeta = Map.empty[String, FileMeta]
+    var oPart = Map.empty[String, Map[String, Option[String]]]
+    groups.foreach { case (vals, fs) =>
+      val rows = readFiles(spark, dir, fs, st0.dvs,
+        schemaFromJson(st0.schemaJson)) // merge-on-read: DVs materialize
+      val bytes = fs.map(sizeOf).sum
+      val nOut = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val harvest = (fs.flatMap(f =>
+        stats0.get(f).map(_.keySet).getOrElse(Set.empty[String])) ++
+        statsCols).distinct
+      val (outs, st, mt) =
+        stageFrame(rows.coalesce(nOut), dir, vRead + 1, harvest.toSet)
+      outputs ++= outs
+      oStats ++= st
+      oMeta ++= mt
+      if (vals.nonEmpty) oPart ++= outs.map(_ -> vals)
+    }
+    publishRewrite(spark, dir, vRead, st0,
+      groups.flatMap(_._2).toSet, outputs, oStats, oMeta,
+      opName = "binPack", beforeAttempt = beforeAttempt,
+      outputPart = oPart)
   }
 
   /** MERGE INTO the snapshot log — row-level mutation as a new version,

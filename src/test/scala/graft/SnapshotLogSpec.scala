@@ -1242,6 +1242,36 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.partitionColumns(dir) == Seq("id"))
   }
 
+  test("binPack packs WITHIN partitions: outputs keep their values, pruning survives maintenance") {
+    val dir = Files.createTempDirectory("graft-snap")
+    import spark.implicits._
+    def slice(ids: Seq[(Long, String)]) =
+      ids.toDF("id", "grp").repartition(col("grp"))
+    SnapshotLog.commit(slice(Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"))),
+      dir, partitionBy = Seq("grp"))
+    SnapshotLog.commit(slice(Seq((5L, "a"), (6L, "b"))),
+      dir, partitionBy = Seq("grp"))
+    // ≥2 small files per value now; pack everything
+    val before = SnapshotLog.files(dir).size
+    val vP = SnapshotLog.binPack(spark, dir, 1L << 20, 1L << 30)
+    assert(vP == 3)
+    val files = SnapshotLog.files(dir)
+    val vals = SnapshotLog.partitionValuesOf(dir)
+    assert(files.size < before, "the pack actually packed")
+    assert(files.forall(vals.contains),
+      "per-partition packing must keep every output's partition values")
+    val (keptA, skippedA) = SnapshotLog.prunedFilesPartition(dir,
+      Map("grp" -> Set("a")))
+    assert(keptA.nonEmpty && skippedA.nonEmpty,
+      "partition pruning still bites after maintenance")
+    assert(SnapshotLog.read(spark, dir).count() == 6)
+    // the kept files really are single-partition: reading only them
+    // yields exactly the a-rows
+    assert(SnapshotLog.read(spark, dir)
+      .filter(col("grp") === "a").count() == 3)
+    assert(SnapshotLog.metadataCount(spark, dir).contains(6L))
+  }
+
   test("a LIVE two-thread delete-vs-ingest race: every row accounted at the serialization point") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
