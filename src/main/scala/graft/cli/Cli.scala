@@ -538,6 +538,7 @@ object Cli {
     *                       [--small-file-bytes B [--target-file-bytes B]]  (bin-pack mode)
     *   lake vacuum   <dir> [--keep-versions N]
     *   lake orphans  <dir> [--json]             (vacuum dry-run: list debris)
+    *   lake count    <dir> [--as-of N]          (metadata-only COUNT(*))
     *   lake versions <dir>
     *   lake read     <dir> <out.par|-> [--as-of N] [--changes F:T] [--cdf F:T]
     *
@@ -638,6 +639,17 @@ object Cli {
         } else if (os.isEmpty) "no orphans"
         else os.map(p => s"${p.getFileName} (${Files.size(p)} B)")
           .mkString("\n")
+      case "count" =>
+        // metadata-only COUNT(*) when the manifest carries complete
+        // per-file row meta (round 14); falls back to a scan — and SAYS
+        // so — for pre-meta lineages
+        arity(1, "TABLE_DIR")
+        SnapshotLog.metadataCount(spark, dir, conf.lakeAsOf) match {
+          case Some(n) => s"$n rows (metadata-only)"
+          case None =>
+            val n = SnapshotLog.read(spark, dir, conf.lakeAsOf).count()
+            s"$n rows (scanned; manifest lacks complete per-file meta)"
+        }
       case "versions" =>
         arity(1, "TABLE_DIR")
         val vs = SnapshotLog.versions(dir)

@@ -903,12 +903,18 @@ object SnapshotLog {
     * envelope only if EVERY row group carries non-null statistics for it;
     * anything partial would make pruning unsound, so it is dropped and
     * the file simply always reads. */
+  /** One shared read-only Hadoop conf for footer harvests: constructing
+    * a Configuration parses the default XML resources (~tens of ms), and
+    * round 14 opens a footer for EVERY staged file (meta harvest), not
+    * just stats-column commits — per-file construction was measurable on
+    * multi-commit gates. */
+  private lazy val harvestConf = new org.apache.hadoop.conf.Configuration()
+
   private def harvestFile(p: Path, cols: Set[String])
       : (FileMeta, Map[String, ColEnv]) = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p.toString), conf))
+        new org.apache.hadoop.fs.Path(p.toString), harvestConf))
     try {
       val blocks = fr.getFooter.getBlocks.asScala.toSeq
       val meta = FileMeta(Files.size(p), blocks.map(_.getRowCount).sum)

@@ -138,6 +138,10 @@ class CliLakeSpec extends AnyFunSuite {
     assert(SnapshotLog.partitionValuesOf(dir).values
       .flatMap(_.get("n_regionkey")).flatten.toSet ==
       Set("0", "1", "2", "3", "4"))
+    // metadata-only COUNT(*) at the CLI surface, time-travel aware
+    assert(lake("count", dir.toString) == "25 rows (metadata-only)")
+    assert(lake("count", dir.toString, "--as-of", "1")
+      == "25 rows (metadata-only)")
     // clean table → empty-but-valid JSON
     val empty = org.json4s.jackson.JsonMethods.parse(
       lake("orphans", dir.toString, "--json"))
