@@ -2047,7 +2047,55 @@ object EtlQueries {
     materializedThenClean(out, dir, Seq(col("c_mktsegment")))
   }
 
+  // ------------------------------------------ e43_metadata_minmax
+  /** METADATA-ONLY MIN/MAX ([[graft.sources.SnapshotLog.metadataMinMax]])
+    * — the trio-completing sibling of e41's count: on a DV-free snapshot
+    * whose every file carries an integer envelope, MIN/MAX answer
+    * EXACTLY from the manifest (footer stats ignore NULLs the same way
+    * SQL MIN/MAX do). Under deletion vectors the answer honestly
+    * DECLINES — a DV may have killed precisely the extreme row, so the
+    * envelope hull is only a bound; the gate pins that refusal, then
+    * time-travels to the pre-delete version where the metadata answer
+    * still stands. The same brutal proof as e41: every data file is
+    * deleted from disk before the answering read — only a
+    * metadata-true implementation survives. The DuckDB-checked half:
+    * (mn, mx, n_rows) equal the composed append recomputation. */
+  def e43MetadataMinmax(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val dir = scratchDir("graft-e43")
+    val base = orders(s, d)
+    SnapshotLog.commit(base.repartitionByRange(4, col("o_orderkey")), dir,
+      statsCols = Seq("o_orderkey"))
+    SnapshotLog.commit(base.filter(col("o_orderkey") % 9 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L)), dir,
+      statsCols = Seq("o_orderkey"))
+    val scan = SnapshotLog.read(s, dir)
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val mmV2 = SnapshotLog.metadataMinMax(dir, "o_orderkey")
+    val v3 = SnapshotLog.deleteWhere(s, dir, col("o_orderkey") % 7 === 3)
+    val declinesUnderDv =
+      SnapshotLog.metadataMinMax(dir, "o_orderkey").isEmpty
+    // the proof: data files gone, metadata still answers for v2
+    import scala.jdk.CollectionConverters._
+    val st = Files.list(dir.resolve("data"))
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("c"))
+      .foreach(Files.delete(_))
+    finally st.close()
+    val mm = SnapshotLog.metadataMinMax(dir, "o_orderkey", Some(2))
+    val n = SnapshotLog.metadataCount(s, dir, Some(2))
+    val ok = v3 == 3 && declinesUnderDv &&
+      mmV2.contains((scan.getLong(0), scan.getLong(1))) && mm == mmV2 &&
+      n.isDefined
+    val out = s.range(1).select(
+      lit(mm.map(_._1).getOrElse(-1L)).as("mn"),
+      lit(mm.map(_._2).getOrElse(-1L)).as("mx"),
+      lit(n.getOrElse(-1L)).as("n_rows")).filter(lit(ok))
+    materializedThenClean(out, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e43_metadata_minmax" -> e43MetadataMinmax,
     "e42_partitioned_log" -> e42PartitionedLog,
     "e41_metadata_count" -> e41MetadataCount,
     "e40_optimize_under_ingest" -> e40OptimizeUnderIngest,
@@ -2092,6 +2140,14 @@ object EtlQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // metadata-only MIN/MAX/COUNT at the pre-delete version = the
+    // composed append recomputation; an envelope that lied (or a bound
+    // mistaken for an answer under DVs) hash-fails
+    "e43_metadata_minmax" ->
+      """SELECT MIN(k) AS mn, MAX(k) AS mx, COUNT(*) AS n_rows FROM (
+        |  SELECT o_orderkey AS k FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000 FROM orders WHERE o_orderkey % 9 = 1)""".stripMargin,
     // the partition-pruned delete must be result-invisible outside its
     // segment: the post-delete snapshot = the raw table under the
     // segment NOT-predicate; an over-pruned file (a lying partition

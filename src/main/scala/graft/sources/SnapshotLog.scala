@@ -1146,6 +1146,27 @@ object SnapshotLog {
     -1 // unreachable
   }
 
+  /** Metadata-only MIN/MAX for an integer-enveloped column (round 14;
+    * with [[metadataCount]] this completes the Delta metadata-query
+    * trio). EXACT — not an outer bound — when (a) every manifest file
+    * carries an [[IntEnv]] for the column (footer stats ignore NULLs,
+    * exactly like SQL MIN/MAX; an all-null file has no envelope and
+    * makes us decline) and (b) the version holds NO deletion vectors: a
+    * DV could have killed precisely the extreme row, so under DVs the
+    * envelope hull is only a bound and the honest answer is None (the
+    * caller scans). Bounds are in the column's PHYSICAL units
+    * ([[ColEnv]]'s contract: micros for timestamps, unscaled for small
+    * decimals). */
+  def metadataMinMax(dir: Path, column: String,
+      asOf: Option[Int] = None): Option[(Long, Long)] = {
+    val st = stateOf(dir, resolveVersion(dir, asOf))
+    if (st.files.isEmpty || st.dvs.nonEmpty) return None
+    val envs = st.files.map(f => st.stats.get(f).flatMap(_.get(column)))
+    val ints = envs.collect { case Some(e: IntEnv) => e }
+    if (ints.size != st.files.size) None
+    else Some((ints.map(_.lo).min, ints.map(_.hi).max))
+  }
+
   /** OPTIMIZE — rewrite the latest version's rows into `targetFiles`
     * size-targeted files as a NEW version that is a logical no-op,
     * while every pre-compaction version keeps reading the original small
