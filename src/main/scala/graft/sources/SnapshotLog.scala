@@ -1549,12 +1549,17 @@ object SnapshotLog {
     * the publish race to an append-shaped commit (ingest, MoR update)
     * does NOT abort — the delete serializes after the winner, applying
     * its predicate to the winner's appended rows via one bounded delta
-    * scan (see the publish loop); a racing REWRITE (compact/merge/CoW)
-    * aborts with ConcurrentModificationException because the computed
-    * (file, position) identities may be stale — rows are never silently
-    * resurrected or double-counted either way, and an aborted attempt
-    * leaves only vacuumable orphans. Returns the new version, or the
-    * current one unchanged when nothing matched. */
+    * scan (see the publish loop). Racing REWRITES resolve at FILE
+    * granularity (round 14): a rewrite that replaced only files this
+    * delete provably did not read (the envelope-pruned complement — a
+    * bin-pack of the small tail, a key-disjoint merge) also rebases,
+    * its outputs predicate-scanned like any append, so OPTIMIZE and a
+    * sparse purge no longer serialize; a rewrite that touched a
+    * CANDIDATE file aborts with ConcurrentModificationException because
+    * the computed (file, position) identities may be stale — rows are
+    * never silently resurrected or double-counted either way, and an
+    * aborted attempt leaves only vacuumable orphans. Returns the new
+    * version, or the current one unchanged when nothing matched. */
   def deleteWhere(spark: SparkSession, dir: Path,
       condition: org.apache.spark.sql.Column): Int =
     deleteWhereHook(spark, dir, condition, () => ())
@@ -1722,7 +1727,18 @@ object SnapshotLog {
           val stCur = stateOf(dir, cur) // one resolution per rebase pass
           val curManifest = stCur.files
           val curSet = curManifest.toSet
-          if (rewrite.nonEmpty || !files.forall(curSet))
+          // FILE-GRANULAR rewrite tolerance (round 14, publishRewrite's
+          // rule applied to the delete's side of the race): only the
+          // files this delete actually READ — the envelope candidates
+          // its DVs/drops reference — must survive in the winner's
+          // manifest. A racing layout rewrite of the PRUNED complement
+          // (a bin-pack of the small tail, a key-disjoint merge) carries
+          // no row this delete touched: its outputs flow through the
+          // added-file arm below and get the predicate applied like any
+          // append, so OPTIMIZE and a GDPR purge no longer serialize.
+          // The copy-on-write arm still aborts on any rewrite — its
+          // survivor files were computed from the vRead live set.
+          if (rewrite.nonEmpty || !candidates.forall(curSet))
             throw new java.util.ConcurrentModificationException(
               s"delete on $dir lost the race to a rewrite (version $cur " +
                 "replaced files this delete read) — re-read and retry " +

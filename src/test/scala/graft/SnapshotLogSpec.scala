@@ -1272,6 +1272,61 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.metadataCount(spark, dir).contains(6L))
   }
 
+  test("a delete REBASES over a candidate-disjoint racing bin-pack; aborts when the pack ate a candidate") {
+    val dir = Files.createTempDirectory("graft-snap")
+    val data = dir.resolve("data")
+    val cust = Tables.customer(spark, sf)
+    val mmRow = cust.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+    val mid = mmRow.getLong(0) + (mmRow.getLong(1) - mmRow.getLong(0)) / 4
+    // v1: one LARGE low-key slab; v2..v4: small high-key slices — the
+    // delete below targets ONLY the slab, so a pack of the small tail is
+    // provably disjoint from everything the delete read
+    SnapshotLog.commit(cust.filter(col("c_custkey") <= mid).coalesce(1),
+      dir, statsCols = Seq("c_custkey"))
+    (0 to 2).foreach { i =>
+      SnapshotLog.commit(cust.filter(col("c_custkey") > mid &&
+        col("c_custkey") % 3 === i).coalesce(1),
+        dir, statsCols = Seq("c_custkey"))
+    }
+    val files4 = SnapshotLog.files(dir)
+    val sizes = files4.map(f => f -> Files.size(data.resolve(f))).toMap
+    val largest = sizes.maxBy(_._2)._1 // the low-key slab
+    val expect = cust.filter(
+      !(col("c_custkey") <= mid && col("c_custkey") % 2 === 0)).count()
+    var packedV = -1
+    val vD = SnapshotLog.deleteWhereHook(spark, dir,
+      col("c_custkey") <= mid && col("c_custkey") % 2 === 0,
+      beforePublish = () => (),
+      beforeAttempt = n => if (n == 1) {
+        packedV = SnapshotLog.binPack(spark, dir, sizes(largest), 1L << 30)
+      })
+    assert(packedV == 5 && vD == 6,
+      s"the pack (v$packedV) and the rebased delete (v$vD) must BOTH land")
+    assert(SnapshotLog.read(spark, dir).count() == expect,
+      "delete semantics exact across the candidate-disjoint rewrite")
+    // the packed small tail replaced the original small files, and the
+    // delete's DV still targets the carried slab
+    val after = SnapshotLog.files(dir)
+    assert(after.contains(largest) &&
+      files4.filterNot(_ == largest).forall(f => !after.contains(f)))
+    // inverse: a pack that eats a CANDIDATE file aborts the delete —
+    // its (file, position) identities went stale
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.deleteWhereHook(spark, dir,
+        col("c_custkey") > mid && col("c_custkey") % 5 === 1,
+        beforePublish = () => (),
+        beforeAttempt = n => if (n == 1) {
+          // threshold above every file: packs the whole table incl. the
+          // delete's high-key candidates
+          SnapshotLog.binPack(spark, dir, Long.MaxValue, 1L << 30)
+        })
+    }
+    // the abort left no partial state: the pack won, rows intact
+    assert(SnapshotLog.read(spark, dir).count() == expect)
+    SnapshotLog.vacuum(dir, keepVersions = 1)
+    assert(SnapshotLog.read(spark, dir).count() == expect)
+  }
+
   test("a LIVE two-thread delete-vs-ingest race: every row accounted at the serialization point") {
     val dir = Files.createTempDirectory("graft-snap")
     val nation = Tables.nation(spark, sf)
