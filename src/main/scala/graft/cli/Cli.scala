@@ -630,12 +630,23 @@ object Cli {
         if (conf.lakeJson) {
           // scriptable dry-run (round 14): one JSON object; bytes come
           // from the filesystem because orphans are by definition in NO
-          // manifest — there is no metadata to read them from
-          val items = os.map(p =>
-            "{\"file\":\"" + p.getFileName + "\",\"bytes\":" +
-              Files.size(p) + "}")
+          // manifest — there is no metadata to read them from. Each
+          // orphan stats ONCE, a file vacuumed between the listing and
+          // the stat reports 0 instead of crashing (orphans are debris;
+          // racing reclaim is normal), and names are JSON-escaped —
+          // debris names are untrusted by definition
+          def esc(s: String): String = s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
+          val sized = os.map(p => p.getFileName.toString ->
+            (try Files.size(p) catch { case _: java.io.IOException => 0L }))
+          val items = sized.map { case (n, b) =>
+            "{\"file\":\"" + esc(n) + "\",\"bytes\":" + b + "}" }
           "{\"orphans\":[" + items.mkString(",") + "],\"count\":" +
-            os.size + ",\"totalBytes\":" + os.map(Files.size(_)).sum + "}"
+            sized.size + ",\"totalBytes\":" + sized.map(_._2).sum + "}"
         } else if (os.isEmpty) "no orphans"
         else os.map(p => s"${p.getFileName} (${Files.size(p)} B)")
           .mkString("\n")

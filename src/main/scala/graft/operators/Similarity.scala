@@ -209,7 +209,8 @@ object Similarity {
     // landing ON DISK as one merge into the index log
     val cdf = CacheScope.localCheckpoint(
       SnapshotLog.readChangesCdf(s, dir, 1, v3)
-        .select(col("vec_id"), col("embedding"), col("_change_type")))
+        .select(col("vec_id"), col("embedding"), col("_change_type"),
+          col("_commit_version")))
     val vIdx = Sq8Index.applyCdfLogged(s, idxDir, cdf)
     val codes = CacheScope.localCheckpoint(Sq8Index.loggedCodes(s, idxDir))
     // structural accounting straight off the slice: encode work is

@@ -107,11 +107,16 @@ object Sq8Index {
     java.nio.file.Files.createDirectories(logDir)
     Seq((lo, step)).toDF("lo", "step")
       .write.mode("overwrite").parquet(logDir.resolve("bounds").toString)
+    // overwrite: a crashed consumer replaying its bootstrap (create →
+    // crash before the cursor write → create again) must land on ONE
+    // copy of the code table, not append a duplicate — overwrite starts
+    // a content-identical lineage head, keeping the bootstrap leg of
+    // the at-least-once → exactly-once-in-effect contract true
     SnapshotLog.commit(
       corpus.select(col("vec_id"),
           QuantizeFunctions.sq8Encode(col("embedding"), lo, step).as("code"))
         .repartitionByRange(8, col("vec_id")),
-      logDir.resolve("codes"), statsCols = Seq("vec_id"))
+      logDir.resolve("codes"), overwrite = true, statsCols = Seq("vec_id"))
   }
 
   /** The logged index's frozen (lo, step) quantizer bounds. */
@@ -127,26 +132,36 @@ object Sq8Index {
     graft.sources.SnapshotLog.read(s, logDir.resolve("codes"), asOf)
 
   /** Apply one corpus change-feed slice (`readChangesCdf` rows carrying
-    * vec_id, embedding, _change_type) to the logged index as ONE merge:
-    * the slice collapses delete-wins per key (an id both inserted and
-    * deleted within the slice nets to a delete — the re-read-to-latest
-    * crash-replay contract), inserts encode with the FROZEN bounds
-    * (|delta|-bounded work; the rescore window absorbs quantizer drift),
-    * and delete preimages become `_deleted` merge rows (a delete of an
-    * id the index never held is a no-op, another replay-safety leg).
-    * Returns the new index version. */
+    * vec_id, embedding, _change_type, _commit_version) to the logged
+    * index as ONE merge. The slice collapses LAST-VERSION-WINS per key
+    * (round-14 review — plain delete-wins would permanently drop a
+    * vector whose slice holds an UPDATE, i.e. a delete preimage plus an
+    * insert postimage at the same version, or a delete-then-reinsert
+    * across versions): each id's final state is its highest
+    * `_commit_version` rows, where an insert at that version wins over
+    * a delete (an update's postimage IS the surviving row; a pure
+    * delete has no insert there). Inserts encode with the FROZEN bounds
+    * (|delta|-bounded work; the rescore window absorbs quantizer
+    * drift); final deletes become `_deleted` merge rows (a delete of an
+    * id the index never held is a no-op — replay-safe). Returns the new
+    * index version. */
   def applyCdfLogged(s: SparkSession, logDir: Path, cdf: DataFrame): Int = {
     import graft.sources.SnapshotLog
+    import org.apache.spark.sql.expressions.Window
     val (lo, step) = loggedBounds(s, logDir)
-    val delIds = cdf.filter(col("_change_type") === "delete")
-      .select(col("vec_id")).distinct()
-    val ins = cdf.filter(col("_change_type") === "insert")
-      .join(delIds, Seq("vec_id"), "left_anti")
-      .dropDuplicates("vec_id")
+    val w = Window.partitionBy(col("vec_id"))
+    val latest = cdf
+      .withColumn("_maxv", max(col("_commit_version")).over(w))
+      .filter(col("_commit_version") === col("_maxv"))
+    val ins = latest.filter(col("_change_type") === "insert")
+      .dropDuplicates("vec_id") // ids are unique per corpus version
       .select(col("vec_id"),
         QuantizeFunctions.sq8Encode(col("embedding"), lo, step).as("code"))
+    val del = latest.filter(col("_change_type") === "delete")
+      .join(ins.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id")).distinct()
     val changes = ins.withColumn("_deleted", lit(false))
-      .unionByName(delIds
+      .unionByName(del
         .withColumn("code", lit(null).cast("array<tinyint>"))
         .withColumn("_deleted", lit(true)))
     SnapshotLog.merge(s, logDir.resolve("codes"), changes, "vec_id",

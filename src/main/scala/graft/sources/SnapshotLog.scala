@@ -254,7 +254,8 @@ object SnapshotLog {
       "dropCarried (copy-on-write) requires expectedVersion — an " +
         "unconditional commit may retry against a manifest the drop list " +
         "was not computed from")
-    partitionBy.foreach(c => require(df.columns.contains(c),
+    partitionBy.foreach(c => require(df.columns.exists(n =>
+        n == c || n.equalsIgnoreCase(c)),
       s"partitionBy references unknown column '$c' (have " +
         s"${df.columns.mkString(", ")})"))
     Files.createDirectories(dataDir(dir))
@@ -299,21 +300,39 @@ object SnapshotLog {
         if (renamed.sameElements(df.columns)) df else df.toDF(renamed.toSeq: _*)
       case _ => df
     }
+    // the partition spec follows the same CASING ALIGNMENT as the data
+    // columns (round-14 review): values and partCols key on the ALIGNED
+    // spelling — the table's own — so predicate ranges (resolved against
+    // the manifest schema) and partition values can never miss each
+    // other over case, and a case-variant append of the same logical
+    // spec is the SAME spec, not a rejection
+    val alignedPartitionBy =
+      if (caseSensitive) partitionBy
+      else partitionBy.map(c =>
+        aligned.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
     // stage next to data/ so promotion is a metadata rename (ParquetSink's
     // same-filesystem staging rule)
     val staging = Files.createTempDirectory(dataDir(dir), ".commit-")
     try {
-      if (partitionBy.isEmpty)
+      if (alignedPartitionBy.isEmpty)
         aligned.write.mode("overwrite").option("compression", "zstd")
           .parquet(staging.toString)
       else {
         // hive-partition on string DUPLICATES so the original columns
-        // stay in the files (no read-side value re-injection, ever)
-        import org.apache.spark.sql.functions.col
-        val staged = partitionBy.foldLeft(aligned)((d, c) =>
-          d.withColumn("_graft_p_" + c, col(c).cast("string")))
+        // stay in the files (no read-side value re-injection, ever).
+        // The 'v' PREFIX disambiguates the hive default-partition
+        // marker: Spark writes __HIVE_DEFAULT_PARTITION__ for both NULL
+        // and EMPTY-STRING values, and conflating them would let the
+        // null-partition prune (None never matches a value) silently
+        // drop rows whose value really is "" — prefixing keeps every
+        // non-null value non-empty, so the marker means true NULL only
+        // (movePartsTree strips the prefix before the manifest).
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val staged = alignedPartitionBy.foldLeft(aligned)((d, c) =>
+          d.withColumn("_graft_p_" + c,
+            concat(lit("v"), col(c).cast("string"))))
         staged.write.mode("overwrite").option("compression", "zstd")
-          .partitionBy(partitionBy.map("_graft_p_" + _): _*)
+          .partitionBy(alignedPartitionBy.map("_graft_p_" + _): _*)
           .parquet(staging.toString)
       }
       val attemptV = versions(dir).lastOption.getOrElse(0) + 1
@@ -376,17 +395,18 @@ object SnapshotLog {
         val prevPartCols =
           if (overwrite) Seq.empty
           else prevState.map(_.partCols).getOrElse(Seq.empty)
-        if (!overwrite && prevPartCols.nonEmpty && partitionBy.nonEmpty &&
-            partitionBy != prevPartCols)
+        if (!overwrite && prevPartCols.nonEmpty &&
+            alignedPartitionBy.nonEmpty && alignedPartitionBy != prevPartCols)
           throw new IllegalArgumentException(
-            s"append to $dir partitioned by ${partitionBy.mkString(",")} " +
+            s"append to $dir partitioned by " +
+              s"${alignedPartitionBy.mkString(",")} " +
               s"but the table is partitioned by ${prevPartCols.mkString(",")}" +
               " — the partition spec is table metadata; use overwrite = " +
               "true to re-layout")
         val publishPartCols =
-          if (overwrite || prev.isEmpty) partitionBy
+          if (overwrite || prev.isEmpty) alignedPartitionBy
           else if (prevPartCols.nonEmpty) prevPartCols
-          else partitionBy
+          else alignedPartitionBy
         // authoritative re-check against the version actually appended
         // onto (a racing writer may have evolved the schema since the
         // fail-fast above)
@@ -573,8 +593,11 @@ object SnapshotLog {
     * strings the layout wrote (a long partition value 7 is "7"). Files
     * without recorded values always read (sound). */
   def prunedFilesPartition(dir: Path, partFilter: Map[String, Set[String]],
-      asOf: Option[Int] = None): (Seq[String], Seq[String]) = {
-    val st = stateOf(dir, resolveVersion(dir, asOf))
+      asOf: Option[Int] = None): (Seq[String], Seq[String]) =
+    prunePartitionOf(stateOf(dir, resolveVersion(dir, asOf)), partFilter)
+
+  private def prunePartitionOf(st: LogState,
+      partFilter: Map[String, Set[String]]): (Seq[String], Seq[String]) =
     st.files.partition { f =>
       partFilter.forall { case (c, wanted) =>
         st.part.get(f).flatMap(_.get(c)) match {
@@ -584,7 +607,6 @@ object SnapshotLog {
         }
       }
     }
-  }
 
   /** Read AS OF a version with PARTITION pruning COMPOSED with integer
     * envelope skipping — the round-14 hive-layout contract: the file set
@@ -597,12 +619,16 @@ object SnapshotLog {
       partFilter: Map[String, Set[String]],
       column: String, lo: Long, hi: Long,
       asOf: Option[Int] = None): DataFrame = {
-    val v = resolveVersion(dir, asOf)
-    val st = stateOf(dir, v)
-    val (keptP, _) = prunedFilesPartition(dir, partFilter, Some(v))
-    val keptPSet = keptP.toSet
-    val (keptE, _) = prunedFiles(dir, column, lo, hi, Some(v))
-    val kept = keptE.filter(keptPSet)
+    // ONE state resolution for the whole decision (the stateCache
+    // discipline): both prunes work off the same destructured state
+    val st = stateOf(dir, resolveVersion(dir, asOf))
+    val keptPSet = prunePartitionOf(st, partFilter)._1.toSet
+    val kept = st.files.filter { f =>
+      keptPSet(f) && (st.stats.get(f).flatMap(_.get(column)) match {
+        case Some(IntEnv(mn, mx)) => mx >= lo && mn <= hi
+        case _ => true // no/unsuited envelope → conservative read
+      })
+    }
     val skipped = st.files.filterNot(kept.toSet)
     readKeptOrEmpty(spark, dir, kept, skipped, st.dvs,
       schemaFromJson(st.schemaJson))
@@ -1949,8 +1975,11 @@ object SnapshotLog {
           val i = n.indexOf('=')
           val c = n.take(i).stripPrefix("_graft_p_")
           val raw = n.drop(i + 1)
+          // strip commit's 'v' disambiguation prefix: the hive marker
+          // now means true NULL only (an empty-string value arrives as
+          // the literal "v" and strips back to "")
           val v = if (raw == "__HIVE_DEFAULT_PARTITION__") None
-            else Some(unescapePathName(raw))
+            else Some(unescapePathName(raw).stripPrefix("v"))
           leaves(child, vals + (c -> v))
         } else if (!Files.isDirectory(child) &&
             n.startsWith("part-") && n.endsWith(".parquet"))
@@ -2480,7 +2509,12 @@ object SnapshotLog {
       new java.util.LinkedHashMap[(String, Int, String), LogState](64, 0.75f, true)
     private var weight = 0L
     private def weightOf(st: LogState): Long =
-      st.files.size.toLong + st.stats.size + st.dvs.size + st.meta.size + 1
+      // count INNER entries too (round-14 review): stats and part hold
+      // one map per file — on the partitioned million-file tables this
+      // bound exists for, the inner maps ARE the retained footprint
+      st.files.size.toLong + st.dvs.size + st.meta.size +
+        st.stats.valuesIterator.map(_.size.toLong).sum +
+        st.part.valuesIterator.map(_.size.toLong).sum + 1
     def get(k: (String, Int, String)): LogState =
       map.synchronized(map.get(k))
     def put(k: (String, Int, String), st: LogState): Unit = map.synchronized {

@@ -1181,20 +1181,30 @@ class SnapshotLogSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-snap")
     import spark.implicits._
     val df = Seq(
-      (1L, "a=b"), (2L, "a=b"), (3L, "c d"), (4L, "x%y/z"), (5L, null)
+      (1L, "a=b"), (2L, "a=b"), (3L, "c d"), (4L, "x%y/z"), (5L, null),
+      (6L, "") // EMPTY STRING is a real value, distinct from null — the
+               // hive layout writes the same marker for both, which the
+               // commit's value prefix disambiguates
     ).toDF("id", "grp")
     SnapshotLog.commit(df.repartition(col("grp")), dir,
       partitionBy = Seq("grp"))
     assert(SnapshotLog.partitionColumns(dir) == Seq("grp"))
     val vals = SnapshotLog.partitionValuesOf(dir)
     assert(vals.nonEmpty && vals.values.map(_("grp")).toSet ==
-      Set(Some("a=b"), Some("c d"), Some("x%y/z"), None),
-      s"hive escapes and the null partition must round-trip: $vals")
+      Set(Some("a=b"), Some("c d"), Some("x%y/z"), None, Some("")),
+      s"hive escapes, the null partition, AND the empty string must " +
+        s"round-trip distinctly: $vals")
     // the ORIGINAL column stays in the data — reads re-inject nothing
     assert(SnapshotLog.read(spark, dir).select("id", "grp")
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
       Set((1L, Some("a=b")), (2L, Some("a=b")), (3L, Some("c d")),
-        (4L, Some("x%y/z")), (5L, None)))
+        (4L, Some("x%y/z")), (5L, None), (6L, Some(""))))
+    // a mutation on the EMPTY STRING must hit its file (conflating ""
+    // with the null partition would prune it and silently no-op)
+    assert(SnapshotLog.deleteWhere(spark, dir, col("grp") === "") > 1)
+    assert(SnapshotLog.read(spark, dir).count() == 5 &&
+      SnapshotLog.read(spark, dir).filter(col("id") === 6L).count() == 0,
+      "the empty-string row must actually die")
     // partition-only pruning: exactly the a=b files are kept
     val (kept, skipped) = SnapshotLog.prunedFilesPartition(dir,
       Map("grp" -> Set("a=b")))
@@ -1225,6 +1235,17 @@ class SnapshotLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapshotLog.commit(df, dir, partitionBy = Seq("id"))
     }
+    // a CASE-VARIANT spelling of the same spec is the SAME spec under
+    // the engine's case-insensitive resolution (the casing-alignment
+    // rule partition metadata follows): accepted, recorded under the
+    // table's spelling
+    SnapshotLog.commit(Seq((10L, "c")).toDF("id", "GRP"), dir,
+      partitionBy = Seq("GRP"))
+    assert(SnapshotLog.partitionColumns(dir) == Seq("grp"),
+      "the table owns the spec's casing")
+    assert(SnapshotLog.partitionValuesOf(dir).values
+      .exists(_.get("grp").contains(Some("c"))),
+      "case-variant append's values land under the table spelling")
     // an unpartitioned append is legal: its files carry no values and
     // are never partition-pruned — conservative, still correct
     SnapshotLog.commit(Seq((3L, "a")).toDF("id", "grp"), dir)
@@ -1236,7 +1257,7 @@ class SnapshotLogSpec extends AnyFunSuite {
     val vals = SnapshotLog.partitionValuesOf(dir)
     assert(kept.exists(f => !vals.contains(f)),
       "files without recorded values always read")
-    assert(SnapshotLog.read(spark, dir).count() == 3)
+    assert(SnapshotLog.read(spark, dir).count() == 4)
     // overwrite re-layouts freely
     SnapshotLog.commit(df, dir, overwrite = true, partitionBy = Seq("id"))
     assert(SnapshotLog.partitionColumns(dir) == Seq("id"))

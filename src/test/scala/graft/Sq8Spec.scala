@@ -96,4 +96,45 @@ class Sq8Spec extends AnyFunSuite {
     // exact rescoring: every returned cos is a true cosine in [-1, 1]
     rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
   }
+
+  test("logged index survives an UPDATE slice and a replayed bootstrap") {
+    import java.nio.file.Files
+    import graft.sources.SnapshotLog
+    import graft.operators.Sq8Index
+    val root = Files.createTempDirectory("graft-sq8log")
+    val dir = root.resolve("corpus")
+    val idx = root.resolve("index")
+    val emb = Tables.embeddings(spark, sf)
+    SnapshotLog.commit(emb.repartitionByRange(4, col("vec_id")), dir,
+      statsCols = Seq("vec_id"))
+    Sq8Index.createLogged(spark, SnapshotLog.read(spark, dir), idx)
+    val n1 = Sq8Index.loggedCodes(spark, idx).count()
+    // bootstrap REPLAY (the crash-before-cursor-write story): a second
+    // create must land on ONE copy, not append a duplicate table
+    Sq8Index.createLogged(spark, SnapshotLog.read(spark, dir), idx)
+    assert(Sq8Index.loggedCodes(spark, idx).count() == n1,
+      "replayed bootstrap must be idempotent in effect")
+    // an UPDATE re-embeds some vectors: the CDF slice carries a delete
+    // preimage AND an insert postimage for the same id at one version —
+    // last-version-wins must keep the vector with its NEW code
+    val v = SnapshotLog.updateWhere(spark, dir,
+      col("vec_id") % 17 === 3,
+      Map("embedding" -> reverse(col("embedding"))))
+    Sq8Index.applyCdfLogged(spark, idx,
+      SnapshotLog.readChangesCdf(spark, dir, 1, v))
+    val codes = Sq8Index.loggedCodes(spark, idx)
+    val live = SnapshotLog.read(spark, dir)
+    assert(codes.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      live.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "updated vectors must stay IN the index (delete-wins would drop them)")
+    // and the updated ids carry the NEW embedding's code, not the stale one
+    val (lo, step) = Sq8Index.loggedBounds(spark, idx)
+    import graft.functions.QuantizeFunctions
+    val fresh = live.filter(col("vec_id") % 17 === 3)
+      .select(col("vec_id"), QuantizeFunctions
+        .sq8Encode(col("embedding"), lo, step).as("want"))
+    val mismatches = codes.join(fresh, Seq("vec_id"))
+      .filter(col("code") =!= col("want")).count()
+    assert(mismatches == 0, "updated ids must serve the postimage's code")
+  }
 }
