@@ -79,7 +79,9 @@ object Cli {
       lakeStatsCols: Seq[String] = Seq.empty,
       lakeTxnId: Option[String] = None,
       lakeAsOf: Option[Int] = None,
+      lakeAsOfTimestamp: Option[Long] = None,
       lakeKeepVersions: Int = 1,
+      lakeRetainHours: Option[Double] = None,
       lakeKey: Option[String] = None,
       lakeSeqCol: Option[String] = None,
       lakeTargetFiles: Int = 32,
@@ -140,7 +142,11 @@ object Cli {
           c = c.copy(lakeStatsCols = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)); t
         case "--txn-id" :: v :: t => c = c.copy(lakeTxnId = Some(v)); t
         case "--as-of" :: v :: t => c = c.copy(lakeAsOf = Some(v.toInt)); t
+        case "--as-of-timestamp" :: v :: t =>
+          // epoch millis, or an ISO-8601 instant / local datetime (UTC)
+          c = c.copy(lakeAsOfTimestamp = Some(parseTsMillis(v))); t
         case "--keep-versions" :: v :: t => c = c.copy(lakeKeepVersions = v.toInt); t
+        case "--retain-hours" :: v :: t => c = c.copy(lakeRetainHours = Some(v.toDouble)); t
         case "--key" :: v :: t => c = c.copy(lakeKey = Some(v)); t
         case "--seq-col" :: v :: t => c = c.copy(lakeSeqCol = Some(v)); t
         case "--target-files" :: v :: t => c = c.copy(lakeTargetFiles = v.toInt); t
@@ -227,6 +233,31 @@ object Cli {
   }
 
   /** `FROM:TO` version range for --changes/--cdf. */
+  /** `--as-of-timestamp` accepts epoch millis, an ISO-8601 instant
+    * (2026-01-05T12:00:00Z), or a date/datetime read as UTC — the same
+    * forms Delta's timestampAsOf takes. */
+  private def parseTsMillis(v: String): Long = {
+    val t = v.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDateTime.parse(t)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDate.parse(t).atStartOfDay()
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"invalid timestamp '$v'; expected epoch millis, an " +
+                    "ISO-8601 instant, or a UTC date/datetime")
+            }
+        }
+    }
+  }
+
   private def parseRange(v: String): (Int, Int) = v.split(":", 2) match {
     case Array(lo, hi) =>
       try {
@@ -280,8 +311,9 @@ object Cli {
       |         merge  <dir> <changes.parquet> --key COL [--seq-col COL]
       |         optimize <dir> [--target-files N] [--zorder-by a,b]
       |                  [--small-file-bytes B [--target-file-bytes B]] (bin-pack)
-      |         vacuum <dir> [--keep-versions N]
-      |         read   <dir> <out.par|-> [--as-of N | --changes F:T | --cdf F:T]
+      |         vacuum <dir> [--keep-versions N | --retain-hours H]
+      |         read   <dir> <out.par|-> [--as-of N | --as-of-timestamp TS
+      |                                   | --changes F:T | --cdf F:T]
       |options: --connection-string/-c URL, --tables-dir DIR, --batch-size-row N,
       |  --batch-size-memory BYTES, --row-groups-per-file N, --file-size-threshold BYTES,
       |  --column-compression-default CODEC, --column-compression-level-default N,
@@ -618,7 +650,11 @@ object Cli {
         s"optimized; latest version $v"
       case "vacuum" =>
         arity(1, "TABLE_DIR")
-        val (expired, deleted) = SnapshotLog.vacuum(dir, conf.lakeKeepVersions)
+        val (expired, deleted) = conf.lakeRetainHours match {
+          case Some(h) =>
+            SnapshotLog.vacuumRetain(dir, (h * 3600000L).toLong)
+          case None => SnapshotLog.vacuum(dir, conf.lakeKeepVersions)
+        }
         s"expired versions ${expired.mkString(",")}; " +
           s"deleted ${deleted.size} data files"
       case "orphans" =>
@@ -672,16 +708,26 @@ object Cli {
       case "read" =>
         arity(2, "TABLE_DIR OUT_PARQUET")
         val Vector(_, out) = rest: @unchecked
-        // --as-of is the snapshot verb; silently discarding it under
-        // --changes/--cdf would serve feed rows to a time-travel request
-        if (conf.lakeAsOf.isDefined &&
+        // --as-of/--as-of-timestamp are snapshot verbs; silently
+        // discarding one under --changes/--cdf would serve feed rows to
+        // a time-travel request
+        if ((conf.lakeAsOf.isDefined || conf.lakeAsOfTimestamp.isDefined) &&
             (conf.lakeChanges.isDefined || conf.lakeCdf.isDefined))
           throw new IllegalArgumentException(
-            "--as-of cannot combine with --changes/--cdf")
+            "--as-of/--as-of-timestamp cannot combine with --changes/--cdf")
+        if (conf.lakeAsOf.isDefined && conf.lakeAsOfTimestamp.isDefined)
+          throw new IllegalArgumentException(
+            "--as-of and --as-of-timestamp are mutually exclusive")
+        // TIMESTAMP AS OF resolves to a version FIRST (Delta's rule:
+        // latest version at or before ts) — one resolution, then the
+        // ordinary versioned read
+        val asOf = conf.lakeAsOfTimestamp
+          .map(ts => SnapshotLog.versionAsOfTimestamp(dir, ts))
+          .orElse(conf.lakeAsOf)
         val df = (conf.lakeChanges, conf.lakeCdf) match {
           case (Some((f, t)), None) => SnapshotLog.readChanges(spark, dir, f, t)
           case (None, Some((f, t))) => SnapshotLog.readChangesCdf(spark, dir, f, t)
-          case (None, None) => SnapshotLog.read(spark, dir, conf.lakeAsOf)
+          case (None, None) => SnapshotLog.read(spark, dir, asOf)
           case _ => throw new IllegalArgumentException(
             "--changes and --cdf are mutually exclusive")
         }

@@ -171,6 +171,14 @@ object SnapshotLog {
   @volatile private[graft] var checkpointEvery: Int =
     math.max(1, Integer.getInteger("graft.log.checkpointInterval", 10).intValue())
 
+  /** Wall-clock source for the manifests' `"ts"` commit-timestamp stamp
+    * (round 15; Delta's in-commit-timestamp convention) — a test seam so
+    * specs and gates pin the TIMESTAMP-AS-OF boundary rule and the
+    * retention vacuum against a controlled clock; production is the
+    * system clock. */
+  @volatile private[graft] var clock: () => Long =
+    () => System.currentTimeMillis()
+
   private def logDir(dir: Path) = dir.resolve("_graft_log")
   private def dataDir(dir: Path) = dir.resolve("data")
   private def manifestPath(dir: Path, v: Int) =
@@ -258,6 +266,15 @@ object SnapshotLog {
         n == c || n.equalsIgnoreCase(c)),
       s"partitionBy references unknown column '$c' (have " +
         s"${df.columns.mkString(", ")})"))
+    // the staged write reserves '_graft_p_<col>' names for the hive
+    // duplicates below — a user column already spelled that way would be
+    // silently REPLACED by withColumn and then dropped from the data
+    // files by partitionBy (silent data loss); reject loudly instead
+    // (round-15 advisor note)
+    if (partitionBy.nonEmpty) df.columns.filter(_.startsWith("_graft_p_"))
+      .foreach(n => throw new IllegalArgumentException(
+        s"column '$n' collides with the reserved '_graft_p_' staging " +
+          "prefix of a partitioned commit — rename it"))
     Files.createDirectories(dataDir(dir))
     Files.createDirectories(logDir(dir))
     // replay fast path: this txn already committed — nothing to write
@@ -586,12 +603,13 @@ object SnapshotLog {
       : Map[String, Map[String, Option[String]]] =
     stateOf(dir, resolveVersion(dir, asOf)).part
 
-  /** (kept, skipped) by PARTITION VALUES alone: a file is kept unless
-    * every filtered column has a recorded value and some value misses
-    * its filter set — the hive-layout coarse prune, decided from the one
-    * manifest read (no listing, no footer). Values compare as the exact
-    * strings the layout wrote (a long partition value 7 is "7"). Files
-    * without recorded values always read (sound). */
+  /** (kept, skipped) by PARTITION VALUES alone: a file is SKIPPED when
+    * ANY filtered column has a recorded value outside its filter set
+    * (a column without a recorded value contributes nothing either way)
+    * — the hive-layout coarse prune, decided from the one manifest read
+    * (no listing, no footer). Values compare as the exact strings the
+    * layout wrote (a long partition value 7 is "7"). Files with no
+    * recorded value on any filtered column always read (sound). */
   def prunedFilesPartition(dir: Path, partFilter: Map[String, Set[String]],
       asOf: Option[Int] = None): (Seq[String], Seq[String]) =
     prunePartitionOf(stateOf(dir, resolveVersion(dir, asOf)), partFilter)
@@ -2002,10 +2020,15 @@ object SnapshotLog {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) { // two hex digits after '%'
-        val hex = s.substring(i + 1, i + 3)
-        val code = try Integer.parseInt(hex, 16) catch { case _: Exception => -1 }
-        if (code >= 0) { sb.append(code.toChar); i += 3 }
+      if (c == '%' && i + 3 <= s.length) {
+        // STRICT two-hex-digit %XX (round-15 advisor note): parseInt
+        // accepts signed forms like "+5", so '%+5' would decode to
+        // U+0005 instead of staying literal — validate each character
+        // is itself a hex digit before decoding, matching Spark's
+        // escapePathName convention exactly
+        val h1 = Character.digit(s.charAt(i + 1), 16)
+        val h2 = Character.digit(s.charAt(i + 2), 16)
+        if (h1 >= 0 && h2 >= 0) { sb.append((h1 * 16 + h2).toChar); i += 3 }
         else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }
     }
@@ -2211,19 +2234,86 @@ object SnapshotLog {
     * deleted data files). */
   def vacuum(dir: Path, keepVersions: Int = 1): (Seq[Int], Seq[String]) = {
     require(keepVersions >= 1, "must keep at least the latest version")
-    val vs = versions(dir)
-    val expire = vs.dropRight(keepVersions)
-    // DELTA-CHAIN SAFETY: expiring manifests may delete a delta's base.
-    // Materialize every SURVIVING delta whose base expires as a full
-    // checkpoint FIRST (its resolved state is computed while the chain is
-    // still intact), so reconstruction never dereferences a deleted
-    // manifest. Content-identical rewrite of an immutable version, done
-    // atomically — crash-safe at every point: before the move the old
-    // manifest still resolves (bases not yet deleted), after it the
-    // checkpoint stands alone.
+    expireVersions(dir, versions(dir).dropRight(keepVersions))
+  }
+
+  /** Each version's EFFECTIVE commit timestamp (epoch millis), adjusted
+    * monotonically non-decreasing in version order — Delta's
+    * in-commit-timestamp rule: a wall clock that stepped backwards
+    * between commits would otherwise make "the latest version at or
+    * before ts" ambiguous, so a version whose raw stamp precedes its
+    * predecessor's effective stamp inherits the predecessor's (ties
+    * resolve to the LATER version, which is what "latest ≤ ts" wants).
+    * Manifests without a `"ts"` stamp (pre-round-15) fall back to the
+    * manifest file's modification time — the same fallback Delta uses
+    * for un-stamped commits; stamped logs never consult the
+    * filesystem. */
+  def commitTimestamps(dir: Path): Seq[(Int, Long)] = {
+    var prev = Long.MinValue
+    versions(dir).map { v =>
+      val raw = readTs(dir, v).getOrElse(
+        Files.getLastModifiedTime(manifestPath(dir, v)).toMillis)
+      prev = math.max(raw, prev)
+      v -> prev
+    }
+  }
+
+  /** TIMESTAMP AS OF → version: the LATEST version whose effective
+    * commit timestamp ([[commitTimestamps]]) is <= `tsMillis` — Delta's
+    * resolution rule, so a timestamp BETWEEN two commits reads the
+    * earlier one (what the table looked like at that instant). A
+    * timestamp before the first commit fails loudly: no snapshot existed
+    * yet, and silently serving v1 would claim rows existed before they
+    * were written. */
+  def versionAsOfTimestamp(dir: Path, tsMillis: Long): Int = {
+    val tss = commitTimestamps(dir)
+    require(tss.nonEmpty, s"$dir has no committed snapshots")
+    tss.takeWhile(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the first commit " +
+          s"(${tss.head._2}) of $dir — no snapshot existed yet"))
+  }
+
+  /** [[read]] resolved by TIMESTAMP AS OF (see [[versionAsOfTimestamp]]
+    * for the boundary rule). */
+  def readAsOfTimestamp(spark: SparkSession, dir: Path,
+      tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAsOfTimestamp(dir, tsMillis)))
+
+  /** TIME-BASED retention vacuum (round 15; Delta's
+    * logRetentionDuration): expire every version whose effective commit
+    * timestamp is STRICTLY OLDER than `clock() − retainMillis` — except
+    * the latest version, which always survives (the table head is never
+    * vacuumable, even if stale) — then delete data files no surviving
+    * manifest references. Monotonic effective stamps make the expired
+    * set a version PREFIX, so this is [[vacuum]]'s mechanics under a
+    * time cut instead of a count cut: same two-phase, delta-chain-safe
+    * manifest expiry, same txn-retention caveat (the dedup history
+    * truncates with the expired manifests — keep the window deeper than
+    * any replay horizon). */
+  def vacuumRetain(dir: Path, retainMillis: Long): (Seq[Int], Seq[String]) = {
+    require(retainMillis >= 0, "retainMillis must be >= 0")
+    val cutoff = clock() - retainMillis
+    val tss = commitTimestamps(dir)
+    require(tss.nonEmpty, s"$dir has no committed snapshots")
+    expireVersions(dir, tss.init.takeWhile(_._2 < cutoff).map(_._1))
+  }
+
+  /** The shared expiry tail of [[vacuum]]/[[vacuumRetain]].
+    * DELTA-CHAIN SAFETY: expiring manifests may delete a delta's base.
+    * Materialize every SURVIVING delta whose base expires as a full
+    * checkpoint FIRST (its resolved state is computed while the chain is
+    * still intact), so reconstruction never dereferences a deleted
+    * manifest. Content-identical rewrite of an immutable version, done
+    * atomically — crash-safe at every point: before the move the old
+    * manifest still resolves (bases not yet deleted), after it the
+    * checkpoint stands alone. */
+  private def expireVersions(dir: Path, expire: Seq[Int])
+      : (Seq[Int], Seq[String]) = {
     if (expire.nonEmpty) {
       val cut = expire.max
-      vs.drop(expire.size).foreach { v => materializeCheckpoint(dir, v, cut) }
+      versions(dir).filterNot(expire.toSet)
+        .foreach { v => materializeCheckpoint(dir, v, cut) }
     }
     expire.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
     val dead = orphans(dir)
@@ -2250,6 +2340,14 @@ object SnapshotLog {
     if (baseV > cut) return
     val st = stateOf(dir, v)
     val txn = readTxn(dir, v)
+    // the ORIGINAL commit timestamp carries (a checkpoint rewrite is a
+    // content-identical re-encoding of an immutable version — re-stamping
+    // would shift TIMESTAMP-AS-OF resolution under the caller)
+    val ts = (parsed \ "ts") match {
+      case JInt(t) => Some(t.toLong)
+      case JLong(t) => Some(t)
+      case _ => None
+    }
     val base = ("version" -> v) ~ ("format" -> FormatVersion) ~
       ("files" -> st.files)
     val withStats = if (st.stats.isEmpty) base
@@ -2262,8 +2360,9 @@ object SnapshotLog {
       else withMeta ~ ("partCols" -> st.partCols)
     val withPart = if (st.part.isEmpty) withPartCols
       else withPartCols ~ ("part" -> partJsonOf(st.part))
+    val withTs = ts.fold(withPart)(t => withPart ~ ("ts" -> t))
     val json = JsonMethods.compact(JsonMethods.render(
-      txn.fold(withPart)(t => withPart ~ ("txn" -> t))))
+      txn.fold(withTs)(t => withTs ~ ("txn" -> t))))
     val tmp = Files.createTempFile(logDir(dir), ".ckpt", ".tmp")
     try {
       Files.writeString(tmp, json)
@@ -2417,8 +2516,12 @@ object SnapshotLog {
         if (part.isEmpty) withPartCols
         else withPartCols ~ ("part" -> partJsonOf(part))
       }
+    // every manifest stamps its wall-clock commit time (round 15) — a
+    // PER-VERSION member like "txn", never inherited through deltas;
+    // [[commitTimestamps]] reads it back with monotonic adjustment
+    val stamped = body ~ ("ts" -> clock())
     val json = JsonMethods.compact(JsonMethods.render(
-      txnId.fold(body)(t => body ~ ("txn" -> t))))
+      txnId.fold(stamped)(t => stamped ~ ("txn" -> t))))
     val target = manifestPath(dir, v)
     val tmp = Files.createTempFile(logDir(dir), ".manifest", ".tmp")
     try {
@@ -2445,6 +2548,19 @@ object SnapshotLog {
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(Files.readString(manifestPath(dir, v))) \ "txn" match {
       case JString(t) => Some(t)
+      case _ => None
+    }
+  }
+
+  /** The raw `"ts"` commit stamp of manifest `v`, if any — a PER-VERSION
+    * member like "txn", read straight off the file (never inherited
+    * through a delta chain). */
+  private def readTs(dir: Path, v: Int): Option[Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(Files.readString(manifestPath(dir, v))) \ "ts" match {
+      case JInt(t) => Some(t.toLong)
+      case JLong(t) => Some(t)
       case _ => None
     }
   }

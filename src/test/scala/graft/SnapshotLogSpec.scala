@@ -1396,4 +1396,50 @@ class SnapshotLogSpec extends AnyFunSuite {
         .collect().map(_.getAs[Number](0).longValue).toSet == want)
     } finally pool.shutdown()
   }
+  test("commit timestamps: boundary rule, monotonic adjustment, checkpoint carry, retention vacuum") {
+    val dir = Files.createTempDirectory("graft-snap-ts")
+    val nation = Tables.nation(spark, sf)
+    val sys = SnapshotLog.clock
+    try {
+      @volatile var now = 0L
+      SnapshotLog.clock = () => now
+      now = 1000
+      SnapshotLog.commit(nation.filter(col("n_nationkey") < 5), dir)      // v1
+      now = 3000
+      SnapshotLog.commit(
+        nation.filter(col("n_nationkey").between(5, 9)), dir)             // v2
+      now = 2000 // the wall clock STEPS BACKWARDS before v3
+      SnapshotLog.commit(nation.filter(col("n_nationkey") >= 10), dir)    // v3
+      // raw stamps 1000/3000/2000 adjust to effective 1000/3000/3000 —
+      // non-decreasing in version order (Delta's rule)
+      assert(SnapshotLog.commitTimestamps(dir).map(_._2) ==
+        Seq(1000L, 3000L, 3000L))
+      // boundary rule: the LATEST version at or before ts; an effective
+      // tie resolves to the later version
+      assert(SnapshotLog.versionAsOfTimestamp(dir, 1000) == 1)
+      assert(SnapshotLog.versionAsOfTimestamp(dir, 2999) == 1)
+      assert(SnapshotLog.versionAsOfTimestamp(dir, 3000) == 3)
+      assert(SnapshotLog.versionAsOfTimestamp(dir, Long.MaxValue) == 3)
+      intercept[IllegalArgumentException](
+        SnapshotLog.versionAsOfTimestamp(dir, 999))
+      assert(SnapshotLog.readAsOfTimestamp(spark, dir, 2500).count() == 5)
+      // retention vacuum with the cutoff between v1 and v2: exactly v1
+      // expires; the survivors materialize (their delta base just died)
+      // and keep their ORIGINAL stamps through the checkpoint rewrite —
+      // a re-stamp (or an mtime fallback) would shift resolution
+      now = 10000
+      val (expired, _) = SnapshotLog.vacuumRetain(dir, retainMillis = 8000)
+      assert(expired == Seq(1))
+      assert(SnapshotLog.versions(dir) == Seq(2, 3))
+      assert(SnapshotLog.commitTimestamps(dir).map(_._2) ==
+        Seq(3000L, 3000L))
+      assert(SnapshotLog.read(spark, dir, Some(2)).count() == 10)
+      assert(SnapshotLog.versionAsOfTimestamp(dir, 5000) == 3)
+      // the table head NEVER expires, however stale
+      now = 1000000
+      assert(SnapshotLog.vacuumRetain(dir, retainMillis = 10)._1 == Seq(2))
+      assert(SnapshotLog.versions(dir) == Seq(3))
+      assert(SnapshotLog.read(spark, dir).count() == 25) // appends carry
+    } finally SnapshotLog.clock = sys
+  }
 }
