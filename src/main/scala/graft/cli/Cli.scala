@@ -82,6 +82,7 @@ object Cli {
       lakeAsOfTimestamp: Option[Long] = None,
       lakeKeepVersions: Int = 1,
       lakeRetainHours: Option[Double] = None,
+      lakeColumn: Option[String] = None,
       lakeKey: Option[String] = None,
       lakeSeqCol: Option[String] = None,
       lakeTargetFiles: Int = 32,
@@ -147,6 +148,7 @@ object Cli {
           c = c.copy(lakeAsOfTimestamp = Some(parseTsMillis(v))); t
         case "--keep-versions" :: v :: t => c = c.copy(lakeKeepVersions = v.toInt); t
         case "--retain-hours" :: v :: t => c = c.copy(lakeRetainHours = Some(v.toDouble)); t
+        case "--column" :: v :: t => c = c.copy(lakeColumn = Some(v)); t
         case "--key" :: v :: t => c = c.copy(lakeKey = Some(v)); t
         case "--seq-col" :: v :: t => c = c.copy(lakeSeqCol = Some(v)); t
         case "--target-files" :: v :: t => c = c.copy(lakeTargetFiles = v.toInt); t
@@ -691,11 +693,23 @@ object Cli {
         // per-file row meta (round 14); falls back to a scan — and SAYS
         // so — for pre-meta lineages
         arity(1, "TABLE_DIR")
-        SnapshotLog.metadataCount(spark, dir, conf.lakeAsOf) match {
-          case Some(n) => s"$n rows (metadata-only)"
-          case None =>
-            val n = SnapshotLog.read(spark, dir, conf.lakeAsOf).count()
-            s"$n rows (scanned; manifest lacks complete per-file meta)"
+        conf.lakeColumn match {
+          // COUNT(col) — the non-null count — from per-file null counts
+          // (round 15); falls back to a scan, and SAYS so, when the
+          // column has no recorded counts or the version carries DVs
+          case Some(c) => SnapshotLog.metadataCountCol(dir, c, conf.lakeAsOf) match {
+            case Some(n) => s"$n non-null $c rows (metadata-only)"
+            case None =>
+              val n = SnapshotLog.read(spark, dir, conf.lakeAsOf)
+                .filter(org.apache.spark.sql.functions.col(c).isNotNull).count()
+              s"$n non-null $c rows (scanned; no complete null-count metadata)"
+          }
+          case None => SnapshotLog.metadataCount(spark, dir, conf.lakeAsOf) match {
+            case Some(n) => s"$n rows (metadata-only)"
+            case None =>
+              val n = SnapshotLog.read(spark, dir, conf.lakeAsOf).count()
+              s"$n rows (scanned; manifest lacks complete per-file meta)"
+          }
         }
       case "versions" =>
         arity(1, "TABLE_DIR")

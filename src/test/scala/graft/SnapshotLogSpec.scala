@@ -1442,4 +1442,71 @@ class SnapshotLogSpec extends AnyFunSuite {
       assert(SnapshotLog.read(spark, dir).count() == 25) // appends carry
     } finally SnapshotLog.clock = sys
   }
+  test("the parallel footer harvest is elementwise identical to the sequential loop") {
+    val dir = Files.createTempDirectory("graft-snap-harvest")
+    val cust = Tables.customer(spark, sf)
+    SnapshotLog.commit(cust.repartitionByRange(8, col("c_custkey")), dir,
+      statsCols = Seq("c_custkey", "c_name"))
+    val names = SnapshotLog.files(dir)
+    assert(names.size >= 2, "the fixture must stage multiple files")
+    val old = SnapshotLog.harvestParallelism
+    def harvest(par: Int) = try {
+      SnapshotLog.harvestParallelism = par
+      SnapshotLog.harvestFiles(dir, names, Set("c_custkey", "c_name"))
+    } finally SnapshotLog.harvestParallelism = old
+    // the manifest is a deterministic function of (staged files, stats
+    // cols, clock): with the harvest pinned identical IN ORDER, the
+    // published bytes are the sequential loop's bytes
+    assert(harvest(16) == harvest(1),
+      "parallel harvest must reproduce the sequential result, in order")
+    // and the committed manifest agrees with that harvest end to end
+    val h = harvest(1)
+    assert(SnapshotLog.metadataCount(spark, dir)
+      .contains(h.map(_._2.meta.rows).sum))
+    val hull = (h.map(_._2.stats("c_custkey")).collect {
+      case graft.sources.SnapshotLog.IntEnv(lo, hi) => (lo, hi) })
+    assert(SnapshotLog.metadataMinMax(dir, "c_custkey")
+      .contains((hull.map(_._1).min, hull.map(_._2).max)))
+  }
+  test("IS NULL / IS NOT NULL mutations prune on recorded null counts; COUNT(col) answers from metadata") {
+    val dir = Files.createTempDirectory("graft-snap-nulls")
+    val nation = Tables.nation(spark, sf)
+    // three one-file slabs of an optional column: all non-null (f1),
+    // all null (f2), mixed (f3) — each file's null count lands in the
+    // manifest next to its envelopes
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 8)
+      .withColumn("opt", col("n_name")).coalesce(1),
+      dir, statsCols = Seq("opt", "n_nationkey"))
+    SnapshotLog.commit(nation.filter(col("n_nationkey").between(8, 15))
+      .withColumn("opt", lit(null).cast("string")).coalesce(1),
+      dir, statsCols = Seq("opt", "n_nationkey"))
+    SnapshotLog.commit(nation.filter(col("n_nationkey") > 15)
+      .withColumn("opt", when(col("n_nationkey") % 2 === 0, col("n_name")))
+      .coalesce(1),
+      dir, statsCols = Seq("opt", "n_nationkey"))
+    // manifest-level decision, zero data reads: IS NULL skips the
+    // null-free slab; IS NOT NULL skips the all-null slab (that one
+    // needs the row meta too — nc == rows)
+    val (keptN, skipN) = SnapshotLog.prunedFilesNull(dir, "opt", wantNull = true)
+    assert(keptN.size == 2 && skipN.size == 1)
+    val (keptNN, skipNN) = SnapshotLog.prunedFilesNull(dir, "opt", wantNull = false)
+    assert(keptNN.size == 2 && skipNN.size == 1 && skipN != skipNN)
+    // metadata-only COUNT(opt): rows minus null counts, no data read
+    val expectNonNull = 8L + (16 to 24).count(_ % 2 == 0)
+    assert(SnapshotLog.metadataCountCol(dir, "opt").contains(expectNonNull))
+    // an IS-NOT-NULL mutation's policy scan opens only files that can
+    // hold a non-null row (lastMutationScan pins the file counts)
+    SnapshotLog.updateWhere(spark, dir, col("opt").isNotNull,
+      Map("opt" -> upper(col("opt"))), statsCols = Seq("opt"))
+    assert(SnapshotLog.lastMutationScan.get() == ((2, 3)))
+    // under the update's DV the column count honestly declines
+    assert(SnapshotLog.metadataCountCol(dir, "opt").isEmpty)
+    // an IS-NULL delete skips the null-free files (f1 and the update's
+    // appended all-non-null file)
+    val totalFiles = SnapshotLog.files(dir).size // 3 + appended update files
+    SnapshotLog.deleteWhere(spark, dir, col("opt").isNull)
+    assert(SnapshotLog.lastMutationScan.get() == ((2, totalFiles)))
+    assert(SnapshotLog.read(spark, dir).count() == expectNonNull)
+    assert(SnapshotLog.read(spark, dir).filter(col("opt").isNull).count() == 0)
+  }
 }
