@@ -1225,6 +1225,29 @@ class SnapshotLogSpec extends AnyFunSuite {
       col("grp") === "no such value") == vBefore)
     assert(SnapshotLog.lastMutationScan.get()._1 == 0,
       "a never-matching partition value must prune every valued file")
+    // NULL-PARTITION ADDRESSABILITY (round 15): the Option-valued filter
+    // expresses "the null partition" — kept files are exactly the
+    // null-partition ones, decided from the manifest alone
+    val (keptNull, skippedNull) = SnapshotLog.prunedFilesPartitionNullable(
+      dir, Map("grp" -> Set(Option.empty[String])))
+    assert(keptNull.nonEmpty && skippedNull.nonEmpty &&
+      keptNull.forall(f => SnapshotLog.partitionValuesOf(dir)(f)("grp").isEmpty),
+      s"a null-partition read must open only null-partition files: $keptNull")
+    // ... and mixed selections compose: null partition OR a value
+    val (keptMix, _) = SnapshotLog.prunedFilesPartitionNullable(
+      dir, Map("grp" -> Set(Option.empty[String], Some("a=b"))))
+    assert(keptMix.toSet ==
+      (keptNull ++ SnapshotLog.prunedFilesPartition(dir,
+        Map("grp" -> Set("a=b")))._1).toSet)
+    // an IS-NULL mutation on the partition column opens ONLY the null
+    // partition's files — partition values decide null-ness outright,
+    // no statsCols needed
+    SnapshotLog.deleteWhere(spark, dir, col("grp").isNull)
+    assert(SnapshotLog.lastMutationScan.get()._1 == keptNull.size,
+      s"IS-NULL partition delete must scan only the null partition, " +
+        s"got ${SnapshotLog.lastMutationScan.get()}")
+    assert(SnapshotLog.read(spark, dir).filter(col("grp").isNull).count() == 0)
+    assert(SnapshotLog.read(spark, dir).count() == 3)
   }
 
   test("the partition spec is table metadata: mismatched appends reject, unpartitioned appends degrade soundly") {
