@@ -71,6 +71,18 @@ object GraftBridge {
     override def inputTypes: Seq[types.AbstractDataType] = Seq(types.BinaryType)
   }
 
+  /** Re-root a batch-leaved plan as a STREAMING DataFrame — what a V1
+    * streaming `Source.getBatch` must return (MicroBatchExecution
+    * asserts `isStreaming`; FileStreamSource builds its batches the same
+    * way). The plan still executes unchanged — `toRdd` is lazy, so the
+    * batch's jobs run when the sink consumes it. `internalCreateDataFrame`
+    * is `private[sql]`, hence bridged here. */
+  def asStreamingFrame(df: Dataset[Row]): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    classicDf.sparkSession.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Apply an extensions installer's function registrations to a LIVE
     * session (normally they only take effect at session build time via
     * `spark.sql.extensions`). Used by tests and by hosts that receive an
