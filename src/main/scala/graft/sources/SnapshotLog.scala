@@ -73,15 +73,22 @@ object SnapshotLog {
   private[graft] val StatsTruncateLen = 32
 
   /** Highest manifest format this reader understands. Round 14: every new
-    * manifest carries an explicit `"format"` member (2 = the current
-    * delta-or-checkpoint encoding with per-file meta); manifests WITHOUT
+    * manifest carries an explicit `"format"` member; manifests WITHOUT
     * the member are format 1 (the round-13-and-earlier shapes, which this
     * reader still resolves — the member's absence is itself the version).
-    * A manifest stamped with a HIGHER format fails loudly by NAME in
-    * [[stateOf]] instead of presenting as "malformed manifest" — the
-    * Delta minReaderVersion idea, which is what makes every future format
-    * step safe for stragglers. */
-  private[graft] val FormatVersion = 2
+    * Round 15 adds format 3: COLUMNAR checkpoints, where the JSON
+    * manifest is a small pointer (`"ckpt"`) at a parquet sidecar
+    * carrying the per-file state as columns. The stamp is
+    * FEATURE-GRANULAR (Delta's reader-feature idea): only manifests a
+    * format-2 reader genuinely cannot resolve — the parquet-checkpoint
+    * pointers — stamp 3; deltas and legacy JSON checkpoints keep
+    * stamping 2, so an old reader fails loudly by NAME exactly at the
+    * manifest that needs the new decoder, never earlier. */
+  private[graft] val FormatVersion = 3
+
+  /** The stamp for manifests any format-2 reader still resolves
+    * (deltas, legacy JSON checkpoints). */
+  private[graft] val CompatFormatVersion = 2
 
   /** Per-file physical metadata recorded at commit time (round 14; the
     * Delta/Iceberg size+numRecords convention): the writer has both for
@@ -178,6 +185,13 @@ object SnapshotLog {
     * system clock. */
   @volatile private[graft] var clock: () => Long =
     () => System.currentTimeMillis()
+
+  /** Round-15 checkpoint ENCODING switch: true (default) writes
+    * checkpoints as a columnar parquet sidecar + small pointer JSON
+    * (format 3); false reproduces the round-14 all-JSON checkpoint
+    * (format 2) — the back-compat seam SnapshotDeltaSpec's equivalence
+    * battery drives both sides of. Deltas are JSON either way. */
+  @volatile private[graft] var parquetCheckpoints: Boolean = true
 
   private def logDir(dir: Path) = dir.resolve("_graft_log")
   private def dataDir(dir: Path) = dir.resolve("data")
@@ -2547,9 +2561,27 @@ object SnapshotLog {
         .foreach { v => materializeCheckpoint(dir, v, cut) }
     }
     expire.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    // sidecar hygiene: a checkpoint sidecar no surviving manifest
+    // references (an expired version's, or crashed-publish debris) is
+    // metadata debris — reclaim it the same pass
+    val referenced = versions(dir).flatMap(readCkptPointer(dir, _)).toSet
+    listNames(logDir(dir))
+      .filter(n => n.endsWith(".ckpt.parquet") && !referenced(n))
+      .foreach(n => Files.deleteIfExists(logDir(dir).resolve(n)))
     val dead = orphans(dir)
     dead.foreach(Files.deleteIfExists(_))
     (expire, dead.map(_.getFileName.toString))
+  }
+
+  /** The sidecar name manifest `v` points at, if it is a columnar
+    * checkpoint. */
+  private def readCkptPointer(dir: Path, v: Int): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(Files.readString(manifestPath(dir, v))) \ "ckpt" match {
+      case JString(n) => Some(n)
+      case _ => None
+    }
   }
 
   /** Rewrite manifest `v` as a full checkpoint iff it is a delta whose
@@ -2579,21 +2611,40 @@ object SnapshotLog {
       case JLong(t) => Some(t)
       case _ => None
     }
-    val base = ("version" -> v) ~ ("format" -> FormatVersion) ~
-      ("files" -> st.files)
-    val withStats = if (st.stats.isEmpty) base
-      else base ~ ("stats" -> statsJsonOf(st.stats))
-    val withDvs = if (st.dvs.isEmpty) withStats else withStats ~ ("dvs" -> st.dvs)
-    val withSchema = st.schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
-    val withMeta = if (st.meta.isEmpty) withSchema
-      else withSchema ~ ("meta" -> metaJsonOf(st.meta))
-    val withPartCols = if (st.partCols.isEmpty) withMeta
-      else withMeta ~ ("partCols" -> st.partCols)
-    val withPart = if (st.part.isEmpty) withPartCols
-      else withPartCols ~ ("part" -> partJsonOf(st.part))
-    val withNulls = if (st.nulls.isEmpty) withPart
-      else withPart ~ ("nulls" -> nullsJsonOf(st.nulls))
-    val withTs = ts.fold(withNulls)(t => withNulls ~ ("ts" -> t))
+    val body: JObject =
+      if (parquetCheckpoints) {
+        // the vacuum-time materialization writes the same columnar form
+        // as a cadence checkpoint; the sidecar lands durable BEFORE the
+        // pointer replaces the delta (a crash in between leaves debris
+        // expireVersions reclaims, never a dangling pointer)
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val name = f"v$v%05d-$token.ckpt.parquet"
+        writeCheckpointParquet(dir, name, st.files, st.stats, st.dvs,
+          st.meta, st.part, st.nulls)
+        val b = ("version" -> v) ~ ("format" -> FormatVersion) ~
+          ("ckpt" -> name)
+        val withSchema = st.schemaJson.fold(b)(x => b ~ ("schema" -> x))
+        if (st.partCols.isEmpty) withSchema
+        else withSchema ~ ("partCols" -> st.partCols)
+      } else {
+        val base = ("version" -> v) ~ ("format" -> CompatFormatVersion) ~
+          ("files" -> st.files)
+        val withStats = if (st.stats.isEmpty) base
+          else base ~ ("stats" -> statsJsonOf(st.stats))
+        val withDvs =
+          if (st.dvs.isEmpty) withStats else withStats ~ ("dvs" -> st.dvs)
+        val withSchema =
+          st.schemaJson.fold(withDvs)(x => withDvs ~ ("schema" -> x))
+        val withMeta = if (st.meta.isEmpty) withSchema
+          else withSchema ~ ("meta" -> metaJsonOf(st.meta))
+        val withPartCols = if (st.partCols.isEmpty) withMeta
+          else withMeta ~ ("partCols" -> st.partCols)
+        val withPart = if (st.part.isEmpty) withPartCols
+          else withPartCols ~ ("part" -> partJsonOf(st.part))
+        if (st.nulls.isEmpty) withPart
+        else withPart ~ ("nulls" -> nullsJsonOf(st.nulls))
+      }
+    val withTs = ts.fold(body)(t => body ~ ("ts" -> t))
     val json = JsonMethods.compact(JsonMethods.render(
       txn.fold(withTs)(t => withTs ~ ("txn" -> t))))
     val tmp = Files.createTempFile(logDir(dir), ".ckpt", ".tmp")
@@ -2619,13 +2670,20 @@ object SnapshotLog {
   private def statsJsonOf(stats: Map[String, Map[String, ColEnv]]): org.json4s.JValue = {
     import org.json4s._
     JObject(stats.toList.map { case (f, cols) =>
-      f -> (JObject(cols.toList.map {
-        case (c, IntEnv(mn, mx)) =>
-          c -> (JArray(List(JLong(mn), JLong(mx))): JValue)
-        case (c, StrEnv(mn, mx)) =>
-          c -> (JArray(List(JString(mn),
-            mx.fold(JNull: JValue)(JString(_)))): JValue)
-      }): JValue)
+      f -> (envsJsonOf(cols): JValue)
+    })
+  }
+
+  /** One file's column envelopes as the inner JSON object — shared by
+    * the manifest member and the checkpoint sidecar's `stats` column. */
+  private def envsJsonOf(cols: Map[String, ColEnv]): org.json4s.JsonAST.JObject = {
+    import org.json4s._
+    JObject(cols.toList.map {
+      case (c, IntEnv(mn, mx)) =>
+        c -> (JArray(List(JLong(mn), JLong(mx))): JValue)
+      case (c, StrEnv(mn, mx)) =>
+        c -> (JArray(List(JString(mn),
+          mx.fold(JNull: JValue)(JString(_)))): JValue)
     })
   }
 
@@ -2678,7 +2736,7 @@ object SnapshotLog {
       nullsAdd.size
     if (deltaWeight >= files.size + dvs.size + stats.size + meta.size +
         part.size + nulls.size) return None
-    var d: JObject = ("version" -> v) ~ ("format" -> FormatVersion) ~
+    var d: JObject = ("version" -> v) ~ ("format" -> CompatFormatVersion) ~
       ("base" -> (v - 1))
     if (add.nonEmpty) d = d ~ ("add" -> add)
     if (remove.nonEmpty) d = d ~ ("remove" -> remove)
@@ -2703,9 +2761,15 @@ object SnapshotLog {
       : org.json4s.JValue = {
     import org.json4s._
     JObject(part.toList.map { case (f, cols) =>
-      f -> (JObject(cols.toList.map { case (c, v) =>
-        c -> v.fold(JNull: JValue)(JString(_))
-      }): JValue)
+      f -> (partColsJsonOf(cols): JValue)
+    })
+  }
+
+  private def partColsJsonOf(cols: Map[String, Option[String]])
+      : org.json4s.JsonAST.JObject = {
+    import org.json4s._
+    JObject(cols.toList.map { case (c, v) =>
+      c -> v.fold(JNull: JValue)(JString(_))
     })
   }
 
@@ -2715,9 +2779,14 @@ object SnapshotLog {
       : org.json4s.JValue = {
     import org.json4s._
     JObject(nulls.toList.map { case (f, cols) =>
-      f -> (JObject(cols.toList.map { case (c, n) =>
-        c -> (JLong(n): JValue) }): JValue)
+      f -> (nullColsJsonOf(cols): JValue)
     })
+  }
+
+  private def nullColsJsonOf(cols: Map[String, Long])
+      : org.json4s.JsonAST.JObject = {
+    import org.json4s._
+    JObject(cols.toList.map { case (c, n) => c -> (JLong(n): JValue) })
   }
 
   private[graft] def tryPublishManifest(
@@ -2744,29 +2813,52 @@ object SnapshotLog {
     // diff against v−1 ([[deltaJson]]); checkpoints carry the full state.
     // Every new manifest stamps its "format" ([[FormatVersion]]).
     // The CAS below is format-blind — both shapes publish identically.
+    // CHECKPOINT form (round 15): a COLUMNAR parquet sidecar carrying
+    // the O(files) per-file state, pointed at by a SMALL JSON manifest
+    // that keeps the CAS-publish protocol — the driver no longer parses
+    // megabytes of JSON to resolve a million-file snapshot, and lazy
+    // column projection lets reads skip the members they don't touch
+    // (see [[parseCheckpoint]]). The legacy all-JSON checkpoint form
+    // remains writable via [[parquetCheckpoints]] (the back-compat /
+    // equivalence-spec seam) and always readable.
+    var sidecar: Option[String] = None
     val body: JObject = deltaJson(dir, v, files, stats, dvs, schemaJson,
         meta, partCols, part, nulls)
       .getOrElse {
-        val base = ("version" -> v) ~ ("format" -> FormatVersion) ~
-          ("files" -> files)
-        val withStats =
-          if (stats.isEmpty) base else base ~ ("stats" -> statsJsonOf(stats))
-        val withDvs = if (dvs.isEmpty) withStats else withStats ~ ("dvs" -> dvs)
-        // the table schema is stored as its Spark-JSON string — opaque to
-        // the manifest format, absent for pre-schema manifests (reads
-        // infer then)
-        val withSchema =
-          schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
-        val withMeta =
-          if (meta.isEmpty) withSchema
-          else withSchema ~ ("meta" -> metaJsonOf(meta))
-        val withPartCols =
-          if (partCols.isEmpty) withMeta
-          else withMeta ~ ("partCols" -> partCols)
-        val withPart = if (part.isEmpty) withPartCols
-          else withPartCols ~ ("part" -> partJsonOf(part))
-        if (nulls.isEmpty) withPart
-        else withPart ~ ("nulls" -> nullsJsonOf(nulls))
+        if (parquetCheckpoints) {
+          val token = java.util.UUID.randomUUID().toString.take(8)
+          val name = f"v$v%05d-$token.ckpt.parquet"
+          writeCheckpointParquet(dir, name, files, stats, dvs, meta,
+            part, nulls)
+          sidecar = Some(name)
+          val base = ("version" -> v) ~ ("format" -> FormatVersion) ~
+            ("ckpt" -> name)
+          val withSchema =
+            schemaJson.fold(base)(s => base ~ ("schema" -> s))
+          if (partCols.isEmpty) withSchema
+          else withSchema ~ ("partCols" -> partCols)
+        } else {
+          val base = ("version" -> v) ~ ("format" -> CompatFormatVersion) ~
+            ("files" -> files)
+          val withStats =
+            if (stats.isEmpty) base else base ~ ("stats" -> statsJsonOf(stats))
+          val withDvs = if (dvs.isEmpty) withStats else withStats ~ ("dvs" -> dvs)
+          // the table schema is stored as its Spark-JSON string — opaque
+          // to the manifest format, absent for pre-schema manifests
+          // (reads infer then)
+          val withSchema =
+            schemaJson.fold(withDvs)(s => withDvs ~ ("schema" -> s))
+          val withMeta =
+            if (meta.isEmpty) withSchema
+            else withSchema ~ ("meta" -> metaJsonOf(meta))
+          val withPartCols =
+            if (partCols.isEmpty) withMeta
+            else withMeta ~ ("partCols" -> partCols)
+          val withPart = if (part.isEmpty) withPartCols
+            else withPartCols ~ ("part" -> partJsonOf(part))
+          if (nulls.isEmpty) withPart
+          else withPart ~ ("nulls" -> nullsJsonOf(nulls))
+        }
       }
     // every manifest stamps its wall-clock commit time (round 15) — a
     // PER-VERSION member like "txn", never inherited through deltas;
@@ -2784,7 +2876,12 @@ object SnapshotLog {
         fsync(logDir(dir))
         true
       }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a losing CAS attempt must not strand its sidecar
+          sidecar.foreach(n => Files.deleteIfExists(logDir(dir).resolve(n)))
+          false
+      }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -2837,13 +2934,40 @@ object SnapshotLog {
     * directory names (None = the null partition). Files without recorded
     * values — pre-round-14 commits, update-appended files, rewrite
     * outputs — are simply never partition-pruned (sound). */
-  private final case class LogState(files: Seq[String],
-      stats: Map[String, Map[String, ColEnv]], dvs: Seq[String],
-      schemaJson: Option[String],
-      meta: Map[String, FileMeta] = Map.empty,
-      partCols: Seq[String] = Seq.empty,
-      part: Map[String, Map[String, Option[String]]] = Map.empty,
-      nulls: Map[String, Map[String, Long]] = Map.empty)
+  private final class LogState(
+      val files: Seq[String],
+      val dvs: Seq[String],
+      val schemaJson: Option[String],
+      val partCols: Seq[String],
+      statsThunk: () => Map[String, Map[String, ColEnv]],
+      metaThunk: () => Map[String, FileMeta],
+      partThunk: () => Map[String, Map[String, Option[String]]],
+      nullsThunk: () => Map[String, Map[String, Long]]) {
+    // LAZY per-file members (round 15): a parquet-backed checkpoint
+    // decodes each member from its own column ONLY when a consumer
+    // touches it — `read()`/`files()` never pay the stats/part/nulls
+    // decode, which is the point of the columnar form. Delta
+    // application composes thunks, so forcing the top of a chain forces
+    // exactly the members touched, all the way down.
+    lazy val stats: Map[String, Map[String, ColEnv]] = statsThunk()
+    lazy val meta: Map[String, FileMeta] = metaThunk()
+    lazy val part: Map[String, Map[String, Option[String]]] = partThunk()
+    lazy val nulls: Map[String, Map[String, Long]] = nullsThunk()
+  }
+
+  private object LogState {
+    /** Eager form — the pre-round-15 shape (JSON manifests, delta
+      * reconstruction results that were computed anyway). */
+    def apply(files: Seq[String],
+        stats: Map[String, Map[String, ColEnv]], dvs: Seq[String],
+        schemaJson: Option[String],
+        meta: Map[String, FileMeta] = Map.empty,
+        partCols: Seq[String] = Seq.empty,
+        part: Map[String, Map[String, Option[String]]] = Map.empty,
+        nulls: Map[String, Map[String, Long]] = Map.empty): LogState =
+      new LogState(files, dvs, schemaJson, partCols,
+        () => stats, () => meta, () => part, () => nulls)
+  }
 
   /** Resolved-state memo. The key is CONTENT-ADDRESSED (path, version,
     * SHA-256 of the manifest bytes): the cache's job is to skip re-PARSING
@@ -2878,15 +3002,18 @@ object SnapshotLog {
       new java.util.LinkedHashMap[(String, Int, String), LogState](64, 0.75f, true)
     private var weight = 0L
     private def weightOf(st: LogState): Long =
-      // count INNER entries too (round-14 review): stats and part hold
-      // one map per file — on the partitioned million-file tables this
-      // bound exists for, the inner maps ARE the retained footprint
-      st.files.size.toLong + st.dvs.size + st.meta.size +
-        st.stats.valuesIterator.map(_.size.toLong).sum +
-        st.part.valuesIterator.map(_.size.toLong).sum +
-        st.nulls.valuesIterator.map(_.size.toLong).sum + 1
+      // a FIXED per-file proxy (round 15): the four per-file members
+      // (stats/meta/part/nulls) are lazy, and forcing them here to count
+      // inner entries would defeat the columnar checkpoint's whole
+      // point, so each is charged one ref per file up front — the same
+      // O(files) order the maps have once forced (inner per-column
+      // entries add a small constant factor bounded by the stats-column
+      // count). Still weight-bounded at the million-file scale the
+      // round-14 advisor note was about.
+      st.files.size.toLong * 5 + st.dvs.size + 1
     def get(k: (String, Int, String)): LogState =
       map.synchronized(map.get(k))
+    def clear(): Unit = map.synchronized { map.clear(); weight = 0L }
     def put(k: (String, Int, String), st: LogState): Unit = map.synchronized {
       val prev = map.put(k, st)
       weight += weightOf(st) - (if (prev == null) 0L else weightOf(prev))
@@ -2899,23 +3026,40 @@ object SnapshotLog {
     }
   }
 
+  /** Probe/spec seam: drop every memoized state so the next resolution
+    * pays the real decode (ScaleProbe's checkpoint-parse rows). */
+  private[graft] def clearStateCache(): Unit = stateCache.clear()
+
   private def parseStatsMember(j: org.json4s.JValue): Map[String, Map[String, ColEnv]] = {
     import org.json4s._
     j match {
-      case JObject(files) => files.collect { case (f, JObject(cols)) =>
-        f -> cols.collect {
-          case (c, JArray(List(JString(mn), mx))) =>
-            c -> (StrEnv(mn, mx match {
-              case JString(s) => Some(s)
-              case _ => None
-            }): ColEnv)
-          case (c, JArray(List(mn, mx))) =>
-            c -> (IntEnv(asLong(mn), asLong(mx)): ColEnv)
-        }.toMap
+      case JObject(files) => files.collect { case (f, o: JObject) =>
+        f -> parseEnvColsJson(o)
       }.toMap
       case _ => Map.empty
     }
   }
+
+  private def parseEnvColsJson(o: org.json4s.JsonAST.JObject)
+      : Map[String, ColEnv] = {
+    import org.json4s._
+    o.obj.collect {
+      case (c, JArray(List(JString(mn), mx))) =>
+        c -> (StrEnv(mn, mx match {
+          case JString(s) => Some(s)
+          case _ => None
+        }): ColEnv)
+      case (c, JArray(List(mn, mx))) =>
+        c -> (IntEnv(asLong(mn), asLong(mx)): ColEnv)
+    }.toMap
+  }
+
+  /** Sidecar `stats` column decode (a compact JSON object string). */
+  private def parseEnvCols(sjson: String): Map[String, ColEnv] =
+    org.json4s.jackson.JsonMethods.parse(sjson) match {
+      case o: org.json4s.JsonAST.JObject => parseEnvColsJson(o)
+      case _ => Map.empty
+    }
 
   private def strArr(j: org.json4s.JValue): Seq[String] = {
     import org.json4s._
@@ -3030,34 +3174,167 @@ object SnapshotLog {
     val remove = strArr(j \ "remove").toSet
     val dvRemove = strArr(j \ "dvRemove").toSet
     val statsDrop = strArr(j \ "statsDrop").toSet
-    LogState(
+    // per-file members compose as THUNKS over the (possibly lazy) base —
+    // resolving a delta chain's file list over a parquet checkpoint
+    // never decodes the stats/meta/part/nulls columns
+    new LogState(
       base.files.filterNot(remove) ++ strArr(j \ "add"),
-      (base.stats -- remove -- statsDrop) ++ parseStatsMember(j \ "stats"),
       base.dvs.filterNot(dvRemove) ++ strArr(j \ "dvAdd"),
       base.schemaJson,
-      (base.meta -- remove) ++ parseMetaMember(j \ "meta"),
       base.partCols, // a partition-spec change always checkpoints
-      (base.part -- remove) ++ parsePartMember(j \ "part"),
-      (base.nulls -- remove) ++ parseNullsMember(j \ "nulls"))
+      () => (base.stats -- remove -- statsDrop) ++
+        parseStatsMember(j \ "stats"),
+      () => (base.meta -- remove) ++ parseMetaMember(j \ "meta"),
+      () => (base.part -- remove) ++ parsePartMember(j \ "part"),
+      () => (base.nulls -- remove) ++ parseNullsMember(j \ "nulls"))
   }
 
   private def parseCheckpoint(j: org.json4s.JValue, dir: Path,
       v: Int): LogState = {
     import org.json4s._
-    val files = (j \ "files") match {
-      case JArray(xs) => xs.collect { case JString(s) => s }
-      case _ =>
-        throw new IllegalStateException(s"malformed manifest v$v in $dir")
+    val schemaJson = (j \ "schema") match {
+      case JString(s) => Some(s)
+      case _ => None
     }
-    LogState(files, parseStatsMember(j \ "stats"), strArr(j \ "dvs"),
-      (j \ "schema") match {
-        case JString(s) => Some(s)
-        case _ => None
-      },
-      parseMetaMember(j \ "meta"),
-      strArr(j \ "partCols"),
-      parsePartMember(j \ "part"),
-      parseNullsMember(j \ "nulls"))
+    (j \ "ckpt") match {
+      case JString(sidecar) =>
+        // COLUMNAR checkpoint (format 3): the spine (file names + kinds)
+        // reads eagerly — every resolution needs membership — while the
+        // four per-file members decode lazily from their own parquet
+        // columns on first touch (one projected read each)
+        val sp = logDir(dir).resolve(sidecar)
+        if (!Files.isRegularFile(sp))
+          throw new IllegalStateException(
+            s"manifest v$v in $dir points at missing checkpoint " +
+              s"sidecar $sidecar")
+        val spine = readCkptColumns(sp, Seq("f", "kind"))
+        val files = spine.collect { case g
+            if g.getString("kind", 0) == "data" => g.getString("f", 0) }
+        val dvs = spine.collect { case g
+            if g.getString("kind", 0) == "dv" => g.getString("f", 0) }
+        def member[A](col: String)(parse: String => A)
+            : Map[String, A] =
+          readCkptColumns(sp, Seq("f", col)).collect {
+            case g if g.getFieldRepetitionCount(col) > 0 =>
+              g.getString("f", 0) -> parse(g.getString(col, 0))
+          }.toMap
+        new LogState(files, dvs, schemaJson, strArr(j \ "partCols"),
+          () => member("stats")(parseEnvCols),
+          () => readCkptColumns(sp, Seq("f", "size", "rows")).collect {
+            case g if g.getFieldRepetitionCount("size") > 0 &&
+                g.getFieldRepetitionCount("rows") > 0 =>
+              g.getString("f", 0) -> FileMeta(g.getLong("size", 0),
+                g.getLong("rows", 0))
+          }.toMap,
+          () => member("part")(parsePartCols),
+          () => member("nulls")(parseNullCols))
+      case _ =>
+        val files = (j \ "files") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ =>
+            throw new IllegalStateException(
+              s"malformed manifest v$v in $dir")
+        }
+        LogState(files, parseStatsMember(j \ "stats"), strArr(j \ "dvs"),
+          schemaJson,
+          parseMetaMember(j \ "meta"),
+          strArr(j \ "partCols"),
+          parsePartMember(j \ "part"),
+          parseNullsMember(j \ "nulls"))
+    }
+  }
+
+  // ------------------------------------------------ parquet checkpoints
+  /** The columnar checkpoint sidecar's row shape: one row per data or
+    * DV file; the heavyweight per-file members ride as compact JSON
+    * strings in their own columns (the Delta checkpoint convention for
+    * `stats`), so a reader that doesn't touch a member never decodes —
+    * or even reads — its column. */
+  private lazy val ckptSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema._
+    import PrimitiveType.PrimitiveTypeName._
+    Types.buildMessage()
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("f")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("kind")
+      .optional(INT64).named("size")
+      .optional(INT64).named("rows")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("stats")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("part")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("nulls")
+      .named("graft_ckpt")
+  }
+
+  /** Projected-read log — the observability seam the laziness spec pins
+    * (which sidecar columns each resolution actually decoded). Not an
+    * API. */
+  private[graft] val ckptProjections =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Read the sidecar with COLUMN PROJECTION — parquet decodes only the
+    * requested columns, which is what makes a files-only resolution of
+    * a wide million-file checkpoint cheap. */
+  private def readCkptColumns(p: Path, cols: Seq[String])
+      : Vector[org.apache.parquet.example.data.Group] = {
+    import org.apache.parquet.schema.{MessageType, Types}
+    ckptProjections.add(cols.mkString(","))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val b = Types.buildMessage()
+    ckptSchema.getFields.forEach { f =>
+      if (cols.contains(f.getName)) { b.addField(f); () }
+    }
+    val projection: MessageType = b.named("graft_ckpt")
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(p.toString))
+      .withConf(conf).build()
+    try Iterator.continually(reader.read()).takeWhile(_ != null).toVector
+    finally reader.close()
+  }
+
+  /** Write a checkpoint sidecar: data files in manifest order, then DV
+    * files in order (parquet preserves row order, so the spine read
+    * reconstructs exactly the writer's sequences). Durable before the
+    * pointer publishes. */
+  private def writeCheckpointParquet(dir: Path, name: String,
+      files: Seq[String], stats: Map[String, Map[String, ColEnv]],
+      dvs: Seq[String], meta: Map[String, FileMeta],
+      part: Map[String, Map[String, Option[String]]],
+      nulls: Map[String, Map[String, Long]]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.json4s.jackson.JsonMethods
+    val p = logDir(dir).resolve(name)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString),
+        new org.apache.hadoop.conf.Configuration()))
+      .withType(ckptSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD)
+      .build()
+    try {
+      def row(f: String, kind: String): SimpleGroup = {
+        val g = new SimpleGroup(ckptSchema)
+        g.add("f", f)
+        g.add("kind", kind)
+        g
+      }
+      files.foreach { f =>
+        val g = row(f, "data")
+        meta.get(f).foreach { m =>
+          g.add("size", m.size); g.add("rows", m.rows) }
+        stats.get(f).foreach(c => g.add("stats",
+          JsonMethods.compact(JsonMethods.render(envsJsonOf(c)))))
+        part.get(f).foreach(c => g.add("part",
+          JsonMethods.compact(JsonMethods.render(partColsJsonOf(c)))))
+        nulls.get(f).foreach(c => g.add("nulls",
+          JsonMethods.compact(JsonMethods.render(nullColsJsonOf(c)))))
+        writer.write(g)
+      }
+      dvs.foreach(f => writer.write(row(f, "dv")))
+    } finally writer.close()
+    fsync(p)
   }
 
   /** Parse the `"part"` member — {file: {col: "value" | null}}; null is
@@ -3067,15 +3344,28 @@ object SnapshotLog {
       : Map[String, Map[String, Option[String]]] = {
     import org.json4s._
     j match {
-      case JObject(files) => files.collect { case (f, JObject(cols)) =>
-        f -> cols.collect {
-          case (c, JString(v)) => c -> Option(v)
-          case (c, JNull) => c -> (None: Option[String])
-        }.toMap
+      case JObject(files) => files.collect { case (f, o: JObject) =>
+        f -> parsePartColsJson(o)
       }.toMap
       case _ => Map.empty
     }
   }
+
+  private def parsePartColsJson(o: org.json4s.JsonAST.JObject)
+      : Map[String, Option[String]] = {
+    import org.json4s._
+    o.obj.collect {
+      case (c, JString(v)) => c -> Option(v)
+      case (c, JNull) => c -> (None: Option[String])
+    }.toMap
+  }
+
+  /** Sidecar `part` column decode. */
+  private def parsePartCols(sjson: String): Map[String, Option[String]] =
+    org.json4s.jackson.JsonMethods.parse(sjson) match {
+      case o: org.json4s.JsonAST.JObject => parsePartColsJson(o)
+      case _ => Map.empty
+    }
 
   /** Parse the `"meta"` member — {file: [size, rows]}; absent for
     * pre-round-14 manifests (every consumer falls back to the storage
@@ -3097,15 +3387,28 @@ object SnapshotLog {
       : Map[String, Map[String, Long]] = {
     import org.json4s._
     j match {
-      case JObject(files) => files.collect { case (f, JObject(cols)) =>
-        f -> cols.collect {
-          case (c, JInt(n)) => c -> n.toLong
-          case (c, JLong(n)) => c -> n
-        }.toMap
+      case JObject(files) => files.collect { case (f, o: JObject) =>
+        f -> parseNullColsJson(o)
       }.toMap
       case _ => Map.empty
     }
   }
+
+  private def parseNullColsJson(o: org.json4s.JsonAST.JObject)
+      : Map[String, Long] = {
+    import org.json4s._
+    o.obj.collect {
+      case (c, JInt(n)) => c -> n.toLong
+      case (c, JLong(n)) => c -> n
+    }.toMap
+  }
+
+  /** Sidecar `nulls` column decode. */
+  private def parseNullCols(sjson: String): Map[String, Long] =
+    org.json4s.jackson.JsonMethods.parse(sjson) match {
+      case o: org.json4s.JsonAST.JObject => parseNullColsJson(o)
+      case _ => Map.empty
+    }
 
   private def asLong(v: org.json4s.JValue): Long = v match {
     case org.json4s.JInt(i) => i.toLong

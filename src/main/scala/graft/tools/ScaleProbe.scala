@@ -254,6 +254,7 @@ object ScaleProbe {
   private val lakeNames =
     Seq("lake_delete_mor", "lake_update_mor", "lake_merge_cow",
       "lake_cdf_read", "lake_commit_harvest",
+      "lake_ckpt_spine_resolve", "lake_ckpt_full_resolve",
       "lake_manifest_delta_bytes", "lake_manifest_ckpt_bytes")
 
   /** Time the three lakehouse mutation verbs against a snapshot-logged
@@ -337,11 +338,34 @@ object ScaleProbe {
         run() // warm
         (1 to 2).map(_ => timed { run(); () }).min
       }
+      // COLUMNAR-CHECKPOINT parse split (round 15): resolving the file
+      // spine (what read()/files() touch) vs forcing every per-file
+      // member — both on a cold state memo. The spine read decodes one
+      // name column of the sidecar; the full force decodes all of them.
+      // As the corpus (and file count) grows, the spine cost is the
+      // fraction a pruned consumer actually pays.
+      val vHead = SnapshotLog.versions(dir).last
+      def coldResolve(full: Boolean): Double = timed {
+        SnapshotLog.clearStateCache()
+        val fs = SnapshotLog.files(dir, Some(vHead))
+        if (full) {
+          SnapshotLog.metadataCount(spark, dir, Some(vHead))
+          SnapshotLog.prunedFiles(dir, "doc_id", 0L, 1L, Some(vHead))
+          SnapshotLog.prunedFilesNull(dir, "doc_id", wantNull = true,
+            Some(vHead))
+          SnapshotLog.partitionValuesOf(dir, Some(vHead))
+        }
+        require(fs.nonEmpty)
+      }
+      coldResolve(full = true) // warm the JVM paths once
+      val tSpine = (1 to 2).map(_ => coldResolve(full = false)).min
+      val tFull = (1 to 2).map(_ => coldResolve(full = true)).min
       // metadata-scale evidence (round 13 delta manifests): the largest
       // DELTA manifest the mutations published vs the largest CHECKPOINT
       // — the delta should stay flat as the corpus (and so the table's
-      // file count) grows, while the checkpoint is honestly O(files),
-      // paid once per checkpointInterval versions
+      // file count) grows, while the checkpoint is honestly O(files)
+      // (round 15: pointer JSON + its parquet sidecar), paid once per
+      // checkpointInterval versions
       val logd = dir.resolve("_graft_log")
       val manifestSizes = {
         val st = java.nio.file.Files.list(logd)
@@ -352,10 +376,15 @@ object ScaleProbe {
               // top-level member test via the parser, not a substring —
               // a stats column literally named 'base' must not
               // misclassify a checkpoint as a delta (advisor note)
-              val isDelta = (org.json4s.jackson.JsonMethods.parse(
-                java.nio.file.Files.readString(p)) \ "base")
-                .isInstanceOf[org.json4s.JInt]
-              (isDelta, java.nio.file.Files.size(p))
+              val parsed = org.json4s.jackson.JsonMethods.parse(
+                java.nio.file.Files.readString(p))
+              val isDelta = (parsed \ "base").isInstanceOf[org.json4s.JInt]
+              val sidecarBytes = (parsed \ "ckpt") match {
+                case org.json4s.JString(n) =>
+                  java.nio.file.Files.size(logd.resolve(n))
+                case _ => 0L
+              }
+              (isDelta, java.nio.file.Files.size(p) + sidecarBytes)
             }.toVector
         } finally st.close()
       }
@@ -364,6 +393,8 @@ object ScaleProbe {
       Map("lake_delete_mor" -> tDel, "lake_update_mor" -> tUpd,
         "lake_merge_cow" -> tMrg, "lake_cdf_read" -> tCdf,
         "lake_commit_harvest" -> tHarvest,
+        "lake_ckpt_spine_resolve" -> tSpine,
+        "lake_ckpt_full_resolve" -> tFull,
         "lake_manifest_delta_bytes" ->
           (if (deltaBytes.isEmpty) -1.0 else deltaBytes.max.toDouble),
         "lake_manifest_ckpt_bytes" ->

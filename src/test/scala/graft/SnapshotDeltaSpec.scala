@@ -128,11 +128,30 @@ class SnapshotDeltaSpec extends AnyFunSuite {
       assert(SnapshotLog.tryPublishManifest(dir, 1, tenK))       // checkpoint
       assert(SnapshotLog.tryPublishManifest(dir, 2,
         tenK :+ "c00002-bbbbbbbb-00000.parquet"))                // delta
-      val ckptBytes = manifestJson(dir, 1).length
+      // round 15: the checkpoint's O(files) payload lives in a COLUMNAR
+      // parquet sidecar; the JSON manifest is a small pointer. The cost
+      // accounting is pointer + sidecar — still honestly O(files), but
+      // compressed columns instead of a megabyte of driver-parsed JSON
+      val ptrJson = org.json4s.jackson.JsonMethods.parse(manifestJson(dir, 1))
+      val sidecar = (ptrJson \ "ckpt") match {
+        case org.json4s.JString(n) => n
+        case other => fail(s"v1 must point at a parquet sidecar, got $other")
+      }
+      val ptrBytes = manifestJson(dir, 1).length
+      val sidecarBytes =
+        Files.size(dir.resolve("_graft_log").resolve(sidecar))
       val deltaBytes = manifestJson(dir, 2).length
       assert(isDelta(dir, 2) && !isDelta(dir, 1))
-      assert(ckptBytes > 300000,
-        s"the 10k-file checkpoint is honestly O(files): $ckptBytes B")
+      assert(ptrBytes < 400,
+        s"the 10k-file checkpoint's JSON pointer must stay small: $ptrBytes B")
+      // the sidecar carries the full 10k-row payload (zstd crushes these
+      // synthetic near-identical names ~40×, so a byte floor would pin
+      // the codec, not the format — row count is the honest invariant,
+      // asserted via the 10,001-file resolution below); it must still
+      // dwarf the one-file delta
+      assert(sidecarBytes > 10L * deltaBytes,
+        s"the sidecar is the O(files) payload: $sidecarBytes B vs " +
+          s"delta $deltaBytes B")
       assert(deltaBytes < 200,
         s"appending ONE file to a 10k-file table must cost bytes of " +
           s"manifest, got $deltaBytes B")
@@ -283,5 +302,66 @@ class SnapshotDeltaSpec extends AnyFunSuite {
       assert(latest.filter(col("extra").isNull).count() == 25,
         "old files null-fill the added column through the delta chain")
     }
+  }
+  test("columnar checkpoints resolve LAZILY: each consumer decodes exactly its own sidecar columns, once") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-delta-lz")
+    withCheckpointEvery(1) { // every version a (columnar) checkpoint
+      val nation = Tables.nation(spark, sf)
+      SnapshotLog.commit(nation.repartitionByRange(2, col("n_nationkey")),
+        dir, statsCols = Seq("n_nationkey"))
+    }
+    def reads(): Seq[String] = {
+      val r = SnapshotLog.ckptProjections.asScala.toSeq
+      SnapshotLog.ckptProjections.clear()
+      r
+    }
+    reads() // drain anything earlier suites left behind
+    // a plain snapshot read decodes ONLY the file spine — never the
+    // stats/meta/part/nulls columns (the columnar form's whole point:
+    // resolving a million-file table for a scan costs the name column,
+    // not the per-file statistics payload)
+    assert(SnapshotLog.read(spark, dir).count() == 25)
+    assert(reads() == Seq("f,kind"),
+      "a snapshot read must decode only the spine")
+    // pruning decodes exactly the stats column (state is memoized, so
+    // no spine re-read either)
+    val (kept, skipped) = SnapshotLog.prunedFiles(dir, "n_nationkey", 0, 5)
+    assert(kept.nonEmpty && skipped.nonEmpty)
+    assert(reads() == Seq("f,stats"),
+      "envelope pruning must decode exactly the stats column")
+    // the metadata count decodes exactly the meta columns
+    assert(SnapshotLog.metadataCount(spark, dir).contains(25L))
+    assert(reads() == Seq("f,size,rows"),
+      "metadataCount must decode exactly the size/rows columns")
+    // every member is memoized: a second touch decodes nothing
+    SnapshotLog.prunedFiles(dir, "n_nationkey", 0, 5)
+    SnapshotLog.metadataCount(spark, dir)
+    assert(reads().isEmpty, "forced members memoize — no re-decode")
+  }
+
+  test("the two checkpoint encodings are read-equivalent over the full write matrix") {
+    val json = Files.createTempDirectory("graft-delta-ej")
+    val parq = Files.createTempDirectory("graft-delta-ep")
+    val oldCkpt = SnapshotLog.parquetCheckpoints
+    val lastJ = try {
+      SnapshotLog.parquetCheckpoints = false
+      withCheckpointEvery(4)(driveLifecycle(json))
+    } finally SnapshotLog.parquetCheckpoints = oldCkpt
+    val lastP = withCheckpointEvery(4)(driveLifecycle(parq))
+    assert(lastJ == lastP)
+    (1 to lastJ).foreach { v =>
+      assert(SnapshotLog.read(spark, json, Some(v)).collect().toSet ==
+        SnapshotLog.read(spark, parq, Some(v)).collect().toSet,
+        s"version $v diverged between the JSON and parquet checkpoint forms")
+      assert(SnapshotLog.schemaOf(json, Some(v)).map(_.json) ==
+        SnapshotLog.schemaOf(parq, Some(v)).map(_.json))
+    }
+    def cdf(d: java.nio.file.Path) =
+      SnapshotLog.readChangesCdf(spark, d, 1, lastJ).collect().toSet
+    assert(cdf(json) == cdf(parq))
+    assert(SnapshotLog.metadataCount(spark, json) ==
+      SnapshotLog.metadataCount(spark, parq))
+    assert(SnapshotLog.orphans(json).isEmpty && SnapshotLog.orphans(parq).isEmpty)
   }
 }

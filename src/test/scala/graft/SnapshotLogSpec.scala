@@ -968,17 +968,21 @@ class SnapshotLogSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-snap")
     SnapshotLog.commit(Tables.region(spark, sf), dir)
     SnapshotLog.commit(Tables.region(spark, sf), dir)
-    (1 to 2).foreach { v =>
-      val f = org.json4s.jackson.JsonMethods.parse(manifestJsonOf(dir, v)) \ "format"
-      assert(f == org.json4s.JInt(2), s"v$v must stamp format 2, got $f")
-    }
+    // FEATURE-GRANULAR stamps (round 15): only the manifests a format-2
+    // reader genuinely cannot resolve — columnar-checkpoint pointers —
+    // stamp 3; deltas (and legacy JSON checkpoints) keep stamping 2, so
+    // stragglers fail exactly at the manifest needing the new decoder
+    val f1 = org.json4s.jackson.JsonMethods.parse(manifestJsonOf(dir, 1)) \ "format"
+    assert(f1 == org.json4s.JInt(3), s"v1 (columnar ckpt) stamps 3, got $f1")
+    val f2 = org.json4s.jackson.JsonMethods.parse(manifestJsonOf(dir, 2)) \ "format"
+    assert(f2 == org.json4s.JInt(2), s"v2 (a delta) stamps 2, got $f2")
     // a manifest from the future: the error must NAME the format, not
     // present as 'malformed manifest' (the round-13 failure shape)
     Files.writeString(dir.resolve("_graft_log").resolve("v00003.json"),
       """{"version":3,"format":99,"files":[]}""")
     val e = intercept[IllegalStateException](SnapshotLog.read(spark, dir))
     assert(e.getMessage.contains("format 99") &&
-      e.getMessage.contains("up to 2"),
+      e.getMessage.contains("up to 3"),
       s"unsupported-format error must name both versions: ${e.getMessage}")
   }
 
@@ -1006,6 +1010,13 @@ class SnapshotLogSpec extends AnyFunSuite {
   test("binPack's pack decision is metadata-only: zero FS stat calls; legacy lineages fall back") {
     val dir = Files.createTempDirectory("graft-snap")
     val cust = Tables.customer(spark, sf)
+    // legacy-JSON checkpoints: stripMeta simulates a pre-round-14
+    // lineage by surgically removing the "meta" member, which requires
+    // the member to live in the JSON (a columnar sidecar keeps meta in
+    // its own parquet column, out of the scalpel's reach)
+    val oldCkpt = SnapshotLog.parquetCheckpoints
+    SnapshotLog.parquetCheckpoints = false
+    try {
     SnapshotLog.commit(cust.filter(col("c_custkey") % 5 =!= 0).coalesce(1),
       dir, statsCols = Seq("c_custkey"))
     (0 to 2).foreach { i =>
@@ -1027,6 +1038,7 @@ class SnapshotLogSpec extends AnyFunSuite {
     SnapshotLog.binPack(spark, dir, 1L, 1L << 30) // no-op pack, decision still runs
     assert(SnapshotLog.lastPackFsStats.get() == SnapshotLog.files(dir).size,
       "a meta-less lineage must fall back to one stat per manifest file")
+    } finally SnapshotLog.parquetCheckpoints = oldCkpt
   }
 
   test("metadataCount is exact across appends, DV deletes, updates, and drops; meta-less lineages decline") {
