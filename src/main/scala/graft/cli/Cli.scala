@@ -306,7 +306,8 @@ object Cli {
       |  query  [opts] <out.par|-> <sql|-> [param …]
       |  insert [opts] <in.parquet> <table>        (-c <jdbc-url> required)
       |  exec   [opts] <statement> <in.parquet>    (-c <jdbc-url> required)
-      |  lake   <commit|delete|update|merge|optimize|vacuum|versions|read> <table-dir> …
+      |  lake   <commit|delete|update|merge|optimize|vacuum|versions|read
+      |          |count|orphans|rename-column|drop-column> <table-dir> …
       |         commit <dir> <in.parquet> [--overwrite] [--stats-cols a,b] [--txn-id ID]
       |         delete <dir> <sql-predicate>            (merge-on-read deletion vector)
       |         update <dir> <sql-predicate> --set col=expr [--set …]
@@ -572,7 +573,9 @@ object Cli {
     *                       [--small-file-bytes B [--target-file-bytes B]]  (bin-pack mode)
     *   lake vacuum   <dir> [--keep-versions N]
     *   lake orphans  <dir> [--json]             (vacuum dry-run: list debris)
-    *   lake count    <dir> [--as-of N]          (metadata-only COUNT(*))
+    *   lake count    <dir> [--as-of N] [--column C]  (metadata-only counts)
+    *   lake rename-column <dir> <from> <to>     (metadata-only; column mapping)
+    *   lake drop-column   <dir> <col>           (metadata-only; column mapping)
     *   lake versions <dir>
     *   lake read     <dir> <out.par|-> [--as-of N] [--changes F:T] [--cdf F:T]
     *
@@ -711,6 +714,16 @@ object Cli {
               s"$n rows (scanned; manifest lacks complete per-file meta)"
           }
         }
+      case "rename-column" =>
+        arity(3, "TABLE_DIR FROM TO")
+        val Vector(_, from, to) = rest: @unchecked
+        val v = SnapshotLog.renameColumn(dir, from, to)
+        s"renamed $from -> $to (metadata-only); latest version $v"
+      case "drop-column" =>
+        arity(2, "TABLE_DIR COLUMN")
+        val Vector(_, name) = rest: @unchecked
+        val v = SnapshotLog.dropColumn(dir, name)
+        s"dropped $name (metadata-only); latest version $v"
       case "versions" =>
         arity(1, "TABLE_DIR")
         val vs = SnapshotLog.versions(dir)

@@ -1544,4 +1544,95 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, dir).count() == expectNonNull)
     assert(SnapshotLog.read(spark, dir).filter(col("opt").isNull).count() == 0)
   }
+  test("column mapping: rename/drop are metadata-only; re-adds never resurrect; rewrites carry the mapping") {
+    val dir = Files.createTempDirectory("graft-snap-cm")
+    // the testdata nation has 3 columns — synthesize the comment the
+    // drop/re-add legs need
+    val nation = Tables.nation(spark, sf)
+      .withColumn("n_comment", concat(lit("c-"), col("n_name")))
+    SnapshotLog.commit(nation.repartitionByRange(3, col("n_nationkey")),
+      dir, statsCols = Seq("n_nationkey"))                            // v1
+    val filesV1 = SnapshotLog.files(dir)
+    // RENAME is metadata-only: same files, new logical schema, a
+    // logical→physical mapping entry
+    assert(SnapshotLog.renameColumn(dir, "n_nationkey", "nid") == 2)
+    assert(SnapshotLog.files(dir) == filesV1, "rename must move no data")
+    assert(SnapshotLog.schemaOf(dir).get.fieldNames.toSeq ==
+      Seq("nid", "n_name", "n_regionkey", "n_comment"))
+    assert(SnapshotLog.columnMapping(dir) == Map("nid" -> "n_nationkey"))
+    // the OLD version keeps its old schema and values
+    assert(SnapshotLog.schemaOf(dir, Some(1)).get.fieldNames
+      .contains("n_nationkey"))
+    assert(SnapshotLog.read(spark, dir, Some(1))
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue)
+      .toSet == (0L until 25L).toSet)
+    // envelope pruning works by the LOGICAL name across the rename
+    // (rename re-keyed the committed stats)
+    val (kept2, skipped2) = SnapshotLog.prunedFiles(dir, "nid", 0, 5)
+    assert(kept2.nonEmpty && skipped2.nonEmpty)
+    // an append under the new schema STAGES under the physical name
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 5)
+      .select((col("n_nationkey") + 100).as("nid"), col("n_name"),
+        col("n_regionkey"), col("n_comment")).coalesce(1),
+      dir, statsCols = Seq("nid"))                                    // v3
+    val newFile = SnapshotLog.files(dir).filterNot(filesV1.toSet)
+    assert(newFile.size == 1)
+    val rawNew = spark.read.parquet(
+      dir.resolve("data").resolve(newFile.head).toString)
+    assert(rawNew.schema.fieldNames.contains("n_nationkey") &&
+      !rawNew.schema.fieldNames.contains("nid"),
+      "staged files carry the PHYSICAL column name")
+    // a keyed mutation on the logical name envelope-prunes to the new
+    // file only and reads mapped values correctly
+    SnapshotLog.deleteWhere(spark, dir,
+      col("nid") >= 100 && col("nid") % 2 === 0)                      // v4
+    assert(SnapshotLog.lastMutationScan.get() == ((1, 4)))
+    assert(SnapshotLog.read(spark, dir).count() == 25 + 5 - 3)
+    // DROP is metadata-only: the column leaves the schema, old versions
+    // keep serving it, its physical name retires
+    SnapshotLog.dropColumn(dir, "n_comment")                          // v5
+    assert(!SnapshotLog.schemaOf(dir).get.fieldNames.contains("n_comment"))
+    assert(SnapshotLog.read(spark, dir).columns.toSeq ==
+      Seq("nid", "n_name", "n_regionkey"))
+    assert(SnapshotLog.read(spark, dir, Some(3))
+      .select("n_comment").count() == 30, "old versions keep the column")
+    // HOSTILE: rename ONTO the dropped name — fine, distinct physical
+    assert(SnapshotLog.renameColumn(dir, "n_regionkey", "n_comment") == 6)
+    assert(SnapshotLog.columnMapping(dir) ==
+      Map("nid" -> "n_nationkey", "n_comment" -> "n_regionkey"))
+    val regionVals = SnapshotLog.read(spark, dir)
+      .select(col("nid").cast("long"), col("n_comment").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(regionVals(7L) == nation.filter(col("n_nationkey") === 7)
+      .select(col("n_regionkey").cast("long")).head.getLong(0),
+      "the renamed-onto-dropped-name column serves the SOURCE's values")
+    // HOSTILE: re-ADD a column whose name is physically in use — the
+    // fresh-allocation rule; old files must read NULL, never the old
+    // physical bytes
+    SnapshotLog.commit(nation.filter(col("n_nationkey") === 9)
+      .select((col("n_nationkey") + 200).as("nid"), col("n_name"),
+        col("n_regionkey").as("n_comment"),
+        lit("fresh").as("n_regionkey")).coalesce(1), dir)             // v7
+    assert(SnapshotLog.columnMapping(dir)("n_regionkey")
+      .startsWith("n_regionkey_p"),
+      s"re-added column must get a FRESH physical name: " +
+        s"${SnapshotLog.columnMapping(dir)}")
+    val readded = SnapshotLog.read(spark, dir)
+      .select(col("nid").cast("long"), col("n_regionkey"))
+    assert(readded.filter(col("nid") === 209).head.getString(1) == "fresh")
+    assert(readded.filter(col("nid") < 200)
+      .filter(col("n_regionkey").isNotNull).count() == 0,
+      "old files must NOT resurrect the retired physical column")
+    // a REWRITE under the mapping stays value-identical and keeps it
+    val before = SnapshotLog.read(spark, dir).collect().toSet
+    SnapshotLog.compact(spark, dir, targetFiles = 2)                  // v8
+    assert(SnapshotLog.read(spark, dir).collect().toSet == before)
+    assert(SnapshotLog.columnMapping(dir)("nid") == "n_nationkey")
+    // illegal moves fail loudly
+    intercept[IllegalArgumentException](
+      SnapshotLog.renameColumn(dir, "nid", "N_NAME")) // case-aliases
+    intercept[IllegalArgumentException](
+      SnapshotLog.dropColumn(dir, "ghost"))
+    assert(SnapshotLog.orphans(dir).isEmpty)
+  }
 }

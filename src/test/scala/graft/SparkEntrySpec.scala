@@ -8,11 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * finding). */
 class SparkEntrySpec extends AnyFunSuite {
 
-  test("registry counts match the documented 215 queries / 208 oracles") {
-    assert(SparkEntry.queries.size == 215,
+  test("registry counts match the documented 216 queries / 209 oracles") {
+    assert(SparkEntry.queries.size == 216,
       s"queries registry now has ${SparkEntry.queries.size} entries — " +
         "update README.md and this pin together")
-    assert(SparkEntry.oracleSql.size == 208,
+    assert(SparkEntry.oracleSql.size == 209,
       s"oracle registry now has ${SparkEntry.oracleSql.size} entries — " +
         "update README.md and this pin together")
   }
