@@ -240,7 +240,9 @@ object Cli {
     * forms Delta's timestampAsOf takes. */
   private def parseTsMillis(v: String): Long = {
     val t = v.trim
-    if (t.forall(_.isDigit)) t.toLong
+    // all-digit strings must be non-empty and inside Long range, or the
+    // fall-through ISO parse produces the intended error message
+    if (t.nonEmpty && t.length <= 18 && t.forall(_.isDigit)) t.toLong
     else try java.time.Instant.parse(t).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>

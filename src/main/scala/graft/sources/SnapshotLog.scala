@@ -363,7 +363,11 @@ object SnapshotLog {
       else aligned.columns
         .filterNot(c => prevLogical.exists(p =>
           if (caseSensitive) p == c else p.equalsIgnoreCase(c)))
-        .filter(usedPhys)
+        // CASE-INSENSITIVE collision test (round-15 review): Spark's
+        // default parquet field resolution is case-insensitive, so a
+        // column retired as 'Price' and re-added as 'price' would
+        // resurrect through an exact-match test
+        .filter(c => usedPhys.exists(_.equalsIgnoreCase(c)))
         .map(c => c ->
           s"${c}_p${java.util.UUID.randomUUID().toString.take(8)}")
         .toMap
@@ -2780,13 +2784,28 @@ object SnapshotLog {
       versions(dir).filterNot(expire.toSet)
         .foreach { v => materializeCheckpoint(dir, v, cut) }
     }
+    // an EXPIRED version's sidecar goes with its manifest — read the
+    // pointer before deleting the manifest (tokens are publish-unique,
+    // so no surviving manifest can share it)
+    val expiredSidecars = expire.flatMap(readCkptPointer(dir, _))
     expire.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
-    // sidecar hygiene: a checkpoint sidecar no surviving manifest
-    // references (an expired version's, or crashed-publish debris) is
-    // metadata debris — reclaim it the same pass
+    expiredSidecars.foreach(n =>
+      Files.deleteIfExists(logDir(dir).resolve(n)))
+    // UNREFERENCED sidecar debris (crashed publishes) reclaims only past
+    // a grace window (round-15 review): a racing committer fsyncs its
+    // sidecar durable BEFORE the CAS link, and reaping that in-flight
+    // file would let the winning CAS publish a permanently dangling
+    // pointer — the same why behind Delta's vacuum retention floor
+    val grace = 15L * 60 * 1000
+    val now = System.currentTimeMillis()
     val referenced = versions(dir).flatMap(readCkptPointer(dir, _)).toSet
     listNames(logDir(dir))
       .filter(n => n.endsWith(".ckpt.parquet") && !referenced(n))
+      .filter { n =>
+        val p = logDir(dir).resolve(n)
+        try now - Files.getLastModifiedTime(p).toMillis > grace
+        catch { case _: java.io.IOException => false }
+      }
       .foreach(n => Files.deleteIfExists(logDir(dir).resolve(n)))
     val dead = orphans(dir)
     dead.foreach(Files.deleteIfExists(_))
@@ -2851,7 +2870,10 @@ object SnapshotLog {
         if (st.physUsed.isEmpty) withCm
         else withCm ~ ("physUsed" -> st.physUsed)
       } else {
-        val base = ("version" -> v) ~ ("format" -> CompatFormatVersion) ~
+        // same mapped-table rule as tryPublishManifest (round-15 review)
+        val fmt = if (st.colMap.nonEmpty || st.physUsed.nonEmpty)
+          FormatVersion else CompatFormatVersion
+        val base = ("version" -> v) ~ ("format" -> fmt) ~
           ("files" -> st.files)
         val withStats = if (st.stats.isEmpty) base
           else base ~ ("stats" -> statsJsonOf(st.stats))
@@ -3077,7 +3099,13 @@ object SnapshotLog {
           if (physUsed.isEmpty) withCm
           else withCm ~ ("physUsed" -> physUsed)
         } else {
-          val base = ("version" -> v) ~ ("format" -> CompatFormatVersion) ~
+          // a MAPPED table is one a format-2 reader cannot correctly
+          // resolve (it would hand the scan logical names that match no
+          // physical column) — so a colMap-bearing manifest stamps 3
+          // regardless of encoding (round-15 review)
+          val fmt = if (colMap.nonEmpty || physUsed.nonEmpty)
+            FormatVersion else CompatFormatVersion
+          val base = ("version" -> v) ~ ("format" -> fmt) ~
             ("files" -> files)
           val withStats =
             if (stats.isEmpty) base else base ~ ("stats" -> statsJsonOf(stats))
@@ -3150,12 +3178,34 @@ object SnapshotLog {
   private def readTs(dir: Path, v: Int): Option[Long] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    JsonMethods.parse(Files.readString(manifestPath(dir, v))) \ "ts" match {
+    // content-addressed memo (the stateCache discipline): a published
+    // manifest's stamp never changes (materializeCheckpoint carries it
+    // verbatim), so repeated timestamp resolutions skip the JSON parse —
+    // commitTimestamps walks EVERY version per call, and on legacy
+    // all-JSON-checkpoint lineages each parse is O(manifest) (round-15
+    // review)
+    val bytes = Files.readAllBytes(manifestPath(dir, v))
+    val key = (dir.toAbsolutePath.normalize.toString, v, shaOf(bytes))
+    val hit = tsCache.synchronized(tsCache.get(key))
+    if (hit != null) return hit
+    val ts = JsonMethods.parse(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) \ "ts" match {
       case JInt(t) => Some(t.toLong)
       case JLong(t) => Some(t)
       case _ => None
     }
+    tsCache.synchronized { tsCache.put(key, ts); () }
+    ts
   }
+
+  /** LRU memo for [[readTs]] — Option values, bounded. */
+  private val tsCache =
+    new java.util.LinkedHashMap[(String, Int, String), Option[Long]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, String), Option[Long]])
+          : Boolean = size() > 4096
+    }
 
   /** Deletion-vector file names of manifest `v`; empty when absent. */
   private def readDvs(dir: Path, v: Int): Seq[String] =
@@ -3429,19 +3479,25 @@ object SnapshotLog {
     val remove = strArr(j \ "remove").toSet
     val dvRemove = strArr(j \ "dvRemove").toSet
     val statsDrop = strArr(j \ "statsDrop").toSet
-    // per-file members compose as THUNKS over the (possibly lazy) base —
-    // resolving a delta chain's file list over a parquet checkpoint
-    // never decodes the stats/meta/part/nulls columns
+    // the delta's own members parse EAGERLY — they are O(delta), and a
+    // thunk capturing the raw JSON tree would pin it in the state memo
+    // for the entry's lifetime (round-15 review). Only the BASE's
+    // members stay lazy: composing over them as thunks is what lets a
+    // delta chain's file list resolve over a parquet checkpoint without
+    // decoding the stats/meta/part/nulls columns
+    val statsAdd = parseStatsMember(j \ "stats")
+    val metaAdd = parseMetaMember(j \ "meta")
+    val partAdd = parsePartMember(j \ "part")
+    val nullsAdd = parseNullsMember(j \ "nulls")
     new LogState(
       base.files.filterNot(remove) ++ strArr(j \ "add"),
       base.dvs.filterNot(dvRemove) ++ strArr(j \ "dvAdd"),
       base.schemaJson,
       base.partCols, // a partition-spec change always checkpoints
-      () => (base.stats -- remove -- statsDrop) ++
-        parseStatsMember(j \ "stats"),
-      () => (base.meta -- remove) ++ parseMetaMember(j \ "meta"),
-      () => (base.part -- remove) ++ parsePartMember(j \ "part"),
-      () => (base.nulls -- remove) ++ parseNullsMember(j \ "nulls"),
+      () => (base.stats -- remove -- statsDrop) ++ statsAdd,
+      () => (base.meta -- remove) ++ metaAdd,
+      () => (base.part -- remove) ++ partAdd,
+      () => (base.nulls -- remove) ++ nullsAdd,
       base.colMap, base.physUsed) // mapping changes always checkpoint
   }
 
@@ -3533,6 +3589,11 @@ object SnapshotLog {
   private[graft] val ckptProjections =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** [[ckptProjections]] is drained by specs; a long-lived JVM that
+    * never drains must not leak — the log self-truncates (round-15
+    * review). */
+  private val CkptProjectionsCap = 1024
+
   /** Read the sidecar with COLUMN PROJECTION — parquet decodes only the
     * requested columns, which is what makes a files-only resolution of
     * a wide million-file checkpoint cheap. */
@@ -3540,6 +3601,7 @@ object SnapshotLog {
       : Vector[org.apache.parquet.example.data.Group] = {
     import org.apache.parquet.schema.{MessageType, Types}
     ckptProjections.add(cols.mkString(","))
+    while (ckptProjections.size > CkptProjectionsCap) ckptProjections.poll()
     val conf = new org.apache.hadoop.conf.Configuration()
     val b = Types.buildMessage()
     ckptSchema.getFields.forEach { f =>

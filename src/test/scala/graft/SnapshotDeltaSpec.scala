@@ -115,6 +115,23 @@ class SnapshotDeltaSpec extends AnyFunSuite {
       SnapshotLog.vacuum(dir, keepVersions = 1)
       assert(!isDelta(dir, 5))
       assert(SnapshotLog.read(spark, dir).count() == 25)
+      // sidecar hygiene: expired versions took their sidecars along;
+      // every sidecar on disk is referenced by a surviving manifest
+      // (unreferenced YOUNG debris would survive the grace window, but
+      // this lineage crashed nothing)
+      import scala.jdk.CollectionConverters._
+      val logd = dir.resolve("_graft_log")
+      val st = Files.list(logd)
+      val sidecars = try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".ckpt.parquet")).toSet finally st.close()
+      val referenced = SnapshotLog.versions(dir).flatMap { v =>
+        org.json4s.jackson.JsonMethods.parse(manifestJson(dir, v)) \ "ckpt" match {
+          case org.json4s.JString(n) => Some(n)
+          case _ => None
+        }
+      }.toSet
+      assert(sidecars == referenced,
+        s"on-disk sidecars $sidecars must equal referenced $referenced")
     }
   }
 

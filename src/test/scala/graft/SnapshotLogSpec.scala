@@ -1635,4 +1635,23 @@ class SnapshotLogSpec extends AnyFunSuite {
       SnapshotLog.dropColumn(dir, "ghost"))
     assert(SnapshotLog.orphans(dir).isEmpty)
   }
+  test("a case-variant re-add of a retired column gets a fresh physical name too") {
+    // Spark's default parquet field resolution is case-insensitive, so
+    // 'Price' retired and 'price' re-added would alias in the scan —
+    // the fresh-name allocation must test collisions case-insensitively
+    val dir = Files.createTempDirectory("graft-snap-cmcase")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation
+      .withColumn("Price", col("n_regionkey") + 1000), dir)          // v1
+    SnapshotLog.dropColumn(dir, "Price")                             // v2
+    SnapshotLog.commit(nation.withColumn("price", lit("new")), dir)  // v3
+    assert(SnapshotLog.columnMapping(dir)("price").startsWith("price_p"),
+      s"case-variant re-add must allocate fresh: " +
+        s"${SnapshotLog.columnMapping(dir)}")
+    val latest = SnapshotLog.read(spark, dir)
+    assert(latest.count() == 50)
+    assert(latest.filter(col("price").isNotNull).count() == 25 &&
+      latest.filter(col("price") === "new").count() == 25,
+      "old files must read NULL — never the retired Price bytes")
+  }
 }
