@@ -76,7 +76,12 @@ class GraftCdfSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftCdfSource(sqlContext.sparkSession, tableDir(parameters),
-      parameters.get("startingVersion").map(_.trim.toInt))
+      parameters.get("startingVersion").map(_.trim.toInt),
+      parameters.get("maxVersionsPerBatch").map { v =>
+        val n = v.trim.toInt
+        require(n >= 1, "maxVersionsPerBatch must be >= 1")
+        n
+      })
 }
 
 object GraftCdfSource {
@@ -95,9 +100,15 @@ object GraftCdfSource {
 }
 
 /** One streaming query's view of a snapshot-log change feed; see
-  * [[GraftCdfSourceProvider]] for the contract. */
+  * [[GraftCdfSourceProvider]] for the contract. `maxVersionsPerBatch`
+  * RATE-LIMITS the backfill (Delta's maxFilesPerTrigger idea at version
+  * granularity): a consumer joining a long-lived table advances at most
+  * that many versions per micro-batch instead of folding the whole
+  * history into one giant batch — each batch commits its own engine
+  * checkpoint, so a killed backfill resumes from wherever it got to. */
 class GraftCdfSource(spark: SparkSession, dir: Path,
-    startingVersion: Option[Int]) extends Source {
+    startingVersion: Option[Int],
+    maxVersionsPerBatch: Option[Int] = None) extends Source {
 
   /** Pinned at source creation (stream-source schema discipline). */
   override val schema: StructType = GraftCdfSource.cdfSchema(dir)
@@ -106,16 +117,40 @@ class GraftCdfSource(spark: SparkSession, dir: Path,
     override def json: String = v.toString
   }
 
+  /** The end of the last batch this source HANDED OUT — the rate
+    * limiter's base. Restart-safe without persistence: on a resumed
+    * checkpoint the engine's first call is getBatch(walStart, walEnd)
+    * (replaying the uncommitted batch), which re-seeds it before the
+    * next getOffset; on a fresh stream None means "nothing offered
+    * yet". */
+  @volatile private var lastEnd: Option[Int] = None
+
   /** The newest complete version — every already-published manifest is
-    * immutable, so offering it as the batch end is always safe. */
-  override def getOffset: Option[LegacyOffset] =
-    SnapshotLog.versions(dir).lastOption.map(VersionOffset)
+    * immutable, so offering it as the batch end is always safe — capped
+    * at `maxVersionsPerBatch` versions past the last batch's end. The
+    * FIRST offer under a cap is the starting snapshot version alone
+    * (the snapshot is a whole batch's worth of rows by itself). */
+  override def getOffset: Option[LegacyOffset] = {
+    val latest = SnapshotLog.versions(dir).lastOption
+    (latest, maxVersionsPerBatch) match {
+      case (None, _) => None
+      case (Some(l), None) => Some(VersionOffset(l))
+      case (Some(l), Some(cap)) =>
+        val base = lastEnd.getOrElse {
+          // nothing handed out yet: offer the starting snapshot only
+          val v0 = startingVersion.getOrElse(SnapshotLog.versions(dir).head)
+          return Some(VersionOffset(math.min(l, v0)))
+        }
+        Some(VersionOffset(math.min(l, base + cap)))
+    }
+  }
 
   override def getBatch(start: Option[LegacyOffset],
       end: LegacyOffset): DataFrame = {
     // offsets may arrive as SerializedOffset from the checkpoint WAL —
     // parse the json, never cast
     val endV = end.json.trim.toInt
+    lastEnd = Some(endV) // rate-limiter base (see getOffset)
     val batch = start match {
       case Some(s) =>
         SnapshotLog.readChangesCdf(spark, dir, s.json.trim.toInt, endV)

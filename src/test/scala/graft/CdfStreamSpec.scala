@@ -119,4 +119,47 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(got.head == (0L until 10L).map((_, "insert", 2)).toSet ++
       (10L until 25L).map((_, "insert", 3)).toSet)
   }
+  test("graft-cdf: maxVersionsPerBatch rate-limits the backfill into checkpointed per-version batches") {
+    val root = Files.createTempDirectory("graft-cdfstream3")
+    val table = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    (0 until 4).foreach { i =>
+      SnapshotLog.commit(nation.filter(col("n_nationkey") % 4 === i)
+        .coalesce(1), table)                                    // v1..v4
+    }
+    SnapshotLog.deleteWhere(spark, table, col("n_nationkey") % 5 === 0) // v5
+    val batches =
+      collection.mutable.ArrayBuffer[(Long, Set[(Long, String, Int)])]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.GraftCdfSourceProvider].getName)
+      .option("path", table.toString)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches += ((id, b.select(col("n_nationkey").cast("long"),
+            col("_change_type"), col("_commit_version"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+          .toSet))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // one version per batch: the v1 snapshot, then each step alone —
+    // each with its own engine checkpoint commit (a killed backfill
+    // resumes mid-history instead of redoing one giant batch)
+    assert(batches.map(_._1).toSeq == (0L to 4L),
+      s"expected 5 rate-limited batches, got ${batches.map(_._1)}")
+    assert(batches.forall { case (id, rows) =>
+      rows.nonEmpty && rows.map(_._3).toSet == Set(id.toInt + 1) },
+      "each batch must carry exactly its own version's changes")
+    // and the bounded fold lands on the live snapshot exactly
+    val folded = batches.flatMap(_._2).groupBy(_._1).collect {
+      case (k, tags) if !tags.exists(_._2 == "delete") => k
+    }.toSet
+    val live = SnapshotLog.read(spark, table)
+      .select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(folded == live)
+  }
 }
