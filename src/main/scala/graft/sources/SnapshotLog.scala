@@ -446,21 +446,13 @@ object SnapshotLog {
               "parts are vacuumable)")
         }
         val prevState = prev.lastOption.map(pv => stateOf(dir, pv))
-        val (carriedAll, carriedStatsAll, carriedDvs, carriedMetaAll) =
-          if (overwrite)
-            (Seq.empty[String], Map.empty[String, Map[String, ColEnv]],
-              Seq.empty[String], Map.empty[String, FileMeta])
-          else prevState
-            .map(st => (st.files, st.stats, st.dvs, st.meta))
-            .getOrElse((Seq.empty[String],
-              Map.empty[String, Map[String, ColEnv]], Seq.empty[String],
-              Map.empty[String, FileMeta]))
-        val carriedPartAll =
-          if (overwrite) Map.empty[String, Map[String, Option[String]]]
-          else prevState.map(_.part).getOrElse(Map.empty)
-        val carriedNullsAll =
-          if (overwrite) Map.empty[String, Map[String, Long]]
-          else prevState.map(_.nulls).getOrElse(Map.empty)
+        // EAGER fields only here — the carried per-file maps force the
+        // base's lazy members and are built ONLY on the full-checkpoint
+        // fallback below (round 15: an append's metadata cost is
+        // O(delta), the write-side twin of the lazy checkpoint read)
+        val carriedDvs =
+          if (overwrite) Seq.empty[String]
+          else prevState.map(_.dvs).getOrElse(Seq.empty)
         // the table owns its partition spec: an append under a DIFFERENT
         // spec is rejected (a re-layout is an overwrite lineage); an
         // append with no partitionBy is allowed — its files carry no
@@ -531,19 +523,58 @@ object SnapshotLog {
             Some(schemaJson)
           else None
         val dropped = dropCarried.toSet
-        val carried = carriedAll.filterNot(dropped)
-        val carriedStats = carriedStatsAll -- dropped
-        val carriedMeta = carriedMetaAll -- dropped
-        val carriedPart = carriedPartAll -- dropped
-        val carriedNulls = carriedNullsAll -- dropped
-        // DVs carry whole: rows referencing dropped data files are inert
-        // (the read anti-join matches on file names no longer present)
-        if (tryPublishManifest(dir, v, carried ++ moved, carriedStats ++ stats,
-            txnId, carriedDvs, publishSchema, carriedMeta ++ meta,
-            publishPartCols, carriedPart ++ partVals,
-            carriedNulls ++ nulls,
-            colMap = stagedColMap,
-            physUsed = if (overwrite) Seq.empty else basePhysUsed))
+        // DIRECT DELTA (round 15): an ordinary append publishes its
+        // delta manifest straight from its OWN adds/removes — the base's
+        // lazy stats/meta/part/nulls are never forced, so a commit onto
+        // a million-file parquet checkpoint costs O(new files) driver
+        // work, not an O(table) decode. Falls back to the full
+        // (map-diffing, possibly checkpoint-writing) path on the
+        // checkpoint cadence, schema/spec/mapping steps, overwrites,
+        // and non-consecutive versions — exactly the cases the old
+        // deltaJson declined, so the published bytes keep the same
+        // shape either way (the encoder is shared).
+        val canDelta = !overwrite && prevState.isDefined &&
+          checkpointEvery > 1 && v % checkpointEvery != 0 &&
+          prev.last + 1 == v &&
+          publishSchema == prevState.get.schemaJson &&
+          publishPartCols == prevState.get.partCols &&
+          stagedColMap == prevState.get.colMap
+        val published =
+          if (canDelta)
+            tryPublishDeltaDirect(dir, v, moved, dropCarried, stats,
+              meta, partVals, nulls, txnId)
+          else {
+            val (carriedAll, carriedStatsAll, carriedMetaAll) =
+              if (overwrite)
+                (Seq.empty[String], Map.empty[String, Map[String, ColEnv]],
+                  Map.empty[String, FileMeta])
+              else prevState
+                .map(st => (st.files, st.stats, st.meta))
+                .getOrElse((Seq.empty[String],
+                  Map.empty[String, Map[String, ColEnv]],
+                  Map.empty[String, FileMeta]))
+            val carriedPartAll =
+              if (overwrite) Map.empty[String, Map[String, Option[String]]]
+              else prevState.map(_.part).getOrElse(Map.empty)
+            val carriedNullsAll =
+              if (overwrite) Map.empty[String, Map[String, Long]]
+              else prevState.map(_.nulls).getOrElse(Map.empty)
+            val carried = carriedAll.filterNot(dropped)
+            val carriedStats = carriedStatsAll -- dropped
+            val carriedMeta = carriedMetaAll -- dropped
+            val carriedPart = carriedPartAll -- dropped
+            val carriedNulls = carriedNullsAll -- dropped
+            // DVs carry whole: rows referencing dropped data files are
+            // inert (the read anti-join matches absent names)
+            tryPublishManifest(dir, v, carried ++ moved,
+              carriedStats ++ stats,
+              txnId, carriedDvs, publishSchema, carriedMeta ++ meta,
+              publishPartCols, carriedPart ++ partVals,
+              carriedNulls ++ nulls,
+              colMap = stagedColMap,
+              physUsed = if (overwrite) Seq.empty else basePhysUsed)
+          }
+        if (published)
           committed = v
       }
       committed
@@ -3131,6 +3162,45 @@ object SnapshotLog {
           else withCm ~ ("physUsed" -> physUsed)
         }
       }
+    if (casPublish(dir, v, body, txnId)) true
+    else {
+      // a losing CAS attempt must not strand its sidecar
+      sidecar.foreach(n => Files.deleteIfExists(logDir(dir).resolve(n)))
+      false
+    }
+  }
+
+  /** Publish manifest `v` as a DELTA on v−1 built DIRECTLY from the
+    * commit's own adds/removes — the base state is never consulted
+    * (and its lazy per-file members never forced); the caller proved
+    * eligibility from the base's EAGER fields. Same member shapes as
+    * [[deltaJson]], so readers cannot tell the two encoders apart. */
+  private def tryPublishDeltaDirect(dir: Path, v: Int,
+      addFiles: Seq[String], removes: Seq[String],
+      addStats: Map[String, Map[String, ColEnv]],
+      addMeta: Map[String, FileMeta],
+      addPart: Map[String, Map[String, Option[String]]],
+      addNulls: Map[String, Map[String, Long]],
+      txnId: Option[String]): Boolean = {
+    import org.json4s.JsonDSL._
+    import org.json4s.JsonAST.JObject
+    var d: JObject = ("version" -> v) ~ ("format" -> CompatFormatVersion) ~
+      ("base" -> (v - 1))
+    if (addFiles.nonEmpty) d = d ~ ("add" -> addFiles)
+    if (removes.nonEmpty) d = d ~ ("remove" -> removes)
+    if (addStats.nonEmpty) d = d ~ ("stats" -> statsJsonOf(addStats))
+    if (addMeta.nonEmpty) d = d ~ ("meta" -> metaJsonOf(addMeta))
+    if (addPart.nonEmpty) d = d ~ ("part" -> partJsonOf(addPart))
+    if (addNulls.nonEmpty) d = d ~ ("nulls" -> nullsJsonOf(addNulls))
+    casPublish(dir, v, d, txnId)
+  }
+
+  /** The shared CAS tail: stamp ts/txn, write durable, hard-link. */
+  private def casPublish(dir: Path, v: Int,
+      body: org.json4s.JsonAST.JObject,
+      txnId: Option[String]): Boolean = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
     // every manifest stamps its wall-clock commit time (round 15) — a
     // PER-VERSION member like "txn", never inherited through deltas;
     // [[commitTimestamps]] reads it back with monotonic adjustment
@@ -3147,12 +3217,7 @@ object SnapshotLog {
         fsync(logDir(dir))
         true
       }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // a losing CAS attempt must not strand its sidecar
-          sidecar.foreach(n => Files.deleteIfExists(logDir(dir).resolve(n)))
-          false
-      }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } finally Files.deleteIfExists(tmp)
   }
 

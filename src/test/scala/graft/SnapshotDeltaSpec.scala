@@ -381,4 +381,34 @@ class SnapshotDeltaSpec extends AnyFunSuite {
       SnapshotLog.metadataCount(spark, parq))
     assert(SnapshotLog.orphans(json).isEmpty && SnapshotLog.orphans(parq).isEmpty)
   }
+  test("an append to a columnar-checkpoint base never decodes the base's per-file members") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-delta-ad")
+    val nation = Tables.nation(spark, sf)
+    withCheckpointEvery(10) {
+      SnapshotLog.commit(nation.filter(col("n_nationkey") < 10).coalesce(1),
+        dir, statsCols = Seq("n_nationkey"))                          // v1 ckpt
+      SnapshotLog.commit(
+        nation.filter(col("n_nationkey").between(10, 14)).coalesce(1),
+        dir, statsCols = Seq("n_nationkey"))                          // v2 delta
+      // cold memo: the next commit must re-resolve the base chain —
+      // and do it from the SPINE alone (round 15: an append's metadata
+      // cost is O(delta); forcing the base's stats/meta/part/nulls
+      // would re-open the read-side wall on every write)
+      SnapshotLog.clearStateCache()
+      SnapshotLog.ckptProjections.clear()
+      SnapshotLog.commit(
+        nation.filter(col("n_nationkey") > 14).coalesce(1),
+        dir, statsCols = Seq("n_nationkey"))                          // v3 delta
+      val reads = SnapshotLog.ckptProjections.asScala.toSeq
+      assert(reads.nonEmpty && reads.forall(_ == "f,kind"),
+        s"an append must decode only the base checkpoint's spine: $reads")
+      // ... and the published delta still resolves exactly
+      assert(SnapshotLog.read(spark, dir).count() == 25)
+      val (kept, skipped) = SnapshotLog.prunedFiles(dir, "n_nationkey", 0, 5)
+      assert(kept.nonEmpty && skipped.nonEmpty,
+        "the direct-encoded delta must carry the new files' envelopes")
+      assert(SnapshotLog.metadataCount(spark, dir).contains(25L))
+    }
+  }
 }
