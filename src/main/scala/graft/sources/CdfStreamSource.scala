@@ -105,10 +105,25 @@ object GraftCdfSource {
   * granularity): a consumer joining a long-lived table advances at most
   * that many versions per micro-batch instead of folding the whole
   * history into one giant batch — each batch commits its own engine
-  * checkpoint, so a killed backfill resumes from wherever it got to. */
+  * checkpoint, so a killed backfill resumes from wherever it got to.
+  *
+  * Rate limiting goes through the ADMISSION-CONTROL interface
+  * ([[SupportsTriggerAvailableNow]] ⊃ SupportsAdmissionControl): the
+  * engine hands [[latestOffset]] the previous end, so the limiter
+  * needs no mutable cursor of its own — and under
+  * `Trigger.AvailableNow` the engine calls
+  * [[prepareForTriggerAvailableNow]] once and keeps scheduling capped
+  * batches until the PINNED end is reached, instead of wrapping the
+  * source and silently stopping after one capped batch (the truncation
+  * an un-declared rate limiter would cause — Delta's
+  * maxFilesPerTrigger makes the same declaration). */
 class GraftCdfSource(spark: SparkSession, dir: Path,
     startingVersion: Option[Int],
-    maxVersionsPerBatch: Option[Int] = None) extends Source {
+    maxVersionsPerBatch: Option[Int] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => ConnectorOffset, ReadLimit}
 
   /** Pinned at source creation (stream-source schema discipline). */
   override val schema: StructType = GraftCdfSource.cdfSchema(dir)
@@ -117,32 +132,47 @@ class GraftCdfSource(spark: SparkSession, dir: Path,
     override def json: String = v.toString
   }
 
-  /** The end of the last batch this source HANDED OUT — the rate
-    * limiter's base. Restart-safe without persistence: on a resumed
-    * checkpoint the engine's first call is getBatch(walStart, walEnd)
-    * (replaying the uncommitted batch), which re-seeds it before the
-    * next getOffset; on a fresh stream None means "nothing offered
-    * yet". */
-  @volatile private var lastEnd: Option[Int] = None
+  /** Under Trigger.AvailableNow: the run processes exactly the versions
+    * present at prepare time — later commits wait for the next run (the
+    * trigger's contract). None outside AvailableNow runs. */
+  @volatile private var availableEnd: Option[Int] = None
 
-  /** The newest complete version — every already-published manifest is
-    * immutable, so offering it as the batch end is always safe — capped
-    * at `maxVersionsPerBatch` versions past the last batch's end. The
-    * FIRST offer under a cap is the starting snapshot version alone
-    * (the snapshot is a whole batch's worth of rows by itself). */
-  override def getOffset: Option[LegacyOffset] = {
-    val latest = SnapshotLog.versions(dir).lastOption
-    (latest, maxVersionsPerBatch) match {
-      case (None, _) => None
-      case (Some(l), None) => Some(VersionOffset(l))
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = SnapshotLog.versions(dir).lastOption
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The engine's admission-control entry: `start` is the previous
+    * batch's end (null on a fresh stream). Offers at most
+    * `maxVersionsPerBatch` versions past it, never past the
+    * AvailableNow pin; the capped FIRST offer is the starting snapshot
+    * version alone (the snapshot is a batch's worth of rows by
+    * itself). */
+  override def latestOffset(start: ConnectorOffset,
+      limit: ReadLimit): ConnectorOffset = {
+    val vs = SnapshotLog.versions(dir)
+    val live = vs.lastOption.map(l =>
+      availableEnd.fold(l)(math.min(l, _)))
+    (live, maxVersionsPerBatch) match {
+      case (None, _) => null
+      case (Some(l), None) => VersionOffset(l)
       case (Some(l), Some(cap)) =>
-        val base = lastEnd.getOrElse {
-          // nothing handed out yet: offer the starting snapshot only
-          val v0 = startingVersion.getOrElse(SnapshotLog.versions(dir).head)
-          return Some(VersionOffset(math.min(l, v0)))
+        Option(start).map(_.json.trim.toInt) match {
+          case None =>
+            val v0 = startingVersion.getOrElse(vs.head)
+            VersionOffset(math.min(l, v0))
+          case Some(b) => VersionOffset(math.min(l, math.max(b, b + cap)))
         }
-        Some(VersionOffset(math.min(l, base + cap)))
     }
+  }
+
+  /** Legacy entry (the engine prefers [[latestOffset]] when admission
+    * control is declared): the newest complete version — every
+    * already-published manifest is immutable, so offering it is always
+    * safe. */
+  override def getOffset: Option[LegacyOffset] = {
+    val live = SnapshotLog.versions(dir).lastOption
+    live.map(l => VersionOffset(availableEnd.fold(l)(math.min(l, _))))
   }
 
   override def getBatch(start: Option[LegacyOffset],
@@ -150,7 +180,6 @@ class GraftCdfSource(spark: SparkSession, dir: Path,
     // offsets may arrive as SerializedOffset from the checkpoint WAL —
     // parse the json, never cast
     val endV = end.json.trim.toInt
-    lastEnd = Some(endV) // rate-limiter base (see getOffset)
     val batch = start match {
       case Some(s) =>
         SnapshotLog.readChangesCdf(spark, dir, s.json.trim.toInt, endV)

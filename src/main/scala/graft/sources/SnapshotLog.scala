@@ -538,7 +538,20 @@ object SnapshotLog {
           prev.last + 1 == v &&
           publishSchema == prevState.get.schemaJson &&
           publishPartCols == prevState.get.partCols &&
-          stagedColMap == prevState.get.colMap
+          stagedColMap == prevState.get.colMap && {
+            // deltaJson's smaller-than-full eligibility, from EAGER
+            // counts: a dropCarried-heavy rewrite (drop everything, add
+            // one file) must checkpoint — a thousand-name remove list
+            // would cost more bytes AND more resolve work than the
+            // one-file state it encodes (round-15 review)
+            val deltaWeight = moved.size + dropped.size + stats.size +
+              meta.size + partVals.size + nulls.size
+            val newFileCount =
+              prevState.get.files.size - dropped.size + moved.size
+            // the full state carries up to 5 per-file members per file
+            // (deltaJson's exact rule, approximated from eager counts)
+            deltaWeight < math.max(1, 5 * newFileCount)
+          }
         val published =
           if (canDelta)
             tryPublishDeltaDirect(dir, v, moved, dropCarried, stats,
@@ -3022,6 +3035,22 @@ object SnapshotLog {
       nullsAdd.size
     if (deltaWeight >= files.size + dvs.size + stats.size + meta.size +
         part.size + nulls.size) return None
+    Some(deltaBodyOf(v, add, remove, statsAdd, statsDrop, dvAdd,
+      dvRemove, metaAdd, partAdd, nullsAdd))
+  }
+
+  /** The ONE delta-member encoder — [[deltaJson]] (full-map diff) and
+    * [[tryPublishDeltaDirect]] (commit-supplied adds) both emit through
+    * here, so the two paths cannot drift in shape (round-15 review). */
+  private def deltaBodyOf(v: Int, add: Seq[String], remove: Seq[String],
+      statsAdd: Map[String, Map[String, ColEnv]], statsDrop: Seq[String],
+      dvAdd: Seq[String], dvRemove: Seq[String],
+      metaAdd: Map[String, FileMeta],
+      partAdd: Map[String, Map[String, Option[String]]],
+      nullsAdd: Map[String, Map[String, Long]])
+      : org.json4s.JsonAST.JObject = {
+    import org.json4s.JsonDSL._
+    import org.json4s.JsonAST.JObject
     var d: JObject = ("version" -> v) ~ ("format" -> CompatFormatVersion) ~
       ("base" -> (v - 1))
     if (add.nonEmpty) d = d ~ ("add" -> add)
@@ -3033,7 +3062,7 @@ object SnapshotLog {
     if (metaAdd.nonEmpty) d = d ~ ("meta" -> metaJsonOf(metaAdd))
     if (partAdd.nonEmpty) d = d ~ ("part" -> partJsonOf(partAdd))
     if (nullsAdd.nonEmpty) d = d ~ ("nulls" -> nullsJsonOf(nullsAdd))
-    Some(d)
+    d
   }
 
   private def metaJsonOf(meta: Map[String, FileMeta]): org.json4s.JValue = {
@@ -3182,17 +3211,8 @@ object SnapshotLog {
       addPart: Map[String, Map[String, Option[String]]],
       addNulls: Map[String, Map[String, Long]],
       txnId: Option[String]): Boolean = {
-    import org.json4s.JsonDSL._
-    import org.json4s.JsonAST.JObject
-    var d: JObject = ("version" -> v) ~ ("format" -> CompatFormatVersion) ~
-      ("base" -> (v - 1))
-    if (addFiles.nonEmpty) d = d ~ ("add" -> addFiles)
-    if (removes.nonEmpty) d = d ~ ("remove" -> removes)
-    if (addStats.nonEmpty) d = d ~ ("stats" -> statsJsonOf(addStats))
-    if (addMeta.nonEmpty) d = d ~ ("meta" -> metaJsonOf(addMeta))
-    if (addPart.nonEmpty) d = d ~ ("part" -> partJsonOf(addPart))
-    if (addNulls.nonEmpty) d = d ~ ("nulls" -> nullsJsonOf(addNulls))
-    casPublish(dir, v, d, txnId)
+    casPublish(dir, v, deltaBodyOf(v, addFiles, removes, addStats,
+      Seq.empty, Seq.empty, Seq.empty, addMeta, addPart, addNulls), txnId)
   }
 
   /** The shared CAS tail: stamp ts/txn, write durable, hard-link. */

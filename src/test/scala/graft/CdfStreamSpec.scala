@@ -162,4 +162,43 @@ class CdfStreamSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(folded == live)
   }
+  test("graft-cdf: Trigger.AvailableNow with a cap processes the WHOLE available history, then stops") {
+    // the silent-truncation hazard: an un-declared rate limiter under
+    // AvailableNow would pin the first capped offer as the run's end
+    // and report success after one batch — the source declares
+    // SupportsTriggerAvailableNow, so the engine keeps scheduling
+    // capped batches until the prepare-time pin is reached
+    val root = Files.createTempDirectory("graft-cdfstream4")
+    val table = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    (0 until 5).foreach { i =>
+      SnapshotLog.commit(nation.filter(col("n_nationkey") % 5 === i)
+        .coalesce(1), table)                                    // v1..v5
+    }
+    val batches =
+      collection.mutable.ArrayBuffer[(Long, Set[(Long, String, Int)])]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.GraftCdfSourceProvider].getName)
+      .option("path", table.toString)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches += ((id, b.select(col("n_nationkey").cast("long"),
+            col("_change_type"), col("_commit_version"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+          .toSet))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "AvailableNow run must terminate")
+    assert(batches.map(_._1).toSeq == (0L to 4L),
+      s"capped AvailableNow must cover all 5 versions, got " +
+        s"${batches.map(_._1)}")
+    val folded = batches.flatMap(_._2).collect {
+      case (k, "insert", _) => k }.toSet
+    assert(folded == (0L until 25L).toSet,
+      "the capped AvailableNow fold must cover the full history")
+  }
 }
