@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotLog
+
+/** Contract of the `graft-lake` batch relation provider
+  * ([[graft.sources.GraftLakeProvider]]): `spark.read.format(
+  * "graft-lake")` is the standard-reader surface over the snapshot log
+  * — head and time-travel reads equal the engine API's, pushed filters
+  * prune files from the manifest, bad options fail loudly, and
+  * `df.write.format("graft-lake")` commits through the log. */
+class GraftLakeProviderSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def lake = spark.read.format("graft-lake")
+
+  test("graft-lake: head + versionAsOf + timestampAsOf reads equal the engine API; bad options fail loudly") {
+    val root = Files.createTempDirectory("graft-lakeprov")
+    val dir = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    val sysClock = SnapshotLog.clock
+    try {
+      val t0 = 1700000000000L
+      @volatile var now = t0
+      SnapshotLog.clock = () => now
+      now = t0 + 1000
+      SnapshotLog.commit(nation.filter(col("n_nationkey") < 10), dir)  // v1
+      now = t0 + 2000
+      SnapshotLog.commit(nation.filter(col("n_nationkey") >= 10), dir) // v2
+
+      def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select(col("n_nationkey").cast("long"))
+          .collect().map(_.getLong(0)).toSet
+      // head read = engine head read; shortName resolves via services
+      assert(keys(lake.option("path", dir.toString).load()) ==
+        keys(SnapshotLog.read(spark, dir)))
+      // version time travel
+      assert(keys(lake.option("path", dir.toString)
+        .option("versionAsOf", "1").load()) == (0L until 10L).toSet)
+      // timestamp time travel: epoch millis between the commits reads
+      // v1 (Delta's latest-at-or-before rule)...
+      assert(keys(lake.option("path", dir.toString)
+        .option("timestampAsOf", (t0 + 1500).toString).load()) ==
+        (0L until 10L).toSet)
+      // ...and the ISO-8601 spelling of the same instant agrees
+      assert(keys(lake.option("path", dir.toString)
+        .option("timestampAsOf",
+          java.time.Instant.ofEpochMilli(t0 + 1500).toString).load()) ==
+        (0L until 10L).toSet)
+
+      // schema comes from the manifest (no inference surprises)
+      assert(lake.option("path", dir.toString).load().schema ==
+        SnapshotLog.read(spark, dir).schema)
+
+      // loud failures: unknown version, pre-first timestamp, both
+      // options together, unparsable timestamp, missing path
+      def failsWith(msg: String)(body: => Unit): Unit = {
+        val e = intercept[Exception](body)
+        assert(e.getMessage != null && e.getMessage.contains(msg),
+          s"expected failure naming '$msg', got: ${e.getMessage}")
+      }
+      failsWith("version 9 does not exist")(
+        lake.option("path", dir.toString).option("versionAsOf", "9")
+          .load())
+      failsWith("predates the first commit")(
+        lake.option("path", dir.toString)
+          .option("timestampAsOf", (t0 + 999).toString).load())
+      failsWith("mutually exclusive")(
+        lake.option("path", dir.toString).option("versionAsOf", "1")
+          .option("timestampAsOf", (t0 + 1500).toString).load())
+      failsWith("timestampAsOf accepts")(
+        lake.option("path", dir.toString)
+          .option("timestampAsOf", "not-a-time").load())
+      failsWith("option(\"path\"")(lake.load())
+    } finally SnapshotLog.clock = sysClock
+  }
+
+  test("graft-lake: pushed filters prune files from the manifest; DVs and column mapping apply through the standard reader") {
+    val root = Files.createTempDirectory("graft-lakeprov2")
+    val dir = root.resolve("t")
+    val orders = Tables.orders(spark, sf)
+    // range-clustered slabs so the key envelope actually prunes
+    SnapshotLog.commit(orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey")), dir,
+      statsCols = Seq("o_orderkey"))
+    val total = SnapshotLog.files(dir).size
+    assert(total >= 3, s"need multiple slabs, got $total")
+    val lo = orders.agg(min(col("o_orderkey"))).collect().head.getLong(0)
+    val want = orders.filter(col("o_orderkey") <= lit(lo + 5))
+      .count()
+    val viaLake = lake.option("path", dir.toString).load()
+      .filter(col("o_orderkey") <= lit(lo + 5))
+    assert(viaLake.count() == want)
+    val (kept, manifest) = SnapshotLog.lastLakeScan.get()
+    assert(manifest == total && kept < total && kept >= 1,
+      s"the pushed range filter must prune slabs: kept $kept of $manifest")
+
+    // DV delete visible through the provider
+    SnapshotLog.deleteWhere(spark, dir, col("o_orderkey") % 7 === 0)
+    val liveWant = orders.filter(col("o_orderkey") % 7 =!= 0).count()
+    assert(lake.option("path", dir.toString).load().count() == liveWant)
+    // ...while the pre-delete version still serves the full table
+    assert(lake.option("path", dir.toString).option("versionAsOf", "1")
+      .load().count() == orders.count())
+
+    // column mapping: a renamed column reads under its new logical
+    // name, values intact (physical re-alias inside the plan)
+    SnapshotLog.renameColumn(dir, "o_totalprice", "price")
+    val mapped = lake.option("path", dir.toString).load()
+    assert(mapped.columns.contains("price") &&
+      !mapped.columns.contains("o_totalprice"))
+    val sumVia = mapped.agg(sum(col("price"))).collect().head.getDouble(0)
+    val sumRaw = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .agg(sum(col("o_totalprice"))).collect().head.getDouble(0)
+    assert(math.abs(sumVia - sumRaw) < 1e-6)
+  }
+
+  test("graft-lake: the write surface commits through the log (Append/Overwrite/ErrorIfExists/Ignore, statsCols, partitionBy)") {
+    val root = Files.createTempDirectory("graft-lakeprov3")
+    val dir = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    def write(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("graft-lake").option("path", dir.toString)
+    write(nation.filter(col("n_nationkey") < 10))
+      .option("statsCols", "n_nationkey")
+      .option("partitionBy", "n_regionkey")
+      .mode("append").save()                                        // v1
+    assert(SnapshotLog.versions(dir) == Seq(1))
+    assert(SnapshotLog.partitionColumns(dir) == Seq("n_regionkey"))
+    write(nation.filter(col("n_nationkey") >= 10))
+      .option("partitionBy", "n_regionkey").mode("append").save()   // v2
+    assert(lake.option("path", dir.toString).load().count() == 25)
+    // ErrorIfExists refuses a live lineage; Ignore is a no-op on one
+    val e = intercept[Exception](write(nation).mode("errorifexists").save())
+    assert(e.getMessage.contains("already has committed snapshots"))
+    write(nation).mode("ignore").save()
+    assert(SnapshotLog.versions(dir) == Seq(1, 2))
+    // Overwrite starts a new lineage at the next version
+    write(nation.filter(col("n_nationkey") < 5)).mode("overwrite").save()
+    assert(lake.option("path", dir.toString).load().count() == 5)
+    // time-travel options on a write fail loudly
+    val e2 = intercept[Exception](
+      write(nation).option("versionAsOf", "1").mode("append").save())
+    assert(e2.getMessage.contains("make no sense on a write"))
+  }
+}
