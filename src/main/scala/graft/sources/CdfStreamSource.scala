@@ -67,10 +67,16 @@ class GraftCdfSourceProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-cdf"
 
-  private def tableDir(parameters: Map[String, String]): Path =
-    Paths.get(parameters.getOrElse("path",
+  private def tableDir(parameters: Map[String, String]): Path = {
+    val raw = parameters.getOrElse("path",
       throw new IllegalArgumentException(
-        "graft-cdf needs .option(\"path\", <snapshot-log table dir>)")))
+        "graft-cdf needs .option(\"path\", <snapshot-log table dir>)"))
+    // SQL-surface symmetry with graft-lake: a catalog-qualified path
+    // option arrives as a URI ("file:/tmp/t") — resolve the scheme
+    if (raw.startsWith("file:"))
+      Paths.get(java.net.URI.create(raw.replace(" ", "%20")))
+    else Paths.get(raw)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

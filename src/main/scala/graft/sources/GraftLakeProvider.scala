@@ -39,10 +39,17 @@ class GraftLakeProvider extends RelationProvider
 
   override def shortName(): String = "graft-lake"
 
-  private def tableDir(parameters: Map[String, String]): Path =
-    Paths.get(parameters.getOrElse("path",
+  private def tableDir(parameters: Map[String, String]): Path = {
+    val raw = parameters.getOrElse("path",
       throw new IllegalArgumentException(
-        "graft-lake needs .option(\"path\", <snapshot-log table dir>)")))
+        "graft-lake needs .option(\"path\", <snapshot-log table dir>)"))
+    // the catalog qualifies a CREATE TABLE's path option into a URI
+    // ("file:/tmp/t") — resolve the scheme instead of treating it as a
+    // literal file name
+    if (raw.startsWith("file:"))
+      Paths.get(java.net.URI.create(raw.replace(" ", "%20")))
+    else Paths.get(raw)
+  }
 
   /** `versionAsOf` (an integer log version) or `timestampAsOf` (epoch
     * millis, ISO-8601 instant, or `yyyy-MM-dd HH:mm:ss[.f]`) — mutually

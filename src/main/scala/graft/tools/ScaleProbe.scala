@@ -286,8 +286,19 @@ object ScaleProbe {
     val rows = Seq(120, 1200, 12000).map { nFiles =>
       val dir = java.nio.file.Files.createTempDirectory("graft-metaladder")
       try {
-        SnapshotLog.commit(
-          docs.repartitionByRange(nFiles, col("doc_id")), dir,
+        // round-robin, not range (RangePartitioner's sampling caps the
+        // partition count), and key-offset row replication when the
+        // corpus has fewer rows than the rung needs files — the ladder
+        // needs EXACT file counts; per-file metadata volume is the
+        // axis under test, not row content
+        val nRows = docs.count()
+        val copies = math.max(1L, (nFiles + nRows - 1) / nRows).toInt
+        val frame =
+          if (copies == 1) docs
+          else (0 until copies).map(i => docs.withColumn("doc_id",
+              col("doc_id") + lit(i.toLong * 100000000L)))
+            .reduce(_.unionByName(_))
+        SnapshotLog.commit(frame.repartition(nFiles), dir,
           statsCols = Seq("doc_id"))
         val names = SnapshotLog.files(dir, Some(1))
         def runHarvest() =

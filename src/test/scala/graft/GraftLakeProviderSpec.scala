@@ -117,6 +117,35 @@ class GraftLakeProviderSpec extends AnyFunSuite {
     assert(math.abs(sumVia - sumRaw) < 1e-6)
   }
 
+  test("graft-lake: plain SQL reaches the lake (CREATE TABLE ... USING graft-lake, time-travel via OPTIONS)") {
+    val root = Files.createTempDirectory("graft-lakeprov4")
+    val dir = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 10), dir)  // v1
+    SnapshotLog.commit(nation.filter(col("n_nationkey") >= 10), dir) // v2
+    val head = "graft_lake_sql_head"
+    val v1 = "graft_lake_sql_v1"
+    spark.sql(s"CREATE TABLE $head USING `graft-lake` " +
+      s"OPTIONS (path '$dir')")
+    spark.sql(s"CREATE TABLE $v1 USING `graft-lake` " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    try {
+      assert(spark.sql(s"SELECT count(*) AS n FROM $head")
+        .collect().head.getLong(0) == 25)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $v1")
+        .collect().head.getLong(0) == 10)
+      // predicates and projection flow through the pushed-scan path
+      assert(spark.sql(s"SELECT n_name FROM $head WHERE n_nationkey = 7")
+        .collect().map(_.getString(0)).toSeq ==
+        nation.filter(col("n_nationkey") === 7)
+          .select(col("n_name")).collect().map(_.getString(0)).toSeq)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $head")
+      spark.sql(s"DROP TABLE IF EXISTS $v1")
+      ()
+    }
+  }
+
   test("graft-lake: the write surface commits through the log (Append/Overwrite/ErrorIfExists/Ignore, statsCols, partitionBy)") {
     val root = Files.createTempDirectory("graft-lakeprov3")
     val dir = root.resolve("t")
