@@ -95,9 +95,14 @@ class GraftCdfSourceProvider extends StreamSourceProvider
       require(n >= 1, s"$name must be >= 1")
       n
     }
+    val byteCap = parameters.get("maxBytesPerBatch").map { v =>
+      val n = v.trim.toLong
+      require(n >= 1L, "maxBytesPerBatch must be >= 1")
+      n
+    }
     new GraftCdfSource(sqlContext.sparkSession, tableDir(parameters),
       parameters.get("startingVersion").map(_.trim.toInt),
-      cap("maxVersionsPerBatch"), cap("maxFilesPerBatch"))
+      cap("maxVersionsPerBatch"), cap("maxFilesPerBatch"), byteCap)
   }
 }
 
@@ -165,22 +170,27 @@ object GraftCdfSource {
   * configured (round 16, advisor): `ReadLimit` is an open interface
   * precisely so sources can declare shapes the built-ins lack — engine
   * or tooling logic that keys on the declared limit must never see
-  * `allAvailable()` from a rate-limited source. A file-only cap
-  * declares the engine's own `ReadMaxFiles` (the declaration Delta's
-  * maxFilesPerTrigger makes). */
+  * `allAvailable()` from a rate-limited source. Caps expressible in
+  * the engine's own vocabulary declare it (`ReadMaxFiles` /
+  * `ReadMaxBytes` / their composite — the declarations Delta's
+  * maxFilesPerTrigger / maxBytesPerTrigger make); only a version cap
+  * needs this custom shape. */
 private[sources] final case class GraftCdfReadLimit(
-    maxVersions: Option[Int], maxFiles: Option[Int])
+    maxVersions: Option[Int], maxFiles: Option[Int],
+    maxBytes: Option[Long])
   extends org.apache.spark.sql.connector.read.streaming.ReadLimit
 
 /** One streaming query's view of a snapshot-log change feed; see
   * [[GraftCdfSourceProvider]] for the contract. `maxVersionsPerBatch`
-  * RATE-LIMITS the backfill at version granularity and
-  * `maxFilesPerBatch` at FILE/UNIT granularity (Delta's
-  * maxFilesPerTrigger): a consumer joining a long-lived table advances
-  * at most that much per micro-batch instead of folding the whole
-  * history into one giant batch — each batch commits its own engine
+  * RATE-LIMITS the backfill at version granularity,
+  * `maxFilesPerBatch` at FILE/UNIT granularity, and
+  * `maxBytesPerBatch` by the manifest's recorded per-file sizes
+  * (Delta's maxFilesPerTrigger / maxBytesPerTrigger; the three caps
+  * compose): a consumer joining a long-lived table advances at most
+  * that much per micro-batch instead of folding the whole history
+  * into one giant batch — each batch commits its own engine
   * checkpoint, so a killed backfill resumes from wherever it got to,
-  * including MID-VERSION under the file cap.
+  * including MID-VERSION under the file/byte caps.
   *
   * Rate limiting goes through the ADMISSION-CONTROL interface
   * ([[SupportsTriggerAvailableNow]] ⊃ SupportsAdmissionControl): the
@@ -194,11 +204,13 @@ private[sources] final case class GraftCdfReadLimit(
 class GraftCdfSource(spark: SparkSession, dir: Path,
     startingVersion: Option[Int],
     maxVersionsPerBatch: Option[Int] = None,
-    maxFilesPerBatch: Option[Int] = None) extends Source
+    maxFilesPerBatch: Option[Int] = None,
+    maxBytesPerBatch: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{
-    Offset => ConnectorOffset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
+    CompositeReadLimit, Offset => ConnectorOffset, ReadAllAvailable,
+    ReadLimit, ReadMaxBytes, ReadMaxFiles}
   import GraftCdfSource._
 
   /** Pinned at source creation (stream-source schema discipline). */
@@ -224,10 +236,13 @@ class GraftCdfSource(spark: SparkSession, dir: Path,
     availableEnd = SnapshotLog.versions(dir).lastOption
 
   override def getDefaultReadLimit: ReadLimit =
-    (maxVersionsPerBatch, maxFilesPerBatch) match {
-      case (None, None) => ReadLimit.allAvailable()
-      case (None, Some(f)) => ReadLimit.maxFiles(f)
-      case (v, f) => GraftCdfReadLimit(v, f)
+    (maxVersionsPerBatch, maxFilesPerBatch, maxBytesPerBatch) match {
+      case (None, None, None) => ReadLimit.allAvailable()
+      case (None, Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, None, Some(b)) => ReadLimit.maxBytes(b)
+      case (None, Some(f), Some(b)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (v, f, b) => GraftCdfReadLimit(v, f, b)
     }
 
   /** The caps the HANDED limit declares — the admission-control
@@ -235,19 +250,41 @@ class GraftCdfSource(spark: SparkSession, dir: Path,
     * covering everything", which must win over the configured caps. An
     * unrecognized shape falls back to the configured caps (sound: never
     * offers more than the declaration the engine saw). */
-  private def capsOf(limit: ReadLimit): (Option[Int], Option[Int]) =
+  private def capsOf(limit: ReadLimit)
+      : (Option[Int], Option[Int], Option[Long]) =
     limit match {
-      case GraftCdfReadLimit(v, f) => (v, f)
-      case m: ReadMaxFiles => (None, Some(m.maxFiles()))
-      case _: ReadAllAvailable => (None, None)
-      case _ => (maxVersionsPerBatch, maxFilesPerBatch)
+      case GraftCdfReadLimit(v, f, b) => (v, f, b)
+      case m: ReadMaxFiles => (None, Some(m.maxFiles()), None)
+      case m: ReadMaxBytes => (None, None, Some(m.maxBytes()))
+      case c: CompositeReadLimit =>
+        val ls = c.getReadLimits.toSeq
+        (None,
+          ls.collectFirst { case m: ReadMaxFiles => m.maxFiles() },
+          ls.collectFirst { case m: ReadMaxBytes => m.maxBytes() })
+      case _: ReadAllAvailable => (None, None, None)
+      case _ => (maxVersionsPerBatch, maxFilesPerBatch, maxBytesPerBatch)
     }
+
+  /** One batch's running admission budgets — file/unit count and bytes
+    * (Delta's maxFilesPerTrigger / maxBytesPerTrigger semantics: the
+    * check runs BEFORE each admit, so the unit that crosses the byte
+    * line is still admitted and progress is guaranteed; the file
+    * budget is exact). */
+  private final class Budgets(fileCap: Option[Int], byteCap: Option[Long]) {
+    private val fB = fileCap.map(_.toLong).getOrElse(Long.MaxValue)
+    private val bB = byteCap.getOrElse(Long.MaxValue)
+    private var files = 0L
+    private var bytes = 0L
+    def open: Boolean = files < fB && bytes < bB
+    def admit(sizeBytes: Long): Unit = { files += 1; bytes += sizeBytes }
+  }
 
   /** The engine's admission-control entry: `start` is the previous
     * batch's end (null on a fresh stream). Offers at most the declared
-    * caps' worth of versions/units past it, never past the AvailableNow
-    * pin; the capped FIRST offer stays within the starting snapshot
-    * (the snapshot is at least a batch's worth of rows by itself). */
+    * caps' worth of versions/units/bytes past it, never past the
+    * AvailableNow pin; the capped FIRST offer stays within the
+    * starting snapshot (the snapshot is at least a batch's worth of
+    * rows by itself). */
   override def latestOffset(start: ConnectorOffset,
       limit: ReadLimit): ConnectorOffset = {
     val vsAll = SnapshotLog.versions(dir)
@@ -255,29 +292,39 @@ class GraftCdfSource(spark: SparkSession, dir: Path,
       availableEnd.fold(l)(math.min(l, _)))
     if (liveOpt.isEmpty) return null
     val live = liveOpt.get
-    val (verCap, fileCap) = capsOf(limit)
+    val (verCap, fileCap, byteCap) = capsOf(limit)
+    val uncapped = verCap.isEmpty && fileCap.isEmpty && byteCap.isEmpty
     val startC = Option(start).map(o => parseCursor(o.json))
+    // snapshot-file admission shared by the fresh start and the
+    // bootstrap continuation: admit files [i, j) under the budgets
+    def snapWalk(v0: Int, i: Int): Cursor = {
+      val sizes =
+        if (byteCap.isDefined) SnapshotLog.snapshotFileBytes(dir, v0)
+        else null
+      val m = if (sizes != null) sizes.size
+        else SnapshotLog.files(dir, Some(v0)).size
+      val b = new Budgets(fileCap, byteCap)
+      var j = i
+      while (j < m && b.open) {
+        b.admit(if (sizes != null) sizes(j) else 0L)
+        j += 1
+      }
+      if (j >= m) Done(v0) else SnapAt(v0, j)
+    }
     val end: Option[Cursor] = startC match {
       case None =>
-        if (verCap.isEmpty && fileCap.isEmpty) Some(Done(live))
+        if (uncapped) Some(Done(live))
         else {
           val v0 = math.min(live, startingVersion.getOrElse(vsAll.head))
-          fileCap match {
-            case Some(f) if SnapshotLog.files(dir, Some(v0)).size > f =>
-              Some(SnapAt(v0, f))
-            case _ => Some(Done(v0))
-          }
+          Some(snapWalk(v0, 0))
         }
       case Some(SnapAt(v0, i)) =>
         // finish the snapshot bootstrap before stepping (a batch never
         // mixes bootstrap files with step slices)
-        val m = SnapshotLog.files(dir, Some(v0)).size
-        val j = fileCap.fold(m)(f => math.min(m, i + f))
-        Some(if (j >= m) Done(v0) else SnapAt(v0, j))
+        Some(snapWalk(v0, i))
       case Some(c0) =>
-        if (verCap.isEmpty && fileCap.isEmpty)
-          Some(Done(live)).filterNot(_ == c0)
-        else advance(c0, vsAll, live, verCap, fileCap)
+        if (uncapped) Some(Done(live)).filterNot(_ == c0)
+        else advance(c0, vsAll, live, verCap, fileCap, byteCap)
     }
     end.filterNot(e => startC.contains(e)).map(CursorOffset).orNull
   }
@@ -286,32 +333,43 @@ class GraftCdfSource(spark: SparkSession, dir: Path,
     * (never charged against the version cap — it was already entered),
     * then admit whole or split subsequent versions until a cap runs
     * out. Always admits at least one unit when anything is available
-    * (caps are >= 1), so a capped stream can never stall. */
+    * (caps are >= 1 and checks run before admits), so a capped stream
+    * can never stall. */
   private def advance(c0: Cursor, vsAll: Seq[Int], live: Int,
-      verCap: Option[Int], fileCap: Option[Int]): Option[Cursor] = {
-    var budget = fileCap.map(_.toLong).getOrElse(Long.MaxValue)
+      verCap: Option[Int], fileCap: Option[Int],
+      byteCap: Option[Long]): Option[Cursor] = {
+    val b = new Budgets(fileCap, byteCap)
     var versLeft = verCap.map(_.toLong).getOrElse(Long.MaxValue)
     var cur: Cursor = c0
+    // admit units [from, ..) of version v; returns the consumed count
+    def unitWalk(v: Int, from: Int): (Int, Int) = {
+      val sizes =
+        if (byteCap.isDefined) SnapshotLog.cdfStepUnitBytes(dir, v)
+        else null
+      val total = if (sizes != null) sizes.size
+        else SnapshotLog.cdfStepUnitCount(dir, v)
+      var i = from
+      while (i < total && b.open) {
+        b.admit(if (sizes != null) sizes(i) else 0L)
+        i += 1
+      }
+      (i, total)
+    }
     cur match {
       case StepAt(v, i) =>
-        val t = SnapshotLog.cdfStepUnitCount(dir, v)
-        if (i >= t) cur = Done(v)
-        else {
-          val take = math.min((t - i).toLong, budget)
-          budget -= take
-          cur = if (i + take >= t) Done(v) else StepAt(v, (i + take).toInt)
-        }
+        val (j, total) = unitWalk(v, i)
+        cur = if (j >= total) Done(v) else StepAt(v, j)
       case _ => ()
     }
     cur match {
       case Done(d) =>
         var remaining = vsAll.filter(w => w > d && w <= live)
-        while (remaining.nonEmpty && budget > 0 && versLeft > 0) {
+        while (remaining.nonEmpty && b.open && versLeft > 0) {
           val w = remaining.head
-          val t = SnapshotLog.cdfStepUnitCount(dir, w).toLong
           versLeft -= 1
-          if (t <= budget) { budget -= t; cur = Done(w); remaining = remaining.tail }
-          else { cur = StepAt(w, budget.toInt); budget = 0 }
+          val (j, total) = unitWalk(w, 0)
+          if (j >= total) { cur = Done(w); remaining = remaining.tail }
+          else { cur = StepAt(w, j); remaining = Nil }
         }
       case _ => ()
     }

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.StructType
   * is the SAME plan the engine-native API produces — nothing row-valued
   * crosses the source boundary. */
 class GraftLakeProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
@@ -135,6 +136,60 @@ class GraftLakeProvider extends RelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+
+  /** `df.writeStream.format("graft-lake")`: a NATIVE streaming sink
+    * (round 16) — each micro-batch commits as one snapshot version
+    * with a TXN IDEMPOTENCY key scoped to (checkpoint, batchId), so
+    * the engine's at-least-once delivery composes to EXACTLY-ONCE
+    * versions: a crash-replayed batch finds its key already published
+    * and returns the committed version without writing anything
+    * (e25's foreachBatch contract, engine-native — Delta's sink makes
+    * the same (appId, batchId) dedup). Append mode only: an
+    * aggregation's update/complete semantics need an explicit
+    * merge-by-key, which stays a foreachBatch decision.
+    * `writeStream.partitionBy(...)` flows into the log's partition
+    * spec; `statsCols` harvests envelopes per micro-batch commit. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      "graft-lake sink supports Append mode only — update/complete " +
+        "semantics need an explicit merge; use foreachBatch with " +
+        "SnapshotLog.merge")
+    val dir = tableDir(parameters)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    // the idempotency scope must be stable across restarts: the engine
+    // checkpoint location identifies the logical stream (txnAppId
+    // overrides for multi-sink topologies sharing a checkpoint)
+    val scope = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-lake sink needs .option(\"checkpointLocation\", ...) " +
+          "(or txnAppId) — the txn idempotency scope that makes " +
+          "crash-replayed batches exactly-once"))
+    new GraftLakeSink(dir, scope, partitionColumns, statsCols)
+  }
+}
+
+/** The streaming-sink half of [[GraftLakeProvider]]. */
+private[sources] class GraftLakeSink(dir: Path, scope: String,
+    partitionCols: Seq[String], statsCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine hands an isStreaming plan — re-root it as a batch
+    // frame before the staging write (the DeltaSink pattern)
+    val batch = org.apache.spark.sql.GraftBridge.asBatchFrame(data)
+    SnapshotLog.commit(batch, dir, statsCols = statsCols,
+      partitionBy = partitionCols,
+      txnId = Some(s"graft-lake-sink:$scope:$batchId"))
+    ()
+  }
+
+  override def toString: String = s"GraftLakeSink[$dir]"
 }
 
 /** One resolved (table dir, version) pair served as a V1 relation —

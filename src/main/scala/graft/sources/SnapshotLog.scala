@@ -2826,6 +2826,44 @@ object SnapshotLog {
     1 + stV.files.count(!prevFiles(_))
   }
 
+  /** Per-unit BYTE weights of version `v`'s step, aligned with
+    * [[cdfStepUnitCount]]'s unit order (round 16 — the
+    * `maxBytesPerBatch` admission currency): index 0 = the mutation
+    * slice, charged the DROPPED files' recorded bytes (the preimage
+    * read's dominant cost; new DVs are kilobytes by the sparse-delete
+    * contract), indices 1..n = each added file's recorded size. A file
+    * without {size, rows} meta (legacy commits) charges
+    * `defaultBytes` — CONSERVATIVE: an un-metered giant commit still
+    * splits rather than landing as one unbounded batch. Forces the
+    * lazy `meta` member of the two step states (one projected sidecar
+    * column decode, memoized). */
+  private[graft] def cdfStepUnitBytes(dir: Path, v: Int,
+      defaultBytes: Long = 128L << 20): Seq[Long] = {
+    val vsAll = versions(dir)
+    val idx = vsAll.indexOf(v)
+    require(idx >= 0, s"version $v does not exist in $dir (have $vsAll)")
+    val stV = stateOf(dir, v)
+    val prev = if (idx == 0) None else Some(stateOf(dir, vsAll(idx - 1)))
+    val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty)
+    val adds = stV.files.filterNot(prevFiles)
+    val dropped = prev.map(_.files.filterNot(stV.files.toSet))
+      .getOrElse(Seq.empty)
+    val metaP = prev.map(_.meta).getOrElse(Map.empty)
+    val metaV = stV.meta
+    def sz(m: Map[String, FileMeta], f: String): Long =
+      m.get(f).map(_.size).getOrElse(defaultBytes)
+    dropped.map(sz(metaP, _)).sum +: adds.map(sz(metaV, _))
+  }
+
+  /** Snapshot `v`'s per-file byte sizes in manifest order — the
+    * bootstrap-split weights of the byte-capped streaming source. */
+  private[graft] def snapshotFileBytes(dir: Path, v: Int,
+      defaultBytes: Long = 128L << 20): Seq[Long] = {
+    val st = stateOf(dir, resolveVersion(dir, Some(v)))
+    val m = st.meta
+    st.files.map(f => m.get(f).map(_.size).getOrElse(defaultBytes))
+  }
+
   /** Snapshot `v` restricted to files [from, until) of its manifest
     * order — the initial-snapshot split of the capped streaming source;
     * DVs, schema, and column mapping apply exactly as [[read]]. */

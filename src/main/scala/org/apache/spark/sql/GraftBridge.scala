@@ -83,6 +83,19 @@ object GraftBridge {
       classicDf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Re-root a streaming micro-batch's plan as a BATCH DataFrame — the
+    * inverse of [[asStreamingFrame]], what a V1 `Sink.addBatch` needs
+    * before handing the data to batch writers (DataFrameWriter and the
+    * snapshot log's staging write reject isStreaming plans; DeltaSink
+    * executes the incremental plan and re-wraps the same way). `toRdd`
+    * is lazy — the micro-batch's jobs run when the batch writer
+    * consumes it, exactly once per addBatch. */
+  def asBatchFrame(df: Dataset[Row]): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    classicDf.sparkSession.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Apply an extensions installer's function registrations to a LIVE
     * session (normally they only take effect at session build time via
     * `spark.sql.extensions`). Used by tests and by hosts that receive an

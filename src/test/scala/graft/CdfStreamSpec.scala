@@ -238,6 +238,46 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(folded == live)
   }
 
+  test("graft-cdf: maxBytesPerBatch splits by the manifest's recorded file sizes (Delta's maxBytesPerTrigger)") {
+    // cap = 1 byte -> the check-before-admit rule admits exactly the
+    // unit that crosses the line: one DATA file per batch (the v2
+    // mutation unit is empty/0-byte and rides with the next add)
+    val root = Files.createTempDirectory("graft-cdfstream7")
+    val table = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 16)
+      .repartition(4), table)                       // v1: 4-file snapshot
+    SnapshotLog.commit(nation.filter(col("n_nationkey") >= 16)
+      .repartition(2), table)                       // v2: 2-file step
+    val batches =
+      collection.mutable.ArrayBuffer[Set[Tagged]]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.GraftCdfSourceProvider].getName)
+      .option("path", table.toString)
+      .option("maxBytesPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches += b.select(col("n_nationkey").cast("long"),
+            col("_change_type"), col("_commit_version"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+          .toSet
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.size == 6,
+      s"4 snapshot files + 2 step adds at 1 byte/batch = 6 batches, " +
+        s"got ${batches.size}")
+    assert(batches.forall(_.nonEmpty), "every byte-capped batch is one file")
+    val snapRows = batches.take(4).reduce(_ ++ _)
+    assert(snapRows == (0L until 16L).map((_, "insert", 1)).toSet,
+      "the four snapshot slices must reassemble v1 exactly")
+    val stepRows = batches.drop(4).reduce(_ ++ _)
+    assert(stepRows == (16L until 25L).map((_, "insert", 2)).toSet,
+      "the two step slices must reassemble the v2 commit exactly")
+  }
+
   test("graft-cdf: a mid-stream RENAME or DROP fails the stream naming the change; ADD COLUMN stays additive") {
     // round-16 judge #1: the pinned-schema projection null-fills absent
     // columns — correct for ADD COLUMN history, silently WRONG for a

@@ -117,6 +117,69 @@ class GraftLakeProviderSpec extends AnyFunSuite {
     assert(math.abs(sumVia - sumRaw) < 1e-6)
   }
 
+  test("graft-lake: the STREAMING sink commits exactly-once versions (txn key per (checkpoint, batchId); replay adds nothing)") {
+    val root = Files.createTempDirectory("graft-lakeprov5")
+    val dir = root.resolve("t")
+    val feed = root.resolve("feed")
+    val cp = root.resolve("cp")
+    val nation = Tables.nation(spark, sf)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(nation.schema)
+        .parquet(feed.toString)
+        .writeStream.format("graft-lake")
+        .option("path", dir.toString)
+        .option("checkpointLocation", cp.toString)
+        .option("statsCols", "n_nationkey")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run must finish")
+      q.stop()
+    }
+    nation.filter(col("n_nationkey") < 10).coalesce(1)
+      .write.mode("append").parquet(feed.toString)
+    runOnce()
+    val v1 = SnapshotLog.versions(dir)
+    assert(v1.nonEmpty &&
+      SnapshotLog.read(spark, dir).count() == 10)
+    // quiescent re-run: the engine schedules nothing, no new version
+    runOnce()
+    assert(SnapshotLog.versions(dir) == v1,
+      "an idle run must not commit")
+    // more feed files -> the next batch commits the next version, and
+    // the lake reads back the full stream through the batch provider
+    nation.filter(col("n_nationkey") >= 10).coalesce(1)
+      .write.mode("append").parquet(feed.toString)
+    runOnce()
+    assert(lake.option("path", dir.toString).load().count() == 25)
+
+    // crash-replay idempotency at the Sink API: the SAME batchId
+    // committed twice publishes exactly one version (the txn key)
+    val dir2 = root.resolve("t2")
+    val prov = new graft.sources.GraftLakeProvider()
+    val sink = prov.createSink(spark.sqlContext,
+      Map("path" -> dir2.toString, "checkpointLocation" -> "spec-scope"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    val slice = nation.filter(col("n_nationkey") < 5).coalesce(1)
+    sink.addBatch(0, slice)
+    sink.addBatch(0, slice) // the replayed micro-batch
+    assert(SnapshotLog.versions(dir2) == Seq(1),
+      "a replayed batchId must find its txn key and write nothing")
+    sink.addBatch(1, nation.filter(col("n_nationkey").between(5, 9))
+      .coalesce(1))
+    assert(SnapshotLog.versions(dir2) == Seq(1, 2) &&
+      SnapshotLog.read(spark, dir2).count() == 10)
+
+    // append-only contract + missing-scope failure are loud
+    val eMode = intercept[Exception](prov.createSink(spark.sqlContext,
+      Map("path" -> dir2.toString, "checkpointLocation" -> "x"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Complete()))
+    assert(eMode.getMessage.contains("Append mode only"))
+    val eScope = intercept[Exception](prov.createSink(spark.sqlContext,
+      Map("path" -> dir2.toString), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append()))
+    assert(eScope.getMessage.contains("idempotency scope"))
+  }
+
   test("graft-lake: plain SQL reaches the lake (CREATE TABLE ... USING graft-lake, time-travel via OPTIONS)") {
     val root = Files.createTempDirectory("graft-lakeprov4")
     val dir = root.resolve("t")
