@@ -1064,13 +1064,20 @@ object StreamingOps {
     * the feeds and after the second commit, which is the time-travel
     * property under ingest.
     *
-    * Replay safety is IMPLEMENTED, not just documented: every commit
-    * carries the batch id as the log's idempotency key
-    * (`SnapshotLog.commit(txnId = ...)` — Delta's app-txn idea), so a
-    * re-run micro-batch finds its id already in a manifest and returns
-    * that version instead of appending a duplicate. The gate replays
-    * batch semantics implicitly via the id-keyed commits; SnapshotLogSpec
-    * exercises the txn short-circuit directly. */
+    * Replay safety is IMPLEMENTED, not just documented — and since
+    * round 16 it is ENGINE-NATIVE: the query writes through the
+    * `graft-lake` STREAMING SINK
+    * ([[graft.sources.GraftLakeProvider.createSink]]), which commits
+    * every micro-batch under a `(txnAppId, batchId)` idempotency key
+    * (Delta's app-txn contract) — a re-run micro-batch finds its key
+    * already in a manifest and returns that version instead of
+    * appending a duplicate. The txnAppId carries the gate root's
+    * UNIQUE temp-dir name: batch ids restart at 0 under a fresh
+    * checkpoint, and a bare id would alias a new pipeline's batches
+    * onto a dead stream's commits (silently discarding the re-ingest);
+    * a new checkpoint/app id makes a real re-ingest commit.
+    * GraftLakeProviderSpec exercises the sink's double-addBatch
+    * short-circuit directly; SnapshotLogSpec the txn key itself. */
   def e25StreamSnapshotIngest(s: SparkSession, d: String): DataFrame =
     withFeedDirs("graft_e25_") { (root, srcDir, drop) =>
       import graft.sources.SnapshotLog
@@ -1079,20 +1086,10 @@ object StreamingOps {
       val all = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val q = s.readStream.schema(all.schema).parquet(srcDir.toString)
-        .writeStream.option("checkpointLocation", cpDir.toString)
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          // txn key scoped by the CHECKPOINT identity, not just the batch
-          // id: batch ids restart at 0 under a fresh checkpoint, and a
-          // bare id would alias a new pipeline's batches onto a dead
-          // stream's commits (silently discarding the re-ingest). Same
-          // checkpoint → same key → replay dedup; new checkpoint → new
-          // keys → a real re-ingest commits (Delta's txnAppId contract).
-          // The key carries root's UNIQUE temp-dir name (cpDir lives under
-          // it), not cpDir.getFileName — that is the constant "cp" for
-          // every pipeline built this way, which would alias all of them
-          // onto one txn namespace, exactly the bug this key prevents.
-          SnapshotLog.commit(batch, tableDir,
-            txnId = Some(s"e25-${root.getFileName}-$id")); () }
+        .writeStream.format("graft-lake")
+        .option("path", tableDir.toString)
+        .option("checkpointLocation", cpDir.toString)
+        .option("txnAppId", s"e25-${root.getFileName}")
         .start()
       val n1Between = try {
         drop(all.filter(col("event_id") % 2 === 0), "f0")

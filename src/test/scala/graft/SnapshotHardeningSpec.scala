@@ -176,6 +176,43 @@ class SnapshotHardeningSpec extends AnyFunSuite {
     } finally SnapshotLog.harvestDistributeThreshold = oldThr
   }
 
+  test("inventory: a DataFrame over the checkpoint sidecar + delta adjustments, equal to the driver-resolved truth") {
+    val root = Files.createTempDirectory("graft-hard6")
+    val dir = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    SnapshotLog.commit(nation.filter(col("n_nationkey") < 15)
+      .repartition(3), dir, statsCols = Seq("n_nationkey"))   // v1 ckpt
+    SnapshotLog.commit(nation.filter(col("n_nationkey") >= 15)
+      .repartition(2), dir)                                   // v2 delta
+    SnapshotLog.deleteWhere(spark, dir,
+      col("n_nationkey") % 6 === 1)                           // v3 DV
+    def check(asOf: Option[Int]): Unit = {
+      val inv = SnapshotLog.inventory(spark, dir, asOf).collect()
+      val data = inv.filter(_.getString(1) == "data")
+      assert(data.map(_.getString(0)).toSet ==
+        SnapshotLog.files(dir, asOf).toSet,
+        s"data membership must match at $asOf")
+      assert(inv.filter(_.getString(1) == "dv").map(_.getString(0)).toSet
+        == SnapshotLog.dvFiles(dir, asOf).toSet,
+        s"dv membership must match at $asOf")
+      // recorded sizes are the REAL on-disk sizes, per file
+      data.foreach { r =>
+        assert(!r.isNullAt(2) && r.getLong(2) ==
+          Files.size(dir.resolve("data").resolve(r.getString(0))),
+          s"size must match for ${r.getString(0)}")
+      }
+    }
+    check(None)    // delta-chain path (anti-join + union over the base)
+    check(Some(1)) // pure sidecar-scan path
+    // the distributed-metadata claim: a Spark aggregation over the
+    // inventory answers row totals without any driver-side decode
+    // (file row counts are pre-DV physical rows: both commits' slabs)
+    val rowTotal = SnapshotLog.inventory(spark, dir)
+      .filter(col("kind") === "data")
+      .agg(sum(col("rows"))).collect().head.getLong(0)
+    assert(rowTotal == 25L, s"sum(rows) over the inventory, got $rowTotal")
+  }
+
   test("harvestParallelism = k bounds in-flight harvests to k (not just sequential-vs-pool)") {
     val root = Files.createTempDirectory("graft-hard4")
     val dir = root.resolve("t")
