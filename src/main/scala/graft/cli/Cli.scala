@@ -579,6 +579,8 @@ object Cli {
     *   lake rename-column <dir> <from> <to>     (metadata-only; column mapping)
     *   lake drop-column   <dir> <col>           (metadata-only; column mapping)
     *   lake versions <dir>
+    *   lake history  <dir>                      (DESCRIBE HISTORY: stamps, encodings, step diffs)
+    *   lake inventory <dir> [--as-of N]         (file/byte/row totals via the checkpoint inventory)
     *   lake read     <dir> <out.par|-> [--as-of N] [--changes F:T] [--cdf F:T]
     *
     * Predicates and SET right-hand sides are Spark SQL expressions over
@@ -734,6 +736,37 @@ object Cli {
           val d = SnapshotLog.dvFiles(dir, Some(v)).size
           s"v$v files=$n dvs=$d"
         }.mkString("\n")
+      case "history" =>
+        // DESCRIBE HISTORY (round 16): one line per version with the
+        // effective stamp, manifest encoding, and step diffs
+        arity(1, "TABLE_DIR")
+        SnapshotLog.history(spark, dir)
+          .orderBy(org.apache.spark.sql.functions.col("version"))
+          .collect().map { r =>
+            val txn = Option(r.getString(2)).map(t => s" txn=$t")
+              .getOrElse("")
+            s"v${r.getInt(0)} ${r.getTimestamp(1)} ${r.getString(3)} " +
+              s"adds=${r.getInt(4)} removes=${r.getInt(5)} " +
+              s"dvAdds=${r.getInt(6)} dvRemoves=${r.getInt(7)} " +
+              s"files=${r.getInt(8)} dvs=${r.getInt(9)}$txn"
+          }.mkString("\n")
+      case "inventory" =>
+        // totals computed AS A SPARK AGGREGATION over the checkpoint
+        // sidecar inventory (round 16) — no driver-side per-file decode
+        arity(1, "TABLE_DIR")
+        val f = org.apache.spark.sql.functions
+        val agg = SnapshotLog.inventory(spark, dir, conf.lakeAsOf)
+          .groupBy(f.col("kind"))
+          .agg(f.count(f.lit(1)).as("n"), f.sum(f.col("size")).as("b"),
+            f.sum(f.col("rows")).as("r"))
+          .collect().map { r =>
+            r.getString(0) -> ((r.getLong(1),
+              if (r.isNullAt(2)) 0L else r.getLong(2),
+              if (r.isNullAt(3)) 0L else r.getLong(3)))
+          }.toMap
+        val (dn, db, drows) = agg.getOrElse("data", (0L, 0L, 0L))
+        val (vn, vb, _) = agg.getOrElse("dv", (0L, 0L, 0L))
+        s"data files=$dn bytes=$db rows=$drows; dv files=$vn bytes=$vb"
       case "read" =>
         arity(2, "TABLE_DIR OUT_PARQUET")
         val Vector(_, out) = rest: @unchecked

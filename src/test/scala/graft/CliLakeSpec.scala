@@ -156,6 +156,32 @@ class CliLakeSpec extends AnyFunSuite {
       org.json4s.JString("c99999-zz.parquet"))
   }
 
+  test("lake history and inventory report the log through the CLI") {
+    val work = Files.createTempDirectory("graft-clilake-hist")
+    val dir = work.resolve("tbl")
+    val in1 = work.resolve("in1.parquet")
+    val in2 = work.resolve("in2.parquet")
+    val nation = Tables.nation(spark, sf)
+    nation.filter(col("n_nationkey") < 15).write.parquet(in1.toString)
+    nation.filter(col("n_nationkey") >= 15).write.parquet(in2.toString)
+    assert(lake("commit", dir.toString, in1.toString,
+      "--txn-id", "h1") == "committed version 1")
+    assert(lake("commit", dir.toString, in2.toString)
+      == "committed version 2")
+    assert(lake("delete", dir.toString, "n_nationkey % 6 = 1")
+      == "deleted; latest version 3")
+    val hist = lake("history", dir.toString).split("\n").toSeq
+    assert(hist.size == 3)
+    assert(hist.head.startsWith("v1 ") && hist.head.contains("checkpoint")
+      && hist.head.contains("txn=h1"), hist.head)
+    assert(hist(1).startsWith("v2 ") && hist(1).contains("delta"), hist(1))
+    assert(hist(2).contains("dvAdds=1"), hist(2))
+    val inv = lake("inventory", dir.toString)
+    assert(inv.contains("rows=25") && inv.contains("dv files=1"), inv)
+    val inv1 = lake("inventory", dir.toString, "--as-of", "1")
+    assert(inv1.contains("rows=15") && inv1.contains("dv files=0"), inv1)
+  }
+
   test("lake argv validation fails loudly") {
     intercept[IllegalArgumentException](lake("frobnicate", "/tmp/x"))
     intercept[IllegalArgumentException](lake("update", "/tmp/x", "a = 1"))

@@ -213,6 +213,40 @@ class SnapshotHardeningSpec extends AnyFunSuite {
     assert(rowTotal == 25L, s"sum(rows) over the inventory, got $rowTotal")
   }
 
+  test("history: one row per version with effective stamps, encoding, and step diffs (DESCRIBE HISTORY shape)") {
+    val root = Files.createTempDirectory("graft-hard7")
+    val dir = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    val sysClock = SnapshotLog.clock
+    try {
+      val t0 = 1700000000000L
+      @volatile var now = t0
+      SnapshotLog.clock = () => now
+      now = t0 + 1000
+      SnapshotLog.commit(nation.filter(col("n_nationkey") < 15)
+        .repartition(3), dir)                                    // v1
+      now = t0 + 2000
+      SnapshotLog.commit(nation.filter(col("n_nationkey") >= 15)
+        .repartition(2), dir, txnId = Some("h-txn"))             // v2
+      now = t0 + 500 // the clock steps BACKWARDS — monotonic rule
+      SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") % 6 === 1) // v3
+      val h = SnapshotLog.history(spark, dir).orderBy(col("version"))
+        .collect()
+      assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+      assert(h.map(_.getTimestamp(1).getTime).toSeq ==
+        Seq(t0 + 1000, t0 + 2000, t0 + 2000),
+        "the backwards-stepping v3 stamp must inherit v2's (monotonic)")
+      assert(h(1).getString(2) == "h-txn" && h(0).getString(2) == null)
+      assert(h(0).getString(3) == "checkpoint" &&
+        h(1).getString(3) == "delta",
+        s"encodings: ${h.map(_.getString(3)).toSeq}")
+      // step diffs: v1 adds 3, v2 adds 2, v3 is a pure DV delete
+      assert(h.map(_.getInt(4)).toSeq == Seq(3, 2, 0), "adds")
+      assert(h.map(_.getInt(6)).toSeq == Seq(0, 0, 1), "dvAdds")
+      assert(h.map(_.getInt(8)).toSeq == Seq(3, 5, 5), "running files")
+    } finally SnapshotLog.clock = sysClock
+  }
+
   test("harvestParallelism = k bounds in-flight harvests to k (not just sequential-vs-pool)") {
     val root = Files.createTempDirectory("graft-hard4")
     val dir = root.resolve("t")
