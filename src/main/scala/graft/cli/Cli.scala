@@ -738,8 +738,14 @@ object Cli {
         }.mkString("\n")
       case "history" =>
         // DESCRIBE HISTORY (round 16): one line per version with the
-        // effective stamp, manifest encoding, and step diffs
+        // effective stamp, manifest encoding, and step diffs. The
+        // whole history has no as-of form — reject the flags instead
+        // of silently ignoring them (the argv fail-loudly discipline)
         arity(1, "TABLE_DIR")
+        if (conf.lakeAsOf.isDefined || conf.lakeAsOfTimestamp.isDefined)
+          throw new IllegalArgumentException(
+            "lake history lists every version — --as-of/--as-of-" +
+              "timestamp do not apply")
         SnapshotLog.history(spark, dir)
           .orderBy(org.apache.spark.sql.functions.col("version"))
           .collect().map { r =>
@@ -752,10 +758,18 @@ object Cli {
           }.mkString("\n")
       case "inventory" =>
         // totals computed AS A SPARK AGGREGATION over the checkpoint
-        // sidecar inventory (round 16) — no driver-side per-file decode
+        // sidecar inventory (round 16) — no driver-side per-file
+        // decode. --as-of-timestamp resolves to a version FIRST (the
+        // read verb's rule) instead of being silently ignored
         arity(1, "TABLE_DIR")
+        if (conf.lakeAsOf.isDefined && conf.lakeAsOfTimestamp.isDefined)
+          throw new IllegalArgumentException(
+            "--as-of and --as-of-timestamp are mutually exclusive")
+        val invAsOf = conf.lakeAsOfTimestamp
+          .map(ts => SnapshotLog.versionAsOfTimestamp(dir, ts))
+          .orElse(conf.lakeAsOf)
         val f = org.apache.spark.sql.functions
-        val agg = SnapshotLog.inventory(spark, dir, conf.lakeAsOf)
+        val agg = SnapshotLog.inventory(spark, dir, invAsOf)
           .groupBy(f.col("kind"))
           .agg(f.count(f.lit(1)).as("n"), f.sum(f.col("size")).as("b"),
             f.sum(f.col("rows")).as("r"))

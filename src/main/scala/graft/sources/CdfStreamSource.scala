@@ -67,16 +67,13 @@ class GraftCdfSourceProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-cdf"
 
-  private def tableDir(parameters: Map[String, String]): Path = {
-    val raw = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft-cdf needs .option(\"path\", <snapshot-log table dir>)"))
+  private def tableDir(parameters: Map[String, String]): Path =
     // SQL-surface symmetry with graft-lake: a catalog-qualified path
-    // option arrives as a URI ("file:/tmp/t") — resolve the scheme
-    if (raw.startsWith("file:"))
-      Paths.get(java.net.URI.create(raw.replace(" ", "%20")))
-    else Paths.get(raw)
-  }
+    // option arrives as a URI — [[GraftPaths.fromOption]] decodes it
+    // while keeping literal '#'/'%' paths literal
+    GraftPaths.fromOption(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-cdf needs .option(\"path\", <snapshot-log table dir>)")))
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -463,10 +460,22 @@ class GraftCdfSource(spark: SparkSession, dir: Path,
     val batch = startC match {
       case None =>
         // fresh checkpoint: the starting snapshot as inserts (possibly
-        // split by the file cap), plus the fold up to the batch end
-        // when the log already advanced
-        val v0 = startingVersion.getOrElse(SnapshotLog.versions(dir).head)
-        snapThenFold(v0, 0, endC)
+        // split by the caps), plus the fold up to the batch end when
+        // the log already advanced. The snapshot version derives from
+        // the OFFSET where it can (round-16 review): a SnapAt end IS
+        // the snapshot version, and a version-shaped end CLAMPS the
+        // live-head derivation — a vacuum landing between latestOffset
+        // and this call must never silently serve a later snapshot
+        // than the checkpointed cursor claims (an expired original
+        // version fails loudly in resolution, the retention contract).
+        endC match {
+          case SnapAt(v0, j) => snapSlice(v0, 0, j)
+          case _ =>
+            val v0 = math.min(
+              startingVersion.getOrElse(SnapshotLog.versions(dir).head),
+              endC.v)
+            snapThenFold(v0, 0, endC)
+        }
       case Some(SnapAt(v0, i)) =>
         snapThenFold(v0, i, endC)
       case Some(sc) =>

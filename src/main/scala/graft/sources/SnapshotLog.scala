@@ -1966,6 +1966,12 @@ object SnapshotLog {
     val rows = vs.zip(states).zipWithIndex.map { case ((v, st), i) =>
       val pf = if (i == 0) Set.empty[String] else states(i - 1).files.toSet
       val pd = if (i == 0) Set.empty[String] else states(i - 1).dvs.toSet
+      // set-membership on BOTH sides of the diff (round-16 review: a
+      // Seq.contains inside the removes count is O(|prev| × |cur|) per
+      // version — quadratic driver CPU at the file counts this log
+      // targets)
+      val cf = st.files.toSet
+      val cd = st.dvs.toSet
       val j = JsonMethods.parse(Files.readString(manifestPath(dir, v)))
       val encoding = (j \ "base", j \ "ckpt") match {
         case (JInt(_), _) => "delta"
@@ -1975,8 +1981,8 @@ object SnapshotLog {
       (v, new java.sql.Timestamp(ts(v)),
         (j \ "txn") match { case JString(t) => t; case _ => null },
         encoding,
-        st.files.count(!pf(_)), pf.count(f => !st.files.contains(f)),
-        st.dvs.count(!pd(_)), pd.count(f => !st.dvs.contains(f)),
+        st.files.count(!pf(_)), pf.count(!cf(_)),
+        st.dvs.count(!pd(_)), pd.count(!cd(_)),
         st.files.size, st.dvs.size)
     }
     rows.toDF("version", "ts", "txn", "encoding", "adds", "removes",

@@ -238,6 +238,33 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(folded == live)
   }
 
+  test("graft-cdf: a vacuum racing between offer and batch fails LOUDLY instead of serving a shifted snapshot") {
+    // round-16 review: getBatch must derive the bootstrap snapshot
+    // version from the OFFSET, not re-read the live log head — a vacuum
+    // landing in between would otherwise silently serve a LATER
+    // snapshot than the checkpointed cursor claims
+    val root = Files.createTempDirectory("graft-cdfstream8")
+    val table = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    (0 until 3).foreach { i =>
+      SnapshotLog.commit(nation.filter(col("n_nationkey") % 3 === i)
+        .coalesce(1), table)                                    // v1..v3
+    }
+    val src = new graft.sources.GraftCdfSource(spark, table, None, Some(1))
+    // the engine offered Done(1) (the capped first batch = the v1
+    // snapshot) and WAL'd it; a vacuum then expires v1
+    SnapshotLog.vacuum(table, keepVersions = 2)
+    val e = intercept[Exception] {
+      src.getBatch(None,
+        org.apache.spark.sql.execution.streaming.SerializedOffset("1"))
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("1") &&
+      e.getMessage.contains("does not exist"),
+      s"the expired offset version must fail resolution, got: " +
+        s"${e.getMessage}")
+  }
+
   test("graft-cdf: maxBytesPerBatch splits by the manifest's recorded file sizes (Delta's maxBytesPerTrigger)") {
     // cap = 1 byte -> the check-before-admit rule admits exactly the
     // unit that crosses the line: one DATA file per batch (the v2

@@ -180,6 +180,18 @@ class CliLakeSpec extends AnyFunSuite {
     assert(inv.contains("rows=25") && inv.contains("dv files=1"), inv)
     val inv1 = lake("inventory", dir.toString, "--as-of", "1")
     assert(inv1.contains("rows=15") && inv1.contains("dv files=0"), inv1)
+    // --as-of-timestamp resolves (a future stamp = the head), and the
+    // flags that do not apply fail loudly instead of silently ignoring
+    val invTs = lake("inventory", dir.toString, "--as-of-timestamp",
+      (System.currentTimeMillis() + 3600000L).toString)
+    assert(invTs.contains("rows=25"), invTs)
+    val eBoth = intercept[IllegalArgumentException](
+      lake("inventory", dir.toString, "--as-of", "1",
+        "--as-of-timestamp", "12345"))
+    assert(eBoth.getMessage.contains("mutually exclusive"))
+    val eHist = intercept[IllegalArgumentException](
+      lake("history", dir.toString, "--as-of", "1"))
+    assert(eHist.getMessage.contains("do not apply"))
   }
 
   test("lake argv validation fails loudly") {

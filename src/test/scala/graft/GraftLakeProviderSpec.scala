@@ -202,11 +202,69 @@ class GraftLakeProviderSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSeq ==
         nation.filter(col("n_nationkey") === 7)
           .select(col("n_name")).collect().map(_.getString(0)).toSeq)
+      // catalog-table freshness contract: the resolved relation pins
+      // the head version at (cached) resolution time — after NEW
+      // commits, refreshTable drops the cached plan and the next query
+      // re-resolves to the new head (the documented V1 contract;
+      // `spark.read` always resolves fresh)
+      SnapshotLog.commit(nation.limit(0), dir) // v3: schema-only append
+      SnapshotLog.deleteWhere(spark, dir, col("n_nationkey") >= 20) // v4
+      spark.catalog.refreshTable(head)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $head")
+        .collect().head.getLong(0) == 20,
+        "after refreshTable the catalog table must serve the new head")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $head")
       spark.sql(s"DROP TABLE IF EXISTS $v1")
       ()
     }
+  }
+
+  test("round-16 review pins: path-option decoding, NOT-over-partial-AND soundness, sink scope normalization") {
+    import graft.sources.{GraftLakeRelation, GraftPaths}
+    import org.apache.spark.sql.sources._
+    // catalog-encoded URIs decode; literal '#'/'%' paths stay literal
+    assert(GraftPaths.fromOption("/tmp/plain").toString == "/tmp/plain")
+    assert(GraftPaths.fromOption("file:/tmp/a%20b").toString == "/tmp/a b")
+    assert(GraftPaths.fromOption("file:///tmp/x").toString == "/tmp/x")
+    assert(GraftPaths.fromOption("file:/tmp/exp#3").toString ==
+      "/tmp/exp#3", "a literal '#' path must not drop as a URI fragment")
+    assert(GraftPaths.fromOption("file:/tmp/100%done").toString ==
+      "/tmp/100%done", "a literal '%' path must not be a malformed escape")
+    // NOT over a PARTIALLY convertible AND must yield nothing — the
+    // weakened side negated would prune files that hold matching rows
+    val partial = And(EqualTo("a", 1), AlwaysTrue)
+    assert(GraftLakeRelation.filterToColumn(partial).isDefined,
+      "a top-level partial AND may weaken (sound)")
+    assert(GraftLakeRelation.filterToColumn(Not(partial)).isEmpty,
+      "NOT(partial AND) must not convert")
+    assert(GraftLakeRelation.filterToColumn(
+      Not(And(EqualTo("a", 1), EqualTo("b", 2)))).isDefined,
+      "NOT over a fully-convertible subtree still converts")
+    assert(GraftLakeRelation.filterToColumn(
+      Or(And(EqualTo("a", 1), AlwaysTrue), EqualTo("b", 2))).isDefined,
+      "OR may weaken through a partial AND outside NOT (still implied)")
+    // the sink's idempotency scope normalizes checkpoint spellings: a
+    // relaunch spelling the same checkpoint differently must land on
+    // the SAME txn keys, or a crash-replayed batch double-commits
+    val root = Files.createTempDirectory("graft-lakeprov6")
+    val dir = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    val prov = new graft.sources.GraftLakeProvider()
+    def sinkWith(cp: String) = prov.createSink(spark.sqlContext,
+      Map("path" -> dir.toString, "checkpointLocation" -> cp),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    val cpA = root.resolve("cp").toString
+    sinkWith(cpA).addBatch(0, nation.filter(col("n_nationkey") < 5)
+      .coalesce(1))
+    // the relaunch: trailing slash and file: URI spellings of the SAME
+    // checkpoint replay batch 0 — no duplicate version may appear
+    sinkWith(cpA + "/").addBatch(0,
+      nation.filter(col("n_nationkey") < 5).coalesce(1))
+    sinkWith("file:" + cpA).addBatch(0,
+      nation.filter(col("n_nationkey") < 5).coalesce(1))
+    assert(SnapshotLog.versions(dir) == Seq(1),
+      "respelled checkpoints must dedup onto the same txn scope")
   }
 
   test("graft-lake: the write surface commits through the log (Append/Overwrite/ErrorIfExists/Ignore, statsCols, partitionBy)") {
