@@ -238,6 +238,50 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(folded == live)
   }
 
+  test("graft-cdf: Trigger.AvailableNow under the ENGINE-DECLARED file/byte limits covers the whole history") {
+    // the version-cap AvailableNow case runs under the custom
+    // GraftCdfReadLimit; file-only and byte-only caps declare the
+    // engine's OWN ReadMaxFiles/ReadMaxBytes — a different engine
+    // handling path, so the no-silent-truncation property needs its
+    // own proof for each declared shape
+    val nation = Tables.nation(spark, sf)
+    def run(capName: String, capValue: String): Unit = {
+      val root = Files.createTempDirectory(s"graft-cdfstream-an-$capName")
+      val table = root.resolve("t")
+      (0 until 3).foreach { i =>
+        SnapshotLog.commit(nation.filter(col("n_nationkey") % 3 === i)
+          .repartition(2), table)                             // v1..v3
+      }
+      val batches =
+        collection.mutable.ArrayBuffer[Set[Tagged]]()
+      val q = spark.readStream
+        .format(classOf[graft.sources.GraftCdfSourceProvider].getName)
+        .option("path", table.toString)
+        .option(capName, capValue)
+        .load()
+        .writeStream
+        .option("checkpointLocation", root.resolve("cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          batches += b.select(col("n_nationkey").cast("long"),
+              col("_change_type"), col("_commit_version"))
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+          ()
+        }.start()
+      assert(q.awaitTermination(120000),
+        s"AvailableNow under $capName must terminate")
+      assert(batches.size > 2,
+        s"$capName=$capValue must split the 3-commit history, got " +
+          s"${batches.size} batches")
+      assert(batches.flatMap(_.map(_._1)).toSet == (0L until 25L).toSet,
+        s"the capped AvailableNow fold under $capName must cover the " +
+          "full history")
+    }
+    run("maxFilesPerBatch", "1")  // declares ReadLimit.maxFiles
+    run("maxBytesPerBatch", "1")  // declares ReadLimit.maxBytes
+  }
+
   test("graft-cdf: a vacuum racing between offer and batch fails LOUDLY instead of serving a shifted snapshot") {
     // round-16 review: getBatch must derive the bootstrap snapshot
     // version from the OFFSET, not re-read the live log head — a vacuum
