@@ -188,6 +188,10 @@ class GraftLakeProviderSpec extends AnyFunSuite {
     SnapshotLog.commit(nation.filter(col("n_nationkey") >= 10), dir) // v2
     val head = "graft_lake_sql_head"
     val v1 = "graft_lake_sql_v1"
+    // a crashed prior run could leave stale catalog entries pointing at
+    // a dead temp dir — clear them before creating
+    spark.sql(s"DROP TABLE IF EXISTS $head")
+    spark.sql(s"DROP TABLE IF EXISTS $v1")
     spark.sql(s"CREATE TABLE $head USING `graft-lake` " +
       s"OPTIONS (path '$dir')")
     spark.sql(s"CREATE TABLE $v1 USING `graft-lake` " +
