@@ -97,8 +97,21 @@ class GraftCdfSourceProvider extends StreamSourceProvider
       require(n >= 1L, "maxBytesPerBatch must be >= 1")
       n
     }
-    new GraftCdfSource(sqlContext.sparkSession, tableDir(parameters),
-      parameters.get("startingVersion").map(_.trim.toInt),
+    val dir = tableDir(parameters)
+    // startingTimestamp (round 16; Delta's option): the feed starts at
+    // the EARLIEST version committed at or after the timestamp —
+    // [[SnapshotLog.versionSinceTimestamp]]'s boundary, NOT the
+    // latest-≤ rule of timestampAsOf (a batch time-travel read); the
+    // two options are mutually exclusive with startingVersion
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-cdf: startingVersion and startingTimestamp are mutually " +
+        "exclusive")
+    val startV = parameters.get("startingVersion").map(_.trim.toInt)
+      .orElse(parameters.get("startingTimestamp").map { t =>
+        SnapshotLog.versionSinceTimestamp(dir, t.trim.toLong)
+      })
+    new GraftCdfSource(sqlContext.sparkSession, dir, startV,
       cap("maxVersionsPerBatch"), cap("maxFilesPerBatch"), byteCap)
   }
 }

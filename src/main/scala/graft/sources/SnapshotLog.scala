@@ -3122,6 +3122,23 @@ object SnapshotLog {
           s"(${tss.head._2}) of $dir — no snapshot existed yet"))
   }
 
+  /** The EARLIEST version whose effective commit timestamp is >=
+    * `tsMillis` (round 16 — the streaming source's `startingTimestamp`
+    * resolution; Delta's rule for it, and deliberately the OPPOSITE
+    * boundary of [[versionAsOfTimestamp]]): "start the feed from time
+    * T" means the first commit AT or AFTER T — serving the latest-≤-T
+    * snapshot would replay rows that existed before the requested
+    * window. A timestamp after the last commit fails loudly (nothing
+    * to start from; the stream would silently idle forever). */
+  def versionSinceTimestamp(dir: Path, tsMillis: Long): Int = {
+    val tss = commitTimestamps(dir)
+    require(tss.nonEmpty, s"$dir has no committed snapshots")
+    tss.find(_._2 >= tsMillis).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis is after the last commit " +
+          s"(${tss.last._2}) of $dir — no version starts there"))
+  }
+
   /** [[read]] resolved by TIMESTAMP AS OF (see [[versionAsOfTimestamp]]
     * for the boundary rule). */
   def readAsOfTimestamp(spark: SparkSession, dir: Path,

@@ -119,6 +119,77 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(got.head == (0L until 10L).map((_, "insert", 2)).toSet ++
       (10L until 25L).map((_, "insert", 3)).toSet)
   }
+  test("graft-cdf: startingTimestamp opens at the EARLIEST version at-or-after the stamp (not the as-of boundary)") {
+    val root = Files.createTempDirectory("graft-cdfstream-st")
+    val table = root.resolve("t")
+    val nation = Tables.nation(spark, sf)
+    val sysClock = SnapshotLog.clock
+    try {
+      val t0 = 1700000000000L
+      @volatile var now = t0
+      SnapshotLog.clock = () => now
+      now = t0 + 1000
+      SnapshotLog.commit(nation.filter(col("n_nationkey") < 5)
+        .coalesce(1), table)                                    // v1
+      now = t0 + 2000
+      SnapshotLog.commit(nation.filter(col("n_nationkey").between(5, 9))
+        .coalesce(1), table)                                    // v2
+      now = t0 + 3000
+      SnapshotLog.commit(nation.filter(col("n_nationkey") >= 10)
+        .coalesce(1), table)                                    // v3
+      val got = collection.mutable.ArrayBuffer[Set[Tagged]]()
+      // a stamp BETWEEN v1 and v2 starts at v2 — the as-of rule would
+      // pick v1 and replay rows from before the requested window
+      val q = spark.readStream
+        .format(classOf[graft.sources.GraftCdfSourceProvider].getName)
+        .option("path", table.toString)
+        .option("startingTimestamp", (t0 + 1500).toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", root.resolve("cp").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got += b.select(col("n_nationkey").cast("long"),
+              col("_change_type"), col("_commit_version"))
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(got.size == 1)
+      // the source's starting contract: first batch = the SNAPSHOT AT
+      // the resolved version as inserts (rows 0-9 tag @2), then the
+      // fold past it — v2, not v1, proves the at-or-after boundary
+      assert(got.head == (0L until 10L).map((_, "insert", 2)).toSet ++
+        (10L until 25L).map((_, "insert", 3)).toSet,
+        s"the feed must open at v2 (snapshot) + the (2,3] fold, got $got")
+      // source creation happens when the query starts (not at load),
+      // so validation failures surface through the running query
+      def startFailure(cp: String, opts: (String, String)*): String = {
+        val reader = opts.foldLeft(spark.readStream
+          .format(classOf[graft.sources.GraftCdfSourceProvider].getName)
+          .option("path", table.toString)) {
+            case (r, (k, v)) => r.option(k, v) }
+        val q = reader.load().writeStream
+          .option("checkpointLocation", root.resolve(cp).toString)
+          .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+        try { q.processAllAvailable(); "" }
+        catch { case e: Throwable =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+        } finally q.stop()
+      }
+      // after the last commit: loud failure, never a silent idle
+      val e = startFailure("cp2",
+        "startingTimestamp" -> (t0 + 99999).toString)
+      assert(e.contains("after the last commit"),
+        s"post-history stamps must fail loudly, got: $e")
+      // both start options together: loud
+      val e2 = startFailure("cp3", "startingVersion" -> "2",
+        "startingTimestamp" -> (t0 + 1500).toString)
+      assert(e2.contains("mutually exclusive"), s"got: $e2")
+    } finally SnapshotLog.clock = sysClock
+  }
+
   test("graft-cdf: maxVersionsPerBatch rate-limits the backfill into checkpointed per-version batches") {
     val root = Files.createTempDirectory("graft-cdfstream3")
     val table = root.resolve("t")
