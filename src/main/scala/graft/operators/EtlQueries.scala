@@ -14,8 +14,11 @@ object EtlQueries {
   /** Scratch dir for a roundtrip query: on tmpfs when the machine has one
     * (the roundtrips measure the machinery, not /tmp's backing store), and
     * deleted at JVM exit — the returned DataFrame still reads the files
-    * lazily, so eager deletion would break the query. */
-  private[operators] def scratchDir(prefix: String): java.nio.file.Path = {
+    * lazily, so eager deletion would break the query. Shared with the
+    * streaming gates (round 16): their checkpoint/feed scratch paid ext4
+    * fsync latency per micro-batch while every lake gate already ran on
+    * tmpfs — same machine-IO posture as Bench's spark.local.dir choice. */
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val dir =
       if (Files.isDirectory(shm)) Files.createTempDirectory(shm, prefix)
@@ -887,7 +890,7 @@ object EtlQueries {
       val seed = all.orderBy(col("id")).limit(seedN)
       JdbcSink.insert(seed, url, "orders_inc", batchRows = 500)
 
-      val lakeRoot = java.nio.file.Files.createTempDirectory("graft-e20-lake")
+      val lakeRoot = scratchDir("graft-e20-lake")
       val lake = lakeRoot.resolve("orders").toString
       try {
         def pull(where: String) = s.read.format("jdbc").option("url", url)

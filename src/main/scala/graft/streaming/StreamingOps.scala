@@ -68,7 +68,7 @@ object StreamingOps {
   private def runGateStream(s: SparkSession, d: String, prefix: String)(
       build: (SparkSession, String, String) => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
       : DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory(prefix + "src")
+    val stage = graft.operators.EtlQueries.scratchDir(prefix + "src")
     val sink = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
       // events.parquet may be a single file (driver testdata) or a
@@ -462,7 +462,7 @@ object StreamingOps {
   private def withFeedDirs(prefix: String)(
       body: (java.nio.file.Path, java.nio.file.Path,
         (DataFrame, String) => Unit) => DataFrame): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory(prefix)
+    val root = graft.operators.EtlQueries.scratchDir(prefix)
     val srcDir = root.resolve("src")
     java.nio.file.Files.createDirectories(srcDir)
     try body(root, srcDir, stageFeed(root, srcDir))
