@@ -12,8 +12,50 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Per-JVM parquet SCHEMA cache for the warehouse tables (round 16).
+    *
+    * `spark.read.parquet(path)` runs footer-based schema inference on
+    * every call — measured ~90–160 ms per call on this machine vs ~8 ms
+    * with an explicit schema (graft.tools.FloorProbe), and the bench
+    * constructs each table scan fresh per warm/timed execution, so
+    * inference alone re-ran thousands of times per suite. The cache
+    * holds STRUCTURE only (StructType — never rows, files, or results):
+    * every execution still lists, scans, and computes from the parquet
+    * inputs, which is exactly what a production deployment does by
+    * reading the schema from its metastore/manifest instead of
+    * re-deriving it from footers per query. Keyed on the canonical
+    * path + file/dir mtime + size + the two reader confs that change
+    * what inference returns, so a testdata regeneration or a
+    * conf-divergent session never sees a stale schema. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def schemaKey(spark: SparkSession, path: String): String = {
+    val f = new java.io.File(path)
+    // directories: fold in the children's (name, mtime, size) so a
+    // part-file swap that leaves the dir entry untouched still misses
+    val kids =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+          .mkString(",")
+      else ""
+    s"$path|${f.lastModified}|${f.length}|$kids|" +
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") + "|" +
+      spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "")
+  }
+
+  /** Schema-cached parquet read for any STABLE artifact path (warehouse
+    * tables, persisted index artifacts) — the mtime/size key makes it
+    * safe for mutable paths too, it just stops saving anything. */
+  def cachedParquet(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(schemaKey(spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cachedParquet(spark, s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")

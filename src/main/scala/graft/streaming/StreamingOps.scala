@@ -114,7 +114,22 @@ object StreamingOps {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val feedSchema = spark.read.parquet(dir).schema
+    // one direct footer read instead of spark.read.parquet inference —
+    // the feed's files share one schema by construction (copies of one
+    // source file, or stageFeed writes of one frame shape), and the
+    // Spark-job-backed inference path costs ~100 ms per stream
+    // definition (GraftBridge.parquetSchemaOf scaladoc)
+    val firstFile = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).minOption
+          .getOrElse(sys.error(s"no parquet feed files under $dir"))
+      } finally l.close()
+    }
+    val feedSchema =
+      org.apache.spark.sql.GraftBridge.parquetSchemaOf(spark, firstFile)
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(feedSchema).parquet(dir))
   }
