@@ -19,9 +19,12 @@ object EtlQueries {
     * fsync latency per micro-batch while every lake gate already ran on
     * tmpfs — same machine-IO posture as Bench's spark.local.dir choice. */
   private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    // SPARK_GRAFT_SHM_SCRATCH=false: triage/production toggle — scratch
+    // falls back to java.io.tmpdir (mirrors Bench's SPARK_GRAFT_SHM knob)
+    val useShm = sys.env.getOrElse("SPARK_GRAFT_SHM_SCRATCH", "true").toBoolean
     val shm = java.nio.file.Paths.get("/dev/shm")
     val dir =
-      if (Files.isDirectory(shm)) Files.createTempDirectory(shm, prefix)
+      if (useShm && Files.isDirectory(shm)) Files.createTempDirectory(shm, prefix)
       else Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.nio.file.Path): Unit = {

@@ -292,9 +292,14 @@ object Relational {
     * clamping (add_months), day diffs, last-of-month, day-of-week (both
     * engines: 1 = Sunday after adjustment), ISO week/quarter extraction. */
   def q34DateFns(s: SparkSession, d: String): DataFrame =
+    // date battery ABOVE the sort (round 16, k1's rationale): the range
+    // sampler executes the sort's child twice, and the 7 derived columns
+    // would widen the exchange ~4×; sort key o_orderkey is unique, so
+    // the post-sort project cannot reorder rows
     orders(s, d)
       .select(col("o_orderkey"),
         col("o_orderdate").cast("date").as("od"))
+      .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"),
         date_trunc("month", col("od")).cast("date").as("month_start"),
         add_months(col("od"), 1).as("next_month"),
@@ -303,7 +308,6 @@ object Relational {
         dayofweek(col("od")).as("dow"),
         quarter(col("od")).as("q"),
         year(col("od")).as("y"))
-      .orderBy(col("o_orderkey"))
 
   // ----------------------------------------------------------- q35_strfns
   /** String-function battery beyond q14: padding, char translation,

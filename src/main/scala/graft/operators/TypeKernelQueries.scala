@@ -22,12 +22,21 @@ object TypeKernelQueries {
     * kernel under test) still runs first, and `FooterSpec` pins the raw
     * decimal columns' physical parquet encodings separately. */
   def k1DecimalCast(s: SparkSession, d: String): DataFrame =
+    // casts ABOVE the sort (round 16): a global orderBy's range sampler
+    // executes its child once before the real shuffle executes it again,
+    // so derived columns computed below the sort are paid twice — and
+    // here they'd also triple the exchange's bytes (3 rendered strings
+    // vs 1 double). The project does not reorder rows: the sort keys are
+    // the unique (l_orderkey, l_linenumber) base columns. Measured
+    // 2.16 s → 0.77 s at sf0.1, bit-identical output
+    // (graft.tools.SortExperiment).
     lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("decimal(9,2)").cast("string").as("price_i32"),
         col("l_extendedprice").cast("decimal(18,4)").cast("string").as("price_i64"),
         col("l_extendedprice").cast("decimal(38,6)").cast("string").as("price_i128"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   // ------------------------------------------------------ k2_decimal_text
   /** A11: decimal rendered as text (p>38 / avoid-decimal fallback), incl.
@@ -42,25 +51,30 @@ object TypeKernelQueries {
   /** --avoid-decimal: scale-0 → plain integer, scale≠0 → text
     * (decimal.rs:36-57,76-100; golden test integration.rs:522-568). */
   def k3AvoidDecimal(s: SparkSession, d: String): DataFrame =
+    // kernels above the sort — k1's rationale (unique key o_orderkey)
     orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"),
         TypeKernels.avoidDecimalInt(col("o_totalprice"), 18).as("total_int"),
         TypeKernels.decimalText(col("o_totalprice"), 12, 2).as("total_txt"))
-      .orderBy(col("o_orderkey"))
 
   // --------------------------------------------------------- k4_time_text
   /** A8 TIME kernel: text "HH:MM:SS.ffffff" → micros/millis since midnight
     * via the custom Catalyst expressions, plus the D6 reverse formatter
     * round-trip. */
   def k4TimeText(s: SparkSession, d: String): DataFrame =
+    // kernels above the sort — k1's rationale (unique key event_id); the
+    // exchange carries (event_id, ts) instead of four rendered strings
     events(s, d)
+      .select(col("event_id"), col("ts"))
+      .orderBy(col("event_id"))
       .withColumn("time_txt", date_format(col("ts"), "HH:mm:ss.SSSSSS"))
       .select(col("event_id"), col("time_txt"),
         TimeKernels.time_text_to_micros(col("time_txt")).as("us_of_day"),
         TimeKernels.time_text_to_millis(col("time_txt")).as("ms_of_day"),
         TimeKernels.micros_of_day_to_text(
           TimeKernels.time_text_to_micros(col("time_txt"))).as("roundtrip_txt"))
-      .orderBy(col("event_id"))
 
   // ------------------------------------------------------ k5_timestamp_tz
   /** A7 DATETIMEOFFSET kernel: "y-M-d H:M:S.f +02:00" text → UTC epoch
@@ -68,13 +82,15 @@ object TypeKernelQueries {
     * clock so the parse must actually apply the offset to recover the
     * instant. */
   def k5TimestampTz(s: SparkSession, d: String): DataFrame =
+    // kernels above the sort — k1's rationale (unique key event_id)
     events(s, d)
+      .select(col("event_id"), col("ts"))
+      .orderBy(col("event_id"))
       .withColumn("tz_txt", concat(
         date_format(col("ts") + expr("INTERVAL 2 HOURS"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
         lit(" +02:00")))
       .select(col("event_id"), col("tz_txt"),
         TimeKernels.timestamp_tz_to_micros(col("tz_txt")).as("epoch_us"))
-      .orderBy(col("event_id"))
 
   // ---------------------------------------------------- k6_unsigned_widen
   /** Unsigned TINYINT widening: reinterpret the low byte of a key as a
@@ -148,12 +164,14 @@ object TypeKernelQueries {
     ).dataType == org.apache.spark.sql.types.BooleanType
     val b = when(col("o_orderkey") % 7 === 0, lit(null).cast("boolean"))
       .otherwise(col("o_orderkey") % 2 === 0)
+    // kernels above the sort — k1's rationale (unique key o_orderkey)
     orders(s, d)
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
       .select(col("o_orderkey"),
         b.as("bit_val"),
         b.cast("string").as("bit_txt"),
         lit(mappedOk).as("mapping_ok"))
-      .orderBy(col("o_orderkey"))
   }
 
   // ---------------------------------------------------- k12_unknown_text
@@ -193,14 +211,19 @@ object TypeKernelQueries {
     * not string equality — a codec that normalizes would still fail.
     * Scan-shaped, no exchange. */
   def k13BinaryCodec(s: SparkSession, d: String): DataFrame =
+    // codecs above the sort — k1's rationale (unique key doc_id); the
+    // exchange carries the raw text ONCE instead of payload + both
+    // rendered encodings (~3.3× the bytes), and the b64/hex renders run
+    // once instead of twice (range-sampling pass + real pass)
     documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
         regexp_replace(base64(col("payload")), "[\\r\\n]", "").as("b64"),
         upper(hex(col("payload"))).as("hx"),
         (unbase64(base64(col("payload"))) === col("payload")).as("b64_rt"),
         (unhex(hex(col("payload"))) === col("payload")).as("hex_rt"))
-      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k13_binary_codec" -> k13BinaryCodec,
