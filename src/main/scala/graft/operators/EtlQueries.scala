@@ -215,7 +215,7 @@ object EtlQueries {
     val files = graft.sources.Compact.compact(s,
       dir.resolve("small").toString, dir.resolve("big").toString,
       targetBytes = targetBytes)
-    materializedThenClean(s.read.parquet(files.map(_.toString): _*)
+    materializedThenClean(Scans.parquetNoInfer(s, files.map(_.toString): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(Relational.dec2(col("l_extendedprice"))).cast("double").as("total_price"),
         lit(files.size < nFragments && files.nonEmpty).as("compacted_ok")), dir)
@@ -718,7 +718,7 @@ object EtlQueries {
     // are cut-invariant (base + delta covers every row wherever the cut
     // lands), so only the pushdown shape depends on this choice.
     val evAll = events(s, d) // also sets the parquet reader confs
-    val legacyNanos = s.read.parquet(s"$d/events.parquet")
+    val legacyNanos = graft.Tables.cachedParquet(s, s"$d/events.parquet")
       .schema("ts").dataType == org.apache.spark.sql.types.LongType
     val ev = evAll.select(col("event_type"), col("value"), col("ts"), col("ts_ns"))
     // model-sized driver scalar (two longs) — do NOT copy this pattern
@@ -735,7 +735,7 @@ object EtlQueries {
     e17Partial(ev.filter(basePred)).write.parquet(snap)
     // "today": only the delta slice is aggregated; the merge re-aggregates
     // the union of two partial tables — no base row is read again
-    val merged = e17Merge(s.read.parquet(snap)
+    val merged = e17Merge(Scans.parquetNoInfer(s, snap)
       .unionByName(e17Partial(ev.filter(deltaPred))))
     val plan = merged.queryExecution.executedPlan.toString
     // matches GreaterThan(ts… and GreaterThan(ts_ns… alike
@@ -900,7 +900,7 @@ object EtlQueries {
           .option("query",
             s"""SELECT "id", "cust", "price" FROM orders_inc$where""").load()
         pull("").write.mode("overwrite").parquet(lake)
-        val wm = s.read.parquet(lake).agg(max(col("id"))).head.getLong(0)
+        val wm = Scans.parquetNoInfer(s, lake).agg(max(col("id"))).head.getLong(0)
 
         JdbcSink.insert(all.filter(col("id") > wm), url, "orders_inc",
           batchRows = 500)
@@ -913,7 +913,7 @@ object EtlQueries {
 
         // eager checkpoint so the temp lake can be deleted on exit
         CacheScope.localCheckpoint(
-          s.read.parquet(lake)
+          Scans.parquetNoInfer(s, lake)
             .select(col("id"), col("cust"), Relational.dec2(col("price")).as("p"))
             .agg(count(lit(1)).as("n_rows"),
               countDistinct(col("cust")).as("n_custs"),

@@ -31,4 +31,33 @@ object Scans {
   def wide(s: SparkSession, df: DataFrame, key: Column): DataFrame =
     if (df.rdd.getNumPartitions < targetWidth(s)) df.repartition(targetWidth(s), key)
     else df
+
+  /** Read-back of a just-written, UNPARTITIONED parquet artifact without
+    * the Spark-job-backed schema inference pass (round 16): the schema
+    * comes from ONE footer read on the driver
+    * ([[org.apache.spark.sql.GraftBridge.parquetSchemaOf]], ~2 ms vs
+    * ~100 ms measured for inference) — exact for Spark-written files,
+    * whose footers carry the original StructType. NOT for
+    * partitionBy-written directories (an explicit schema would have to
+    * include the partition columns the footer doesn't carry) nor for
+    * the encoding-fidelity gates, whose point is driving the standard
+    * inference path over re-encoded physical types. */
+  def parquetNoInfer(s: SparkSession, paths: String*): DataFrame = {
+    val first = {
+      val p0 = java.nio.file.Paths.get(paths.head)
+      if (java.nio.file.Files.isDirectory(p0)) {
+        val l = java.nio.file.Files.list(p0)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.toString)
+            .filter(f => f.endsWith(".parquet") &&
+              !java.nio.file.Paths.get(f).getFileName.toString.startsWith("_"))
+            .minOption
+            .getOrElse(sys.error(s"no parquet files under ${paths.head}"))
+        } finally l.close()
+      } else paths.head.toString
+    }
+    s.read.schema(org.apache.spark.sql.GraftBridge.parquetSchemaOf(s, first))
+      .parquet(paths: _*)
+  }
 }

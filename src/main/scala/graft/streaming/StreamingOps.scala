@@ -398,7 +398,7 @@ object StreamingOps {
           .start()
         try q.processAllAvailable() finally q.stop()
         graft.operators.CacheScope.localCheckpoint(
-          ns.read.parquet(outDir.toString).filter(col("user_id") >= 0))
+          graft.operators.Scans.parquetNoInfer(ns, outDir.toString).filter(col("user_id") >= 0))
       }
     }.orderBy(col("user_id"), col("start_us"))
 
@@ -529,7 +529,7 @@ object StreamingOps {
           eventSchema), "h3")
         runOnce() // phase 2: a NEW query resumes the same checkpoint
         graft.operators.CacheScope.localCheckpoint(
-          ns.read.parquet(outDir.toString)
+          graft.operators.Scans.parquetNoInfer(ns, outDir.toString)
             .filter(col("event_type") =!= "flush"))
       }
     }.orderBy(col("bucket_us"), col("event_type"))
@@ -574,7 +574,7 @@ object StreamingOps {
         .writeStream
         .option("checkpointLocation", cpDir.toString)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val cur = current.map(p => s.read.parquet(p)).getOrElse(base)
+          val cur = current.map(p => graft.operators.Scans.parquetNoInfer(s, p)).getOrElse(base)
           val gen = snapRoot.resolve(s"gen-$id").toString
           graft.sources.Merge.mergeToParquet(s, cur, batch, "c_custkey", gen)
           current = Some(gen)
@@ -589,7 +589,7 @@ object StreamingOps {
         q.processAllAvailable()
       } finally q.stop()
       graft.operators.CacheScope.localCheckpoint(
-        current.map(p => s.read.parquet(p)).getOrElse(base)
+        current.map(p => graft.operators.Scans.parquetNoInfer(s, p)).getOrElse(base)
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("c_custkey")).as("n_keys"),
             sum(Relational.dec2(col("c_acctbal"))).cast("double").as("total_bal")))
