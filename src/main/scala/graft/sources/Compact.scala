@@ -29,7 +29,7 @@ object Compact {
     val nFiles = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
     val staging = Files.createTempDirectory(
       Files.createDirectories(Paths.get(outDir).toAbsolutePath.getParent), ".graft-compact-")
-    spark.read.parquet(inDir)
+    graft.operators.Scans.parquetNoInfer(spark, inDir)
       .repartition(nFiles)
       .write.mode("overwrite")
       .option("compression", compression)

@@ -205,6 +205,50 @@ object SnapshotLog {
 
   private def logDir(dir: Path) = dir.resolve("_graft_log")
   private def dataDir(dir: Path) = dir.resolve("data")
+
+  /** Fixed schema of engine-written deletion-vector files — always
+    * `(f string, pos long)` by construction (every DV write site selects
+    * exactly `_graft_f as f, _graft_pos as pos`, and `_metadata.row_index`
+    * is a long). Passing it explicitly skips the Spark-job-backed schema
+    * inference pass (~100 ms measured) that every DV read otherwise pays —
+    * DV reads sit inside deleteWhere/update/merge conflict checks and
+    * every CDF fold, so the inference tax multiplied. */
+  private val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("f",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readDvs(spark: SparkSession, dir: Path,
+      names: Seq[String]): DataFrame =
+    spark.read.schema(dvSchema)
+      .parquet(names.map(f => dataDir(dir).resolve(f).toString): _*)
+
+  /** Read an engine-written (unpartitioned) staging artifact without the
+    * inference job: the schema comes from one direct footer read of the
+    * first part file (exact — the files carry Spark's schema metadata). */
+  private def sniffParquet(spark: SparkSession, p: Path): DataFrame = {
+    val first =
+      if (Files.isDirectory(p)) listNames(p)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")).sorted.headOption
+        .map(p.resolve).getOrElse(
+          throw new IllegalStateException(s"no parquet files under $p"))
+      else p
+    spark.read.schema(org.apache.spark.sql.GraftBridge
+        .parquetSchemaOf(spark, first.toString))
+      .parquet(p.toString)
+  }
+
+  /** Total row count straight off a parquet footer — the zero-job way to
+    * answer "did this staging write produce any rows". */
+  private def footerRowCount(p: Path): Long = {
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString), harvestConf))
+    try fr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally fr.close()
+  }
   private def manifestPath(dir: Path, v: Int) =
     logDir(dir).resolve(f"v$v%05d.json")
 
@@ -1403,8 +1447,7 @@ object SnapshotLog {
         // expression at the table sizes the meta exists for
         val filesDf = spark.createDataFrame(
           st.files.map(Tuple1(_))).toDF("f")
-        spark.read.parquet(
-            st.dvs.map(f => dataDir(dir).resolve(f).toString): _*)
+        readDvs(spark, dir, st.dvs)
           .select(col("f"), col("pos")).distinct()
           .join(filesDf, Seq("f"), "left_semi")
           .count()
@@ -1549,8 +1592,7 @@ object SnapshotLog {
           conflict("it dropped or rewrote files this rewrite read")
         val dvNew = stCur.dvs.filterNot(st0.dvs.toSet)
         if (dvNew.nonEmpty) {
-          val dvTouched = spark.read.parquet(
-              dvNew.map(f => dataDir(dir).resolve(f).toString): _*)
+          val dvTouched = readDvs(spark, dir, dvNew)
             .select("f").distinct()
             .collect().map(_.getString(0)) // bounded by file count
           if (dvTouched.exists(readSet))
@@ -2033,7 +2075,7 @@ object SnapshotLog {
           else kept.unionByName(adds.toDF("f", "kind", "size", "rows"))
         case _ => (j \ "ckpt") match {
           case JString(n) =>
-            spark.read.parquet(logDir(dir).resolve(n).toString)
+            sniffParquet(spark, logDir(dir).resolve(n))
               .select(col("f"), col("kind"), col("size"), col("rows"))
           case _ =>
             val st = stateOf(dir, v)
@@ -2512,7 +2554,7 @@ object SnapshotLog {
               val part = listNames(rb)
                 .find(n => n.startsWith("part-") && n.endsWith(".parquet"))
               if (part.isEmpty ||
-                  spark.read.parquet(rb.resolve(part.get).toString).isEmpty)
+                  footerRowCount(rb.resolve(part.get)) == 0L)
                 Seq.empty // the winner's rows contain no matches
               else {
                 val name = f"dv${cur + 1}%05d-$token-rb.parquet"
@@ -2611,7 +2653,7 @@ object SnapshotLog {
     try {
       // the ONLY base-table scan: matched rows with their row identity
       staged.write.mode("overwrite").parquet(staging.resolve("m").toString)
-      val matched = spark.read.parquet(staging.resolve("m").toString)
+      val matched = sniffParquet(spark, staging.resolve("m"))
       if (matched.isEmpty) return vRead // no matches → no-op, no version
       // local split of just-matched rows: DV (old identities die) ...
       matched.select(col("_graft_f").as("f"), col("_graft_pos").as("pos"))
@@ -2677,8 +2719,7 @@ object SnapshotLog {
         col(physNameOf(colMap, f.name)).as(f.name)) ++
         Seq(col("_graft_f"), col("_graft_pos")): _*)
     if (dvs.isEmpty) withPos
-    else withPos.join(broadcast(spark.read.parquet(
-        dvs.map(f => dataDir(dir).resolve(f).toString): _*)
+    else withPos.join(broadcast(readDvs(spark, dir, dvs)
         .select(col("f").as("_graft_dv_f"), col("pos").as("_graft_dv_pos"))),
       col("_graft_f") === col("_graft_dv_f") &&
         col("_graft_pos") === col("_graft_dv_pos"), "left_anti")
@@ -3026,15 +3067,13 @@ object SnapshotLog {
           // targets
           val notCarried = (added ++ dropped).distinct
           import spark.implicits._
-          val newDeadAll = spark.read.parquet(
-            dvNew.map(f => dataDir(dir).resolve(f).toString): _*)
+          val newDeadAll = readDvs(spark, dir, dvNew)
           val newDead0 =
             if (notCarried.isEmpty) newDeadAll
             else newDeadAll.join(broadcast(notCarried.toDF("f")),
               Seq("f"), "left_anti")
           val newDead = (if (dvP.isEmpty) newDead0
-            else newDead0.join(broadcast(spark.read.parquet(
-                dvP.map(f => dataDir(dir).resolve(f).toString): _*)),
+            else newDead0.join(broadcast(readDvs(spark, dir, dvP)),
               Seq("f", "pos"), "left_anti")).distinct()
           // preimages: only the files the new positions actually touch
           // (driver-side carried check: an inert DV row referencing a
