@@ -618,12 +618,15 @@ object PipelineExt {
     * bucket, recomputed per row — no join against a split table. */
   def t27SplitLeakage(s: SparkSession, d: String): DataFrame = {
     val K = 3
-    val grams = documents(s, d)
+    // persisted: the gram table feeds both the train-side distinct and
+    // the eval-side join (t26's rationale — tokenize+explode+distinct
+    // once; released per-query via CacheScope)
+    val grams = CacheScope.persist(documents(s, d)
       .select(col("doc_id"), splitBucket.as("bucket"), TextAnalysis.tokens.as("w"))
       .where(size(col("w")) >= K)
       .select(col("doc_id"), col("bucket"),
         explode(TextAnalysis.gramHashes(col("w"), K)).as("gh"))
-      .distinct()
+      .distinct())
     val trainGrams = grams.filter(col("bucket") < 90).select(col("gh")).distinct()
       .withColumn("in_train", lit(1L))
     grams.filter(col("bucket") >= 90)

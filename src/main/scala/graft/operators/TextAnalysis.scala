@@ -398,7 +398,14 @@ object TextAnalysis {
   def t20BigramLm(s: SparkSession, d: String): DataFrame = {
     val arr = expr(
       "filter(transform(split(text, '[^A-Za-z0-9]+'), x -> lower(x)), x -> x <> '')")
-    val docs = documents(s, d).select(col("doc_id"), arr.as("w"))
+    // tokenize ONCE: three downstream passes (bigram explode for
+    // pairCounts, the same for tf, the unigram explode) otherwise each
+    // re-run the regex tokenizer over the full corpus — guide §5's
+    // cache-vs-recompute trade lands on cache here (spillable
+    // MEMORY_AND_DISK; released per-query by the runner via CacheScope,
+    // the d4/d5 shared-stage discipline)
+    val docs = CacheScope.persist(
+      documents(s, d).select(col("doc_id"), arr.as("w")))
     val flat = docs.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
@@ -577,11 +584,14 @@ object TextAnalysis {
     * argument; the oracle groups the raw gram). */
   def t26Novelty(s: SparkSession, d: String): DataFrame = {
     val K = 3
-    val grams = documents(s, d)
+    // the distinct gram table feeds BOTH the first-occurrence aggregate
+    // and the join-back — persist so the scan+tokenize+explode+distinct
+    // shuffle runs once (guide §5; released per-query via CacheScope)
+    val grams = CacheScope.persist(documents(s, d)
       .select(col("doc_id"), tokens.as("w"))
       .where(size(col("w")) >= K) // shorter docs have no K-gram
       .select(col("doc_id"), explode(gramHashes(col("w"), K)).as("gh"))
-      .distinct()
+      .distinct())
     val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, Seq("gh"))
       .groupBy(col("doc_id"))
