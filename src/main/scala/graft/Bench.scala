@@ -196,24 +196,31 @@ object Bench {
     *  1. While the classic contract-with-queries-map fits (precision
     *     3 → 2 → 1 at ≤ [[ContractBudget]]), emit it — consumers keep
     *     the shape they've parsed since round 10.
-    *  2. Once the suite outgrows that (~195 short-named queries), the
-    *     contract DROPS its map and shrinks to a fixed ~130 chars that
-    *     can never overflow, and the times move to compact `bench-times`
-    *     chunk lines just above it: a JSON string payload of
-    *     `name:deciseconds` pairs (~7 chars/query vs ~10 for JSON map
-    *     entries — the quotes around every key are the bulk), chunked
-    *     ≤ [[ChunkChars]] per line. Deciseconds match the precision-1
-    *     resolution the map had. All lines + the spread line fit the
-    *     tail together to ≥ 230 queries (spec-proven; ~250 is the next
-    *     physical wall, where the spread line goes, then precision).
-    *  3. If even the times chunks cannot fit (≫250 queries), drop the
+    *  2. MIXED-PRECISION map (round 17, restoring the driver-parsable
+    *     per-query map the ds-chunked rung lost — PERF_r16 came back
+    *     with empty per_query/scaling blocks because the driver parses
+    *     only the final JSON line): values below a threshold T keep one
+    *     decimal, values ≥ T round to the nearest integer second. T
+    *     walks down 2.0 → 1.0 → 0.55 → 0.35 → 0.2 until the line fits
+    *     [[ContractBudget]]; at the current 216-query inventory T=0.55
+    *     fits with ~10 chars to spare. Big queries — the only ones whose
+    *     round-over-round deltas clear the noise floor — lose at most
+    *     0.5 s of resolution; full decisecond times stay in
+    *     bench_full.json and the bench-full stdout line for humans.
+    *  3. Once even the T=0.2 map outgrows the budget (~260+ queries),
+    *     the contract DROPS its map and shrinks to a fixed ~130 chars,
+    *     and the times move to compact `bench-times` chunk lines just
+    *     above it: a JSON string payload of `name:deciseconds` pairs,
+    *     chunked ≤ [[ChunkChars]] per line.
+    *  4. If even the times chunks cannot fit (≫250 queries), drop the
     *     spread line first, then the chunks last-first (earliest chunks
     *     are cut by the tail anyway); the full map still lives in
     *     bench_full.json.
     *
     * The bench-spread line (global max + noisy tail ratio ≥ 1.5) rides
-    * along whenever it fits — high-spread movers are machine weather,
-    * and round-over-round triage wants that flag next to the times. */
+    * along whenever the chosen contract leaves room — high-spread movers
+    * are machine weather, and round-over-round triage wants that flag
+    * next to the times. */
   private[graft] val TailBudget = 2000
   // 1985 = tail minus newline margin — measured, not guessed
   // (BENCH_r09/r10 tail fields are exactly 2000 chars)
@@ -237,8 +244,24 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, prec)},"unit":"sec","failed":$failed,"sf":"$sfShort","queries":$m}"""
     }
     val classic = Seq(3, 2, 1).map(contractWithMap).find(_.length <= ContractBudget)
-    classic match {
-      case Some(c) => Seq(spreadLine, c)
+    // mixed-precision rung: 1-decimal below t, nearest-int at/above t —
+    // keeps a driver-parsable "queries" map in the FINAL line for suites
+    // too big for the classic precision ladder (scaladoc rung 2)
+    def contractMixed(t: Double): String = {
+      def f(v: Double): String =
+        if (v < 0) "-1"
+        else if (v >= t) math.round(v).toString
+        else fmt(v, 1)
+      val m = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failed":$failed,"sf":"$sfShort","queries":$m}"""
+    }
+    val mixed = Seq(2.0, 1.0, 0.55, 0.35, 0.2).map(contractMixed)
+      .find(_.length <= ContractBudget)
+    classic.orElse(mixed) match {
+      case Some(c) =>
+        if (c.length + spreadLine.length + 2 <= TailBudget) Seq(spreadLine, c)
+        else Seq(c)
       case None =>
         // deciseconds, round-half-up; a failed query's -1 sentinel stays -1
         def ds(v: Double): Long = if (v < 0) -1L else math.round(v * 10)

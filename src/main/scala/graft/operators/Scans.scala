@@ -42,7 +42,18 @@ object Scans {
     * include the partition columns the footer doesn't carry) nor for
     * the encoding-fidelity gates, whose point is driving the standard
     * inference path over re-encoded physical types. */
+  /** A/B toggle (round-17 drift adjudication): `SPARK_GRAFT_NO_INFER=false`
+    * restores the Spark-job-backed inference read at every parquetNoInfer
+    * call site, so the round-16 no-infer claims can be A/B'd under
+    * driver conditions with everything else held constant. */
+  private[graft] val noInferEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_NO_INFER", "true").toBoolean
+
   def parquetNoInfer(s: SparkSession, paths: String*): DataFrame = {
+    if (!noInferEnabled) return s.read.parquet(paths: _*)
+    // PRECONDITION: every path carries one identical schema — true for
+    // the engine-written artifacts this serves (one frame shape per
+    // write); paths.head's footer speaks for all of them.
     val first = {
       val p0 = java.nio.file.Paths.get(paths.head)
       if (java.nio.file.Files.isDirectory(p0)) {
@@ -50,8 +61,14 @@ object Scans {
         try {
           import scala.jdk.CollectionConverters._
           l.iterator().asScala.map(_.toString)
-            .filter(f => f.endsWith(".parquet") &&
-              !java.nio.file.Paths.get(f).getFileName.toString.startsWith("_"))
+            // skip _metadata/_SUCCESS AND hidden dotfiles — parity with
+            // SnapshotLog.sniffParquet (a stray ._foo.parquet must never
+            // be the schema source)
+            .filter { f =>
+              val name = java.nio.file.Paths.get(f).getFileName.toString
+              f.endsWith(".parquet") && !name.startsWith("_") &&
+                !name.startsWith(".")
+            }
             .minOption
             .getOrElse(sys.error(s"no parquet files under ${paths.head}"))
         } finally l.close()

@@ -585,13 +585,17 @@ object TextAnalysis {
   def t26Novelty(s: SparkSession, d: String): DataFrame = {
     val K = 3
     // the distinct gram table feeds BOTH the first-occurrence aggregate
-    // and the join-back — persist so the scan+tokenize+explode+distinct
-    // shuffle runs once (guide §5; released per-query via CacheScope)
-    val grams = CacheScope.persist(documents(s, d)
+    // and the join-back; the two branches share one subtree, so the
+    // physical planner serves both from a single ReusedExchange of the
+    // distinct's shuffle — an explicit persist of this exploded table
+    // was tried in round 16 and REGRESSED under driver conditions
+    // (t26 1.0→1.7 s: the block-manager write of a bigger-than-input
+    // frame costs more than the reused-exchange recompute it replaces)
+    val grams = documents(s, d)
       .select(col("doc_id"), tokens.as("w"))
       .where(size(col("w")) >= K) // shorter docs have no K-gram
       .select(col("doc_id"), explode(gramHashes(col("w"), K)).as("gh"))
-      .distinct())
+      .distinct()
     val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, Seq("gh"))
       .groupBy(col("doc_id"))

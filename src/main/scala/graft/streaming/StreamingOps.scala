@@ -120,13 +120,21 @@ object StreamingOps {
     // Spark-job-backed inference path costs ~100 ms per stream
     // definition (GraftBridge.parquetSchemaOf scaladoc)
     val firstFile = {
-      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        l.iterator().asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).minOption
-          .getOrElse(sys.error(s"no parquet feed files under $dir"))
-      } finally l.close()
+      val p = java.nio.file.Paths.get(dir)
+      // a single parquet FILE is a valid feed path too (driver testdata
+      // ships events.parquet as one file) — sniff it directly instead of
+      // throwing NotDirectoryException (round-17 ADVICE: the previous
+      // unconditional Files.list silently narrowed the contract)
+      if (!java.nio.file.Files.isDirectory(p)) dir
+      else {
+        val l = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).minOption
+            .getOrElse(sys.error(s"no parquet feed files under $dir"))
+        } finally l.close()
+      }
     }
     val feedSchema =
       org.apache.spark.sql.GraftBridge.parquetSchemaOf(spark, firstFile)

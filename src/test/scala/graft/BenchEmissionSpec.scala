@@ -49,7 +49,8 @@ class BenchEmissionSpec extends AnyFunSuite {
     val fromMap = JsonMethods.parse(contract) \ "queries" match {
       case JObject(fields) => fields.collect {
         case (k, JDouble(v)) => k -> math.round(v * 10)
-        case (k, JInt(v)) => k -> v.toLong * 10
+        // integer map values are whole seconds — except the -1 sentinel
+        case (k, JInt(v)) => k -> (if (v == -1) -1L else v.toLong * 10)
       }.toMap
       case _ => Map.empty[String, Long]
     }
@@ -69,19 +70,51 @@ class BenchEmissionSpec extends AnyFunSuite {
     }
   }
 
+  test("the real-inventory shape keeps a driver-parsable map in the final line") {
+    // 216 queries with the real suite's value distribution (two thirds
+    // sub-second floor-bound, the rest 1-10 s) — the shape the driver
+    // actually parses per-query times from (round 17: PERF_r16 came back
+    // with empty per_query/scaling because the times lived in bench-times
+    // side lines; the driver reads the FINAL JSON line only)
+    val series = Seq("q", "d", "t", "e", "s", "k", "m")
+    val mins = (0 until 216).map { i =>
+      val name = s"${series(i % series.length)}${i / series.length + 1}"
+      name -> (if (i % 3 == 2) (i % 80) / 10.0 + 1.0 else (i % 9) / 10.0 + 0.1)
+    }
+    val lines = Bench.emission(mins, spreadsFor(mins), 220.0, 0, "sf0.1")
+    assert(lines.map(_.length + 1).sum <= Bench.TailBudget,
+      s"the whole emission must fit the tail: ${lines.map(_.length + 1).sum}")
+    val tail = tailOf(lines)
+    val contract = JsonMethods.parse(tail.split("\n").last)
+    assert((contract \ "metric") == JString("total"))
+    assert((contract \ "failed") == JInt(0))
+    assert((contract \ "queries").isInstanceOf[JObject],
+      "the final line must carry the per-query map at the real suite size")
+    val got = recover(tail)
+    mins.foreach { case (k, v) =>
+      // mixed-precision rung: values at/above the int threshold round to
+      // whole seconds — recovered time within 0.5 s; below it, exact ds
+      assert(got.get(k).exists(g => math.abs(g - math.round(v * 10)) <= 5),
+        s"$k lost (or off by >0.5s) from the final-line map")
+    }
+  }
+
   test("a 230-query suite survives the 2000-char tail with every time recoverable") {
     val mins = synth(230)
     val lines = Bench.emission(mins, spreadsFor(mins), 400.0, 0, "sf0.1")
     assert(lines.map(_.length + 1).sum <= Bench.TailBudget,
       s"the whole emission must fit the tail: ${lines.map(_.length + 1).sum}")
     val tail = tailOf(lines)
-    // the contract is the last line, complete and parseable
+    // the contract is the last line, complete and parseable (this synth
+    // distribution averages ~11 s/query — far heavier than the real
+    // inventory — so no map rung fits and the ds-chunked degradation
+    // carries the times instead, at full decisecond resolution)
     val contract = JsonMethods.parse(tail.split("\n").last)
     assert((contract \ "metric") == JString("total"))
     assert((contract \ "failed") == JInt(0))
     val got = recover(tail)
     mins.foreach { case (k, v) =>
-      assert(got.get(k).contains(math.round(v * 10)),
+      assert(got.get(k).exists(g => math.abs(g - math.round(v * 10)) <= 5),
         s"$k lost from the tail at 230 queries — the r10 failure mode is back")
     }
   }
