@@ -45,7 +45,11 @@ object CurationExt {
     * split into (corpus, eval) sides on the eval-split stand-in. */
   private def decontamSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val W = 4
-    val grams = documents(s, d)
+    // width-guarded (round 17): tokenize + gram explode + the distinct's
+    // partial aggregate all pipeline INSIDE the scan task (t9's lesson) —
+    // a few-file corpus caps them at scan-split width
+    val grams = Scans.wide(s,
+        documents(s, d).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= W)
       .select(col("doc_id"),

@@ -671,7 +671,9 @@ object Dedup {
     val cutoff = element_at(array_sort(ds), D16Probes)
     val assigned = filter(sequence(lit(0), lit(IvfIndex.K - 1)),
       i => element_at(ds, i + 1) <= cutoff)
-    val e = embeddings(s, d)
+    // width-guarded (round 17): the K per-row cluster distances are a
+    // compute-dense kernel whose ceiling is the scan's split count
+    val e = Scans.wide(s, embeddings(s, d), col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm2(col("embedding")).as("n2"),
         explode(assigned).as("c"))
@@ -713,8 +715,11 @@ object Dedup {
     * offline Measure tool reports recall against BOTH this slice and the
     * full pair set at test SFs. */
   def d16TruthSlice(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      VectorOps.norm2(col("embedding")).as("n2"))
+    // width-guarded (round 17): 64 broadcast-probe cosines per corpus row
+    // is compute-dense; a single-split scan serializes it
+    val e = Scans.wide(s, embeddings(s, d), col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm2(col("embedding")).as("n2"))
     val probes = e.filter(col("vec_id") % 50 === 0)
       .orderBy(col("vec_id")).limit(Similarity.MaxQueries)
       .select(col("vec_id").as("p_id"), col("embedding").as("pv"),

@@ -183,7 +183,12 @@ object Multimodal {
     * with a digest MinHash band exactly as d4 documents. */
   def m6ChunkOverlap(s: SparkSession, d: String): DataFrame = {
     val chunk = 16
-    val c = documents(s, d)
+    // width-guarded (round 17): the per-row chunk-digest transform
+    // (~len/16 xxhash64 calls per document) is compute-dense and pipelines
+    // inside the scan task; identity at warehouse file counts
+    val c = Scans.wide(s,
+        documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
       .where(length(col("text")) >= 1)
       .select(col("doc_id"), col("source"),
         array_sort(array_distinct(expr(

@@ -42,8 +42,17 @@ object Relational {
   /** TPC-H Q1 shape: scan-side partial aggregation (map-side combine) means
     * the shuffle carries ≤ (#groups × #partitions) rows — scale-free. */
   def q1Agg(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+    // width-guarded (round 17): four decimal sums per row are compute-dense
+    // and pipeline INSIDE the scan task; a few-file table caps them at
+    // scan-split width. Identity at warehouse file counts, so the map-side
+    // combine property below is unchanged at scale.
+    Scans.wide(s,
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+        col("l_orderkey"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(dec2(col("l_quantity"))).as("sum_qty"),
@@ -522,7 +531,13 @@ object Relational {
   /** CUBE grouping sets — all 4 combinations in one Expand+aggregate pass
     * (completes the grouping-sets family next to q11's ROLLUP). */
   def q30Cube(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    // width-guarded (round 17): CUBE expands every row ×4 into the partial
+    // aggregate — compute-dense enough that a single-split scan serializes
+    // it; the guard is identity at warehouse file counts (guide §2.5)
+    Scans.wide(s,
+        lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity")),
+        col("l_orderkey"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(dec2(col("l_quantity"))).as("qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))

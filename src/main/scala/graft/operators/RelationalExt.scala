@@ -638,9 +638,19 @@ object RelationalExt {
     * digit → 1..5, as double → NULL) plus an out-of-bounds
     * try_element_at — each lands on the identical TRY_CAST NULLs in
     * DuckDB. Scan-shaped; the aggregate proves the NULL/value split is
-    * exact, not approximate. */
+    * exact, not approximate.
+    *
+    * Width-guarded ([[Scans.wide]], round 17): a failing TRY cast pays a
+    * constructed-and-caught SparkNumberFormatException PER VALUE inside
+    * Spark's Cast(TRY) codegen (CastProbe: the two always-failing casts
+    * alone cost 1.37 s vs 0.07 s for the same casts on parseable input —
+    * 18×), making this a compute-dense per-row kernel whose parallelism
+    * ceiling is the scan's split count, not data volume. Identity at
+    * warehouse file counts. */
   def q72TryCast(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
+    Scans.wide(s,
+        orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("o_orderkey"))
       .select(col("o_orderpriority"),
         expr("try_cast(o_orderpriority AS INT)").as("whole_int"),
         expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("lead_int"),
